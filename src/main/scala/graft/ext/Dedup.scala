@@ -1,0 +1,148 @@
+package graft.ext
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine. Each returns DataFrames (representative
+  * rows or candidate pairs) so they compose with the rest of the engine.
+  *
+  * Scale shape: every variant is groupBy/join on a *hash*, never on raw
+  * text — at 100 TB the shuffle carries 8-32 bytes per row, not documents.
+  * LSH banding bounds the candidate-pair explosion to same-bucket pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the smallest `idCol` per identical
+    * content. Groups on a 128-bit content hash so the shuffle key is fixed
+    * width (hash-groupBy; md5 collision odds are negligible at any corpus
+    * size we target).
+    */
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
+    val h = md5(concat_ws("", contentCols.map(col): _*))
+    val w = Window.partitionBy(h).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature column: `numHashes` permutations approximated by
+    * seeded xxhash64 over word `shingleN`-gram shingles. Deterministic
+    * (seeds are literals). Empty-shingle docs get the hash of the raw text
+    * so they only collide with identical text.
+    */
+  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 16): Column = {
+    val sh = T.wordShingles(text, shingleN)
+    transform(sequence(lit(0), lit(numHashes - 1)), h =>
+      when(size(sh) === 0, xxhash64(text, h))
+        .otherwise(array_min(transform(sh, s => xxhash64(s, h)))))
+  }
+
+  /** MinHash + LSH banding: near-duplicate candidate pairs (idA < idB) whose
+    * signatures collide in at least one band, with the estimated Jaccard
+    * (fraction of agreeing minhashes). `bands * rowsPerBand` hashes are
+    * computed; a pair is a candidate iff some band of `rowsPerBand`
+    * consecutive hashes agrees — the classic S-curve knob.
+    *
+    * Plan shape: explode to (band, bucketHash) → shuffle on the bucket →
+    * within-bucket self-pairing → distinct pairs → signature re-check.
+    * Buckets are tiny for non-pathological corpora; a hot bucket (e.g.
+    * boilerplate) is the known skew case — cap with `maxBucketSize`.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            xxhash64(array_join(transform(
+              slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+              _.cast("string")), ","))
+              .as("bucket")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val capped = banded
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+
+    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / numHashes).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Exact word-n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+    * Inverted-index join: explode distinct shingles → pairs on shingle →
+    * count shared → |A∩B| / (|A|+|B|-|A∩B|). Shuffle key is the shingle
+    * hash; document size lookups broadcast when small, shuffle otherwise.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(T.wordShingles(col(textCol), shingleN)).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh_h"))
+    val shared = inv.as("a").join(inv.as("b"), col("a.sh_h") === col("b.sh_h"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** SimHash near-dup candidate pairs: 64-bit simhash split into `bands`
+    * bit-bands; pairs agreeing on any band are candidates, then filtered by
+    * exact Hamming distance ≤ maxHamming. Same explode-shuffle shape as
+    * MinHash LSH.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, maxHamming: Int = 8): DataFrame = {
+    val bits = 64 / bands
+    val withH = df.select(col(idCol).as("id"), T.simhash64(col(textCol)).as("h"))
+    val banded = withH.select(col("id"), col("h"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          call_function("shiftright", col("h"), b * lit(bits))
+            .bitwiseAND(lit((1L << bits) - 1)).as("key")))).as("bb"))
+      .select(col("id"), col("h"), col("bb.band"), col("bb.key"))
+    val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("h").as("h_a"))
+    val r = banded.select(col("band"), col("key"), col("id").as("id_b"), col("h").as("h_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), T.hamming64(col("h_a"), col("h_b")).as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs: LSH sign-bucket to bound the pair
+    * space, exact cosine within buckets, keep pairs ≥ threshold.
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        threshold: Double, lshBits: Int = 8): DataFrame = {
+    val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      V.signLshBucket(col(vecCol), lshBits, dim).as("bucket"))
+    val l = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+}

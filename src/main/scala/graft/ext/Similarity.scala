@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (one codegen'd scan + a k-row
+  * TakeOrdered — optimal for a single query vector even at 100 TB because
+  * the scan is embarrassingly parallel and nothing shuffles).
+  *
+  * Scale path: sign-LSH bucketing — probe only same-bucket rows; for batch
+  * query sets, bucket both sides and join on bucket, turning an O(N·Q)
+  * cross product into a co-partitioned hash join.
+  */
+object Similarity {
+
+  /** Top-k nearest rows to the embedding of `queryId` within `df` itself.
+    * The one-row query side is broadcast; score is rounded to `roundTo`
+    * decimals and used as the sort key so ordering is reproducible.
+    */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int, roundTo: Int = 4): DataFrame = {
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    df.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(V.cosine(col(vecCol), col("__qv")), roundTo))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Brute-force top-k against an explicit query vector literal. */
+  def cosineTopKVec(df: DataFrame, idCol: String, vecCol: String,
+                    queryVec: Seq[Double], k: Int): DataFrame = {
+    val qv = array(queryVec.map(lit): _*)
+    df.withColumn("score", V.cosine(col(vecCol), qv))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's sign-LSH bucket (or any
+    * bucket within `probes` Hamming-adjacent bit flips), exact cosine only
+    * on candidates. Recall/cost tradeoff via `lshBits` and `probes`.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              queryId: Long, k: Int, lshBits: Int = 8, probes: Int = 2): DataFrame = {
+    val bucketed = df.withColumn("__b", V.signLshBucket(col(vecCol), lshBits, dim))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), col("__b").as("__qb"))
+    // query bucket + single-bit-flip neighbors (multi-probe)
+    val probeBuckets = explode(array_distinct(concat(
+      array(col("__qb")),
+      slice(transform(sequence(lit(0), lit(lshBits - 1)),
+        i => col("__qb").bitwiseXOR(call_function("shiftleft", lit(1L), i))),
+        1, math.max(probes - 1, 0)))))
+    val probed = q.select(col("__qv"), probeBuckets.as("__b"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(probed), "__b")
+      .withColumn("score", round(V.cosine(col(vecCol), col("__qv")), 4))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Batch k-NN: for every row of `queries`, its top-k neighbors in `corpus`
+    * by cosine, via bucket join + per-query window rank. This is the
+    * many-query scale path (no cross product).
+    */
+  def bucketJoinKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, dim: Int, k: Int, lshBits: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      V.signLshBucket(col(vecCol), lshBits, dim).as("__b"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      V.signLshBucket(col(vecCol), lshBits, dim).as("__b"))
+    val scored = c.join(q, Seq("__b"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("score", round(V.cosine(col("cv"), col("qv")), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("corpus_id"))
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select("query_id", "corpus_id", "score")
+  }
+}

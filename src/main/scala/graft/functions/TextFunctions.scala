@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the large-scale training-data tier
+  * (SURVEY.md §7.1 `ext/`). Pure `org.apache.spark.sql.functions`
+  * compositions — no UDFs, everything stays inside WholeStageCodegen, which
+  * is what makes these viable over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** ASCII punctuation character class, spelled as explicit ranges so the
+    * same pattern means the same thing in Java regex (Spark) and RE2
+    * (DuckDB oracle): !-/ :-@ [-` {-~
+    */
+  val PunctClass: String = "[!-/:-@\\[-`{-~]"
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish token estimate: whitespace words + punctuation marks count
+    * separately (a cheap, deterministic stand-in for a real tokenizer).
+    */
+  def approxBpeTokenCount(text: Column): Column =
+    (tokenCount(text) +
+      (length(text) - length(regexp_replace(text, PunctClass, "")))).cast("bigint")
+
+  /** Punctuation characters per character, in thousandths (integer — exact
+    * across engines; see SparkEntry oracle-parity note on floats).
+    */
+  def punctPerMille(text: Column): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      round((length(text) - length(regexp_replace(text, PunctClass, "")))
+        .cast("double") * 1000 / length(text)).cast("bigint"))
+
+  /** Mean word length in thousandths of a character. */
+  def avgWordLenMilli(text: Column): Column =
+    round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") * 1000 /
+      greatest(tokenCount(text), lit(1L))).cast("bigint")
+
+  /** Word n-gram shingles: array of space-joined n-grams. Returns an empty
+    * array when the document has fewer than n words.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, n), " ")))
+  }
+
+  /** Stopword hits: how many of `words` occur (space-delimited) in text. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    words.map(w => when(instr(padded, s" $w ") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** Rule-based language ID over stopword-marker hits, fixed priority on
+    * ties (en > de > fr > und). Deterministic → SQL-oracle-expressible.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, Seq("the", "and", "of", "a"))
+    val de = stopwordHits(text, Seq("der", "und", "die", "ein"))
+    val fr = stopwordHits(text, Seq("le", "la", "et", "un"))
+    when(en === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= de && en >= fr, lit("en"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Quality score in [0,1000] (per-mille, integer-exact): length component
+    * scaled by punctuation penalty — the shape of a heuristic web-text
+    * quality filter.
+    */
+  def qualityPerMille(text: Column): Column = {
+    val lenComponent = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctPerMille(text).cast("double") / 300.0, lit(1.0))
+    round(lenComponent * punctPenalty * 1000).cast("bigint")
+  }
+
+  /** Document fingerprint: minimum md5 over word 3-gram shingles (a
+    * one-permutation MinHash). Lexicographic min over hex strings is
+    * engine-portable; fall back to md5 of the whole text for tiny docs.
+    */
+  def fingerprint(text: Column): Column = {
+    val sh = wordShingles(text, 3)
+    when(size(sh) === 0, md5(text)).otherwise(array_min(transform(sh, md5)))
+  }
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64 bit votes:
+    * bit b of the result is 1 iff more tokens have bit b set than unset.
+    * Pure higher-order-function expression — distributed, no UDF.
+    */
+  def simhash64(text: Column): Column = {
+    val t = tokens(text)
+    // shiftleft/shiftright with a *Column* shift amount exist in SQL but not
+    // in the Scala DSL — call_function bridges to the Catalyst expression.
+    val votes = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(t, lit(0L),
+        (acc, w) => acc + when(
+          call_function("shiftright", xxhash64(w), b).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
+        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b)).cast("int")
+}

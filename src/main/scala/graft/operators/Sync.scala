@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's DB-to-DB sync jobs re-expressed as native relational
+  * operators. In the reference these are generated SQL strings executed by
+  * MySQL/ClickHouse (`/root/reference/src/Common/SynToMysql.php:30-64`,
+  * `SynToClickhouse.php:38-122`, `SyncOtherMysql.php:48-89`,
+  * `DelMysql.php:34-39`); here they are DataFrame combinators so Catalyst
+  * plans them (broadcast vs shuffle anti-join, AQE skew handling) instead of
+  * an external server.
+  *
+  * Scale notes (100 TB): every op below is a single shuffle-or-broadcast
+  * join or window — no driver-side collection. Anti-joins on a small target
+  * broadcast automatically (AQE); large-large anti-joins shuffle on the key,
+  * which is the optimal distributed plan for set difference.
+  */
+object Sync {
+
+  /** Rows of `source` whose keys are absent from `target` — the NOT-EXISTS
+    * insert set of `SynToMysql.php:47-55` (`INSERT INTO to SELECT … WHERE
+    * NOT EXISTS …`). Returns the would-be-inserted rows; callers append them
+    * to the target sink. `where` maps the reference's `filterWhere` (:53-55)
+    * and `limit` its `LIMIT batch` (:58-60).
+    */
+  def antiInsert(source: DataFrame, target: DataFrame, keys: Seq[String],
+                 where: Option[Column] = None, limit: Option[Int] = None): DataFrame = {
+    val filtered = where.fold(source)(source.filter)
+    // prune target to the key columns before the anti-join: less shuffle IO,
+    // and a narrow build side broadcasts at sizes the full row set would not
+    val anti = filtered.join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    limit.fold(anti)(anti.limit)
+  }
+
+  /** Anti-join on arbitrary expression keys — the ClickHouse `ANTI LEFT JOIN`
+    * with function-rewritten join conditions (`SynToClickhouse.php:56-70,
+    * 82-90`, e.g. `f(x,c) = f(t.x,c)`).
+    */
+  def antiInsertExpr(source: DataFrame, target: DataFrame, cond: Column): DataFrame =
+    source.join(target, cond, "left_anti")
+
+  /** Incremental watermark sync: source rows strictly newer than the
+    * target's max watermark column. Strict `>` reproduces the reference
+    * boundary exactly (ties on the max timestamp are dropped —
+    * `SyncOtherMysql.php:57`, `SynToClickhouse.php:77-80`; known
+    * reference bug-shape, see SURVEY.md §7.4).
+    *
+    * The max is a one-row aggregate broadcast-crossed into the filter — no
+    * `collect()`, the whole thing stays one lazy plan and the predicate is
+    * evaluated post-scan (at 100 TB, pair with partitioning on the watermark
+    * column so partition pruning skips old data).
+    */
+  def watermarkIncr(source: DataFrame, target: DataFrame, wmCol: String): DataFrame = {
+    val wm = target.agg(max(col(wmCol)).as("__wm"))
+    source.join(broadcast(wm), col(wmCol) > col("__wm"), "inner").drop("__wm")
+  }
+
+  /** Paged incremental sync collapsed to its semantics: watermark filter +
+    * deterministic order + limit (`SyncOtherMysql.php:53-60` `ORDER BY max
+    * ASC LIMIT size*parallel OFFSET …`). The OFFSET pagination loop
+    * disappears — Spark reads the whole increment as partitioned work.
+    */
+  def incrPage(source: DataFrame, target: DataFrame, wmCol: String,
+               tieBreak: Seq[Column], pageSize: Int): DataFrame =
+    watermarkIncr(source, target, wmCol)
+      .orderBy(col(wmCol) +: tieBreak: _*)
+      .limit(pageSize)
+
+  /** Upsert = full-outer merge: for key matches the source row wins, except
+    * `exclude`d columns which keep the target value (the reference's `ON
+    * DUPLICATE KEY UPDATE` set excludes `primary` + `exField`,
+    * `SynToMysql.php:62-64`); source-only rows insert, target-only rows stay.
+    * Presence is detected on (non-null) key columns, so a NULL in a source
+    * value column correctly overwrites.
+    */
+  def upsert(source: DataFrame, target: DataFrame, keys: Seq[String],
+             exclude: Set[String] = Set.empty): DataFrame = {
+    require(target.columns.toSet == source.columns.toSet,
+      "upsert requires identical source/target schemas")
+    val s = source.select(source.columns.map(c => col(c).as(s"__s_$c")): _*)
+    val joinCond = keys.map(k => col(s"__s_$k") === target(k)).reduce(_ && _)
+    val sPresent = col(s"__s_${keys.head}").isNotNull
+    val tPresent = target(keys.head).isNotNull
+    val out = target.columns.map { c =>
+      if (keys.contains(c)) coalesce(target(c), col(s"__s_$c")).as(c)
+      else if (exclude(c)) when(tPresent, target(c)).otherwise(col(s"__s_$c")).as(c)
+      else when(sPresent, col(s"__s_$c")).otherwise(target(c)).as(c)
+    }
+    target.join(s, joinCond, "full_outer").select(out: _*)
+  }
+
+  /** Latest-version-per-key dedup — replaces the reference's ClickHouse flag
+    * lifecycle (insert flag=0, bump readable rows, flags 0..3 =
+    * new/readable/old/deleted; `/root/reference/src/Sinks/Clickhouse.php:
+    * 173-195`, doc/Clickhouse.md:49). That state machine is a concurrency
+    * workaround for a non-transactional store; deterministic window-rank
+    * dedup gives the same observable result (only the newest version is
+    * readable) in one shuffle.
+    */
+  def latestVersion(df: DataFrame, pk: Seq[String], version: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(version.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Retention purge (`DelMysql.php:34-39` `DELETE FROM t WHERE cond`) as an
+    * anti-filter rewrite: the surviving rows. On a MERGE-capable store this
+    * would be a real DELETE; on immutable parquet it is a rewrite.
+    */
+  def delWhere(df: DataFrame, cond: Column): DataFrame = df.filter(!coalesce(cond, lit(false)))
+}

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** File delivery — the reference's `Sinks\File` (payload → file(s); array
+  * payload means one file per key; filename strategies DateTime/Timestamp,
+  * `/root/reference/src/Sinks/File.php:46-120`). Spark-native: a
+  * partitioned write IS file-per-key, and the format comes from the writer,
+  * not the extension. Also covers `Sinks\Pdo` batch-insert mode
+  * (`src/Sinks/Pdo.php:110-115`) when the target is a table-on-files:
+  * `mode=Append` is the batch insert.
+  */
+object FileSink {
+
+  def csv(df: DataFrame, path: String, header: Boolean = true,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  def parquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** File-per-key (the reference's array⇒one file per key): hive-style
+    * `partitionBy` — at scale this is also the partition-pruning layout.
+    */
+  def partitionedBy(df: DataFrame, path: String, format: String, keys: Seq[String],
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format(format).partitionBy(keys: _*).save(path)
+}

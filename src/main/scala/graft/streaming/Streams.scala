@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer. The reference's "streaming" is a push loop —
+  * one MQ delivery per DAG walk, no event time, no windows, no late-data
+  * handling (`/root/reference/src/Sources/Amqp.php:89-103`, SURVEY.md §2
+  * streaming audit). Here the same sources become micro-batch streams with
+  * real event-time semantics: watermarks, tumbling/sliding/session windows,
+  * and state-bounded dedup — all checkpointable and exactly-once into
+  * idempotent sinks, which also replaces the reference's Redis locks.
+  */
+object Streams {
+  private val nameCounter = new AtomicInteger(0)
+
+  /** File-arrival stream over a directory — the streaming FindFiles
+    * (`src/Sources/FindFiles.php:53-74`): new files become new micro-batches.
+    */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format)
+      .option("pathGlobFilter", s"*.$format").load(dir)
+
+  /** Tumbling/sliding event-time windowed aggregation with a watermark. */
+  def windowedCounts(df: DataFrame, tsCol: String, windowDur: String,
+                     slideDur: Option[String], watermarkDelay: String,
+                     groupCols: Seq[String]): DataFrame = {
+    val win = slideDur.fold(window(col(tsCol), windowDur))(s => window(col(tsCol), windowDur, s))
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(win +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart") +: groupCols.map(col) :+ col("cnt"): _*)
+  }
+
+  /** Session windows (gap-based) — new capability vs the reference. */
+  def sessionCounts(df: DataFrame, tsCol: String, gap: String,
+                    watermarkDelay: String, groupCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("wstart") +: groupCols.map(col) :+ col("cnt"): _*)
+
+  /** Streaming dedup with state bounded by the watermark — the streaming
+    * form of the ClickHouse flag dedup (SURVEY.md §2.3); never unbounded
+    * `dropDuplicates` on a stream.
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, delay: String,
+                           keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
+  /** The reference's `cron:` scheduling modes mapped to triggers
+    * (`/root/reference/src/Scheduler.php:79-96`): interval N seconds →
+    * ProcessingTime; -1 (run once) → AvailableNow.
+    */
+  def triggerOf(cron: Int): Trigger =
+    if (cron == -1) Trigger.AvailableNow()
+    else Trigger.ProcessingTime(math.max(cron, 1) * 1000L)
+
+  /** Run a streaming DataFrame to completion against currently-available
+    * input and return the result as a batch DataFrame (memory sink,
+    * `complete` mode). Used by parity tests to compare streaming plans
+    * against batch oracles.
+    */
+  def runToMemoryComplete(spark: SparkSession, streamed: DataFrame): DataFrame = {
+    val name = s"graft_mem_${nameCounter.incrementAndGet()}"
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
