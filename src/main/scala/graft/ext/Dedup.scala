@@ -1,5 +1,7 @@
 package graft.ext
 
+import scala.jdk.CollectionConverters._
+
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -21,7 +23,11 @@ object Dedup {
     * size we target).
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
-    val h = md5(concat_ws("", contentCols.map(col): _*))
+    // Unambiguous content encoding: JSON delimits fields and keeps explicit
+    // nulls, so ("ab","c")/("a","bc") and ("x",null)/(null,"x") don't collide
+    // the way a plain concat would (collisions silently delete rows here).
+    val h = md5(to_json(struct(contentCols.map(col): _*),
+      Map("ignoreNullFields" -> "false").asJava))
     val w = Window.partitionBy(h).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }

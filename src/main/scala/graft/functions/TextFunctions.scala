@@ -16,8 +16,12 @@ object TextFunctions {
     */
   val PunctClass: String = "[!-/:-@\\[-`{-~]"
 
-  /** Whitespace tokenizer. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenizer. Empty/whitespace-only text yields an empty array
+    * (a bare `split("")` would yield `[""]` and make tokenCount 1).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
@@ -49,7 +53,7 @@ object TextFunctions {
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(t) - (n - 1)),
-        i => array_join(slice(t, i, n), " ")))
+        i => array_join(slice(t, i, lit(n)), " ")))
   }
 
   /** Stopword hits: how many of `words` occur (space-delimited) in text. */
@@ -88,7 +92,7 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = {
     val sh = wordShingles(text, 3)
-    when(size(sh) === 0, md5(text)).otherwise(array_min(transform(sh, md5)))
+    when(size(sh) === 0, md5(text)).otherwise(array_min(transform(sh, c => md5(c))))
   }
 
   /** 64-bit SimHash over whitespace tokens using xxhash64 bit votes:

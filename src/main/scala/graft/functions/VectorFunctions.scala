@@ -30,7 +30,10 @@ object VectorFunctions {
     */
   def cosine(a: Column, b: Column): Column = {
     val ad = toDouble(a); val bd = toDouble(b)
-    dot(ad, bd) / sqrt(normSq(ad) * normSq(bd))
+    val den = normSq(ad) * normSq(bd)
+    // zero-norm guard: NaN sorts above every double in Spark, so without this
+    // zero embeddings would rank first in every top-k and pass thresholds
+    when(den === 0.0, lit(0.0)).otherwise(dot(ad, bd) / sqrt(den))
   }
 
   def l2Distance(a: Column, b: Column): Column = {

@@ -54,7 +54,11 @@ object Sync {
     */
   def watermarkIncr(source: DataFrame, target: DataFrame, wmCol: String): DataFrame = {
     val wm = target.agg(max(col(wmCol)).as("__wm"))
-    source.join(broadcast(wm), col(wmCol) > col("__wm"), "inner").drop("__wm")
+    // NULL watermark (empty target) means "sync everything": the reference's
+    // filterWhere drops the predicate when the scalar is null
+    // (`SyncOtherMysql.php:57`), so bootstrap is a full load, not zero rows.
+    source.join(broadcast(wm), col(wmCol) > col("__wm") || col("__wm").isNull, "inner")
+      .drop("__wm")
   }
 
   /** Paged incremental sync collapsed to its semantics: watermark filter +

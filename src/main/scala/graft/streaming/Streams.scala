@@ -66,9 +66,10 @@ object Streams {
     * `complete` mode). Used by parity tests to compare streaming plans
     * against batch oracles.
     */
-  def runToMemoryComplete(spark: SparkSession, streamed: DataFrame): DataFrame = {
+  def runToMemoryComplete(spark: SparkSession, streamed: DataFrame,
+                          outputMode: String = "complete"): DataFrame = {
     val name = s"graft_mem_${nameCounter.incrementAndGet()}"
-    val q = streamed.writeStream.outputMode("complete")
+    val q = streamed.writeStream.outputMode(outputMode)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
