@@ -1,13 +1,555 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Pipeline, Tables}
+import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.functions.{TextFunctions => T}
+import graft.operators.{ColumnOps, Enrich, Parse, Sync}
+import graft.sources.{FileSink, FileSource, JdbcSink, JdbcSource, LineParser, LineParserConfig}
+import graft.streaming.Streams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (plus the LLM-data-pipeline ext tier)
+  * is registered as a `queries` entry; `oracleSql` carries the equivalent
+  * DuckDB SQL for the hash-compared correctness gate. Ops whose math is not
+  * expressible in DuckDB (xxhash64-based MinHash/SimHash/sign-LSH) are
+  * registered without oracle SQL → rows-only check.
+  *
+  * Cross-engine determinism rules used throughout (see SURVEY.md §7.4):
+  *  - money aggregates go through DECIMAL(18,2) (exact) and cast the final
+  *    result to DOUBLE — bit-identical in both engines;
+  *  - `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as nanos-long
+  *    (`nanosAsLong`), DuckDB truncates to µs — so every query exposes
+  *    `ts_us` = µs-truncated BIGINT on both sides;
+  *  - integer per-mille text stats use floor(x+0.5), identical half-up in
+  *    both engines; floating scores are rounded and tie-broken by id.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Scratch dir for queries that exercise a write-then-read-back sink path. */
+  private def tmpDir(sfDir: String, name: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/tmp/graft_q/$tag/$name"
+  }
+
+  private def withNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** events with `ts_us` (µs-truncated BIGINT event time) prepended. */
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    withNanosAsLong(spark)
+    Tables(spark, dir).events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .drop("ts")
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Lineitem scan → pushdown filter → ColumnOps reshape → aggregate
+    * (SURVEY.md §7.2 step 1: the whole pipeline surface in one plan).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = Tables(spark, "/root/testdata/sf0.001").lineitem
+    val reshape = Pipeline(
+      ColumnOps.include(
+        "flag"  -> "l_returnflag",
+        "status" -> "l_linestatus",
+        "qty"   -> "cast(l_quantity as decimal(18,2))",
+        "price" -> "cast(l_extendedprice as decimal(18,2))",
+        "ship"  -> "l_shipdate"),
+      ColumnOps.addFields("src" -> lit("graft")),
+      ColumnOps.rename("ship" -> "shipdate"))
+    reshape(li.filter(col("l_shipdate") <= lit("1998-09-01")))
+      .groupBy("flag", "status", "src")
+      .agg(sum("qty").cast("double").as("sum_qty"),
+        sum("price").cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + ext tier. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- flagship-style aggregate (TPC-H Q1 shape) ----
+    "q1_agg" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      li.filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- sources ----
+    "src_file_scan" -> ((s, dir) => {
+      val out = tmpDir(dir, "src_file_scan")
+      val nation = Tables(s, dir).nation
+      FileSink.csv(nation, out)
+      FileSource.scanDir(s, out, "csv", Seq("csv"),
+        schema = Some(StructType(Seq(
+          StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))),
+        options = Map("header" -> "true"))
+    }),
+
+    "src_jdbc_scan" -> ((s, dir) => {
+      System.setProperty("derby.stream.error.file", "/tmp/graft_q/derby.log")
+      val url = s"jdbc:derby:${tmpDir(dir, s"derby_${ProcessHandle.current().pid()}")};create=true"
+      val nation = Tables(s, dir).nation
+      JdbcSink.append(nation, url, "nation_t", mode = SaveMode.Overwrite)
+      JdbcSource.read(s, url, "nation_t",
+        partitioning = Some(JdbcSource.Partitioning("n_nationkey", 0, 25, 4)),
+        fetchSize = 100)
+    }),
+
+    // ---- LineParser (headLine/dataLine/endLine/fieldLine + csv quoting) ----
+    "xf_lineparser_csv" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Seq(
+        "batch_id,region",                  // 1: fieldLine (shared values)
+        "name,city,note",                   // 2: headLine
+        "Alice,\"Spring, field\",ok",       // 3: data (quoted delimiter)
+        "\"Bo\"\"b\",NYC,\"x,y\"",          // 4: data (escaped quote)
+        "Cara,LA,plain",                    // 5: data
+        "Dave,SF,cut")                      // 6: beyond endLine — dropped
+      LineParser.parseLines(s.createDataset(lines), LineParserConfig(
+        headLine = 2, dataStart = 3, endLine = Some(5),
+        fieldLine = Some(1), fieldNames = Seq("fbatch", "fregion")))
+    }),
+
+    // ---- column algebra ----
+    "xf_project_include" -> ((s, dir) => {
+      ColumnOps.include(
+        "okey" -> "l_orderkey",
+        "qty"  -> "cast(l_quantity as bigint)",
+        "flag" -> "l_returnflag")(Tables(s, dir).lineitem)
+    }),
+
+    "xf_project_exclude" -> ((s, dir) =>
+      ColumnOps.exclude("p_retailprice")(Tables(s, dir).part)),
+
+    "xf_rename" -> ((s, dir) =>
+      ColumnOps.rename("c_name" -> "cust_name", "c_acctbal" -> "balance")(
+        Tables(s, dir).customer)),
+
+    "xf_addfield" -> ((s, dir) =>
+      ColumnOps.addFields("src" -> lit("graft"), "flag" -> lit(1))(
+        Tables(s, dir).supplier)),
+
+    "xf_idkey" -> ((s, dir) =>
+      ColumnOps.idKeyOrdered("rid", col("n_nationkey"))(Tables(s, dir).nation)),
+
+    // ---- XML parse/format ----
+    "xf_xml_parse" -> ((s, dir) => {
+      val xml = Tables(s, dir).customer.withColumn("doc",
+        when(col("c_custkey") % 2 === 0,
+          concat(lit("<rec><a>"), col("c_name"), lit("</a></rec>")))
+          .otherwise(concat(lit("<rec><b>"), col("c_name"), lit("</b></rec>"))))
+      Parse.xmlExtract(
+        xml.select(col("c_custkey"), col("doc")), "doc",
+        StructType(Seq(StructField("a", StringType), StructField("b", StringType))),
+        fields = Map("name" -> Seq("a", "b")), keepInput = true)
+        .drop("doc")
+    }),
+
+    "xf_xml_format" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val roundtrip = c.select(col("c_custkey"),
+        Parse.xmlFormat(struct(col("c_mktsegment").as("seg")), rowTag = "rec").as("x"))
+      roundtrip.select(col("c_custkey"),
+        Parse.xmlParse(col("x"),
+          StructType(Seq(StructField("seg", StringType)))).getField("seg").as("seg"))
+    }),
+
+    // ---- sync ops (the reference's relational heart) ----
+    "sync_anti_insert" -> ((s, dir) => {
+      val orders = Tables(s, dir).orders
+      Sync.antiInsert(orders, orders.filter(col("o_orderkey") % 3 === 0), Seq("o_orderkey"))
+    }),
+
+    "sync_anti_expr_join" -> ((s, dir) => {
+      val orders = Tables(s, dir).orders
+      val target = orders.filter(col("o_orderdate") < lit("1995-01-01")).as("t")
+      Sync.antiInsertExpr(orders.as("f"), target,
+        expr("f.o_custkey % 100 = t.o_custkey % 100"))
+    }),
+
+    "sync_watermark" -> ((s, dir) => {
+      val orders = Tables(s, dir).orders
+      Sync.watermarkIncr(orders, orders.filter(col("o_orderdate") < lit("1995-06-01")),
+        "o_orderdate")
+    }),
+
+    "sync_incr_paged" -> ((s, dir) => {
+      val orders = Tables(s, dir).orders
+      Sync.incrPage(orders, orders.filter(col("o_orderdate") < lit("1995-06-01")),
+        "o_orderdate", Seq(col("o_orderkey")), pageSize = 500)
+    }),
+
+    "sync_upsert" -> ((s, dir) => {
+      val c = Tables(s, dir).customer
+      val updates = c.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+      val inserts = c.withColumn("c_custkey", col("c_custkey") + 10000000L)
+      Sync.upsert(updates.unionByName(inserts), c, Seq("c_custkey"))
+    }),
+
+    "del_where" -> ((s, dir) =>
+      Sync.delWhere(Tables(s, dir).lineitem, col("l_shipdate") < lit("1994-01-01"))),
+
+    // ---- sinks ----
+    "sink_batch_insert" -> ((s, dir) => {
+      val out = tmpDir(dir, "sink_batch_insert")
+      val orders = Tables(s, dir).orders
+      FileSink.parquet(orders.filter(col("o_orderkey") % 2 === 0), out)
+      FileSink.parquet(orders.filter(col("o_orderkey") % 2 =!= 0), out, SaveMode.Append)
+      s.read.parquet(out)
+    }),
+
+    "sink_file_csv" -> ((s, dir) => {
+      val out = tmpDir(dir, "sink_file_csv")
+      FileSink.csv(Tables(s, dir).region, out)
+      FileSource.csv(s, out, StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))
+    }),
+
+    "sink_flag_dedup" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      Sync.latestVersion(ev, Seq("user_id", "event_type"),
+        Seq(col("ts_us"), col("event_id")))
+    }),
+
+    // ---- enrichment (pooled per-partition client) ----
+    "enrich_http" -> ((s, dir) => {
+      Enrich.withPartitionClient[Unit](
+        Tables(s, dir).nation.select("n_nationkey", "n_name"),
+        inCol = "n_name", outCol = "enriched",
+        mkClient = () => (),
+        call = (_, name) => name.toUpperCase + "_OK")
+    }),
+
+    // ---- ext: dedup ----
+    "dedup_exact" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.exact(withCopies, Seq("text"), "doc_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.ngramJaccardPairs(withCopies, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
+    }),
+
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.minhashCandidatePairs(withCopies, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+    }),
+
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.simhashPairs(withCopies, "doc_id", "text", maxHamming = 3)
+    }),
+
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      Dedup.embeddingDupPairs(withCopies, "vec_id", "embedding", dim = 64,
+        threshold = 0.999)
+    }),
+
+    // ---- ext: similarity search ----
+    "ann_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
+        queryId = 1L, k = 20)),
+
+    // lshBits sized to the test corpus (~500 vecs): 2^6 buckets keeps them
+    // populated; the 16-bit default is the 100 TB setting (see Similarity).
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(Tables(s, dir).embeddings, "vec_id", "embedding", dim = 64,
+        queryId = 1L, k = 10, lshBits = 6, probes = 4)),
+
+    "ann_knn_bucket" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      Similarity.bucketJoinKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5, lshBits = 6)
+    }),
+
+    // ---- ext: text analysis ----
+    "text_stats" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.approxBpeTokenCount(col("text")).as("n_bpe"),
+        T.punctPerMille(col("text")).as("punct_pm"),
+        T.avgWordLenMilli(col("text")).as("awl_milli"))),
+
+    "text_langid" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        T.langId(col("text")).as("lang_pred"))),
+
+    "text_quality" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        T.qualityPerMille(col("text")).as("quality_pm"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        T.fingerprint(col("text")).as("fp"))),
+
+    // ---- ext: multimodal plumbing ----
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.fromText(Tables(s, dir).documents, "doc_id", "text", "video")
+      Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+        .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          col("frame").cast("string").as("frame"))
+    }),
+
+    "mm_decode_features" -> ((s, dir) => {
+      val media = Multimodal.fromText(Tables(s, dir).documents, "doc_id", "text", "image")
+      Multimodal.decodeStub(media, featureDim = 8).select("media_id", "features")
+    }),
+
+    // ---- streaming (file stream over the events table, AvailableNow) ----
+    "stream_tumbling_counts" -> ((s, dir) => {
+      withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      val counts = Streams.windowedCounts(ev, "ts_t", "1 hour", None, "1 hour",
+        Seq("event_type"))
+      Streams.runToMemoryComplete(s, counts, outputMode = "complete")
+    }),
+
+    "stream_session_counts" -> ((s, dir) => {
+      withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      val counts = Streams.sessionCounts(ev, "ts_t", "30 minutes", "1 hour",
+        Seq("user_id"))
+      Streams.runToMemoryComplete(s, counts, outputMode = "complete")
+    }),
+
+    "stream_dedup_keys" -> ((s, dir) => {
+      withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      val dd = Streams.dedupWithinWatermark(ev, "ts_t", "1 hour",
+        Seq("user_id", "event_type"))
+      // distinct: state-bounded dedup guarantees no dupes only within the
+      // watermark horizon; the batch-equivalence check is over the key set
+      Streams.runToMemoryComplete(s, dd, outputMode = "append")
+        .select("user_id", "event_type").distinct()
+    })
+  )
+
+  /** DuckDB oracle SQL per query (same parquet tables, bare table names).
+    * Omitted keys (xxhash64/sign-LSH-based ops) get a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "src_file_scan" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "src_jdbc_scan" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "xf_lineparser_csv" ->
+      """SELECT * FROM (VALUES
+        |  ('batch_id', 'region', 'Alice', 'Spring, field', 'ok'),
+        |  ('batch_id', 'region', 'Bo"b', 'NYC', 'x,y'),
+        |  ('batch_id', 'region', 'Cara', 'LA', 'plain')
+        |) AS t(fbatch, fregion, name, city, note)""".stripMargin,
+
+    "xf_project_include" ->
+      "SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag FROM lineitem",
+
+    "xf_project_exclude" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part",
+
+    "xf_rename" ->
+      "SELECT c_custkey, c_name AS cust_name, c_nationkey, c_acctbal AS balance, c_mktsegment FROM customer",
+
+    "xf_addfield" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'graft' AS src, 1 AS flag FROM supplier",
+
+    "xf_idkey" ->
+      "SELECT n_nationkey, n_name, n_regionkey, row_number() OVER (ORDER BY n_nationkey) AS rid FROM nation",
+
+    "xf_xml_parse" ->
+      "SELECT c_name AS name, c_custkey FROM customer",
+
+    "xf_xml_format" ->
+      "SELECT c_custkey, c_mktsegment AS seg FROM customer",
+
+    "sync_anti_insert" ->
+      """SELECT * FROM orders f WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders t WHERE t.o_orderkey % 3 = 0 AND t.o_orderkey = f.o_orderkey)""".stripMargin,
+
+    "sync_anti_expr_join" ->
+      """SELECT * FROM orders f WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders t WHERE t.o_orderdate < TIMESTAMP '1995-01-01'
+        |    AND t.o_custkey % 100 = f.o_custkey % 100)""".stripMargin,
+
+    "sync_watermark" ->
+      """SELECT * FROM orders WHERE o_orderdate >
+        |  (SELECT max(o_orderdate) FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01')""".stripMargin,
+
+    "sync_incr_paged" ->
+      """SELECT * FROM orders WHERE o_orderdate >
+        |  (SELECT max(o_orderdate) FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-01')
+        |ORDER BY o_orderdate, o_orderkey LIMIT 500""".stripMargin,
+
+    "sync_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer""".stripMargin,
+
+    "del_where" ->
+      "SELECT * FROM lineitem WHERE NOT (l_shipdate < TIMESTAMP '1994-01-01')",
+
+    "sink_batch_insert" -> "SELECT * FROM orders",
+
+    "sink_file_csv" -> "SELECT * FROM region",
+
+    "sink_flag_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
+
+    "enrich_http" ->
+      "SELECT n_nationkey, n_name, upper(n_name) || '_OK' AS enriched FROM nation",
+
+    "dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT doc_id, text FROM u
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH u AS (SELECT doc_id AS id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |  tok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM u),
+        |  sh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM tok),
+        |  sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh),
+        |  inv AS (SELECT id, unnest(s) AS sng FROM sh),
+        |  invc AS (SELECT id, sng FROM (
+        |    SELECT id, sng, count(*) OVER (PARTITION BY sng) AS df FROM inv) WHERE df <= 1000),
+        |  pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |    FROM invc a JOIN invc b ON a.sng = b.sng AND a.id < b.id GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.inter, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+        |FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |         * list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))), 4) AS score
+        |FROM embeddings, q WHERE vec_id <> 1
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |    + length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_bpe,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE floor((length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1000.0 / length(text) + 0.5) END AS BIGINT) AS punct_pm,
+        |  CAST(floor(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1000.0 /
+        |    greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1) + 0.5) AS BIGINT) AS awl_milli
+        |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id, CASE
+        |  WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+        |  WHEN en >= de AND en >= fr THEN 'en'
+        |  WHEN de >= fr THEN 'de'
+        |  ELSE 'fr' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  (CASE WHEN instr(' ' || lower(text) || ' ', ' the ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN instr(' ' || lower(text) || ' ', ' and ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN instr(' ' || lower(text) || ' ', ' of ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN instr(' ' || lower(text) || ' ', ' a ') > 0 THEN 1 ELSE 0 END) AS en,
+        |  (CASE WHEN instr(' ' || lower(text) || ' ', ' der ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN instr(' ' || lower(text) || ' ', ' und ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN instr(' ' || lower(text) || ' ', ' die ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN instr(' ' || lower(text) || ' ', ' ein ') > 0 THEN 1 ELSE 0 END) AS de,
+        |  (CASE WHEN instr(' ' || lower(text) || ' ', ' le ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN instr(' ' || lower(text) || ' ', ' la ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN instr(' ' || lower(text) || ' ', ' et ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN instr(' ' || lower(text) || ' ', ' un ') > 0 THEN 1 ELSE 0 END) AS fr
+        |FROM documents)""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, CAST(floor(
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |  * (1.0 - least(CAST(punct_pm AS DOUBLE) / 300.0, 1.0)) * 1000 + 0.5) AS BIGINT) AS quality_pm
+        |FROM (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |    ELSE floor((length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1000.0 / length(text) + 0.5) END AS punct_pm
+        |FROM documents)""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, CASE WHEN len(s) = 0 THEN md5(text)
+        |  ELSE list_aggregate(list_transform(s, x -> md5(x)), 'min') END AS fp
+        |FROM (SELECT doc_id, text, CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s
+        |  FROM (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents))""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  substr(text, CAST(i * 64 + 1 AS INT), 64) AS frame
+        |FROM documents, unnest(range(0, CAST(greatest(ceil(length(text) / 64.0), 1) AS BIGINT))) AS t(i)
+        |WHERE i % 2 = 0""".stripMargin,
+
+    "stream_tumbling_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_session_counts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        |  m AS (SELECT user_id, tu,
+        |    CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk FROM e),
+        |  sess AS (SELECT user_id, tu,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT make_timestamp(min(tu)) AS wstart, user_id, count(*) AS cnt
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "stream_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events"
+  )
 }

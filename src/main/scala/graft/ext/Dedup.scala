@@ -92,12 +92,22 @@ object Dedup {
     * hash; document size lookups broadcast when small, shuffle otherwise.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+                        shingleN: Int = 3, minJaccard: Double = 0.0,
+                        maxDocFreq: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(T.wordShingles(col(textCol), shingleN)).as("sh"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val sizes = sh.select(col("id"), size(col("sh")).cast("bigint").as("n"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh_h"))
+    // Hot-shingle (stop-shingle) cap: a boilerplate shingle shared by k docs
+    // creates a k² pair blowup in the self-join below. Standard practice is a
+    // document-frequency cutoff — drop shingles appearing in more than
+    // `maxDocFreq` docs before pairing (they carry ~no Jaccard signal anyway;
+    // note the dropped postings slightly under-count `inter` for affected
+    // pairs — the price of boundedness at corpus scale).
+    val inv = inv0
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh_h")))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
     val shared = inv.as("a").join(inv.as("b"), col("a.sh_h") === col("b.sh_h"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -135,16 +145,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs: LSH sign-bucket to bound the pair
-    * space, exact cosine within buckets, keep pairs ≥ threshold.
+  /** Embedding-cosine near-dup pairs: banded (multi-table) sign-LSH to bound
+    * the pair space, exact cosine within buckets, keep pairs ≥ threshold.
+    *
+    * Scale shape: `tables` independent hash tables of `bitsPerTable` sign
+    * bits each (different hyperplane seeds). A pair is a candidate iff it
+    * collides in ANY table — the same band construction as MinHash LSH, so
+    * recall comes from table count while 2^bitsPerTable buckets per table
+    * keeps every within-bucket self-join small. A single-table/few-bits
+    * setup (256 global buckets) would go quadratic at corpus scale.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                        threshold: Double, lshBits: Int = 8): DataFrame = {
+                        threshold: Double, bitsPerTable: Int = 16,
+                        tables: Int = 4): DataFrame = {
     val withB = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      V.signLshBucket(col(vecCol), lshBits, dim).as("bucket"))
-    val l = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          V.signLshBucket(col(vecCol), bitsPerTable, dim, seed = 42 + t)
+            .as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.tbl"), col("tb.bucket"))
+    val l = withB.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = withB.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)

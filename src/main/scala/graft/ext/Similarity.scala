@@ -44,10 +44,13 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates share the query's sign-LSH bucket (or any
     * bucket within `probes` Hamming-adjacent bit flips), exact cosine only
-    * on candidates. Recall/cost tradeoff via `lshBits` and `probes`.
+    * on candidates. Recall/cost tradeoff via `lshBits` and `probes`. At
+    * corpus scale prefer 16+ bits: 2^16 buckets keeps each bucket ~1/65k of
+    * the corpus, so the probe-side join touches a bounded candidate set
+    * (8 bits = 256 global buckets goes quadratic within buckets).
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-              queryId: Long, k: Int, lshBits: Int = 8, probes: Int = 2): DataFrame = {
+              queryId: Long, k: Int, lshBits: Int = 16, probes: Int = 4): DataFrame = {
     val bucketed = df.withColumn("__b", V.signLshBucket(col(vecCol), lshBits, dim))
     val q = bucketed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qv"), col("__b").as("__qb"))
@@ -71,7 +74,7 @@ object Similarity {
     * many-query scale path (no cross product).
     */
   def bucketJoinKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, dim: Int, k: Int, lshBits: Int = 8): DataFrame = {
+                    vecCol: String, dim: Int, k: Int, lshBits: Int = 16): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       V.signLshBucket(col(vecCol), lshBits, dim).as("__b"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),

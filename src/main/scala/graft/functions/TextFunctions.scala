@@ -32,18 +32,19 @@ object TextFunctions {
     (tokenCount(text) +
       (length(text) - length(regexp_replace(text, PunctClass, "")))).cast("bigint")
 
-  /** Punctuation characters per character, in thousandths (integer — exact
-    * across engines; see SparkEntry oracle-parity note on floats).
+  /** Punctuation characters per character, in thousandths. floor(x+0.5)
+    * instead of round(): identical half-up behavior in Spark and DuckDB for
+    * positive values, so the oracle compare is bit-exact.
     */
   def punctPerMille(text: Column): Column =
     when(length(text) === 0, lit(0L)).otherwise(
-      round((length(text) - length(regexp_replace(text, PunctClass, "")))
-        .cast("double") * 1000 / length(text)).cast("bigint"))
+      floor((length(text) - length(regexp_replace(text, PunctClass, "")))
+        .cast("double") * 1000 / length(text) + 0.5).cast("bigint"))
 
   /** Mean word length in thousandths of a character. */
   def avgWordLenMilli(text: Column): Column =
-    round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") * 1000 /
-      greatest(tokenCount(text), lit(1L))).cast("bigint")
+    floor(length(regexp_replace(trim(text), "\\s+", "")).cast("double") * 1000 /
+      greatest(tokenCount(text), lit(1L)) + 0.5).cast("bigint")
 
   /** Word n-gram shingles: array of space-joined n-grams. Returns an empty
     * array when the document has fewer than n words.
@@ -83,7 +84,7 @@ object TextFunctions {
   def qualityPerMille(text: Column): Column = {
     val lenComponent = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
     val punctPenalty = lit(1.0) - least(punctPerMille(text).cast("double") / 300.0, lit(1.0))
-    round(lenComponent * punctPenalty * 1000).cast("bigint")
+    floor(lenComponent * punctPenalty * 1000 + 0.5).cast("bigint")
   }
 
   /** Document fingerprint: minimum md5 over word 3-gram shingles (a

@@ -15,13 +15,15 @@ object FileSource {
 
   /** Recursive scan of `dir` for files with the given extensions. */
   def scanDir(spark: SparkSession, dir: String, format: String,
-              extensions: Seq[String], schema: Option[StructType] = None): DataFrame = {
+              extensions: Seq[String], schema: Option[StructType] = None,
+              options: Map[String, String] = Map.empty): DataFrame = {
     val reader0 = spark.read.format(format)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", extensions match {
         case Seq(one) => s"*.$one"
         case many     => many.mkString("*.{", ",", "}")
       })
+      .options(options)
     val reader = schema.fold(reader0)(reader0.schema)
     reader.load(dir)
   }

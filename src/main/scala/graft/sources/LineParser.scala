@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Line-addressed tabular text parsing — the Spark-native re-expression of
   * the reference's biggest transform (`/root/reference/src/Transforms/
@@ -12,17 +13,20 @@ import org.apache.spark.sql.functions._
   * Row numbers require a total file order. Plain `spark.read.csv` has no
   * such notion across partitions, so we index lines with `zipWithIndex`
   * over the text RDD: for a given file, Spark's text splits are ordered by
-  * byte offset, so partition-then-offset order IS file order. Each file is
-  * indexed independently (`input_file_name` grouping is unnecessary since we
-  * parse one logical file per call — the reference emits one Message per
-  * file too, `src/Sources/FindFiles.php:53-74`).
+  * byte offset, so partition-then-offset order IS file order.
+  *
+  * Data rows are parsed with `from_csv` — quote/escape-aware, matching the
+  * reference's `str_getcsv` semantics (`LineParser.php:172`: a quoted field
+  * may contain the delimiter). Header/field rows are fetched driver-side
+  * via one `take(maxNeededLine)` (a bounded scan of the file head, one job)
+  * — that is schema inference, inherently a driver action, on 1-2 rows.
   *
   * All output columns are strings (the reference is schema-free, SURVEY.md
-  * §1.2); callers cast. Header/field rows are fetched driver-side — that is
-  * schema inference, inherently a driver action, on 1-2 rows only.
+  * §1.2); callers cast.
   */
 final case class LineParserConfig(
     delimiter: String = ",",
+    quote: String = "\"",
     headLine: Int = 1,                  // 1-based header line; <=0 means no header
     dataStart: Int = 2,                 // 1-based first data line
     endLine: Option[Int] = None,        // 1-based last data line (inclusive)
@@ -32,33 +36,73 @@ final case class LineParserConfig(
 
 object LineParser {
 
-  def parse(spark: SparkSession, path: String, cfg: LineParserConfig): DataFrame = {
-    import spark.implicits._
-    val indexed = spark.read.textFile(path).rdd.zipWithIndex()
-      .map { case (line, idx) => (idx + 1, line) }.toDF("__lineno", "__line")
+  /** Minimal RFC-4180-style splitter for the 1-2 driver-side schema rows
+    * (data rows go through `from_csv`, not this).
+    */
+  private[sources] def splitCsvLine(line: String, delim: Char, quote: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == quote && i + 1 < line.length && line.charAt(i + 1) == quote) {
+          cur += quote; i += 1
+        } else if (c == quote) inQ = false
+        else cur += c
+      } else {
+        if (c == quote) inQ = true
+        else if (c == delim) { out += cur.result(); cur.clear() }
+        else cur += c
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
 
-    def lineAt(n: Int): String =
-      indexed.filter(col("__lineno") === n).select("__line").head().getString(0)
+  def parse(spark: SparkSession, path: String, cfg: LineParserConfig): DataFrame =
+    parseLines(spark.read.textFile(path), cfg)
+
+  /** Parse pre-read lines (also the in-memory test/MemoryStream path). */
+  def parseLines(lines: Dataset[String], cfg: LineParserConfig): DataFrame = {
+    val spark = lines.sparkSession
+    val delim = cfg.delimiter.charAt(0)
+    val quote = cfg.quote.charAt(0)
+
+    // One bounded job fetches every driver-side schema row (file head only).
+    val maxNeeded = math.max(cfg.headLine, cfg.fieldLine.getOrElse(0))
+    val headRows: Array[String] = if (maxNeeded > 0) lines.take(maxNeeded) else Array.empty
 
     val header: Seq[String] =
-      if (cfg.headLine > 0) lineAt(cfg.headLine).split(java.util.regex.Pattern.quote(cfg.delimiter), -1).toSeq
+      if (cfg.headLine > 0) splitCsvLine(headRows(cfg.headLine - 1), delim, quote)
       else cfg.columns
     require(header.nonEmpty, "LineParser: no header line and no explicit columns")
 
     val shared: Seq[(String, String)] = cfg.fieldLine match {
       case Some(fl) =>
-        val vals = lineAt(fl).split(java.util.regex.Pattern.quote(cfg.delimiter), -1).toSeq
-        cfg.fieldNames.zip(vals)
+        cfg.fieldNames.zip(splitCsvLine(headRows(fl - 1), delim, quote))
       case None => Nil
     }
 
-    val endCond = cfg.endLine.map(e => col("__lineno") <= e).getOrElse(lit(true))
-    val cells = split(col("__line"), java.util.regex.Pattern.quote(cfg.delimiter), -1)
-    val dataCols = header.zipWithIndex.map { case (h, i) => cells.getItem(i).as(h) }
-    val sharedCols = shared.map { case (n, v) => lit(v).as(n) }
+    val indexed = lines.rdd.zipWithIndex()
+      .map { case (line, idx) => (idx + 1, line) }
+    val indexedDf = spark.createDataFrame(indexed).toDF("__lineno", "__line")
 
-    indexed
+    val rowSchema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    // escape = quote char → RFC-4180 doubled-quote unescaping ("Bo""b" → Bo"b),
+    // matching the reference's str_getcsv (`LineParser.php:172`)
+    val parsed = from_csv(col("__line"), rowSchema,
+      Map("sep" -> cfg.delimiter, "quote" -> cfg.quote, "escape" -> cfg.quote))
+
+    val endCond = cfg.endLine.map(e => col("__lineno") <= e).getOrElse(lit(true))
+    val sharedCols = shared.map { case (n, v) => lit(v).as(n) }
+    val dataCols: Seq[Column] = header.map(h => col(s"__parsed.`$h`").as(h))
+
+    indexedDf
       .filter(col("__lineno") >= cfg.dataStart && endCond)
+      .withColumn("__parsed", parsed)
       .select(sharedCols ++ dataCols: _*)
   }
 }

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Remaining delivery targets from the reference's sink inventory. */
+object Sinks {
+
+  /** Debug/console sink (`/root/reference/src/Sinks/Console.php:40-86`:
+    * echo in json|text). Batch: show or print JSON lines.
+    */
+  def console(df: DataFrame, numRows: Int = 20, asJson: Boolean = false): Unit =
+    if (asJson) df.toJSON.show(numRows, truncate = false)
+    else df.show(numRows, truncate = false)
+
+  /** Streaming console sink for pipeline debugging. */
+  def consoleStream(df: DataFrame, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream.format("console").trigger(trigger).start()
+
+  /** Kafka producer (`/root/reference/src/Sinks/RdKafka.php:64-69`). Spark's
+    * Kafka sink needs the spark-sql-kafka connector jar; this build runs in
+    * an offline image without it, so fail fast with a clear message instead
+    * of an opaque ClassNotFound at runtime (jar-presence check).
+    */
+  def kafkaAvailable: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  def kafka(df: DataFrame, bootstrapServers: String, topic: String): Unit = {
+    require(kafkaAvailable,
+      "Kafka sink requires the spark-sql-kafka connector jar on the classpath")
+    df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
+  }
+
+  def kafkaStream(df: DataFrame, bootstrapServers: String, topic: String,
+                  checkpoint: String): StreamingQuery = {
+    require(kafkaAvailable,
+      "Kafka sink requires the spark-sql-kafka connector jar on the classpath")
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Generic per-partition publisher — the shape of the AMQP/NSQ sinks
+    * (`/root/reference/src/Sinks/Amqp.php:89-95`, `Nsq.php:60-69`): one
+    * producer per partition, publish every row, close. AMQP/NSQ client libs
+    * are not in this image; the publisher function is injected (tests use an
+    * accumulator, production wires the real client).
+    */
+  def foreachPublisher[C](df: DataFrame)(mkProducer: () => C)
+                         (publish: (C, Row) => Unit)(close: C => Unit): Unit =
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val p = mkProducer()
+        try rows.foreach(r => publish(p, r)) finally close(p)
+      }
+    }
+}
+
+/** TTL result cache — the reference's `duration` source cache
+  * (`/root/reference/src/Sources/Pdo.php:100`, `doc/Pdo.md:53`: -1 off,
+  * 0 forever, N seconds). Spark-native: `persist` + a timestamp; reads
+  * after expiry unpersist and rebuild lazily.
+  */
+final class TtlCache(ttlSeconds: Long) {
+  private var cached: Option[(DataFrame, Long)] = None
+
+  def get(build: => DataFrame): DataFrame = synchronized {
+    val now = System.currentTimeMillis() / 1000
+    cached match {
+      case Some((df, at)) if ttlSeconds == 0 || now - at < ttlSeconds => df
+      case other =>
+        other.foreach(_._1.unpersist())
+        val df = build.persist()
+        cached = Some((df, now))
+        df
+    }
+  }
+
+  def invalidate(): Unit = synchronized {
+    cached.foreach(_._1.unpersist()); cached = None
+  }
+}
