@@ -1,0 +1,65 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup
+    (4L, "completely unrelated text about spark engines"))
+    .toDF("id", "text")
+
+  test("exact dedup keeps the min-id row per identical content") {
+    val out = Dedup.exact(docs, Seq("text"), "id")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("exact dedup does not collide NULL/empty/shifted fields") {
+    val adv = Seq((1L, Some("ab"), Some("c")), (2L, Some("a"), Some("bc")),
+      (3L, Some("x"), None), (4L, None, Some("x")), (5L, Some("x"), Some("")))
+      .toDF("id", "a", "b")
+    assert(Dedup.exact(adv, Seq("a", "b"), "id").count() == 5)
+  }
+
+  test("minhash candidate pairs find exact and near duplicates") {
+    val m = Dedup.minhashCandidatePairs(docs, "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) == 1.0)
+    assert(m.keys.forall { case (a, b) => a < b })
+    assert(!m.contains((1L, 4L)))
+  }
+
+  test("ngram jaccard: identical docs score 1.0; df cap drops hot shingles") {
+    val out = Dedup.ngramJaccardPairs(docs, "id", "text", minJaccard = 0.3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == 0.4)                   // 4 shared of 10 distinct shingles
+    // with maxDocFreq=1: every shingle shared by >1 doc is dropped → no pairs
+    assert(Dedup.ngramJaccardPairs(docs, "id", "text", maxDocFreq = 1).count() == 0)
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val out = Dedup.simhashPairs(docs, "id", "text", maxHamming = 0)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("embedding dup pairs find identical vectors across LSH tables") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),       // identical to 1
+      (3L, Seq(-1.0f, 2.0f, 0.0f, 1.0f)))
+      .toDF("id", "v")
+    val out = Dedup.embeddingDupPairs(vecs, "id", "v", dim = 4, threshold = 0.999,
+      bitsPerTable = 4, tables = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(out.head._3 > 0.999)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(-1.0f, 0.0f, 0.0f)),
+    (4L, Seq(0.8f, 0.2f, 0.1f))).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by similarity to the query row, excluding it") {
+    val out = Similarity.cosineTopK(vecs, "vec_id", "embedding", queryId = 0L, k = 2)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 4L))
+    assert(out(0)._2 > out(1)._2)
+  }
+
+  test("cosineTopKVec scores against an explicit vector") {
+    val out = Similarity.cosineTopKVec(vecs, "vec_id", "embedding",
+      Seq(0.0, 1.0, 0.0), k = 1).as[(Long, Double)].collect()
+    assert(out.head._1 == 2L && math.abs(out.head._2 - 1.0) < 1e-9)
+  }
+
+  test("bucketJoinKnn returns at most k neighbors per query, never itself") {
+    val out = Similarity.bucketJoinKnn(vecs, vecs, "vec_id", "embedding",
+      dim = 3, k = 2, lshBits = 2)
+      .as[(Long, Long, Double)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.values.forall(_.length <= 2))
+    assert(out.forall(r => r._1 != r._2))
+  }
+
+  test("multimodal: frame sampling takes every Nth fixed-size window") {
+    val media = Multimodal.fromText(
+      Seq((7L, "x" * 200)).toDF("id", "t"), "id", "t", "video")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+      .select("frame_idx").as[Int].collect().sorted.toSeq
+    // 200 bytes → 4 frames (0..3) → sampled 0, 2
+    assert(frames == Seq(0, 2))
+  }
+
+  test("multimodal: decodeStub emits a deterministic fixed-length feature vector") {
+    val media = Multimodal.fromText(Seq((1L, "abc")).toDF("id", "t"), "id", "t", "image")
+    val f1 = Multimodal.decodeStub(media, featureDim = 8).select("features")
+      .as[Seq[Double]].head()
+    val f2 = Multimodal.decodeStub(media, featureDim = 8).select("features")
+      .as[Seq[Double]].head()
+    assert(f1 == f2 && f1.length == 8 && f1.forall(v => v >= 0.0 && v < 1.0))
+  }
+}

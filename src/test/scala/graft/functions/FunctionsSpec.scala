@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one = spark.range(1)
+
+  test("tokens: empty and whitespace-only text tokenize to zero tokens") {
+    val out = Seq("", "   ", "one", "two words").toDF("t")
+      .select(TextFunctions.tokenCount($"t")).as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 1L, 2L))
+  }
+
+  test("punctPerMille counts punctuation density") {
+    val out = Seq(("....", 1000L), ("abcd", 0L), ("ab..", 500L), ("", 0L)).toDF("t", "want")
+    assert(out.filter(TextFunctions.punctPerMille($"t") =!= $"want").count() == 0)
+  }
+
+  test("wordShingles yields n-grams and empty array for short docs") {
+    val res = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.wordShingles($"t", 3)).as[Seq[String]].collect()
+    assert(res(0) == Seq("a b c", "b c d"))
+    assert(res(1) == Seq.empty)
+  }
+
+  test("langId picks the language with most stopword hits, und for none") {
+    val out = Seq("the cat and dog", "der hund und die katze", "le chat et la mer", "xyzzy")
+      .toDF("t").select(TextFunctions.langId($"t")).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "fr", "und"))
+  }
+
+  test("fingerprint falls back to md5(text) for docs under 3 words") {
+    val fp = Seq("tiny doc").toDF("t")
+      .select(TextFunctions.fingerprint($"t")).as[String].head()
+    val want = one.select(md5(lit("tiny doc"))).as[String].head()
+    assert(fp == want)
+  }
+
+  test("simhash64 is identical for identical text, differs for different text") {
+    val hs = Seq("a b c d e f", "a b c d e f", "completely different words here")
+      .toDF("t").select(TextFunctions.simhash64($"t")).as[Long].collect()
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+  }
+
+  test("hamming64 of x with itself is 0, of complements is 64") {
+    val r = one.select(
+      TextFunctions.hamming64(lit(5L), lit(5L)),
+      TextFunctions.hamming64(lit(0L), lit(-1L))).as[(Int, Int)].head()
+    assert(r == ((0, 64)))
+  }
+
+  test("dot/norm/cosine/l2 on known vectors") {
+    val a = array(lit(1.0f), lit(2.0f), lit(2.0f))
+    val b = array(lit(2.0f), lit(0.0f), lit(0.0f))
+    val r = one.select(
+      VectorFunctions.dot(VectorFunctions.toDouble(a), VectorFunctions.toDouble(b)),
+      VectorFunctions.norm(VectorFunctions.toDouble(a)),
+      VectorFunctions.cosine(a, b),
+      VectorFunctions.l2Distance(a, b)).as[(Double, Double, Double, Double)].head()
+    assert(r._1 == 2.0)
+    assert(r._2 == 3.0)
+    assert(math.abs(r._3 - 2.0 / (3.0 * 2.0)) < 1e-12)
+    assert(math.abs(r._4 - 3.0) < 1e-12)
+  }
+
+  test("cosine of a zero-norm vector is 0.0, not NaN") {
+    val z = array(lit(0.0f), lit(0.0f))
+    val v = array(lit(1.0f), lit(1.0f))
+    val r = one.select(VectorFunctions.cosine(z, v)).as[Double].head()
+    assert(r == 0.0)
+  }
+
+  test("signLshBucket is deterministic and within [0, 2^bits)") {
+    val v = array(lit(0.5f), lit(-1.0f), lit(2.0f))
+    val r1 = one.select(VectorFunctions.signLshBucket(v, 8, 3)).as[Long].head()
+    val r2 = one.select(VectorFunctions.signLshBucket(v, 8, 3)).as[Long].head()
+    assert(r1 == r2 && r1 >= 0 && r1 < 256)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Pipeline
+
+class ColumnOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+    .toDF("id", "name", "amount")
+
+  test("include keeps listed columns with expression rewrites") {
+    val out = ColumnOps.include("id" -> "id", "twice" -> "amount * 2")(df)
+    assert(out.columns.toSeq == Seq("id", "twice"))
+    assert(out.orderBy("id").collect().map(_.getDouble(1)).toSeq == Seq(20.0, 40.0, 60.0))
+  }
+
+  test("exclude drops columns") {
+    assert(ColumnOps.exclude("amount")(df).columns.toSeq == Seq("id", "name"))
+  }
+
+  test("rename maps names and preserves order and untouched columns") {
+    val out = ColumnOps.rename("name" -> "label")(df)
+    assert(out.columns.toSeq == Seq("id", "label", "amount"))
+    assert(out.where($"label" === "b").count() == 1)
+  }
+
+  test("addFields appends literal columns") {
+    val out = ColumnOps.addFields("src" -> lit("x"), "k" -> lit(7))(df)
+    assert(out.columns.toSeq == Seq("id", "name", "amount", "src", "k"))
+    assert(out.select("src").distinct().as[String].collect().toSeq == Seq("x"))
+  }
+
+  test("idKeyOrdered assigns dense 1..n ids by the given order") {
+    val out = ColumnOps.idKeyOrdered("rid", $"amount".desc)(df)
+    assert(out.orderBy("rid").select("id").as[Int].collect().toSeq == Seq(3, 2, 1))
+  }
+
+  test("idKeyUnique ids are unique") {
+    val out = ColumnOps.idKeyUnique("uid")(df)
+    assert(out.select("uid").distinct().count() == 3)
+  }
+
+  test("coalesceFallback picks first non-null candidate") {
+    val d = Seq((Some("a"), None: Option[String]), (None, Some("b")), (None, None))
+      .toDF("x", "y")
+    val out = ColumnOps.coalesceFallback("v", col("x"), col("y"))(d)
+    assert(out.select("v").as[Option[String]].collect().toSeq ==
+      Seq(Some("a"), Some("b"), None))
+  }
+
+  test("Pipeline composes left-to-right and include chain collapses to one projection") {
+    val p = Pipeline(
+      ColumnOps.include("id" -> "id", "amount" -> "amount"),
+      ColumnOps.addFields("flag" -> lit(1)),
+      ColumnOps.rename("amount" -> "amt"))
+    val out = p(df)
+    assert(out.columns.toSeq == Seq("id", "amt", "flag"))
+    // consecutive projections collapse: at most one Project survives (for a
+    // local relation the optimizer folds even that away)
+    val plan = out.queryExecution.optimizedPlan.toString()
+    assert(plan.split("Project").length <= 2, s"expected <=1 Project in:\n$plan")
+  }
+
+  test("Pipeline.fanOut applies each branch to the same input") {
+    val Seq(a, b) = Pipeline.fanOut(df, ColumnOps.exclude("id"), ColumnOps.exclude("name"))
+    assert(a.columns.toSeq == Seq("name", "amount") && b.columns.toSeq == Seq("id", "amount"))
+  }
+}

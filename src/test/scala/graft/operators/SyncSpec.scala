@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("antiInsert returns only source rows whose keys are absent from target") {
+    val src = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val tgt = Seq((2, "old")).toDF("k", "v")
+    val out = Sync.antiInsert(src, tgt, Seq("k"))
+    assert(out.select("k").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
+  test("antiInsert is idempotent: second sync of the merged state inserts nothing") {
+    val src = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+    val tgt = Seq((2, "b")).toDF("k", "v")
+    val firstInsert = Sync.antiInsert(src, tgt, Seq("k"))
+    val merged = tgt.unionByName(firstInsert)
+    assert(Sync.antiInsert(src, merged, Seq("k")).count() == 0)
+  }
+
+  test("antiInsert honors where filter and limit") {
+    val src = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+    val tgt = Seq((9, "x")).toDF("k", "v")
+    val out = Sync.antiInsert(src, tgt, Seq("k"), where = Some($"k" > 1), limit = Some(2))
+    assert(out.count() == 2)
+    assert(out.select("k").as[Int].collect().forall(_ > 1))
+  }
+
+  test("watermarkIncr keeps rows strictly newer than target max (ties dropped)") {
+    val src = Seq((1, ts("2024-01-01 00:00:00")), (2, ts("2024-01-02 00:00:00")),
+      (3, ts("2024-01-03 00:00:00"))).toDF("k", "updated")
+    val tgt = Seq((1, ts("2024-01-02 00:00:00"))).toDF("k", "updated")
+    val out = Sync.watermarkIncr(src, tgt, "updated")
+    // the row AT the watermark (2024-01-02) is dropped — reference bug-shape
+    // reproduced exactly (SyncOtherMysql.php:57 strict >)
+    assert(out.select("k").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("watermarkIncr with empty target bootstraps the full source") {
+    val src = Seq((1, ts("2024-01-01 00:00:00")), (2, ts("2024-01-02 00:00:00")))
+      .toDF("k", "updated")
+    val tgt = src.filter(lit(false))
+    assert(Sync.watermarkIncr(src, tgt, "updated").count() == 2)
+  }
+
+  test("incrPage returns the first page in watermark order") {
+    val src = (1 to 10).map(i => (i, ts(f"2024-01-$i%02d 00:00:00"))).toDF("k", "updated")
+    val tgt = Seq((0, ts("2024-01-03 00:00:00"))).toDF("k", "updated")
+    val out = Sync.incrPage(src, tgt, "updated", Seq($"k"), pageSize = 3)
+    assert(out.select("k").as[Int].collect().sorted.toSeq == Seq(4, 5, 6))
+  }
+
+  test("upsert: source wins on key match, including NULL value overwrite") {
+    val tgt = Seq((1, Some("t1"), Some(10)), (2, Some("t2"), Some(20))).toDF("k", "v", "n")
+    val src = Seq((2, None: Option[String], Some(99)), (3, Some("s3"), None: Option[Int]))
+      .toDF("k", "v", "n")
+    val out = Sync.upsert(src, tgt, Seq("k")).orderBy("k")
+      .as[(Int, Option[String], Option[Int])].collect().toSeq
+    assert(out == Seq((1, Some("t1"), Some(10)), (2, None, Some(99)), (3, Some("s3"), None)))
+  }
+
+  test("upsert: excluded columns keep the target value on match") {
+    val tgt = Seq((1, "told", "keep1")).toDF("k", "v", "frozen")
+    val src = Seq((1, "snew", "clobber"), (2, "s2", "f2")).toDF("k", "v", "frozen")
+    val out = Sync.upsert(src, tgt, Seq("k"), exclude = Set("frozen")).orderBy("k")
+      .as[(Int, String, String)].collect().toSeq
+    assert(out == Seq((1, "snew", "keep1"), (2, "s2", "f2")))
+  }
+
+  test("latestVersion keeps exactly one row per key, ties broken by later version cols") {
+    val df = Seq(
+      (1, "a", 10, 100), (1, "a", 20, 101), (1, "a", 20, 99),
+      (2, "b", 5, 1)).toDF("id", "key", "ver", "seq")
+    val out = Sync.latestVersion(df, Seq("key"), Seq($"ver", $"seq"))
+    val a = out.where($"key" === "a").as[(Int, String, Int, Int)].collect().toSeq
+    assert(a == Seq((1, "a", 20, 101)))
+    assert(out.count() == 2)
+  }
+
+  test("delWhere removes matching rows and keeps NULL-condition rows") {
+    val df = Seq((1, Some(5)), (2, Some(15)), (3, None: Option[Int])).toDF("k", "n")
+    val out = Sync.delWhere(df, $"n" > 10)
+    // n=15 deleted; n=5 kept; n=NULL (condition unknown) kept — DELETE only
+    // removes rows where the predicate is TRUE
+    assert(out.select("k").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts over a MemoryStream matches the batch group-by") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ("a", ts("2024-01-01 00:10:00")), ("a", ts("2024-01-01 00:20:00")),
+      ("b", ts("2024-01-01 00:40:00")), ("a", ts("2024-01-01 01:05:00")))
+    val mem = MemoryStream[(String, Timestamp)]
+    mem.addData(data: _*)
+    val streamed = Streams.windowedCounts(
+      mem.toDF().toDF("k", "t"), "t", "1 hour", None, "10 minutes", Seq("k"))
+    val got = Streams.runToMemoryComplete(spark, streamed)
+      .as[(Timestamp, String, Long)].collect().toSet
+    val want = data.toDF("k", "t")
+      .groupBy(date_trunc("hour", $"t").as("wstart"), $"k")
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("sessionCounts groups events within the gap into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),  // session 1
+      (1L, ts("2024-01-01 02:00:00")),                                   // session 2
+      (2L, ts("2024-01-01 00:05:00")))
+    val streamed = Streams.sessionCounts(
+      mem.toDF().toDF("user_id", "t"), "t", "30 minutes", "1 hour", Seq("user_id"))
+    val got = Streams.runToMemoryComplete(spark, streamed)
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(got == Set(
+      (ts("2024-01-01 00:00:00"), 1L, 2L),
+      (ts("2024-01-01 02:00:00"), 1L, 1L),
+      (ts("2024-01-01 00:05:00"), 2L, 1L)))
+  }
+
+  test("dedupWithinWatermark emits one row per key within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    mem.addData(
+      ("k1", ts("2024-01-01 00:00:00")), ("k1", ts("2024-01-01 00:01:00")),
+      ("k2", ts("2024-01-01 00:02:00")))
+    val dd = Streams.dedupWithinWatermark(
+      mem.toDF().toDF("k", "t"), "t", "1 hour", Seq("k"))
+    val got = Streams.runToMemoryComplete(spark, dd, outputMode = "append")
+      .select("k").as[String].collect().sorted.toSeq
+    assert(got == Seq("k1", "k2"))
+  }
+
+  test("triggerOf maps the reference's cron modes") {
+    assert(Streams.triggerOf(-1) == Trigger.AvailableNow())
+    assert(Streams.triggerOf(30) == Trigger.ProcessingTime(30000L))
+    assert(Streams.triggerOf(0) == Trigger.ProcessingTime(1000L))
+  }
+}
