@@ -37,12 +37,13 @@ object Dedup {
     * (seeds are literals). Empty-shingle docs get the hash of the raw text
     * so they only collide with identical text.
     */
-  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 16): Column = {
-    val sh = T.wordShingles(text, shingleN)
-    transform(sequence(lit(0), lit(numHashes - 1)), h =>
-      when(size(sh) === 0, xxhash64(text, h))
-        .otherwise(array_min(transform(sh, s => xxhash64(s, h)))))
-  }
+  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 16): Column =
+    // let-bound shingles: the shingle pipeline runs once per row, not once
+    // per hash function (numHashes× speedup at equal semantics)
+    graft.functions.ExprOps.let(T.wordShingles(text, shingleN)) { sh =>
+      transform(sequence(lit(0), lit(numHashes - 1)), h =>
+        coalesce(array_min(transform(sh, s => xxhash64(s, h))), xxhash64(text, h)))
+    }
 
   /** MinHash + LSH banding: near-duplicate candidate pairs (idA < idB) whose
     * signatures collide in at least one band, with the estimated Jaccard

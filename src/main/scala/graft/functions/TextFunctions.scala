@@ -47,15 +47,17 @@ object TextFunctions {
       greatest(tokenCount(text), lit(1L)) + 0.5).cast("bigint")
 
   /** Word n-gram shingles: array of space-joined n-grams. Returns an empty
-    * array when the document has fewer than n words.
+    * array when the document has fewer than n words. The token array is
+    * let-bound so the split runs once, not once per reference
+    * (see [[ExprOps.let]]).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => array_join(slice(t, i, lit(n)), " ")))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    ExprOps.let(tokens(text)) { t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => array_join(slice(t, i, lit(n)), " ")))
+    }
 
   /** Stopword hits: how many of `words` occur (space-delimited) in text. */
   def stopwordHits(text: Column, words: Seq[String]): Column = {
@@ -91,29 +93,33 @@ object TextFunctions {
     * one-permutation MinHash). Lexicographic min over hex strings is
     * engine-portable; fall back to md5 of the whole text for tiny docs.
     */
-  def fingerprint(text: Column): Column = {
-    val sh = wordShingles(text, 3)
-    when(size(sh) === 0, md5(text)).otherwise(array_min(transform(sh, c => md5(c))))
-  }
+  def fingerprint(text: Column): Column =
+    ExprOps.let(wordShingles(text, 3)) { sh =>
+      // array_min of an empty array is null → coalesce covers the tiny-doc
+      // fallback without evaluating the shingle pipeline twice
+      coalesce(array_min(transform(sh, c => md5(c))), md5(text))
+    }
 
   /** 64-bit SimHash over whitespace tokens using xxhash64 bit votes:
     * bit b of the result is 1 iff more tokens have bit b set than unset.
     * Pure higher-order-function expression — distributed, no UDF.
     */
-  def simhash64(text: Column): Column = {
-    val t = tokens(text)
+  def simhash64(text: Column): Column =
+    // let-bind the per-token hashes: each token is hashed once, then the 64
+    // bit votes fold over the cached hash array.
     // shiftleft/shiftright with a *Column* shift amount exist in SQL but not
     // in the Scala DSL — call_function bridges to the Catalyst expression.
-    val votes = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(t, lit(0L),
-        (acc, w) => acc + when(
-          call_function("shiftright", xxhash64(w), b).bitwiseAND(lit(1L)) === 1L,
-          lit(1L)).otherwise(lit(-1L))))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
-        when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    ExprOps.let(transform(tokens(text), w => xxhash64(w))) { hs =>
+      val votes = transform(sequence(lit(0), lit(63)), b =>
+        aggregate(hs, lit(0L),
+          (acc, h) => acc + when(
+            call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L))))
+      aggregate(
+        zip_with(votes, sequence(lit(0), lit(63)), (v, b) =>
+          when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =

@@ -28,13 +28,19 @@ object VectorFunctions {
     * association DuckDB's list_cosine_similarity uses, so oracle comparisons
     * agree to the last ulp before rounding.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = toDouble(a); val bd = toDouble(b)
-    val den = normSq(ad) * normSq(bd)
-    // zero-norm guard: NaN sorts above every double in Spark, so without this
-    // zero embeddings would rank first in every top-k and pass thresholds
-    when(den === 0.0, lit(0.0)).otherwise(dot(ad, bd) / sqrt(den))
-  }
+  def cosine(a: Column, b: Column): Column =
+    // let-bound casts + denominator: each array is cast once and the norm
+    // product is computed once (naive composition would re-evaluate them
+    // per reference)
+    ExprOps.let(toDouble(a)) { ad =>
+      ExprOps.let(toDouble(b)) { bd =>
+        ExprOps.let(normSq(ad) * normSq(bd)) { den =>
+          // zero-norm guard: NaN sorts above every double in Spark, so without
+          // this zero embeddings would rank first in every top-k
+          when(den === 0.0, lit(0.0)).otherwise(dot(ad, bd) / sqrt(den))
+        }
+      }
+    }
 
   def l2Distance(a: Column, b: Column): Column = {
     val ad = toDouble(a); val bd = toDouble(b)
@@ -42,20 +48,21 @@ object VectorFunctions {
   }
 
   /** Sign-bit LSH bucket for a vector: `nBits` deterministic pseudo-random
-    * hyperplanes, plane components derived from xxhash64 (no RNG state, so
-    * the bucketing is reproducible across runs and engines). Plane b,
-    * component i = centered hash in [-0.5, 0.5).
+    * hyperplanes. Plane components are PLAN-TIME LITERALS derived from
+    * splitmix64 of (seed, bit, i) — hyperplanes are row-constants, so
+    * computing them per row (as a hash expression would) wastes
+    * nBits×dim hash evaluations on every row; folding them into the plan
+    * leaves only the dot products. Reproducible across runs and engines.
     */
-  def signLshBucket(v: Column, nBits: Int, dim: Int, seed: Int = 42): Column = {
-    val vd = toDouble(v)
-    val bits = (0 until nBits).map { b =>
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          x * ((pmod(xxhash64(concat_ws("_", lit(seed), lit(b), i)), lit(1000000L))
-            .cast("double") / 1000000.0) - 0.5)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+  def signLshBucket(v: Column, nBits: Int, dim: Int, seed: Int = 42): Column =
+    ExprOps.let(toDouble(v)) { vd =>
+      val bits = (0 until nBits).map { b =>
+        val plane = array((0 until dim).map(i =>
+          lit(ExprOps.centeredUnit(seed.toLong * 1000003L + b * 1009L + i))): _*)
+        val proj = aggregate(zip_with(vd, plane, (x, p) => x * p),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }
+      bits.reduce((x, y) => x.bitwiseOR(y))
     }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
 }
