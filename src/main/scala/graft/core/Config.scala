@@ -1,0 +1,126 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ColumnOps, Sync}
+import graft.sources.FileSink
+
+/** Pipeline-as-config — the reference's YAML task layer
+  * (`/root/reference/src/YamlParser.php:24-57` parse,
+  * `Scheduler.php:154-188` DAG walk). A task is `source → transforms* →
+  * sink`, with the reference's plugin vocabulary (`include`, `exclude`,
+  * `map`, `addField`, `idKey`, …).
+  *
+  * Deliberate narrowing (SURVEY.md §7.4): where the reference `eval`s
+  * arbitrary PHP per column (`Transforms/LineParser.php:267`), values here
+  * are Spark SQL `expr()` strings — declarative, Catalyst-checked,
+  * codegen'd, and safe. The whole chain builds ONE lazy plan; nothing is
+  * interpreted per record.
+  *
+  * YAML parsing uses jackson-dataformat-yaml, which ships with Spark.
+  */
+object Config {
+
+  private val mapper = new ObjectMapper(new YAMLFactory())
+
+  final case class Task(name: String, source: JsonNode,
+                        transforms: Seq[JsonNode], sink: Option[JsonNode])
+
+  def parse(yaml: String): Task = {
+    val root = mapper.readTree(yaml)
+    require(root.hasNonNull("source"), "task config needs a 'source'")
+    Task(
+      name = Option(root.get("name")).map(_.asText).getOrElse("task"),
+      source = root.get("source"),
+      transforms = Option(root.get("transforms"))
+        .map(_.elements().asScala.toSeq).getOrElse(Nil),
+      sink = Option(root.get("sink")))
+  }
+
+  /** Build the lazy DataFrame for a task (source + transforms, no sink). */
+  def build(spark: SparkSession, task: Task): DataFrame =
+    task.transforms.foldLeft(source(spark, task.source))(applyTransform)
+
+  /** Build and deliver: returns the written/result DataFrame. */
+  def run(spark: SparkSession, yaml: String): DataFrame = {
+    val task = parse(yaml)
+    val df = build(spark, task)
+    task.sink.foreach(sink(df, _))
+    df
+  }
+
+  private def str(n: JsonNode, field: String): String = {
+    require(n.hasNonNull(field), s"config needs '$field' in: $n")
+    n.get(field).asText
+  }
+
+  private def strOpt(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).map(_.asText)
+
+  private def strSeq(n: JsonNode, field: String): Seq[String] =
+    Option(n.get(field)).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil)
+
+  private def strPairs(n: JsonNode, field: String): Seq[(String, String)] =
+    Option(n.get(field)).map(o =>
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toSeq).getOrElse(Nil)
+
+  private def source(spark: SparkSession, n: JsonNode): DataFrame =
+    str(n, "type") match {
+      case "parquet" => spark.read.parquet(str(n, "path"))
+      case "csv" =>
+        spark.read
+          .option("header", strOpt(n, "header").getOrElse("true"))
+          .option("delimiter", strOpt(n, "delimiter").getOrElse(","))
+          .option("inferSchema", strOpt(n, "inferSchema").getOrElse("false"))
+          .csv(str(n, "path"))
+      case "json" => spark.read.json(str(n, "path"))
+      case "queue" =>
+        spark.readStream.format("graft.streaming.QueueSourceProvider")
+          .option("queue", str(n, "name")).load()
+      case other => throw new IllegalArgumentException(s"unknown source type: $other")
+    }
+
+  private def applyTransform(df: DataFrame, n: JsonNode): DataFrame =
+    str(n, "op") match {
+      case "filter"  => df.filter(expr(str(n, "expr")))
+      case "include" => ColumnOps.include(strPairs(n, "columns"): _*)(df)
+      case "exclude" => ColumnOps.exclude(strSeq(n, "columns"): _*)(df)
+      case "map"     => ColumnOps.rename(strPairs(n, "columns"): _*)(df)
+      case "addField" =>
+        ColumnOps.addFields(strPairs(n, "fields")
+          .map { case (k, v) => k -> expr(v) }: _*)(df)
+      case "idKey" =>
+        strSeq(n, "order") match {
+          case Nil   => ColumnOps.idKeyUnique(str(n, "name"))(df)
+          case order => ColumnOps.idKeyOrdered(str(n, "name"), order.map(col): _*)(df)
+        }
+      case "latestVersion" =>
+        Sync.latestVersion(df, strSeq(n, "pk"), strSeq(n, "version").map(col))
+      case "delWhere" => Sync.delWhere(df, expr(str(n, "where")))
+      case "antiInsert" =>
+        val target = df.sparkSession.read.parquet(str(n, "target"))
+        Sync.antiInsert(df, target, strSeq(n, "keys"))
+      case "watermarkIncr" =>
+        val target = df.sparkSession.read.parquet(str(n, "target"))
+        Sync.watermarkIncr(df, target, str(n, "column"))
+      case other => throw new IllegalArgumentException(s"unknown transform op: $other")
+    }
+
+  private def sink(df: DataFrame, n: JsonNode): Unit = {
+    val mode = strOpt(n, "mode").map(SaveMode.valueOf).getOrElse(SaveMode.Overwrite)
+    str(n, "type") match {
+      case "parquet" => FileSink.parquet(df, str(n, "path"), mode)
+      case "csv"     => FileSink.csv(df, str(n, "path"), header = true, mode)
+      case "json"    => FileSink.json(df, str(n, "path"), mode)
+      case "console" => graft.sources.Sinks.console(df)
+      case other => throw new IllegalArgumentException(s"unknown sink type: $other")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class ConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("yaml task builds a source → transforms → sink pipeline") {
+    val dir = Files.createTempDirectory("graft_cfg_").toString
+    Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "name", "amount")
+      .write.parquet(s"$dir/in")
+    val yaml =
+      s"""name: demo
+         |source:
+         |  type: parquet
+         |  path: $dir/in
+         |transforms:
+         |  - op: filter
+         |    expr: "amount > 10"
+         |  - op: include
+         |    columns:
+         |      id: id
+         |      doubled: "amount * 2"
+         |  - op: addField
+         |    fields:
+         |      src: "'yaml'"
+         |  - op: map
+         |    columns:
+         |      doubled: amt2
+         |sink:
+         |  type: parquet
+         |  path: $dir/out
+         |""".stripMargin
+    Config.run(spark, yaml)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.columns.toSeq == Seq("id", "amt2", "src"))
+    assert(out.orderBy("id").as[(Int, Double, String)].collect().toSeq ==
+      Seq((2, 40.0, "yaml"), (3, 60.0, "yaml")))
+  }
+
+  test("latestVersion and delWhere ops compose from config") {
+    val dir = Files.createTempDirectory("graft_cfg_").toString
+    Seq((1, "k1", 1), (2, "k1", 2), (3, "k2", 1)).toDF("id", "key", "ver")
+      .write.parquet(s"$dir/in")
+    val yaml =
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms:
+         |  - op: latestVersion
+         |    pk: [key]
+         |    version: [ver]
+         |  - op: delWhere
+         |    where: "key = 'k2'"
+         |""".stripMargin
+    val out = Config.run(spark, yaml)
+    assert(out.as[(Int, String, Int)].collect().toSeq == Seq((2, "k1", 2)))
+  }
+
+  test("unknown op fails fast with a clear message") {
+    val dir = Files.createTempDirectory("graft_cfg_").toString
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")
+    val e = intercept[IllegalArgumentException] {
+      Config.run(spark, s"source: {type: parquet, path: $dir/in}\ntransforms: [{op: nope}]")
+    }
+    assert(e.getMessage.contains("unknown transform op"))
+  }
+}

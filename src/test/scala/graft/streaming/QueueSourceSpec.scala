@@ -1,0 +1,37 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+class QueueSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("queue source delivers pushed messages through a micro-batch stream") {
+    MessageQueues.clear("qa")
+    MessageQueues.push("qa", "m1", "m2", "m3")
+    val df = spark.readStream.format("graft.streaming.QueueSourceProvider")
+      .option("queue", "qa").load()
+    val got = Streams.runToMemoryComplete(spark, df, outputMode = "append")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, "m1"), (1L, "m2"), (2L, "m3")))
+  }
+
+  test("maxPerBatch caps batch admission (rdy window) but still drains fully") {
+    MessageQueues.clear("qb")
+    MessageQueues.push("qb", (1 to 10).map(i => s"m$i"): _*)
+    val df = spark.readStream.format("graft.streaming.QueueSourceProvider")
+      .option("queue", "qb").option("maxPerBatch", "3").load()
+    val got = Streams.runToMemoryComplete(spark, df, outputMode = "append")
+    assert(got.count() == 10)
+  }
+
+  test("queue source composes with downstream streaming transforms") {
+    MessageQueues.clear("qc")
+    MessageQueues.push("qc", "a", "b", "a")
+    val df = spark.readStream.format("graft.streaming.QueueSourceProvider")
+      .option("queue", "qc").load()
+    val agg = df.groupBy("body").count()
+    val got = Streams.runToMemoryComplete(spark, agg)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+}
