@@ -278,6 +278,15 @@ object SparkEntry {
       Similarity.lshTopK(Tables(s, dir).embeddings, "vec_id", "embedding", dim = 64,
         queryId = 1L, k = 10, lshBits = 6, probes = 4)),
 
+    // IVF coarse-quantizer ANN (k-means cells + probe-pruned search);
+    // k-means isn't DuckDB-expressible → rows-only check
+    "ann_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val idx = graft.ext.Ivf.build(e, "vec_id", "embedding", nLists = 8)
+      graft.ext.Ivf.search(idx.assigned, idx, "vec_id", "embedding",
+        queryVec = Seq.fill(64)(0.1), k = 10, nProbe = 2)
+    }),
+
     "ann_knn_bucket" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       Similarity.bucketJoinKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -326,6 +335,17 @@ object SparkEntry {
         .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       val counts = Streams.windowedCounts(ev, "ts_t", "1 hour", None, "1 hour",
         Seq("event_type"))
+      Streams.runToMemoryComplete(s, counts, outputMode = "complete")
+    }),
+
+    "stream_sliding_counts" -> ((s, dir) => {
+      withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      val counts = Streams.windowedCounts(ev, "ts_t", "1 hour", Some("30 minutes"),
+        "1 hour", Seq("event_type"))
       Streams.runToMemoryComplete(s, counts, outputMode = "complete")
     }),
 
@@ -538,6 +558,16 @@ object SparkEntry {
     "stream_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // sliding windows: each event belongs to the window starting at its
+    // 30-min-truncated time and the one 30 min earlier (duration 1 h)
+    "stream_sliding_counts" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tu, event_type FROM events),
+        |  w AS (SELECT event_type, ((tu // 1800000000) - k) * 1800000000 AS ws, tu
+        |    FROM e, unnest([0, 1]) AS t(k)),
+        |  ok AS (SELECT event_type, ws FROM w WHERE tu - ws < 3600000000 AND tu >= ws)
+        |SELECT make_timestamp(ws) AS wstart, event_type, count(*) AS cnt
+        |FROM ok GROUP BY ws, event_type""".stripMargin,
 
     "stream_session_counts" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),

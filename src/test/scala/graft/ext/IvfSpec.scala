@@ -1,0 +1,49 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated clusters around the axes
+  private def corpus = {
+    val rnd = new scala.util.Random(7)
+    val base = Seq(
+      Array(10.0f, 0.0f, 0.0f), Array(0.0f, 10.0f, 0.0f), Array(0.0f, 0.0f, 10.0f))
+    (0 until 90).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.map(v => v + rnd.nextFloat() * 0.5f).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF assigns every vector to a cell and search finds same-cluster neighbors") {
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
+    assert(idx.assigned.select("list_id").distinct().count() == 3)
+    assert(idx.centroids.length == 3)
+    // query near the x-axis cluster: all hits must be x-cluster members (id % 3 == 0)
+    val hits = Ivf.search(idx.assigned, idx, "vec_id", "embedding",
+      queryVec = Seq(10.0, 0.1, 0.1), k = 5, nProbe = 1)
+      .as[(Long, Double)].collect()
+    assert(hits.length == 5)
+    assert(hits.forall(_._1 % 3 == 0))
+    assert(hits.forall(_._2 > 0.99))
+  }
+
+  test("partitioned index layout prunes to the probed cells") {
+    val dir = Files.createTempDirectory("graft_ivf_").toString
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
+    Ivf.writeIndex(idx, dir)
+    val assigned = spark.read.parquet(dir)
+    val cells = Ivf.probeCells(idx, Seq(0.0, 10.0, 0.0), nProbe = 1)
+    val plan = Ivf.search(assigned, idx, "vec_id", "embedding",
+      Seq(0.0, 10.0, 0.0), k = 3, nProbe = 1)
+      .queryExecution.executedPlan.toString()
+    // partition filter on list_id reaches the scan (directory-level pruning)
+    assert(plan.contains("list_id") && plan.contains(s"${cells.head}"))
+    val hits = Ivf.search(assigned, idx, "vec_id", "embedding",
+      Seq(0.0, 10.0, 0.0), k = 3, nProbe = 1).as[(Long, Double)].collect()
+    assert(hits.forall(_._1 % 3 == 1))
+  }
+}
