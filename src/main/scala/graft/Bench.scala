@@ -22,6 +22,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup so the first timed query doesn't absorb session
+    // startup (a scan + a tiny shuffle + a write through the noop sink)
+    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count()
+      .write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -130,7 +130,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bands: Int = 4, maxHamming: Int = 8): DataFrame = {
     val bits = 64 / bands
-    val withH = df.select(col(idCol).as("id"), T.simhash64(col(textCol)).as("h"))
+    val withH = simhash64ViaAgg(df, idCol, textCol)
     val banded = withH.select(col("id"), col("h"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
@@ -144,6 +144,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), T.hamming64(col("h_a"), col("h_b")).as("hamming"))
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash via explode + codegen'd aggregates — numerically identical to
+    * `TextFunctions.simhash64` but built for bulk scoring: higher-order
+    * array folds run interpreted (CodegenFallback), so 64 bit-vote folds
+    * per row dominate at corpus scale; exploding tokens and summing the 64
+    * bit votes as plain aggregates stays inside WholeStageCodegen with
+    * map-side partial aggregation (the shuffle carries one 64-vote partial
+    * row per doc per partition, not tokens). Returns (id, h).
+    */
+  private[ext] def simhash64ViaAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode_outer(T.tokens(col(textCol))).as("w"))
+      // xxhash64(null) hashes to the seed, not null — keep empty docs null
+      // so their votes stay 0 and h = 0, matching simhash64("")
+      .select(col("id"),
+        when(col("w").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col("w"))).as("hw"))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("hw").isNull, lit(0L)).otherwise(
+        when(shiftright(col("hw"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))).as(s"v$b")
+    }
+    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)).as("h"))
   }
 
   /** Embedding-cosine near-dup pairs: banded (multi-table) sign-LSH to bound

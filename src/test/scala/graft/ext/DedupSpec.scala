@@ -50,6 +50,17 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 4L)))
   }
 
+  test("simhash64ViaAgg is bit-identical to the expression form") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    val withEmpty = docs.union(Seq((9L, ""), (10L, "   ")).toDF("id", "text"))
+    val expr = withEmpty.select(col("id"), TextFunctions.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhash64ViaAgg(withEmpty, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(expr == agg)
+  }
+
   test("embedding dup pairs find identical vectors across LSH tables") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),
