@@ -130,7 +130,11 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bands: Int = 4, maxHamming: Int = 8): DataFrame = {
     val bits = 64 / bands
-    val withH = simhash64ViaAgg(df, idCol, textCol)
+    // native codegen'd simhash expression: zero shuffle, scan-speed hashing
+    // (the declarative higher-order form is CodegenFallback — see
+    // graft.functions.SimHash64Text)
+    val withH = df.select(col(idCol).as("id"),
+      graft.functions.SimHash64Text.simhash64Native(col(textCol)).as("h"))
     val banded = withH.select(col("id"), col("h"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
