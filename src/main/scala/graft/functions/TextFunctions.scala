@@ -59,25 +59,31 @@ object TextFunctions {
           i => array_join(slice(t, i, lit(n)), " ")))
     }
 
-  /** Stopword hits: how many of `words` occur (space-delimited) in text. */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
+  private def hitsOn(padded: Column, words: Seq[String]): Column =
     words.map(w => when(instr(padded, s" $w ") > 0, 1).otherwise(0))
       .reduce(_ + _)
-  }
+
+  /** Stopword hits: how many of `words` occur (space-delimited) in text. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    hitsOn(concat(lit(" "), lower(text), lit(" ")), words)
 
   /** Rule-based language ID over stopword-marker hits, fixed priority on
     * ties (en > de > fr > und). Deterministic → SQL-oracle-expressible.
+    * The padded lowercase text is let-bound: 12 marker probes share one
+    * `lower` pass, and the expression stays small enough that Janino
+    * compile time doesn't dominate the query (the inlined form generated a
+    * 12×-duplicated method with multi-second compile variance).
     */
-  def langId(text: Column): Column = {
-    val en = stopwordHits(text, Seq("the", "and", "of", "a"))
-    val de = stopwordHits(text, Seq("der", "und", "die", "ein"))
-    val fr = stopwordHits(text, Seq("le", "la", "et", "un"))
-    when(en === 0 && de === 0 && fr === 0, lit("und"))
-      .when(en >= de && en >= fr, lit("en"))
-      .when(de >= fr, lit("de"))
-      .otherwise(lit("fr"))
-  }
+  def langId(text: Column): Column =
+    ExprOps.let(concat(lit(" "), lower(text), lit(" "))) { p =>
+      val en = hitsOn(p, Seq("the", "and", "of", "a"))
+      val de = hitsOn(p, Seq("der", "und", "die", "ein"))
+      val fr = hitsOn(p, Seq("le", "la", "et", "un"))
+      when(en === 0 && de === 0 && fr === 0, lit("und"))
+        .when(en >= de && en >= fr, lit("en"))
+        .when(de >= fr, lit("de"))
+        .otherwise(lit("fr"))
+    }
 
   /** Quality score in [0,1000] (per-mille, integer-exact): length component
     * scaled by punctuation penalty — the shape of a heuristic web-text

@@ -28,10 +28,15 @@ object VectorFunctions {
     * association DuckDB's list_cosine_similarity uses, so oracle comparisons
     * agree to the last ulp before rounding.
     */
-  def cosine(a: Column, b: Column): Column =
-    // let-bound casts + denominator: each array is cast once and the norm
-    // product is computed once (naive composition would re-evaluate them
-    // per reference)
+  /** Cosine similarity — delegates to the native codegen'd
+    * [[CosineSimilarity]] expression (the declarative higher-order form is
+    * CodegenFallback and drags whole projections out of codegen; see
+    * CosineExpression). Bit-identical accumulation order, zero-norm → 0.0.
+    */
+  def cosine(a: Column, b: Column): Column = CosineExpression.cosineNative(a, b)
+
+  /** Declarative reference implementation (kept for equivalence testing). */
+  def cosineDeclarative(a: Column, b: Column): Column =
     ExprOps.let(toDouble(a)) { ad =>
       ExprOps.let(toDouble(b)) { bd =>
         ExprOps.let(normSq(ad) * normSq(bd)) { den =>
