@@ -61,6 +61,32 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq("k1", "k2"))
   }
 
+  test("late data beyond the watermark is dropped across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val streamed = Streams.windowedCounts(
+      mem.toDF().toDF("k", "t"), "t", "1 hour", None, "10 minutes", Seq("k"))
+    val name = s"graft_late_${System.nanoTime()}"
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: events up to 03:00 → watermark advances to 02:50
+      mem.addData(("a", ts("2024-01-01 00:30:00")), ("a", ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      // batch 2: an hours-late event for the long-closed 00:00 window
+      mem.addData(("a", ts("2024-01-01 00:40:00")), ("a", ts("2024-01-01 03:10:00")))
+      q.processAllAvailable()
+      // batch 3: push the watermark far ahead so open windows finalize
+      mem.addData(("a", ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      val got = spark.table(name).as[(Timestamp, String, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      // the 00:00 window count stays 1 — the late 00:40 event was dropped
+      assert(got(ts("2024-01-01 00:00:00")) == 1L)
+      assert(got(ts("2024-01-01 03:00:00")) == 2L)
+    } finally q.stop()
+  }
+
   test("triggerOf maps the reference's cron modes") {
     assert(Streams.triggerOf(-1) == Trigger.AvailableNow())
     assert(Streams.triggerOf(30) == Trigger.ProcessingTime(30000L))
