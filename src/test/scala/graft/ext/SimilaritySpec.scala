@@ -43,6 +43,17 @@ class SimilaritySpec extends SparkSpec {
     assert(frames == Seq(0, 2))
   }
 
+  test("multimodal: mapBatches runs the per-partition imperative hook") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v").repartition(2)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val out = Multimodal.mapBatches(spark, df, schema)(rows =>
+      rows.map(r => Row(r.getLong(0) * 10, r.getString(1).toUpperCase)))
+    assert(out.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((10L, "X"), (20L, "Y")))
+  }
+
   test("multimodal: decodeStub emits a deterministic fixed-length feature vector") {
     val media = Multimodal.fromText(Seq((1L, "abc")).toDF("id", "t"), "id", "t", "image")
     val f1 = Multimodal.decodeStub(media, featureDim = 8).select("features")

@@ -64,6 +64,14 @@ class ColumnOpsSpec extends SparkSpec {
     assert(plan.split("Project").length <= 2, s"expected <=1 Project in:\n$plan")
   }
 
+  test("the documented eval→expr mapping covers the reference's doc example") {
+    // doc/LineParser.md:19 eval snippet `return '20'.explode(' ',$col)[0];`
+    // maps to the expr string below (SURVEY.md §7.4 narrowing)
+    val d = Seq(Tuple1("24-03-01 rest")).toDF("dt")
+    val out = ColumnOps.include("year" -> "concat('20', split(dt, ' ')[0])")(d)
+    assert(out.as[String].head() == "2024-03-01")
+  }
+
   test("Pipeline.fanOut applies each branch to the same input") {
     val Seq(a, b) = Pipeline.fanOut(df, ColumnOps.exclude("id"), ColumnOps.exclude("name"))
     assert(a.columns.toSeq == Seq("name", "amount") && b.columns.toSeq == Seq("id", "amount"))

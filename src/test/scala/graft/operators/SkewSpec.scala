@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns the same rows as a plain join") {
+    // heavily skewed: 90% of facts share key 1
+    val big = ((1 to 90).map(i => (1, s"f$i")) ++ (1 to 10).map(i => (i + 1, s"g$i")))
+      .toDF("k", "payload")
+    val small = (1 to 11).map(i => (i, s"dim$i")).toDF("k", "attr")
+    val plain = big.join(small, Seq("k")).as[(Int, String, String)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(big, small, Seq("k"), factor = 4)
+      .as[(Int, String, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(salted.length == 100)
+  }
+
+  test("saltedJoin left join preserves unmatched big-side rows") {
+    val big = Seq((1, "a"), (2, "b"), (99, "nomatch")).toDF("k", "v")
+    val small = Seq((1, "d1"), (2, "d2")).toDF("k", "attr")
+    val out = Skew.saltedJoin(big, small, Seq("k"), factor = 3, joinType = "left")
+    assert(out.count() == 3)
+    assert(out.filter($"k" === 99).collect().head.isNullAt(2))
+  }
+
+  test("keyHistogram surfaces the hot keys") {
+    val df = ((1 to 50).map(_ => Tuple1("hot")) ++ Seq(Tuple1("cold"))).toDF("k")
+    val top = Skew.keyHistogram(df, Seq("k"), topN = 1).as[(String, Long)].collect()
+    assert(top.head == ("hot", 50L))
+  }
+}
