@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.core.{Pipeline, Tables}
 import graft.ext.{Dedup, Multimodal, Similarity}
 import graft.functions.{TextFunctions => T}
-import graft.operators.{ColumnOps, Enrich, Parse, Sync}
+import graft.operators.{AsOf, ColumnOps, Enrich, Parse, Sync}
 import graft.sources.{FileSink, FileSource, JdbcSink, JdbcSource, LineParser, LineParserConfig}
 import graft.streaming.Streams
 
@@ -198,6 +198,18 @@ object SparkEntry {
         .withColumn("c_acctbal", col("c_acctbal") + 1000)
       val inserts = c.withColumn("c_custkey", col("c_custkey") + 10000000L)
       Sync.upsert(updates.unionByName(inserts), c, Seq("c_custkey"))
+    }),
+
+    // as-of enrichment: each event gets the user's latest order state at
+    // or before the event time (right side deduped per (key, ts) first —
+    // as-of ties are ambiguous in every engine)
+    "asof_join" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select("event_id", "user_id", "ts_us")
+      val ord = Sync.latestVersion(Tables(s, dir).orders,
+          Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+        .select(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ots"), col("o_totalprice"))
+      AsOf.joinBackward(ev, ord, Seq("user_id"), "ts_us", "ots", Seq("o_totalprice"))
     }),
 
     "del_where" -> ((s, dir) =>
@@ -448,6 +460,15 @@ object SparkEntry {
 
     "del_where" ->
       "SELECT * FROM lineitem WHERE NOT (l_shipdate < TIMESTAMP '1994-01-01')",
+
+    "asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS ots, o_totalprice
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT e.event_id, e.user_id, e.ts_us, ord.o_totalprice
+        |FROM e ASOF LEFT JOIN ord ON e.user_id = ord.o_custkey AND e.ts_us >= ord.ots""".stripMargin,
 
     "sink_batch_insert" -> "SELECT * FROM orders",
 
