@@ -86,6 +86,37 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // multi-join aggregate (TPC-H Q5 shape): dims broadcast, fact shuffles
+    // once on the join key — Catalyst picks broadcast for the small sides
+    "q2_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))))
+            .cast("double").as("revenue"),
+          countDistinct("o_orderkey").as("n_orders"))
+    }),
+
+    "q3_rollup" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"))),
+
+    "q4_topk" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(desc("spend"), col("o_custkey"))
+        .limit(10)
+    }),
+
     // ---- sources ----
     "src_file_scan" -> ((s, dir) => {
       val out = tmpDir(dir, "src_file_scan")
@@ -399,6 +430,28 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q3_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q4_topk" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY spend DESC, o_custkey LIMIT 10""".stripMargin,
 
     "src_file_scan" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 

