@@ -27,6 +27,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count()
       .write.mode("overwrite").format("noop").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // pay accumulated GC debt outside the next query's timing window —
+      // without this one random query per run absorbs a multi-second pause
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

@@ -22,12 +22,16 @@ object Ivf {
 
   final case class Index(assigned: DataFrame, centroids: Array[Array[Double]])
 
-  /** Fit the coarse quantizer and tag every row with its cell id. */
+  /** Fit the coarse quantizer and tag every row with its cell id. A coarse
+    * quantizer doesn't need convergence — a few iterations place centroids
+    * well enough for cell assignment (recall comes from nProbe, not
+    * centroid polish), and each iteration is a full pass over the corpus.
+    */
   def build(df: DataFrame, idCol: String, vecCol: String,
-            nLists: Int, seed: Long = 42L): Index = {
+            nLists: Int, seed: Long = 42L, maxIter: Int = 5): Index = {
     val feats = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("__features"))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("list_id")
       .fit(feats)
     val assigned = model.transform(feats).drop("__features")
