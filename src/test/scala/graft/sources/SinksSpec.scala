@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+import graft.streaming.Streams
+
+object SinksSpecState {
+  val published = new ConcurrentLinkedQueue[String]()
+  val producers = new AtomicInteger(0)
+}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachPublisher opens one producer per non-empty partition and publishes every row") {
+    SinksSpecState.published.clear()
+    SinksSpecState.producers.set(0)
+    val df = (1 to 10).map(i => (i, s"m$i")).toDF("id", "body").repartition(3)
+    Sinks.foreachPublisher(df)(
+      mkProducer = () => { SinksSpecState.producers.incrementAndGet(); "conn" })(
+      publish = (_, row) => SinksSpecState.published.add(row.getString(1)))(
+      close = _ => ())
+    assert(SinksSpecState.published.size() == 10)
+    assert(SinksSpecState.producers.get() <= 3 && SinksSpecState.producers.get() >= 1)
+  }
+
+  test("console sink prints without error in both modes") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    Sinks.console(df)
+    Sinks.console(df, asJson = true)
+  }
+
+  test("kafka sink fails fast with a clear message when the connector jar is absent") {
+    assert(!Sinks.kafkaAvailable)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.kafka(Seq(("k", "v")).toDF("key", "value"), "localhost:9092", "t")
+    }
+    assert(e.getMessage.contains("connector jar"))
+  }
+
+  test("TtlCache caches within the TTL and rebuilds after invalidate") {
+    val builds = new AtomicInteger(0)
+    val cache = new TtlCache(ttlSeconds = 3600)
+    def build = { builds.incrementAndGet(); Seq((1, "x")).toDF("id", "v") }
+    val a = cache.get(build)
+    val b = cache.get(build)
+    assert(builds.get() == 1 && (a eq b))
+    cache.invalidate()
+    cache.get(build)
+    assert(builds.get() == 2)
+  }
+
+  test("fileStream turns file arrivals into micro-batches") {
+    val dir = Files.createTempDirectory("graft_fs_").toString
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df1.write.parquet(s"$dir/batch1")
+    // move parquet files into the watched dir root
+    val root = new java.io.File(dir)
+    new java.io.File(s"$dir/batch1").listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => java.nio.file.Files.move(f.toPath, new java.io.File(root, f.getName).toPath))
+    val stream = Streams.fileStream(spark, dir, df1.schema)
+    val got = Streams.runToMemoryComplete(spark, stream, outputMode = "append")
+    assert(got.count() == 2)
+  }
+}
