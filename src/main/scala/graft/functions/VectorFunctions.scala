@@ -53,21 +53,12 @@ object VectorFunctions {
   }
 
   /** Sign-bit LSH bucket for a vector: `nBits` deterministic pseudo-random
-    * hyperplanes. Plane components are PLAN-TIME LITERALS derived from
-    * splitmix64 of (seed, bit, i) — hyperplanes are row-constants, so
-    * computing them per row (as a hash expression would) wastes
-    * nBits×dim hash evaluations on every row; folding them into the plan
-    * leaves only the dot products. Reproducible across runs and engines.
+    * hyperplanes (splitmix64-derived row-constants). Delegates to the
+    * native codegen'd [[SignLshBucketExpr]] — the planes ride along as one
+    * shared `double[][]` reference object and all bit projections fuse
+    * into a single loop per row (the declarative zip_with-per-bit form was
+    * interpreted). Reproducible across runs.
     */
   def signLshBucket(v: Column, nBits: Int, dim: Int, seed: Int = 42): Column =
-    ExprOps.let(toDouble(v)) { vd =>
-      val bits = (0 until nBits).map { b =>
-        val plane = array((0 until dim).map(i =>
-          lit(ExprOps.centeredUnit(seed.toLong * 1000003L + b * 1009L + i))): _*)
-        val proj = aggregate(zip_with(vd, plane, (x, p) => x * p),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-      }
-      bits.reduce((x, y) => x.bitwiseOR(y))
-    }
+    SignLshBucketExpr.signLshNative(v, nBits, dim, seed)
 }
