@@ -3,14 +3,17 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector math over `array<float>` columns as pure Catalyst
-  * higher-order functions (`zip_with`/`aggregate`) — codegen'd, no UDF, no
-  * driver involvement; the building block for similarity search and
-  * embedding-based dedup at 100 TB (SURVEY.md §7.2 step 5).
+/** Embedding-vector math over `array<float|double>` columns — the building
+  * block for similarity search and embedding-based dedup at 100 TB
+  * (SURVEY.md §7.2 step 5). The hot scalars (cosine, sign-LSH bucket)
+  * delegate to native codegen'd expressions ([[CosineSimilarity]],
+  * [[SignLshBucketExpr]]); the rest are declarative higher-order functions
+  * (NOTE: those evaluate interpreted — fine off the hot path, see
+  * SCALING.md "Expression-level costs").
   *
-  * All math is done in double precision (inputs cast up front) and
-  * accumulates left-to-right in element order, which keeps results
-  * bit-stable across engines for oracle comparison.
+  * All math is done in double precision and accumulates left-to-right in
+  * element order, which keeps results bit-stable across engines for oracle
+  * comparison.
   */
 object VectorFunctions {
 
