@@ -262,6 +262,20 @@ object SparkEntry {
         StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))
     }),
 
+    "sink_file_xml" -> ((s, dir) => {
+      val out = tmpDir(dir, "sink_file_xml")
+      FileSink.xml(Tables(s, dir).region, out, rowTag = "rec")
+      FileSource.xml(s, out, rowTag = "rec",
+        schema = Some(StructType(Seq(
+          StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))
+    }),
+
+    "src_excel_roundtrip" -> ((s, dir) => {
+      val out = tmpDir(dir, "src_excel") + "/region.xlsx"
+      graft.sources.Excel.write(Tables(s, dir).region, out)
+      graft.sources.Excel.read(s, out)        // all-string, like the reference
+    }),
+
     "sink_flag_dedup" -> ((s, dir) => {
       val ev = eventsUs(s, dir)
       Sync.latestVersion(ev, Seq("user_id", "event_type"),
@@ -526,6 +540,11 @@ object SparkEntry {
     "sink_batch_insert" -> "SELECT * FROM orders",
 
     "sink_file_csv" -> "SELECT * FROM region",
+
+    "sink_file_xml" -> "SELECT * FROM region",
+
+    "src_excel_roundtrip" ->
+      "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region",
 
     "sink_flag_dedup" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props

@@ -102,6 +102,44 @@ object Excel {
     toDf(spark, parseSheet(bytes), cfg)
   }
 
+  /** Write a DataFrame as one xlsx workbook (header row + inline-string
+    * cells). Driver-side collect by design: a workbook is a small-export
+    * format (~1M row hard limit); big data goes to parquet/csv.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def colRef(c: Int, row: Int): String = {
+      var n = c + 1; val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString + row
+    }
+    val header = df.columns.toSeq
+    val rows: Seq[Seq[String]] = header +: df.collect().toSeq
+      .map(r => header.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("")))
+    val body = rows.zipWithIndex.map { case (cells, r) =>
+      val cs = cells.zipWithIndex.map { case (v, c) =>
+        s"""<c r="${colRef(c, r + 1)}" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+      }.mkString
+      s"""<row r="${r + 1}">$cs</row>"""
+    }.mkString
+    val sheet =
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>"""
+    val out = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(out.getParent)
+    val zip = new ZipOutputStream(java.nio.file.Files.newOutputStream(out))
+    try {
+      def put(name: String, content: String): Unit = {
+        zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+      }
+      put("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      put("xl/workbook.xml", """<?xml version="1.0"?><workbook/>""")
+      put("xl/worksheets/sheet1.xml", sheet)
+    } finally zip.close()
+  }
+
   /** A directory of workbooks: `binaryFile` scan + per-file parse in the
     * executors; every workbook contributes its data rows (headers per
     * `cfg` are applied per file). Column names come from `cfg.columns` or

@@ -22,6 +22,14 @@ object FileSink {
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** XML file delivery — the reference's `Sinks\File` xml branch
+    * (`/root/reference/src/Sinks/File.php:64-69` via XmlHelper::format);
+    * Spark 4's built-in xml datasource, one row per `rowTag` element.
+    */
+  def xml(df: DataFrame, path: String, rowTag: String = "row",
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("rowTag", rowTag).format("xml").save(path)
+
   /** File-per-key (the reference's array⇒one file per key): hive-style
     * `partitionBy` — at scale this is also the partition-pruning layout.
     */

@@ -41,4 +41,14 @@ object FileSource {
   }
 
   def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** XML file scan (`Transforms\XmlParser` file mode,
+    * `/root/reference/src/Transforms/XmlParser.php:31-36`): Spark 4
+    * built-in xml datasource, one row per `rowTag` element.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row",
+          schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag).format("xml")
+    schema.fold(r)(r.schema).load(path)
+  }
 }
