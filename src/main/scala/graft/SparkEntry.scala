@@ -384,6 +384,17 @@ object SparkEntry {
     }),
 
     // ---- streaming (file stream over the events table, AvailableNow) ----
+    // DataSource v2 queue source (the AMQP/NSQ stand-in) driven end-to-end:
+    // deterministic messages → micro-batch stream → aggregate
+    "stream_queue_source" -> ((s, dir) => {
+      import graft.streaming.MessageQueues
+      MessageQueues.clear("verify_q")
+      MessageQueues.push("verify_q", "alpha", "beta", "alpha", "gamma", "beta", "alpha")
+      val src = s.readStream.format("graft.streaming.QueueSourceProvider")
+        .option("queue", "verify_q").load()
+      Streams.runToMemoryComplete(s, src.groupBy("body").count().withColumnRenamed("count", "cnt"))
+    }),
+
     "stream_tumbling_counts" -> ((s, dir) => {
       withNanosAsLong(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -671,6 +682,10 @@ object SparkEntry {
         |    sum(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT make_timestamp(min(tu)) AS wstart, user_id, count(*) AS cnt
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "stream_queue_source" ->
+      """SELECT * FROM (VALUES ('alpha', CAST(3 AS BIGINT)),
+        |  ('beta', CAST(2 AS BIGINT)), ('gamma', CAST(1 AS BIGINT))) AS t(body, cnt)""".stripMargin,
 
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events"
