@@ -304,6 +304,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(withCopies, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
     }),
 
+    // winnowing fingerprint overlap (rolling-hash char k-grams — not
+    // DuckDB-expressible → rows-only)
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.winnowPairs(withCopies, "doc_id", "text", minShared = 2)
+    }),
+
     "dedup_minhash_pairs" -> ((s, dir) => {
       val d = Tables(s, dir).documents.select("doc_id", "text")
       val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))

@@ -129,6 +129,33 @@ object Dedup {
       .select("id_a", "id_b", "inter", "n_a", "n_b", "jaccard")
   }
 
+  /** Winnowing-fingerprint overlap pairs (Schleimer et al., SIGMOD'03 —
+    * see `graft.functions.WinnowFingerprints`): pairs sharing at least
+    * `minShared` selected rolling-hash fingerprints. Shift-robust (catches
+    * copied passages at any offset, which word-shingle Jaccard dilutes)
+    * and the signature is a few fingerprints per document, so the inverted
+    * index is far smaller than a shingle index. Same bounded join shape:
+    * explode fingerprints → document-frequency cap → self-join → count.
+    * Defaults follow MOSS practice for text: k=25-char grams (small k makes
+    * common English substrings collide across unrelated docs), w=16 →
+    * any shared passage ≥ k+w-1 = 40 chars is guaranteed detected.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 25, w: Int = 16, minShared: Int = 1,
+                  maxDocFreq: Int = 1000): DataFrame = {
+    val inv0 = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        graft.functions.WinnowFingerprints.winnowCol(col(textCol), k, w))).as("fp"))
+    val inv = inv0
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
+    inv.as("a").join(inv.as("b"), col("a.fp") === col("b.fp"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit simhash split into `bands`
     * bit-bands; pairs agreeing on any band are candidates, then filtered by
     * exact Hamming distance ≤ maxHamming. Same explode-shuffle shape as

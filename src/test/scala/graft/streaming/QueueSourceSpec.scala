@@ -24,6 +24,32 @@ class QueueSourceSpec extends SparkSpec {
     assert(got.count() == 10)
   }
 
+  test("restart from checkpoint resumes at the committed offset — no reprocessing") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("graft_q_ckpt_").toString
+    val out = Files.createTempDirectory("graft_q_out_").toString
+    MessageQueues.clear("qr")
+    MessageQueues.push("qr", "m1", "m2")
+
+    def runOnce(): Unit = {
+      val df = spark.readStream.format("graft.streaming.QueueSourceProvider")
+        .option("queue", "qr").load()
+      val q = df.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+
+    MessageQueues.push("qr", "m3")
+    runOnce()   // same checkpoint: must deliver ONLY the new message
+    val all = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(all == Seq((0L, "m1"), (1L, "m2"), (2L, "m3")),
+      s"offset replay duplicated or dropped rows: $all")
+  }
+
   test("queue source composes with downstream streaming transforms") {
     MessageQueues.clear("qc")
     MessageQueues.push("qc", "a", "b", "a")
