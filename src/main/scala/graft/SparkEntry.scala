@@ -117,6 +117,15 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q5_percentile" -> ((s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))),
+
+    "q6_collect" -> ((s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))),
+
     // ---- sources ----
     "src_file_scan" -> ((s, dir) => {
       val out = tmpDir(dir, "src_file_scan")
@@ -485,6 +494,15 @@ object SparkEntry {
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey
         |ORDER BY spend DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q5_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q6_collect" ->
+      """SELECT l_returnflag, array_agg(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "src_file_scan" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
