@@ -126,6 +126,18 @@ object SparkEntry {
       Tables(s, dir).lineitem.groupBy("l_returnflag")
         .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))),
 
+    "q7_pivot" -> ((s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"))),
+
+    "q8_setops" -> ((s, dir) => {
+      val o = Tables(s, dir).orders.select("o_custkey")
+      val c = Tables(s, dir).customer.filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("o_custkey"))
+      o.intersect(c).exceptAll(o.filter(col("o_custkey") % 10 === 0).select("o_custkey").distinct())
+    }),
+
     // ---- sources ----
     "src_file_scan" -> ((s, dir) => {
       val out = tmpDir(dir, "src_file_scan")
@@ -503,6 +515,19 @@ object SparkEntry {
     "q6_collect" ->
       """SELECT l_returnflag, array_agg(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q7_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q8_setops" ->
+      """SELECT o_custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 10 = 0""".stripMargin,
 
     "src_file_scan" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
