@@ -122,9 +122,11 @@ object SparkEntry {
         .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
           expr("percentile(l_extendedprice, 0.95)").as("p95"))),
 
+    // collect_set joined to a scalar: the driver's pandas compare can't hash
+    // raw array cells, and a delimited string is hash-equivalent here
     "q6_collect" -> ((s, dir) =>
       Tables(s, dir).lineitem.groupBy("l_returnflag")
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))),
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"))),
 
     "q7_pivot" -> ((s, dir) =>
       Tables(s, dir).lineitem.groupBy("l_returnflag")
@@ -407,9 +409,14 @@ object SparkEntry {
           col("frame").cast("string").as("frame"))
     }),
 
+    // exploded to (media_id, idx, value) scalars — raw array columns crash
+    // the driver's pandas compare, and the flat shape is oracle-expressible
     "mm_decode_features" -> ((s, dir) => {
       val media = Multimodal.fromText(Tables(s, dir).documents, "doc_id", "text", "image")
-      Multimodal.decodeStub(media, featureDim = 8).select("media_id", "features")
+      Multimodal.decodeStub(media, featureDim = 8)
+        .select(col("media_id"), posexplode(col("features")).as(Seq("feature_idx", "feature")))
+        .select(col("media_id"), col("feature_idx").cast("bigint").as("feature_idx"),
+          col("feature"))
     }),
 
     // ---- streaming (file stream over the events table, AvailableNow) ----
@@ -513,7 +520,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q6_collect" ->
-      """SELECT l_returnflag, array_agg(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses
+      """SELECT l_returnflag,
+        |  array_to_string(array_agg(DISTINCT l_linestatus ORDER BY l_linestatus), ',') AS statuses
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q7_pivot" ->
@@ -703,6 +711,17 @@ object SparkEntry {
         |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s
         |  FROM (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
         |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents))""".stripMargin,
+
+    // decodeStub feature i = int(md5(text ‖ i)[0:6 hex]) / 2^24 — the hex
+    // prefix folds to an integer via instr on the hex alphabet; 16.0**k
+    // keeps the arithmetic in exact-double range so values match Spark's
+    // conv(...,16,10)/2^24 bit-for-bit
+    "mm_decode_features" ->
+      """SELECT doc_id AS media_id, j AS feature_idx,
+        |  list_sum(list_transform(range(1, 7),
+        |    k -> (instr('0123456789abcdef', substr(md5(text || CAST(j AS VARCHAR)), CAST(k AS INT), 1)) - 1)
+        |         * (16.0 ** (6 - k)))) / 16777216.0 AS feature
+        |FROM documents, unnest(range(0, 8)) AS t(j)""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,

@@ -22,18 +22,34 @@ object Ivf {
 
   final case class Index(assigned: DataFrame, centroids: Array[Array[Double]])
 
+  /** Cap the k-means fit input at `cap` rows (uniform sample, deterministic
+    * seed). A coarse quantizer placed from ~10k points per cell is
+    * indistinguishable from one fitted on the full corpus — and without the
+    * cap each k-means iteration is a full pass over 100 TB.
+    */
+  private[ext] def fitSample(feats: DataFrame, cap: Long, seed: Long): DataFrame = {
+    val total = feats.count()
+    if (total <= cap) feats
+    else feats.sample(withReplacement = false, cap.toDouble / total, seed)
+  }
+
   /** Fit the coarse quantizer and tag every row with its cell id. A coarse
     * quantizer doesn't need convergence — a few iterations place centroids
     * well enough for cell assignment (recall comes from nProbe, not
-    * centroid polish), and each iteration is a full pass over the corpus.
+    * centroid polish). The fit runs on a `fitSampleRows`-capped uniform
+    * sample (default nLists × 10k — one counting pass + one sampled fit
+    * instead of `maxIter` full-corpus passes); the cell *assignment*
+    * projection still covers every row.
     */
   def build(df: DataFrame, idCol: String, vecCol: String,
-            nLists: Int, seed: Long = 42L, maxIter: Int = 5): Index = {
+            nLists: Int, seed: Long = 42L, maxIter: Int = 5,
+            fitSampleRows: Long = 0L): Index = {
     val feats = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("__features"))
+    val cap = if (fitSampleRows > 0) fitSampleRows else nLists.toLong * 10000L
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("list_id")
-      .fit(feats)
+      .fit(fitSample(feats, cap, seed))
     val assigned = model.transform(feats).drop("__features")
     Index(assigned, model.clusterCenters.map(_.toArray))
   }

@@ -43,14 +43,17 @@ object Multimodal {
         lit("text/plain").as("mime")).as("meta"))
 
   /** STUB decoder: in place of a codec, derive a deterministic fixed-length
-    * feature vector from the payload bytes (chunked xxhash64s scaled to
-    * [0,1)). Signature and batch shape match what a real decoder (image
-    * resize + CNN features, audio frames) would produce.
+    * feature vector from the payload bytes — per feature i, the top 24 bits
+    * of md5(content ‖ i) scaled to [0,1). Signature and batch shape match
+    * what a real decoder (image resize + CNN features, audio frames) would
+    * produce. md5 (not xxhash64) so the exact values are reproducible in any
+    * engine for oracle comparison; 24 bits / 2^24 is exact in a double.
     */
   def decodeStub(df: DataFrame, featureDim: Int = 8): DataFrame =
     df.withColumn("features",
       transform(sequence(lit(0), lit(featureDim - 1)), i =>
-        pmod(xxhash64(col("content"), i), lit(1000000L)).cast("double") / 1000000.0))
+        conv(substring(md5(concat(col("content"), i.cast("string").cast("binary"))), 1, 6),
+          16, 10).cast("double") / lit((1 << 24).toDouble)))
 
   /** Frame-sampling shape for video/audio: split the payload into
     * fixed-size windows (frames), one row per sampled frame — the explode

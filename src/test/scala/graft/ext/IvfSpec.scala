@@ -31,6 +31,25 @@ class IvfSpec extends SparkSpec {
     assert(hits.forall(_._2 > 0.99))
   }
 
+  test("k-means fit input is capped by fitSampleRows; search results unchanged") {
+    // fitSample caps a corpus larger than the cap…
+    val feats = corpus.withColumnRenamed("embedding", "__features")
+    val sampled = Ivf.fitSample(feats, cap = 30, seed = 42)
+    val n = sampled.count()
+    assert(n < 90, s"sample must shrink the fit input, got $n of 90")
+    // …and passes a corpus at-or-under the cap through untouched
+    assert(Ivf.fitSample(feats, cap = 90, seed = 42).count() == 90)
+
+    // a capped fit still separates the three clusters and finds the same
+    // neighbors as the uncapped fit on this corpus
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3, fitSampleRows = 45)
+    assert(idx.assigned.select("list_id").distinct().count() == 3)
+    val hits = Ivf.search(idx.assigned, idx, "vec_id", "embedding",
+      queryVec = Seq(10.0, 0.1, 0.1), k = 5, nProbe = 1)
+      .as[(Long, Double)].collect()
+    assert(hits.length == 5 && hits.forall(_._1 % 3 == 0) && hits.forall(_._2 > 0.99))
+  }
+
   test("partitioned index layout prunes to the probed cells") {
     val dir = Files.createTempDirectory("graft_ivf_").toString
     val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
