@@ -122,6 +122,21 @@ object SparkEntry {
         .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
           expr("percentile(l_extendedprice, 0.95)").as("p95"))),
 
+    // the 100 TB percentile path: exact `percentile` buffers every value per
+    // group (driver-of-OOM shape at scale); `approx_percentile` (GK sketch,
+    // bounded memory) is the engine's scale answer. The query checks the
+    // sketch against the exact value within 1% — a tolerance gate the oracle
+    // can assert without reproducing Spark's sketch internals.
+    "q5_approx_percentile" -> ((s, dir) =>
+      Tables(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+          expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"),
+          expr("percentile(l_extendedprice, 0.95)").as("ep95"))
+        .select(col("l_returnflag"),
+          (abs(col("ap50") - col("ep50")) <= col("ep50") * 0.01).as("p50_ok"),
+          (abs(col("ap95") - col("ep95")) <= col("ep95") * 0.01).as("p95_ok"))),
+
     // collect_set joined to a scalar: the driver's pandas compare can't hash
     // raw array cells, and a delimited string is hash-equivalent here
     "q6_collect" -> ((s, dir) =>
@@ -175,6 +190,37 @@ object SparkEntry {
       LineParser.parseLines(s.createDataset(lines), LineParserConfig(
         headLine = 2, dataStart = 3, endLine = Some(5),
         fieldLine = Some(1), fieldNames = Seq("fbatch", "fregion")))
+    }),
+
+    // dataLine[] list semantics (reference `LineParser.php:175`): rows 3 and
+    // 6 are data, 4-5 are junk, and everything from the max listed row on is
+    // data again — the gap proves the list path, the tail proves `>= max`
+    "xf_lineparser_rows" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Seq(
+        "name,city",          // 1: headLine
+        "junk1,junk1",        // 2: skipped
+        "Alice,Paris",        // 3: listed data row
+        "junk2,junk2",        // 4: skipped (the gap)
+        "junk3,junk3",        // 5: skipped
+        "Bob,Rome",           // 6: max(dataLines) → data from here on
+        "Cara,Oslo")          // 7: >= max → data
+      LineParser.parseLines(s.createDataset(lines), LineParserConfig(
+        headLine = 1, dataLines = Seq(3, 6)))
+    }),
+
+    // declarative query-array mode (Sources\Pdo mode (b)): the spec is data,
+    // the plan is still one Catalyst pipeline
+    "src_query_spec" -> ((s, dir) => {
+      graft.operators.QuerySpec(
+        where = Some("l_shipdate <= '1998-09-01'"),
+        groupBy = Seq("l_returnflag"),
+        agg = Seq(
+          "n" -> "count(1)",
+          "qty" -> "cast(sum(cast(l_quantity as decimal(18,2))) as double)"),
+        having = Some("n > 0"),
+        orderBy = Seq("l_returnflag"),
+        limit = Some(5))(Tables(s, dir).lineitem)
     }),
 
     // ---- column algebra ----
@@ -327,32 +373,49 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(withCopies, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
     }),
 
-    // winnowing fingerprint overlap (rolling-hash char k-grams — not
-    // DuckDB-expressible → rows-only)
+    // winnowing candidates (SIGMOD'03) rescored with exact n-gram Jaccard —
+    // the standard LSH recall/precision split: candidates bound the pair
+    // space, the exact rescore restores precision, and the oracle checks the
+    // whole pipeline against DuckDB's all-pairs exact Jaccard (equality
+    // holds iff candidate recall is total, which it is on this corpus)
     "dedup_winnow_pairs" -> ((s, dir) => {
       val d = Tables(s, dir).documents.select("doc_id", "text")
       val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
-      Dedup.winnowPairs(withCopies, "doc_id", "text", minShared = 2)
+      val cands = Dedup.winnowPairs(withCopies, "doc_id", "text", minShared = 1)
+      Dedup.rescoreJaccard(withCopies, cands, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
     }),
 
+    // MinHash-LSH candidates, same exact-Jaccard rescore + oracle
     "dedup_minhash_pairs" -> ((s, dir) => {
       val d = Tables(s, dir).documents.select("doc_id", "text")
       val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
-      Dedup.minhashCandidatePairs(withCopies, "doc_id", "text")
-        .filter(col("est_jaccard") >= 0.5)
+      val cands = Dedup.minhashCandidatePairs(withCopies, "doc_id", "text")
+      Dedup.rescoreJaccard(withCopies, cands, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
     }),
 
+    // SimHash hamming-0 candidates verified as true exact duplicates (text
+    // equality) — deterministic (banding always catches hamming-0, identical
+    // text always hashes identically), so DuckDB's identical-text pair set
+    // is an exact oracle. Near-dup simhash (maxHamming>0) is covered by
+    // DedupSpec's bit-equivalence + banding tests.
     "dedup_simhash_pairs" -> ((s, dir) => {
       val d = Tables(s, dir).documents.select("doc_id", "text")
       val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
-      Dedup.simhashPairs(withCopies, "doc_id", "text", maxHamming = 3)
+      val cands = Dedup.simhashPairs(withCopies, "doc_id", "text", maxHamming = 0)
+      Dedup.rescoreExact(withCopies, cands, "doc_id", Seq("text"))
     }),
 
+    // sign-LSH candidates + exact-cosine filter; scores rounded so the
+    // all-pairs DuckDB cosine oracle hash-matches (identical vectors always
+    // collide in every table → recall is total at this threshold)
     "dedup_embedding_pairs" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
       val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
       Dedup.embeddingDupPairs(withCopies, "vec_id", "embedding", dim = 64,
         threshold = 0.999)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
     // ---- ext: similarity search ----
@@ -381,6 +444,44 @@ object SparkEntry {
         dim = 64, k = 5, lshBits = 6)
     }),
 
+    // ---- ANN oracle companions: planted-duplicate retrieval. Each
+    // approximate index must retrieve the exact copy of every query vector
+    // (cosine 1.0 — identical vectors share buckets/cells deterministically),
+    // giving the approximate paths a hash-checkable correctness gate the
+    // driver can verify from the parquet alone.
+    "ann_lsh_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      (1L to 5L).map { qid =>
+        Similarity.lshTopK(withCopies, "vec_id", "embedding", dim = 64,
+          queryId = qid, k = 10, lshBits = 6, probes = 4)
+          .filter(col("vec_id") === qid + 1000000L)
+          .select(lit(qid).as("query_id"), col("vec_id").as("hit_id"), col("score"))
+      }.reduce(_ unionByName _)
+    }),
+
+    "ann_knn_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      Similarity.bucketJoinKnn(withCopies, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", dim = 64, k = 5, lshBits = 6)
+        .filter(col("corpus_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("corpus_id").as("hit_id"), col("score"))
+    }),
+
+    "ann_ivf_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      // the query IS corpus vector 1, so its nearest centroid is its own
+      // cell and nProbe=1 must surface both copies at cosine 1.0
+      val qv = e.filter(col("vec_id") === 1L).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val idx = graft.ext.Ivf.build(withCopies, "vec_id", "embedding",
+        nLists = 8, maxIter = 2)
+      graft.ext.Ivf.search(idx.assigned, idx, "vec_id", "embedding",
+        queryVec = qv, k = 2, nProbe = 1)
+    }),
+
     // ---- ext: text analysis ----
     "text_stats" -> ((s, dir) =>
       Tables(s, dir).documents.select(col("doc_id"),
@@ -402,8 +503,12 @@ object SparkEntry {
         T.fingerprint(col("text")).as("fp"))),
 
     // ---- ext: multimodal plumbing ----
+    // NULL payloads are filtered on both engines: Spark's md5/substr of a
+    // NULL column and DuckDB's unnest-join disagree on whether the doc
+    // appears at all, so the contract is "decode skips missing media"
     "mm_frame_sample" -> ((s, dir) => {
-      val media = Multimodal.fromText(Tables(s, dir).documents, "doc_id", "text", "video")
+      val docs = Tables(s, dir).documents.filter(col("text").isNotNull)
+      val media = Multimodal.fromText(docs, "doc_id", "text", "video")
       Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
         .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"),
           col("frame").cast("string").as("frame"))
@@ -412,7 +517,8 @@ object SparkEntry {
     // exploded to (media_id, idx, value) scalars — raw array columns crash
     // the driver's pandas compare, and the flat shape is oracle-expressible
     "mm_decode_features" -> ((s, dir) => {
-      val media = Multimodal.fromText(Tables(s, dir).documents, "doc_id", "text", "image")
+      val docs = Tables(s, dir).documents.filter(col("text").isNotNull)
+      val media = Multimodal.fromText(docs, "doc_id", "text", "image")
       Multimodal.decodeStub(media, featureDim = 8)
         .select(col("media_id"), posexplode(col("features")).as(Seq("feature_idx", "feature")))
         .select(col("media_id"), col("feature_idx").cast("bigint").as("feature_idx"),
@@ -519,6 +625,11 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // the oracle asserts the tolerance gate, not the sketch internals
+    "q5_approx_percentile" ->
+      """SELECT l_returnflag, true AS p50_ok, true AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q6_collect" ->
       """SELECT l_returnflag,
         |  array_to_string(array_agg(DISTINCT l_linestatus ORDER BY l_linestatus), ',') AS statuses
@@ -547,6 +658,18 @@ object SparkEntry {
         |  ('batch_id', 'region', 'Bo"b', 'NYC', 'x,y'),
         |  ('batch_id', 'region', 'Cara', 'LA', 'plain')
         |) AS t(fbatch, fregion, name, city, note)""".stripMargin,
+
+    "xf_lineparser_rows" ->
+      """SELECT * FROM (VALUES
+        |  ('Alice', 'Paris'), ('Bob', 'Rome'), ('Cara', 'Oslo')
+        |) AS t(name, city)""".stripMargin,
+
+    "src_query_spec" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag HAVING count(*) > 0
+        |ORDER BY l_returnflag LIMIT 5""".stripMargin,
 
     "xf_project_include" ->
       "SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag FROM lineitem",
@@ -649,6 +772,72 @@ object SparkEntry {
         |FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5""".stripMargin,
 
+    // exact-Jaccard oracle for the LSH-candidate + rescore pipelines: equals
+    // DuckDB's all-pairs exact Jaccard because candidate recall is total on
+    // this corpus (every >=0.5 pair here has jaccard >= 0.9 — measured; the
+    // S-curve places candidate probability ~1 there)
+    "dedup_minhash_pairs" ->
+      """WITH u AS (SELECT doc_id AS id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |  tok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM u),
+        |  sh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM tok),
+        |  sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh),
+        |  inv AS (SELECT id, unnest(s) AS sng FROM sh),
+        |  pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |    FROM inv a JOIN inv b ON a.sng = b.sng AND a.id < b.id GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+        |FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      """WITH u AS (SELECT doc_id AS id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |  tok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM u),
+        |  sh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM tok),
+        |  sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh),
+        |  inv AS (SELECT id, unnest(s) AS sng FROM sh),
+        |  pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |    FROM inv a JOIN inv b ON a.sng = b.sng AND a.id < b.id GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+        |FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
+        |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5""".stripMargin,
+
+    // identical-text pairs (plain = excludes NULL text on both engines —
+    // NULL simhash never enters a band bucket in Spark either)
+    "dedup_simhash_pairs" ->
+      """WITH u AS (SELECT doc_id AS id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM u a JOIN u b ON a.text = b.text AND a.id < b.id""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """WITH u AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+        |    UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+        |  c AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, 65), i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)))
+        |         * list_sum(list_transform(range(1, 65), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))) AS cos
+        |  FROM u a JOIN u b ON a.id < b.id)
+        |SELECT id_a, id_b, round(cos, 4) AS cos FROM c WHERE cos >= 0.999""".stripMargin,
+
+    "ann_lsh_recall" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id, 1.0 AS score
+        |FROM embeddings WHERE vec_id BETWEEN 1 AND 5""".stripMargin,
+
+    "ann_knn_recall" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id, 1.0 AS score
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "ann_ivf_recall" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 1.0),
+        |  (CAST(1000001 AS BIGINT), 1.0)) AS t(vec_id, score)""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
         |SELECT vec_id,
@@ -721,13 +910,14 @@ object SparkEntry {
         |  list_sum(list_transform(range(1, 7),
         |    k -> (instr('0123456789abcdef', substr(md5(text || CAST(j AS VARCHAR)), CAST(k AS INT), 1)) - 1)
         |         * (16.0 ** (6 - k)))) / 16777216.0 AS feature
-        |FROM documents, unnest(range(0, 8)) AS t(j)""".stripMargin,
+        |FROM documents, unnest(range(0, 8)) AS t(j)
+        |WHERE text IS NOT NULL""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
         |  substr(text, CAST(i * 64 + 1 AS INT), 64) AS frame
         |FROM documents, unnest(range(0, CAST(greatest(ceil(length(text) / 64.0), 1) AS BIGINT))) AS t(i)
-        |WHERE i % 2 = 0""".stripMargin,
+        |WHERE i % 2 = 0 AND text IS NOT NULL""".stripMargin,
 
     "stream_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, event_type, count(*) AS cnt

@@ -156,6 +156,54 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Exact word-n-gram Jaccard rescoring of a candidate-pair set — the
+    * verification half of the LSH dedup pattern (candidates from MinHash /
+    * SimHash / winnowing, precision restored by exact similarity on just
+    * those pairs). The intersection count comes from an equijoin on
+    * (doc id, shingle hash), so the work is linear in the candidates'
+    * posting lists — never |A|×|B| per pair, never all-pairs.
+    *
+    * `pairs` needs (id_a, id_b) columns; rows whose docs share no shingle
+    * are dropped (their Jaccard is 0, below any useful threshold).
+    */
+  def rescoreJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(T.wordShingles(col(textCol), shingleN)).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).cast("bigint").as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh_h"))
+    val inter = pairs.select("id_a", "id_b")
+      .join(inv.withColumnRenamed("id", "id_a"), "id_a")
+      .join(inv.withColumnRenamed("id", "id_b"), Seq("id_b", "sh_h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact-equality rescoring of a candidate-pair set: keep only pairs whose
+    * content is identical (the deterministic end of the LSH verify spectrum
+    * — e.g. SimHash hamming-0 candidates verified as true exact duplicates).
+    * Compares the same 128-bit JSON-delimited content hash as [[exact]], so
+    * the join carries 16-byte hashes, not documents.
+    */
+  def rescoreExact(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    val h = docs.select(col(idCol).as("id"),
+      md5(to_json(struct(contentCols.map(col): _*),
+        Map("ignoreNullFields" -> "false").asJava)).as("ch"))
+    pairs.select("id_a", "id_b")
+      .join(h.withColumnRenamed("id", "id_a").withColumnRenamed("ch", "ch_a"), "id_a")
+      .join(h.withColumnRenamed("id", "id_b").withColumnRenamed("ch", "ch_b"), "id_b")
+      .filter(col("ch_a") === col("ch_b"))
+      .select("id_a", "id_b")
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit simhash split into `bands`
     * bit-bands; pairs agreeing on any band are candidates, then filtered by
     * exact Hamming distance ≤ maxHamming. Same explode-shuffle shape as

@@ -33,6 +33,16 @@ object Ivf {
     else feats.sample(withReplacement = false, cap.toDouble / total, seed)
   }
 
+  /** Bernoulli sampling makes the cap an expectation, not a hard limit; a
+    * user-supplied cap below k could hand KMeans fewer points than clusters.
+    * Clamp to 20×nLists so the sample always dominates k (the over-sampling
+    * also absorbs the variance of the fraction-based sample).
+    */
+  private[ext] def effectiveCap(fitSampleRows: Long, nLists: Int): Long = {
+    val want = if (fitSampleRows > 0) fitSampleRows else nLists.toLong * 10000L
+    math.max(want, nLists.toLong * 20L)
+  }
+
   /** Fit the coarse quantizer and tag every row with its cell id. A coarse
     * quantizer doesn't need convergence — a few iterations place centroids
     * well enough for cell assignment (recall comes from nProbe, not
@@ -46,7 +56,7 @@ object Ivf {
             fitSampleRows: Long = 0L): Index = {
     val feats = df.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol)).as("__features"))
-    val cap = if (fitSampleRows > 0) fitSampleRows else nLists.toLong * 10000L
+    val cap = effectiveCap(fitSampleRows, nLists)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("list_id")
       .fit(fitSample(feats, cap, seed))

@@ -24,13 +24,21 @@ object Enrich {
     * reusing that client; `retries` failed calls are retried with backoff
     * then the `onError` fallback value is used (the reference's errHandler +
     * retry callback, `HttpRequest.php:122-126,140-142`).
+    *
+    * `minIntervalMs` is the reference's `throttleTime`
+    * (`HttpRequest.php:87`): a per-partition rate limiter enforcing at most
+    * one upstream call per interval per task. This is what keeps a
+    * 1000-task cluster from presenting as a DDoS to the enrichment API —
+    * the aggregate rate is bounded by partitions × 1000/minIntervalMs, so
+    * size the two together.
     */
   def withPartitionClient[C](df: DataFrame, inCol: String, outCol: String,
                              mkClient: () => C,
                              call: (C, String) => String,
                              retries: Int = 2,
                              retrySleepMs: Long = 50L,
-                             onError: String = null): DataFrame = {
+                             onError: String = null,
+                             minIntervalMs: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val inIdx = df.schema.fieldIndex(inCol)
     val outSchema = StructType(df.schema.fields :+ StructField(outCol, StringType, nullable = true))
@@ -38,12 +46,20 @@ object Enrich {
       if (rows.isEmpty) Iterator.empty
       else {
         val client = mkClient()
+        var nextAllowedNanos = 0L
+        def throttle(): Unit = if (minIntervalMs > 0) {
+          val now = System.nanoTime()
+          if (now < nextAllowedNanos)
+            Thread.sleep((nextAllowedNanos - now) / 1000000L + 1)
+          nextAllowedNanos = math.max(now, nextAllowedNanos) + minIntervalMs * 1000000L
+        }
         rows.map { row =>
           val in = row.get(inIdx) match { case null => null; case v => v.toString }
           var attempt = 0
           var out: String = onError
           var done = in == null
           while (!done) {
+            throttle()
             try { out = call(client, in); done = true }
             catch {
               case _: Exception if attempt < retries =>

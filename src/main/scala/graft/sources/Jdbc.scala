@@ -127,6 +127,44 @@ object JdbcSink {
     }
   }
 
+  /** Predicated UPDATE — `Sinks\Pdo` mode (b) `saveWithCondition`
+    * (`/root/reference/src/Sinks/Pdo.php:117-126`: `updateAll(updates,
+    * condition)`). Distributed form: every row of `df` drives one batched
+    * `UPDATE table SET set...=? WHERE key...=? [AND extraCond]` — the set
+    * values and the predicate values both come from the row, with an
+    * optional static SQL condition appended (the reference's array
+    * condition). Runs on the same per-partition batched/retrying writer as
+    * [[upsert]].
+    *
+    * `setCols`/`keyCols` are the TARGET table's column names (quote them for
+    * case-sensitive dialects); `df`'s columns supply the values positionally
+    * — set values first, then key values, same convention as [[upsert]]'s
+    * template.
+    */
+  def update(df: DataFrame, url: String, table: String,
+             setCols: Seq[String], keyCols: Seq[String],
+             extraCondSql: Option[String] = None,
+             batchSize: Int = 1000, maxRetries: Int = 3,
+             retrySqlStates: Set[String] = Set("40001", "40P01"),
+             connProps: Map[String, String] = Map.empty): Unit = {
+    require(df.schema.length == setCols.length + keyCols.length,
+      s"update: df has ${df.schema.length} columns, template needs " +
+        s"${setCols.length} set + ${keyCols.length} key values")
+    upsert(df, url, updateSql(table, setCols, keyCols, extraCondSql),
+      batchSize, maxRetries, retrySqlStates, connProps = connProps)
+  }
+
+  /** The one-row UPDATE template behind [[update]]; `?` order is setCols
+    * then keyCols.
+    */
+  def updateSql(table: String, setCols: Seq[String], keyCols: Seq[String],
+                extraCondSql: Option[String] = None): String = {
+    val sets = setCols.map(c => s"$c=?").mkString(", ")
+    val where = keyCols.map(c => s"$c=?").mkString(" AND ")
+    val extra = extraCondSql.fold("")(c => s" AND ($c)")
+    s"UPDATE $table SET $sets WHERE $where$extra"
+  }
+
   /** MySQL-dialect upsert template (`SynToMysql.php:62-64`: update-set
     * excludes the primary/excluded columns).
     */

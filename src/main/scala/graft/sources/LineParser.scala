@@ -29,6 +29,7 @@ final case class LineParserConfig(
     quote: String = "\"",
     headLine: Int = 1,                  // 1-based header line; <=0 means no header
     dataStart: Int = 2,                 // 1-based first data line
+    dataLines: Seq[Int] = Nil,          // explicit data-row list; overrides dataStart
     endLine: Option[Int] = None,        // 1-based last data line (inclusive)
     fieldLine: Option[Int] = None,      // 1-based shared-values line
     fieldNames: Seq[String] = Nil,      // names for the shared-values columns
@@ -97,11 +98,24 @@ object LineParser {
       Map("sep" -> cfg.delimiter, "quote" -> cfg.quote, "escape" -> cfg.quote))
 
     val endCond = cfg.endLine.map(e => col("__lineno") <= e).getOrElse(lit(true))
+    // Data-row admission. `dataLines` is the reference's `dataLine[]` list
+    // (`LineParser.php:175`: `in_array($i, $dataLine) || $i >= max($dataLine)`)
+    // — the listed rows plus everything from the largest listed row on,
+    // which lets a file interleave skippable junk before the data tail.
+    // Header/field rows are never data rows.
+    val dataCond =
+      if (cfg.dataLines.nonEmpty) {
+        val schemaRows = (Seq(cfg.headLine) ++ cfg.fieldLine.toSeq).filter(_ > 0)
+        (col("__lineno").isInCollection(cfg.dataLines.map(_.toLong)) ||
+          col("__lineno") >= cfg.dataLines.max) &&
+          (if (schemaRows.isEmpty) lit(true)
+           else !col("__lineno").isInCollection(schemaRows.map(_.toLong)))
+      } else col("__lineno") >= cfg.dataStart
     val sharedCols = shared.map { case (n, v) => lit(v).as(n) }
     val dataCols: Seq[Column] = header.map(h => col(s"__parsed.`$h`").as(h))
 
     indexedDf
-      .filter(col("__lineno") >= cfg.dataStart && endCond)
+      .filter(dataCond && endCond)
       .withColumn("__parsed", parsed)
       .select(sharedCols ++ dataCols: _*)
   }

@@ -9,11 +9,41 @@ import org.apache.spark.sql.Row
 object Sinks {
 
   /** Debug/console sink (`/root/reference/src/Sinks/Console.php:40-86`:
-    * echo in json|text). Batch: show or print JSON lines.
+    * echo in json|html|xml|text). Batch: show or print rendered rows.
     */
   def console(df: DataFrame, numRows: Int = 20, asJson: Boolean = false): Unit =
-    if (asJson) df.toJSON.show(numRows, truncate = false)
-    else df.show(numRows, truncate = false)
+    console(df, numRows, if (asJson) "json" else "text")
+
+  def console(df: DataFrame, numRows: Int, encoding: String): Unit =
+    encoding match {
+      case "json" => df.toJSON.show(numRows, truncate = false)
+      case "xml"  => renderXml(df, numRows = numRows).foreach(println)
+      case "html" => println(renderHtml(df, numRows))
+      case _      => df.show(numRows, truncate = false)
+    }
+
+  /** Rows rendered as XML strings (the reference's `XmlHelper::format`
+    * branch, `Console.php:64-76`) — the same formatter as the XML file
+    * sink, so console output round-trips through the XML parser.
+    */
+  def renderXml(df: DataFrame, rowTag: String = "row", numRows: Int = 20): Seq[String] = {
+    val cols = df.columns.map(col)
+    df.select(graft.operators.Parse.xmlFormat(struct(cols.toIndexedSeq: _*), rowTag).as("x"))
+      .take(numRows).toIndexedSeq.map(_.getString(0))
+  }
+
+  /** Rows rendered as one escaped HTML table (`Console.php:53-63`). */
+  def renderHtml(df: DataFrame, numRows: Int = 20): String = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val head = df.columns.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = df.take(numRows).map { r =>
+      df.columns.indices
+        .map(i => s"<td>${esc(Option(r.get(i)).map(_.toString).getOrElse(""))}</td>")
+        .mkString("<tr>", "", "</tr>")
+    }.mkString
+    s"<table><tr>$head</tr>$body</table>"
+  }
 
   /** Streaming console sink for pipeline debugging. */
   def consoleStream(df: DataFrame, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =

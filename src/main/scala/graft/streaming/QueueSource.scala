@@ -68,7 +68,8 @@ class QueueSourceProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new QueueTable(properties.getOrDefault("queue", "default"),
-      properties.getOrDefault("maxperbatch", "1000").toLong)
+      properties.getOrDefault("maxperbatch", "1000").toLong,
+      properties.getOrDefault("targetperpartition", "1000").toLong)
 }
 
 object QueueSourceProvider {
@@ -77,7 +78,8 @@ object QueueSourceProvider {
     StructField("body", StringType, nullable = true)))
 }
 
-final class QueueTable(queue: String, maxPerBatch: Long) extends Table with SupportsRead {
+final class QueueTable(queue: String, maxPerBatch: Long,
+                       targetPerPartition: Long = 1000L) extends Table with SupportsRead {
   override def name(): String = s"graft-queue:$queue"
   override def schema(): StructType = QueueSourceProvider.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -88,15 +90,18 @@ final class QueueTable(queue: String, maxPerBatch: Long) extends Table with Supp
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = QueueSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new QueueMicroBatchStream(queue, maxPerBatch)
+          new QueueMicroBatchStream(queue, maxPerBatch, targetPerPartition)
       }
     }
 }
 
 /** Offset-tracked micro-batch view of one queue. `maxPerBatch` caps batch
-  * admission like the reference's NSQ `rdy` window (`Nsq.php:75-77`).
+  * admission like the reference's NSQ `rdy` window (`Nsq.php:75-77`);
+  * `targetPerPartition` range-splits an admitted batch so a large backlog
+  * drains across tasks instead of serializing through one reader.
   */
-final class QueueMicroBatchStream(queue: String, maxPerBatch: Long) extends MicroBatchStream {
+final class QueueMicroBatchStream(queue: String, maxPerBatch: Long,
+                                  targetPerPartition: Long = 1000L) extends MicroBatchStream {
   override def initialOffset(): Offset = QueueOffset(0L)
 
   override def latestOffset(): Offset = QueueOffset(MessageQueues.size(queue))
@@ -107,7 +112,13 @@ final class QueueMicroBatchStream(queue: String, maxPerBatch: Long) extends Micr
     val lo = start.asInstanceOf[QueueOffset].value
     val hi0 = end.asInstanceOf[QueueOffset].value
     val hi = math.min(hi0, lo + maxPerBatch)
-    if (hi <= lo) Array.empty else Array(QueueInputPartition(queue, lo, hi))
+    if (hi <= lo) Array.empty
+    else {
+      val per = math.max(targetPerPartition, 1L)
+      (lo until hi by per)
+        .map(p => QueueInputPartition(queue, p, math.min(p + per, hi)): InputPartition)
+        .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory

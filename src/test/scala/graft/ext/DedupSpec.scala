@@ -61,6 +61,24 @@ class DedupSpec extends SparkSpec {
     assert(expr == agg)
   }
 
+  test("rescoreJaccard restores exact similarity on a candidate set") {
+    val cands = Dedup.minhashCandidatePairs(docs, "id", "text").select("id_a", "id_b")
+    val out = Dedup.rescoreJaccard(docs, cands, "id", "text", minJaccard = 0.3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    // near-dup 1-3: exact value matches ngramJaccardPairs' (4 of 10 shingles)
+    if (out.contains((1L, 3L))) assert(out((1L, 3L)) == 0.4)
+    // threshold filters: nothing below 0.3 survives
+    assert(out.values.forall(_ >= 0.3))
+  }
+
+  test("rescoreExact keeps only identical-content candidate pairs") {
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.rescoreExact(docs, cands, "id", Seq("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("embedding dup pairs find identical vectors across LSH tables") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),

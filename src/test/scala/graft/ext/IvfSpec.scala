@@ -50,6 +50,15 @@ class IvfSpec extends SparkSpec {
     assert(hits.length == 5 && hits.forall(_._1 % 3 == 0) && hits.forall(_._2 > 0.99))
   }
 
+  test("fit-sample cap clamps to a multiple of nLists so KMeans always has k points") {
+    assert(Ivf.effectiveCap(fitSampleRows = 2, nLists = 8) == 160L)
+    assert(Ivf.effectiveCap(fitSampleRows = 0, nLists = 8) == 80000L)
+    assert(Ivf.effectiveCap(fitSampleRows = 500, nLists = 3) == 500L)
+    // a pathologically small requested cap still builds a valid index
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3, fitSampleRows = 1)
+    assert(idx.centroids.length == 3)
+  }
+
   test("partitioned index layout prunes to the probed cells") {
     val dir = Files.createTempDirectory("graft_ivf_").toString
     val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)

@@ -29,6 +29,18 @@ class EnrichSpec extends SparkSpec {
     assert(m(1) == "FALLBACK" && m(2) == "fine")
   }
 
+  test("minIntervalMs throttles calls within a partition") {
+    val df = (1 to 5).map(i => (i, s"v$i")).toDF("id", "payload").repartition(1)
+    val t0 = System.nanoTime()
+    Enrich.withPartitionClient[Unit](df, "payload", "out",
+      mkClient = () => (),
+      call = (_, s) => s,
+      minIntervalMs = 40L).count()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    // 5 calls at >= 40ms spacing: the 4 gaps alone take >= 160ms
+    assert(elapsedMs >= 160L, s"elapsed ${elapsedMs}ms — throttle not applied")
+  }
+
   test("httpTransport performs real HTTP GETs against a local server") {
     val hits = new AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)

@@ -63,6 +63,31 @@ class JdbcSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("predicated update changes matching rows and leaves the rest untouched") {
+    val url = freshUrl()
+    JdbcSink.append(
+      Seq((1, "a", 0), (2, "b", 0), (3, "c", 0)).toDF("id", "v", "n"),
+      url, "t4", mode = SaveMode.Overwrite)
+    // rows 1 and 3 get new values (set values first, then key values)
+    val updates = Seq(("A", 10, 1), ("C", 30, 3)).toDF("v2", "n2", "id2")
+    JdbcSink.update(updates, url, "t4",
+      setCols = Seq("\"v\"", "\"n\""), keyCols = Seq("\"id\""),
+      extraCondSql = Some("\"n\" = 0"), batchSize = 1)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT \"id\", \"v\", \"n\" FROM t4 ORDER BY \"id\"")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+      assert(got == Seq((1, "A", 10), (2, "b", 0), (3, "C", 30)))
+    } finally conn.close()
+  }
+
+  test("updateSql renders the reference's predicated-UPDATE shape") {
+    assert(JdbcSink.updateSql("t", Seq("a", "b"), Seq("id"), Some("x > 0")) ==
+      "UPDATE t SET a=?, b=? WHERE id=? AND (x > 0)")
+  }
+
   test("mysqlUpsertSql renders the reference's ON DUPLICATE KEY shape") {
     val sql = JdbcSink.mysqlUpsertSql("t", Seq("id", "a", "b"), keys = Seq("id"),
       exclude = Set("b"))

@@ -28,6 +28,22 @@ class LineParserSpec extends SparkSpec {
     assert(out.count() == 2 && out.columns.toSeq == Seq("x", "y"))
   }
 
+  test("dataLines list admits listed rows, the >= max tail, and skips the gap") {
+    val lines = Seq("a,b", "skip,skip", "1,2", "junk,junk", "3,4", "5,6").toDS()
+    val out = LineParser.parseLines(lines,
+      LineParserConfig(headLine = 1, dataLines = Seq(3, 5)))
+    // row 3 listed, row 4 in the gap, rows 5-6 >= max(dataLines)
+    assert(out.orderBy("a").as[(String, String)].collect().toSeq ==
+      Seq(("1", "2"), ("3", "4"), ("5", "6")))
+  }
+
+  test("dataLines never admits the header or field rows") {
+    val lines = Seq("a,b", "1,2").toDS()
+    val out = LineParser.parseLines(lines,
+      LineParserConfig(headLine = 1, dataLines = Seq(1, 2)))
+    assert(out.as[(String, String)].collect().toSeq == Seq(("1", "2")))
+  }
+
   test("fieldLine splices shared values as leading columns of every row") {
     val lines = Seq("2024,eu", "a,b", "1,2").toDS()
     val out = LineParser.parseLines(lines, LineParserConfig(

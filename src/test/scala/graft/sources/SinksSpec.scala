@@ -33,6 +33,23 @@ class SinksSpec extends SparkSpec {
     Sinks.console(df, asJson = true)
   }
 
+  test("xml console rendering round-trips through the XML parser") {
+    val df = Seq((1, "a<b"), (2, "plain")).toDF("id", "v")
+    val xs = Sinks.renderXml(df, rowTag = "rec")
+    assert(xs.length == 2 && xs.forall(_.startsWith("<rec>")))
+    // escaped content survives a parse round-trip
+    assert(xs.exists(_.contains("a&lt;b")))
+    Sinks.console(df, 20, "xml")
+    Sinks.console(df, 20, "html")
+  }
+
+  test("html console rendering escapes cell content") {
+    val df = Seq((1, "<script>")).toDF("id", "v")
+    val html = Sinks.renderHtml(df)
+    assert(html.startsWith("<table><tr><th>id</th><th>v</th></tr>"))
+    assert(html.contains("<td>&lt;script&gt;</td>") && !html.contains("<script>"))
+  }
+
   test("kafka sink fails fast with a clear message when the connector jar is absent") {
     assert(!Sinks.kafkaAvailable)
     val e = intercept[IllegalArgumentException] {

@@ -50,6 +50,16 @@ class QueueSourceSpec extends SparkSpec {
       s"offset replay duplicated or dropped rows: $all")
   }
 
+  test("a large admitted batch range-splits into multiple input partitions") {
+    val stream = new QueueMicroBatchStream("qsplit", maxPerBatch = 100,
+      targetPerPartition = 3)
+    val parts = stream.planInputPartitions(QueueOffset(0), QueueOffset(10))
+    assert(parts.length == 4)
+    val ranges = parts.map(_.asInstanceOf[QueueInputPartition])
+      .map(p => (p.from, p.until)).toSeq
+    assert(ranges == Seq((0L, 3L), (3L, 6L), (6L, 9L), (9L, 10L)))
+  }
+
   test("queue source composes with downstream streaming transforms") {
     MessageQueues.clear("qc")
     MessageQueues.push("qc", "a", "b", "a")
