@@ -71,6 +71,9 @@ object Config {
     Option(n.get(field)).map(o =>
       o.properties().asScala.map(e => e.getKey -> e.getValue.asText).toSeq).getOrElse(Nil)
 
+  private def intSeq(n: JsonNode, field: String): Seq[Int] =
+    Option(n.get(field)).map(_.elements().asScala.map(_.asInt).toSeq).getOrElse(Nil)
+
   private def source(spark: SparkSession, n: JsonNode): DataFrame =
     str(n, "type") match {
       case "parquet" => spark.read.parquet(str(n, "path"))
@@ -84,6 +87,26 @@ object Config {
       case "queue" =>
         spark.readStream.format("graft.streaming.QueueSourceProvider")
           .option("queue", str(n, "name")).load()
+      // Sources\Pdo: table or raw-SQL scan, optionally range-partitioned
+      case "jdbc" =>
+        val part = Option(n.get("partitionColumn")).map(c =>
+          graft.sources.JdbcSource.Partitioning(c.asText,
+            n.get("lowerBound").asLong, n.get("upperBound").asLong,
+            Option(n.get("numPartitions")).map(_.asInt).getOrElse(4)))
+        graft.sources.JdbcSource.read(spark, str(n, "url"), str(n, "table"),
+          partitioning = part)
+      // Transforms\LineParser: line-addressed text (headLine/dataLine/…)
+      case "lineparser" =>
+        graft.sources.LineParser.parse(spark, str(n, "path"),
+          graft.sources.LineParserConfig(
+            delimiter = strOpt(n, "delimiter").getOrElse(","),
+            headLine = Option(n.get("headLine")).map(_.asInt).getOrElse(1),
+            dataStart = Option(n.get("dataStart")).map(_.asInt).getOrElse(2),
+            dataLines = intSeq(n, "dataLines"),
+            endLine = Option(n.get("endLine")).map(_.asInt),
+            fieldLine = Option(n.get("fieldLine")).map(_.asInt),
+            fieldNames = strSeq(n, "fieldNames"),
+            columns = strSeq(n, "columns")))
       case other => throw new IllegalArgumentException(s"unknown source type: $other")
     }
 
@@ -110,6 +133,23 @@ object Config {
       case "watermarkIncr" =>
         val target = df.sparkSession.read.parquet(str(n, "target"))
         Sync.watermarkIncr(df, target, str(n, "column"))
+      // declarative query block (Sources\Pdo query-array mode)
+      case "query" =>
+        graft.operators.QuerySpec(
+          select = strPairs(n, "select"),
+          where = strOpt(n, "where"),
+          groupBy = strSeq(n, "groupBy"),
+          agg = strPairs(n, "agg"),
+          having = strOpt(n, "having"),
+          orderBy = strSeq(n, "orderBy"),
+          limit = Option(n.get("limit")).map(_.asInt))(df)
+      // Common\HttpRequest: url template with {} placeholder, pooled client,
+      // retry + per-partition throttle
+      case "httpEnrich" =>
+        val template = str(n, "url")
+        graft.operators.Enrich.httpTransport(df, str(n, "in"), str(n, "out"),
+          urlFor = v => template.replace("{}", v),
+          retries = Option(n.get("retries")).map(_.asInt).getOrElse(2))
       case other => throw new IllegalArgumentException(s"unknown transform op: $other")
     }
 
@@ -119,7 +159,14 @@ object Config {
       case "parquet" => FileSink.parquet(df, str(n, "path"), mode)
       case "csv"     => FileSink.csv(df, str(n, "path"), header = true, mode)
       case "json"    => FileSink.json(df, str(n, "path"), mode)
-      case "console" => graft.sources.Sinks.console(df)
+      case "xml"     => FileSink.xml(df, str(n, "path"),
+        rowTag = strOpt(n, "rowTag").getOrElse("row"), mode = mode)
+      case "console" => graft.sources.Sinks.console(df, 20,
+        strOpt(n, "encoding").getOrElse("text"))
+      // Sinks\Pdo batch insert (append/overwrite per `mode`)
+      case "jdbc" =>
+        graft.sources.JdbcSink.append(df, str(n, "url"), str(n, "table"),
+          mode = if (mode == SaveMode.Overwrite) SaveMode.Overwrite else SaveMode.Append)
       case other => throw new IllegalArgumentException(s"unknown sink type: $other")
     }
   }

@@ -88,6 +88,32 @@ object Streams {
     if (cron == -1) Trigger.AvailableNow()
     else Trigger.ProcessingTime(math.max(cron, 1) * 1000L)
 
+  /** Deliver a stream to an arbitrary batch sink via `foreachBatch` — the
+    * reference's core end-to-end shape (`Sources\Amqp` → `Sinks\Pdo`,
+    * SURVEY.md §3 E2): each micro-batch runs the batch writer, and the
+    * checkpoint makes delivery exactly-once for idempotent writers
+    * (upsert/update) where the reference is at-most-once per message.
+    */
+  def foreachBatchSink(df: DataFrame, checkpoint: String,
+                       trigger: Trigger = Trigger.AvailableNow())(
+      fn: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch((b: DataFrame, id: Long) => fn(b, id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Stream → JDBC upsert: each micro-batch goes through the batched,
+    * retrying [[graft.sources.JdbcSink.upsert]] writer. Idempotent template
+    * (MERGE / ON DUPLICATE KEY) + checkpointed offsets = exactly-once.
+    */
+  def toJdbcUpsert(df: DataFrame, url: String, sqlTemplate: String,
+                   checkpoint: String, batchSize: Int = 1000,
+                   trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(df, checkpoint, trigger) { (batch, _) =>
+      graft.sources.JdbcSink.upsert(batch, url, sqlTemplate, batchSize)
+    }
+
   /** Run a streaming DataFrame to completion against currently-available
     * input and return the result as a batch DataFrame (memory sink,
     * `complete` mode). Used by parity tests to compare streaming plans

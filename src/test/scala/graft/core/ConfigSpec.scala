@@ -57,6 +57,46 @@ class ConfigSpec extends SparkSpec {
     assert(out.as[(Int, String, Int)].collect().toSeq == Seq((2, "k1", 2)))
   }
 
+  test("jdbc source + query transform + jdbc sink round-trip through Derby") {
+    System.setProperty("derby.stream.error.file", "/tmp/graft_test_derby.log")
+    val dir = Files.createTempDirectory("graft_cfg_jdbc_").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    graft.sources.JdbcSink.append(
+      Seq((1, "a", 5.0), (2, "a", 15.0), (3, "b", 30.0)).toDF("id", "k", "x"),
+      url, "src_t", mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val yaml =
+      s"""source: {type: jdbc, url: "$url", table: src_t}
+         |transforms:
+         |  - op: query
+         |    where: "x > 5"
+         |    groupBy: [k]
+         |    agg:
+         |      total: "sum(x)"
+         |    orderBy: [k]
+         |sink: {type: jdbc, url: "$url", table: out_t, mode: Overwrite}
+         |""".stripMargin
+    Config.run(spark, yaml)
+    val back = graft.sources.JdbcSource.read(spark, url, "out_t")
+    assert(back.orderBy("k").as[(String, Double)].collect().toSeq ==
+      Seq(("a", 15.0), ("b", 30.0)))
+  }
+
+  test("lineparser source with dataLines parses from config") {
+    val dir = Files.createTempDirectory("graft_cfg_lp_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.csv"),
+      "a,b\nskip,skip\n1,2\n3,4\n".getBytes("UTF-8"))
+    val yaml =
+      s"""source:
+         |  type: lineparser
+         |  path: $dir/f.csv
+         |  headLine: 1
+         |  dataLines: [3]
+         |""".stripMargin
+    val out = Config.run(spark, yaml)
+    assert(out.orderBy("a").as[(String, String)].collect().toSeq ==
+      Seq(("1", "2"), ("3", "4")))
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")

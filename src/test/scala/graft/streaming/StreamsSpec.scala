@@ -13,6 +13,36 @@ class StreamsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("queue stream delivers to JDBC exactly-once via foreachBatch upsert") {
+    System.setProperty("derby.stream.error.file", "/tmp/graft_test_derby.log")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjdbc_").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    // seed the target table (and its schema) with one stale row for offset 0
+    graft.sources.JdbcSink.append(
+      Seq((0L, "stale")).toDF("off", "body"), url, "qt",
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    val merge =
+      """MERGE INTO qt USING SYSIBM.SYSDUMMY1
+        |ON qt."off" = CAST(? AS BIGINT)
+        |WHEN MATCHED THEN UPDATE SET "body" = CAST(? AS VARCHAR(64))
+        |WHEN NOT MATCHED THEN INSERT ("off", "body") VALUES (CAST(? AS BIGINT), CAST(? AS VARCHAR(64)))""".stripMargin
+    MessageQueues.clear("sj")
+    MessageQueues.push("sj", "m0", "m1")
+    def deliver(): Unit = {
+      val df = spark.readStream.format("graft.streaming.QueueSourceProvider")
+        .option("queue", "sj").load()
+        .selectExpr("offset AS p1", "body AS p2", "offset AS p3", "body AS p4")
+      Streams.toJdbcUpsert(df, url, merge, checkpoint = s"$dir/ckpt")
+        .awaitTermination()
+    }
+    deliver()
+    MessageQueues.push("sj", "m2")
+    deliver()   // same checkpoint: re-delivers nothing, upserts only m2
+    val back = graft.sources.JdbcSource.read(spark, url, "qt")
+    assert(back.orderBy("off").as[(Long, String)].collect().toSeq ==
+      Seq((0L, "m0"), (1L, "m1"), (2L, "m2")))
+  }
+
   test("windowedCounts over a MemoryStream matches the batch group-by") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
