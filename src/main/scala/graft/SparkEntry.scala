@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Pipeline, Tables}
-import graft.ext.{Dedup, Multimodal, Similarity}
-import graft.functions.{TextFunctions => T}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity}
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.operators.{AsOf, ColumnOps, Enrich, Parse, Sync}
 import graft.sources.{FileSink, FileSource, JdbcSink, JdbcSource, LineParser, LineParserConfig}
 import graft.streaming.Streams
@@ -502,6 +502,68 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("doc_id"),
         T.fingerprint(col("text")).as("fp"))),
 
+    // ---- ext: corpus curation (deterministic md5-keyed sampling/splits —
+    // pure scan-side predicates, reproducible across engines/partitionings;
+    // see Curation) ----
+    "curate_sample_hash" -> ((s, dir) =>
+      Curation.sampleByHash(Tables(s, dir).documents, "doc_id",
+        keepPerMille = 200, salt = "s1").select("doc_id", "lang")),
+
+    "curate_split_hash" -> ((s, dir) =>
+      Curation.splitByHash(Tables(s, dir).documents, "doc_id")
+        .select("doc_id", "split")),
+
+    // domain-mixture sampling: per-source keep rates (upsample src0,
+    // drop src1, 30% everything else) as one scan-side predicate
+    "curate_mixture" -> ((s, dir) =>
+      Curation.mixtureByHash(Tables(s, dir).documents, "doc_id", "source",
+        Map("src0" -> 1000, "src1" -> 0), defaultPerMille = 300)
+        .select("doc_id", "source")),
+
+    "curate_stratified_n" -> ((s, dir) =>
+      Curation.stratifiedFixedN(Tables(s, dir).documents, "doc_id", "lang", n = 10)
+        .select("doc_id", "lang")),
+
+    // greedy sequence packing into 512-token bins across 8 hash shards
+    "curate_pack_greedy" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), T.tokenCount(col("text")).as("n_tok"))
+      Curation.packSequences(d, "doc_id", "n_tok", maxTokensPerBin = 512, shards = 8)
+        .select(col("doc_id"), col("n_tok"), col("shard").cast("bigint").as("shard"),
+          col("bin"), col("bin_offset"))
+    }),
+
+    // eval-set decontamination: docs with doc_id % 10 == 0 play the eval
+    // set; surviving train doc_ids must match DuckDB's shingle-overlap join
+    "curate_decontaminate" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val train = d.filter(col("doc_id") % 10 =!= 0)
+      val heldOut = d.filter(col("doc_id") % 10 === 0)
+      Curation.decontaminate(train, heldOut, "doc_id", "text", shingleN = 3)
+        .select("doc_id")
+    }),
+
+    // the composite pretrain-cleaning pipeline: language filter → quality
+    // gate → exact dedup → deterministic split (each stage is individually
+    // oracle-verified above; this checks their composition end-to-end)
+    "curate_pretrain_pipeline" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("text"),
+        T.langId(col("text")).as("lang_pred"),
+        T.qualityPerMille(col("text")).as("quality_pm"),
+        T.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("lang_pred") === "en" && col("quality_pm") >= 200 &&
+          col("n_tokens") >= 5)
+      val dd = Dedup.exact(d, Seq("text"), "doc_id")
+      Curation.splitByHash(dd, "doc_id").select("doc_id", "n_tokens", "split")
+    }),
+
+    // L2 normalization: values scaled ×10⁴ and floored half-up so the
+    // DuckDB-side division hash-matches (same guard for zero vectors)
+    "vec_l2_normalize" -> ((s, dir) =>
+      Tables(s, dir).embeddings.select(col("vec_id"),
+        array_join(transform(V.l2Normalize(col("embedding")),
+          x => floor(x * 10000 + lit(0.5)).cast("bigint")), ",").as("v_tenk"))),
+
     // ---- ext: multimodal plumbing ----
     // NULL payloads are filtered on both engines: Spark's md5/substr of a
     // NULL column and DuckDB's unnest-join disagree on whether the doc
@@ -584,6 +646,16 @@ object SparkEntry {
         .select("user_id", "event_type").distinct()
     })
   )
+
+  /** DuckDB rendering of [[Curation.hashBucket]]: fold the first 4 hex chars
+    * of md5(key ‖ ':' ‖ salt) to an int via instr on the hex alphabet (the
+    * same trick as the mm_decode_features oracle — 16.0**k keeps the math in
+    * exact-double range so it matches Spark's conv(..,16,10) bit-for-bit).
+    */
+  private def duckBucket(keyExpr: String, buckets: Int, salt: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 5),
+       |    k -> (instr('0123456789abcdef', substr(md5($keyExpr || ':$salt'), CAST(k AS INT), 1)) - 1)
+       |         * (16.0 ** (4 - k)))) AS BIGINT) % $buckets""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, bare table names).
     * Omitted keys (xxhash64/sign-LSH-based ops) get a rows-only check.
@@ -948,6 +1020,105 @@ object SparkEntry {
         |  ('beta', CAST(2 AS BIGINT)), ('gamma', CAST(1 AS BIGINT))) AS t(body, cnt)""".stripMargin,
 
     "stream_dedup_keys" ->
-      "SELECT DISTINCT user_id, event_type FROM events"
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "curate_sample_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${duckBucket("CAST(doc_id AS VARCHAR)", 1000, "s1")} < 200""".stripMargin,
+
+    "curate_split_hash" ->
+      s"""SELECT doc_id, CASE WHEN b < 800 THEN 'train'
+         |  WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ${duckBucket("CAST(doc_id AS VARCHAR)", 1000, "graft")} AS b
+         |  FROM documents)""".stripMargin,
+
+    "curate_mixture" ->
+      s"""SELECT doc_id, source FROM (SELECT doc_id, source,
+         |  ${duckBucket("CAST(doc_id AS VARCHAR)", 1000, "graft")} AS b
+         |  FROM documents)
+         |WHERE b < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 0
+         |  ELSE 300 END""".stripMargin,
+
+    "curate_stratified_n" ->
+      s"""SELECT doc_id, lang FROM (SELECT doc_id, lang,
+         |  ${duckBucket("CAST(doc_id AS VARCHAR)", 65536, "graft")} AS b
+         |  FROM documents)
+         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) <= 10""".stripMargin,
+
+    "curate_pack_greedy" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok,
+         |    ${duckBucket("CAST(doc_id AS VARCHAR)", 8, "graft")} AS shard
+         |  FROM documents),
+         |  c AS (SELECT doc_id, n_tok, shard,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tok AS cum FROM d)
+         |SELECT doc_id, n_tok, shard, cum // 512 AS bin, cum % 512 AS bin_offset
+         |FROM c""".stripMargin,
+
+    "curate_decontaminate" ->
+      """WITH tr AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0),
+        |  ev AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0),
+        |  trtok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM tr),
+        |  trsh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM trtok),
+        |  trinv AS (SELECT id, unnest(s) AS sng FROM trsh),
+        |  evtok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM ev),
+        |  evsh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM evtok),
+        |  evsng AS (SELECT DISTINCT unnest(s) AS sng FROM evsh),
+        |  capped AS (SELECT id, sng FROM (
+        |    SELECT id, sng, count(*) OVER (PARTITION BY sng) AS df FROM trinv)
+        |    WHERE df <= 10000),
+        |  bad AS (SELECT DISTINCT c.id FROM capped c JOIN evsng e ON c.sng = e.sng)
+        |SELECT t.id AS doc_id FROM tr t WHERE t.id NOT IN (SELECT id FROM bad)""".stripMargin,
+
+    "curate_pretrain_pipeline" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |      ELSE floor((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1000.0 / length(text) + 0.5) END AS punct_pm,
+         |    (CASE WHEN instr(' ' || lower(text) || ' ', ' the ') > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN instr(' ' || lower(text) || ' ', ' and ') > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN instr(' ' || lower(text) || ' ', ' of ') > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN instr(' ' || lower(text) || ' ', ' a ') > 0 THEN 1 ELSE 0 END) AS en,
+         |    (CASE WHEN instr(' ' || lower(text) || ' ', ' der ') > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN instr(' ' || lower(text) || ' ', ' und ') > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN instr(' ' || lower(text) || ' ', ' die ') > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN instr(' ' || lower(text) || ' ', ' ein ') > 0 THEN 1 ELSE 0 END) AS de,
+         |    (CASE WHEN instr(' ' || lower(text) || ' ', ' le ') > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN instr(' ' || lower(text) || ' ', ' la ') > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN instr(' ' || lower(text) || ' ', ' et ') > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN instr(' ' || lower(text) || ' ', ' un ') > 0 THEN 1 ELSE 0 END) AS fr
+         |  FROM documents),
+         |  q AS (SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(floor(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |      * (1.0 - least(CAST(punct_pm AS DOUBLE) / 300.0, 1.0)) * 1000 + 0.5) AS BIGINT) AS quality_pm,
+         |    CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+         |      WHEN en >= de AND en >= fr THEN 'en'
+         |      WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
+         |  FROM f),
+         |  filt AS (SELECT doc_id, text, n_tokens FROM q
+         |    WHERE lang_pred = 'en' AND quality_pm >= 200 AND n_tokens >= 5),
+         |  dd AS (SELECT doc_id, n_tokens FROM filt
+         |    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+         |SELECT doc_id, n_tokens, CASE WHEN b < 800 THEN 'train'
+         |  WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, n_tokens,
+         |  ${duckBucket("CAST(doc_id AS VARCHAR)", 1000, "graft")} AS b FROM dd)""".stripMargin,
+
+    "vec_l2_normalize" ->
+      """SELECT vec_id, array_to_string(list_transform(range(1, 65),
+        |  i -> CAST(floor(CASE WHEN n = 0 THEN CAST(embedding[i] AS DOUBLE)
+        |       ELSE CAST(embedding[i] AS DOUBLE) / n END * 10000 + 0.5) AS BIGINT)), ',') AS v_tenk
+        |FROM (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+        |  FROM embeddings)""".stripMargin
   )
 }

@@ -1,0 +1,150 @@
+package graft.ext
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-curation operators for training-data pipelines:
+  * hash-based sampling, train/val/test splits, domain-mixture (stratified)
+  * sampling, greedy sequence packing, and eval-set decontamination.
+  *
+  * Everything here keys on a **content-independent deterministic hash** of a
+  * row key (md5 prefix → 16-bit bucket), never on `rand()`:
+  *  - reproducible across runs, engines, partitionings and cluster sizes —
+  *    re-running the pipeline on 100 TB yields byte-identical splits, so
+  *    downstream training jobs can be resumed / audited;
+  *  - a row's fate is a pure function of its key — samples are stable under
+  *    corpus growth (new rows don't reshuffle old rows between splits);
+  *  - filter-only operators (sample/split/mixture) are scan-side predicates:
+  *    zero shuffle, full codegen, pushed into the scan's residual filter.
+  *
+  * Reference anchor: the reference pipeline has no curation tier (its scope
+  * ends at relational sync); these extend the engine for LLM-corpus work per
+  * SURVEY.md §2-ext.
+  */
+object Curation {
+
+  /** Deterministic bucket in [0, buckets): fold the first 4 hex chars of
+    * md5(key ‖ ':' ‖ salt) to a 16-bit int, mod `buckets`. `buckets` must be
+    * ≤ 65536 (and divide 65536 for perfectly uniform buckets — 2^k, 1000 is
+    * uniform to ±0.8‰ which is fine for sampling).
+    *
+    * Cross-engine note: DuckDB mirrors this exactly via instr-folding of the
+    * same md5 hex prefix (see SparkEntry oracle SQL), which is what makes
+    * every curation operator hash-verifiable.
+    */
+  def hashBucket(key: Column, buckets: Int, salt: String = "graft"): Column = {
+    require(buckets > 0 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 4), 16, 10)
+      .cast("int") % buckets
+  }
+
+  /** Keep a deterministic `keepPerMille`/1000 sample of rows by key hash.
+    * Pure filter — no shuffle, no state, stable under corpus growth.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, keepPerMille: Int,
+                   salt: String = "graft"): DataFrame = {
+    require(keepPerMille >= 0 && keepPerMille <= 1000)
+    df.filter(hashBucket(col(keyCol), 1000, salt) < keepPerMille)
+  }
+
+  /** Deterministic train/val/test split: adds a `split` column from the key
+    * hash. Defaults 800/100/100 per-mille. A row's split never changes when
+    * other rows are added or the data is repartitioned.
+    */
+  def splitByHash(df: DataFrame, keyCol: String, trainPerMille: Int = 800,
+                  valPerMille: Int = 100, salt: String = "graft"): DataFrame = {
+    require(trainPerMille + valPerMille <= 1000)
+    val b = hashBucket(col(keyCol), 1000, salt)
+    df.withColumn("split",
+      when(b < trainPerMille, "train")
+        .when(b < trainPerMille + valPerMille, "val")
+        .otherwise("test"))
+  }
+
+  /** Domain-mixture sampling: per-stratum keep rates (per-mille), e.g.
+    * upsample curated sources and downsample crawl data when composing a
+    * pretraining mix. Filter-only (the rate map rides along as a literal
+    * MapType), so it scales like a scan regardless of stratum skew —
+    * the 100 TB-safe way to stratify, vs. the window-rank variant below.
+    */
+  def mixtureByHash(df: DataFrame, keyCol: String, strataCol: String,
+                    ratesPerMille: Map[String, Int], defaultPerMille: Int,
+                    salt: String = "graft"): DataFrame = {
+    val rates = map(ratesPerMille.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val rate = coalesce(element_at(rates, col(strataCol)), lit(defaultPerMille))
+    df.filter(hashBucket(col(keyCol), 1000, salt) < rate)
+  }
+
+  /** Exactly-N-per-stratum deterministic sample: rank rows within each
+    * stratum by (key hash, key) and keep the first `n`. Uses a window
+    * partitioned by the stratum — right for bounded-cardinality strata
+    * (sources, languages); for heavy-tailed strata at corpus scale prefer
+    * [[mixtureByHash]] (no shuffle, no per-stratum funnel).
+    */
+  def stratifiedFixedN(df: DataFrame, keyCol: String, strataCol: String, n: Int,
+                       salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(keyCol), 65536, salt), col(keyCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Greedy sequence packing: assign documents to fixed-token-budget bins by
+    * filling bins in key order within a hash shard — the standard
+    * concat-and-chunk packing used to build pretraining examples, expressed
+    * as a cumulative-sum window.
+    *
+    * Output adds: `shard` (hash shard), `bin` (bin index within the shard —
+    * the bin a document STARTS in; a document may straddle into bin+1, the
+    * chunker's concern), `bin_offset` (token offset of the document within
+    * its bin).
+    *
+    * Scale shape: ONE window partitioned by `shard` ordered by key — shards
+    * bound partition size (pick shards ≈ corpus_tokens / (executor-sized
+    * chunk)), so no global sort and no single-partition funnel; each shard
+    * packs independently and deterministically.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    maxTokensPerBin: Int, shards: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(maxTokensPerBin > 0 && shards > 0)
+    val shard = hashBucket(col(idCol), shards, salt)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("__cum", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("bin", floor(col("__cum") / maxTokensPerBin).cast("bigint"))
+      .withColumn("bin_offset", (col("__cum") % maxTokensPerBin).cast("bigint"))
+      .drop("__cum")
+  }
+
+  /** Eval-set decontamination: drop training documents that share at least
+    * one distinct word `shingleN`-gram with any eval document (the standard
+    * n-gram-overlap contamination rule). Inverted-index join on the shingle
+    * hash — the shuffle carries 8-byte hashes, and the eval side is distinct
+    * per shingle, so the join is linear in the train postings (never
+    * pair-quadratic). `maxDocFreq` additionally drops boilerplate shingles
+    * (train-side document frequency) so ubiquitous n-grams don't flag the
+    * whole corpus as contaminated — same df-cutoff rationale as
+    * [[Dedup.ngramJaccardPairs]].
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, shingleN: Int = 3,
+                    maxDocFreq: Int = 10000): DataFrame = {
+    def inv(df: DataFrame) = df
+      .select(col(idCol), explode(array_distinct(
+        T.wordShingles(col(textCol), shingleN))).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("__sh"))
+    val trainInv = inv(train)
+    val evalShingles = inv(eval).select("__sh").distinct()
+    // df-cap window shuffles on __sh — the same key the eval join needs, so
+    // the partitioning is reused (one shuffle pays for both)
+    val contaminated = trainInv
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
+      .filter(col("__df") <= maxDocFreq)
+      .join(evalShingles, "__sh")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

@@ -50,6 +50,21 @@ object VectorFunctions {
       }
     }
 
+  /** L2-normalize a vector to unit length (zero vectors pass through
+    * unchanged rather than dividing by zero). Normalizing embeddings up
+    * front turns cosine ranking into a plain dot product and makes
+    * sign-LSH/IVF cell geometry scale-free — the standard prep step before
+    * indexing a 100 TB embedding corpus. Accumulation is left-to-right in
+    * element order (same as [[normSq]]) so results are bit-stable across
+    * engines.
+    */
+  def l2Normalize(a: Column): Column =
+    ExprOps.let(toDouble(a)) { ad =>
+      ExprOps.let(sqrt(normSq(ad))) { n =>
+        when(n === 0.0, ad).otherwise(transform(ad, x => x / n))
+      }
+    }
+
   def l2Distance(a: Column, b: Column): Column = {
     val ad = toDouble(a); val bd = toDouble(b)
     sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))

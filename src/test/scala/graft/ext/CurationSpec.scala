@@ -1,0 +1,107 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+
+  test("hashBucket is deterministic, uniform-ish, and salt-sensitive") {
+    val b = rows.select(Curation.hashBucket(col("id"), 1000, "s1").as("b"))
+      .as[Int].collect()
+    val b2 = rows.select(Curation.hashBucket(col("id"), 1000, "s1").as("b"))
+      .as[Int].collect()
+    val bOther = rows.select(Curation.hashBucket(col("id"), 1000, "s2").as("b"))
+      .as[Int].collect()
+    assert(b.toSeq == b2.toSeq)                       // deterministic
+    assert(b.toSeq != bOther.toSeq)                   // salt changes the draw
+    assert(b.forall(x => x >= 0 && x < 1000))
+    val inLowTenth = b.count(_ < 100)
+    assert(inLowTenth > 60 && inLowTenth < 140)       // ~10% ± noise
+  }
+
+  test("sampleByHash keeps a stable subset; stability under corpus growth") {
+    val s1 = Curation.sampleByHash(rows, "id", 200, "s1").select("id").as[Long].collect().toSet
+    val grown = (1L to 2000L).map(i => (i, "x")).toDF("id", "src")
+    val s2 = Curation.sampleByHash(grown, "id", 200, "s1").select("id").as[Long].collect().toSet
+    assert(s1.subsetOf(s2))                           // old rows keep their fate
+    assert(s1 == s2.filter(_ <= 1000L))
+  }
+
+  test("splitByHash produces disjoint covering splits at ~800/100/100") {
+    val out = Curation.splitByHash(rows, "id").groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(out.values.sum == 1000L)
+    assert(out("train") > 700 && out("train") < 900)
+    assert(out("val") > 50 && out("val") < 160)
+    assert(out("test") > 50 && out("test") < 160)
+  }
+
+  test("mixtureByHash applies per-stratum rates with a default") {
+    val out = Curation.mixtureByHash(rows, "id", "src",
+      Map("src0" -> 1000, "src1" -> 0), defaultPerMille = 500)
+    val byS = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byS("src0") == 250L)                       // keep-all
+    assert(!byS.contains("src1"))                     // drop-all
+    assert(byS("src2") > 80 && byS("src2") < 170)     // ~50%
+  }
+
+  test("stratifiedFixedN keeps exactly n per stratum, deterministically") {
+    val out = Curation.stratifiedFixedN(rows, "id", "src", n = 10)
+    val byS = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byS.values.toSet == Set(10L))
+    val again = Curation.stratifiedFixedN(rows, "id", "src", n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
+  test("packSequences: bins respect the token budget boundary math") {
+    val docs = (1L to 100L).map(i => (i, 10L + (i % 7))).toDF("id", "n_tok")
+    val out = Curation.packSequences(docs, "id", "n_tok", maxTokensPerBin = 100,
+      shards = 4)
+      .select("id", "n_tok", "shard", "bin", "bin_offset")
+      .as[(Long, Long, Int, Long, Long)].collect()
+    assert(out.length == 100)
+    // per shard: bins are non-decreasing in id order and offset = cum % budget
+    out.groupBy(_._3).foreach { case (_, docsInShard) =>
+      val sorted = docsInShard.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (_, n, _, bin, off) =>
+        assert(bin == cum / 100, s"bin mismatch at cum=$cum")
+        assert(off == cum % 100)
+        cum += n
+      }
+    }
+    // every document assigned exactly once
+    assert(out.map(_._1).toSet.size == 100)
+  }
+
+  test("decontaminate drops overlapping train docs, keeps clean ones") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "totally clean unique content here")).toDF("id", "text")
+    val eval = Seq(
+      (100L, "zzz alpha beta gamma yyy"),          // overlaps doc 1 (3-gram)
+      (101L, "unrelated eval text")).toDF("id", "text")
+    val out = Curation.decontaminate(train, eval, "id", "text", shingleN = 3)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("decontaminate df-cap ignores boilerplate shingles") {
+    val boiler = "click here to subscribe now"
+    val train = (1L to 20L).map(i => (i, s"$boiler unique$i tail$i words$i"))
+      .toDF("id", "text")
+    val eval = Seq((100L, s"$boiler something else entirely")).toDF("id", "text")
+    // boilerplate shingle df=20 > cap=10 → no contamination flagged
+    val out = Curation.decontaminate(train, eval, "id", "text",
+      shingleN = 3, maxDocFreq = 10)
+    assert(out.count() == 20)
+    // without the cap every train doc is flagged
+    val out2 = Curation.decontaminate(train, eval, "id", "text",
+      shingleN = 3, maxDocFreq = 100)
+    assert(out2.count() == 0)
+  }
+}
