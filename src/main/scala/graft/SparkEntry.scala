@@ -502,6 +502,31 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("doc_id"),
         T.fingerprint(col("text")).as("fp"))),
 
+    // dirt (markup, control chars, ragged whitespace) is injected on both
+    // engines identically — the synthetic docs are already clean, so the
+    // query would otherwise verify an identity map
+    "text_clean" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        T.cleanText(concat(lit("<b>Hi</b>\t "), col("text"),
+          lit("  <br/> end\u0001"))).as("clean"))),
+
+    // PII (an email, an IP, a phone number keyed by doc_id) appended on both
+    // engines, then masked; the raw text also passes through the same
+    // regexes, so accidental in-corpus matches are mirrored too
+    "text_redact" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        T.redactPii(concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com or 10.0.0.1 or +1 (555) 010-"), col("doc_id")))
+          .as("redacted"))),
+
+    // heuristic quality signals: repetition (dup n-gram), caps, digits
+    "text_signals" -> ((s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"),
+        T.dupNgramPerMille(col("text"), 2).as("dup2_pm"),
+        T.dupNgramPerMille(col("text"), 3).as("dup3_pm"),
+        T.capsPerMille(col("text")).as("caps_pm"),
+        T.digitPerMille(col("text")).as("digit_pm"))),
+
     // ---- ext: corpus curation (deterministic md5-keyed sampling/splits —
     // pure scan-side predicates, reproducible across engines/partitionings;
     // see Curation) ----
@@ -1021,6 +1046,41 @@ object SparkEntry {
 
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "text_clean" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |  '<b>Hi</b>' || chr(9) || ' ' || text || '  <br/> end' || chr(1),
+        |  '<[^>]*>', ' ', 'g'), '[\x00-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin,
+
+    "text_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact: user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or 10.0.0.1 or +1 (555) 010-' || CAST(doc_id AS VARCHAR),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |  '\+?[0-9][0-9()\[\] .-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "text_signals" ->
+      """WITH tok AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents),
+        |  sh AS (SELECT doc_id, text,
+        |    CASE WHEN len(w) < 2 THEN []
+        |      ELSE list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' ')) END AS s2,
+        |    CASE WHEN len(w) < 3 THEN []
+        |      ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s3
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN len(s2) = 0 THEN 0
+        |    ELSE floor((len(s2) - len(list_distinct(s2))) * 1000.0 / len(s2) + 0.5) END AS BIGINT) AS dup2_pm,
+        |  CAST(CASE WHEN len(s3) = 0 THEN 0
+        |    ELSE floor((len(s3) - len(list_distinct(s3))) * 1000.0 / len(s3) + 0.5) END AS BIGINT) AS dup3_pm,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE floor((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) * 1000.0 / length(text) + 0.5) END AS BIGINT) AS caps_pm,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000.0 / length(text) + 0.5) END AS BIGINT) AS digit_pm
+        |FROM sh""".stripMargin,
 
     "curate_sample_hash" ->
       s"""SELECT doc_id, lang FROM documents

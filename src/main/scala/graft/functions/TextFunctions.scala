@@ -130,4 +130,59 @@ object TextFunctions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("int")
+
+  // ---- corpus cleaning + heuristic quality signals -----------------------
+  // All regexes below are written in the Java∩RE2 common subset (explicit
+  // classes, no lookaround/backrefs) so the DuckDB oracle runs the very same
+  // pattern. Like everything in this file they are pure function
+  // compositions — codegen'd, scan-speed, no UDFs.
+
+  /** Normalize raw scraped text for training: strip markup tags, drop ASCII
+    * control characters, collapse whitespace runs to single spaces, trim.
+    * The standard first pass over crawled corpora.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      "<[^>]*>", " "), "[\\x00-\\x1f\\x7f]", ""), "\\s+", " "))
+
+  /** Email address pattern (Java∩RE2 subset). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** IPv4 literal pattern. */
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  /** Phone-number-ish pattern: 8+ chars of digits/punctuation bounded by
+    * digits, optional leading +.
+    */
+  val PhoneRe = "\\+?[0-9][0-9()\\[\\] .-]{6,}[0-9]"
+
+  /** PII scrubbing for training corpora: masks emails, IPv4 literals, and
+    * phone-like digit runs with typed placeholder tokens. Email before IP
+    * before phone — the placeholders contain no digits, so earlier passes
+    * can't create new matches for later ones.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+
+  /** Per-mille of characters matching a regex character class. */
+  private def classPerMille(text: Column, cls: String): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      floor((length(text) - length(regexp_replace(text, cls, "")))
+        .cast("double") * 1000 / length(text) + 0.5).cast("bigint"))
+
+  /** Uppercase-letter density (per-mille) — the ALL-CAPS/boilerplate signal. */
+  def capsPerMille(text: Column): Column = classPerMille(text, "[A-Z]")
+
+  /** Digit density (per-mille) — tables/serial-number/log-dump signal. */
+  def digitPerMille(text: Column): Column = classPerMille(text, "[0-9]")
+
+  /** Duplicate word-n-gram fraction (per-mille): 1 − distinct/total over
+    * word n-grams — the repetition signal used by heuristic quality filters
+    * to catch degenerate/boilerplate text. 0 for docs shorter than n words.
+    */
+  def dupNgramPerMille(text: Column, n: Int): Column =
+    ExprOps.let(wordShingles(text, n)) { sh =>
+      when(size(sh) === 0, lit(0L)).otherwise(
+        floor((size(sh) - size(array_distinct(sh))).cast("double") * 1000 /
+          size(sh) + 0.5).cast("bigint"))
+    }
 }

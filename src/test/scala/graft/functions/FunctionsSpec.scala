@@ -27,6 +27,41 @@ class FunctionsSpec extends SparkSpec {
     assert(res(1) == Seq.empty)
   }
 
+  test("cleanText strips tags/control chars and collapses whitespace") {
+    val out = Seq("<p>Hello</p>\t  world  <br/>ok", "  plain  ")
+      .toDF("t").select(TextFunctions.cleanText($"t")).as[String].collect()
+    assert(out(0) == "Hello world ok")
+    assert(out(1) == "plain")
+  }
+
+  test("redactPii masks emails, IPs, and phone numbers") {
+    val out = Seq(
+      "mail me at jo.doe+x@sub.example.org today",
+      "server 192.168.0.254 is up",
+      "call +1 (555) 010-9999 now",
+      "nothing sensitive here")
+      .toDF("t").select(TextFunctions.redactPii($"t")).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "server <IP> is up")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "nothing sensitive here")
+  }
+
+  test("dupNgramPerMille measures repetition; caps/digit densities") {
+    val rep = Seq("go go go go go").toDF("t")   // 4 bigrams, 1 distinct
+      .select(TextFunctions.dupNgramPerMille($"t", 2)).as[Long].head()
+    assert(rep == 750L)
+    val uniq = Seq("a b c d e").toDF("t")
+      .select(TextFunctions.dupNgramPerMille($"t", 2)).as[Long].head()
+    assert(uniq == 0L)
+    val caps = Seq("ABcd").toDF("t")
+      .select(TextFunctions.capsPerMille($"t")).as[Long].head()
+    assert(caps == 500L)
+    val dig = Seq("a1b2").toDF("t")
+      .select(TextFunctions.digitPerMille($"t")).as[Long].head()
+    assert(dig == 500L)
+  }
+
   test("langId picks the language with most stopword hits, und for none") {
     val out = Seq("the cat and dog", "der hund und die katze", "le chat et la mer", "xyzzy")
       .toDF("t").select(TextFunctions.langId($"t")).as[String].collect().toSeq
