@@ -444,6 +444,19 @@ object SparkEntry {
         dim = 64, k = 5, lshBits = 6)
     }),
 
+    // the SQL registration surface driven end-to-end: GraftFunctions
+    // registers the native expressions in the session's FunctionRegistry and
+    // the query runs as pure SQL through graft_cosine — same math as
+    // ann_cosine_topk, same oracle
+    "sql_cosine_topk" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("sql_emb")
+      s.sql("""SELECT e.vec_id, round(graft_cosine(e.embedding, q.qv), 4) AS score
+              |FROM sql_emb e, (SELECT embedding AS qv FROM sql_emb WHERE vec_id = 1) q
+              |WHERE e.vec_id <> 1
+              |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)
+    }),
+
     // ---- ANN oracle companions: planted-duplicate retrieval. Each
     // approximate index must retrieve the exact copy of every query vector
     // (cosine 1.0 — identical vectors share buckets/cells deterministically),
@@ -501,6 +514,21 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       Tables(s, dir).documents.select(col("doc_id"),
         T.fingerprint(col("text")).as("fp"))),
+
+    // per-source corpus dashboard: counts/tokens/languages exactly, plus an
+    // HLL sketch (approx_count_distinct — mergeable, constant memory, the
+    // 100 TB path for distinct counts) tolerance-gated at ±5% vs the exact
+    // distinct, same oracle pattern as q5_approx_percentile
+    "corpus_stats" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val fp = T.fingerprint(col("text"))
+      d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(T.tokenCount(col("text"))).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (abs(approx_count_distinct(fp, 0.02) - countDistinct(fp)).cast("double") /
+          countDistinct(fp) <= 0.05).as("hll_ok"))
+    }),
 
     // dirt (markup, control chars, ragged whitespace) is injected on both
     // engines identically — the synthetic docs are already clean, so the
@@ -944,6 +972,16 @@ object SparkEntry {
         |FROM embeddings, q WHERE vec_id <> 1
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
 
+    // same math through the SQL registration surface
+    "sql_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |         * list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))), 4) AS score
+        |FROM embeddings, q WHERE vec_id <> 1
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1046,6 +1084,13 @@ object SparkEntry {
 
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)) AS total_tokens,
+        |  count(DISTINCT lang) AS n_langs, true AS hll_ok
+        |FROM documents GROUP BY source""".stripMargin,
 
     "text_clean" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(

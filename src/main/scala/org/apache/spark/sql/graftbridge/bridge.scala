@@ -15,4 +15,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native function on an ALREADY-RUNNING session (the
+    * config-free path; for config-time injection use
+    * [[graft.functions.GraftExtensions]] with `spark.sql.extensions`).
+    * `sessionState` is `private[sql]`, hence this lives in the bridge.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
 }
