@@ -150,6 +150,27 @@ object Config {
         graft.operators.Enrich.httpTransport(df, str(n, "in"), str(n, "out"),
           urlFor = v => template.replace("{}", v),
           retries = Option(n.get("retries")).map(_.asInt).getOrElse(2))
+      // curation tier (ext/Curation): deterministic hash-keyed ops
+      case "sample" =>
+        graft.ext.Curation.sampleByHash(df, str(n, "key"),
+          n.get("perMille").asInt, strOpt(n, "salt").getOrElse("graft"))
+      case "split" =>
+        graft.ext.Curation.splitByHash(df, str(n, "key"),
+          Option(n.get("trainPerMille")).map(_.asInt).getOrElse(800),
+          Option(n.get("valPerMille")).map(_.asInt).getOrElse(100),
+          strOpt(n, "salt").getOrElse("graft"))
+      case "mixture" =>
+        graft.ext.Curation.mixtureByHash(df, str(n, "key"), str(n, "strata"),
+          strPairs(n, "rates").map { case (k, v) => k -> v.toInt }.toMap,
+          n.get("defaultPerMille").asInt, strOpt(n, "salt").getOrElse("graft"))
+      case "dedupExact" =>
+        graft.ext.Dedup.exact(df, strSeq(n, "columns"), str(n, "key"))
+      case "clean" =>
+        df.withColumn(str(n, "column"),
+          graft.functions.TextFunctions.cleanText(col(str(n, "column"))))
+      case "redact" =>
+        df.withColumn(str(n, "column"),
+          graft.functions.TextFunctions.redactPii(col(str(n, "column"))))
       case other => throw new IllegalArgumentException(s"unknown transform op: $other")
     }
 

@@ -97,6 +97,47 @@ class ConfigSpec extends SparkSpec {
       Seq(("1", "2"), ("3", "4")))
   }
 
+  test("curation ops run from config: split + mixture + clean + dedup") {
+    val dir = Files.createTempDirectory("graft_cfg_cur_").toString
+    (1L to 200L).map(i => (i, s"src${i % 2}", s"<b>text</b>  body $i"))
+      .toDF("id", "source", "text").write.parquet(s"$dir/docs")
+    val yaml =
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - op: clean
+         |    column: text
+         |  - op: dedupExact
+         |    columns: [text]
+         |    key: id
+         |  - op: mixture
+         |    key: id
+         |    strata: source
+         |    rates:
+         |      src0: 1000
+         |    defaultPerMille: 0
+         |  - op: split
+         |    key: id
+         |""".stripMargin
+    val out = Config.run(spark, yaml)
+    val rows = out.select("id", "source", "text", "split")
+      .as[(Long, String, String, String)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 == "src0"))      // mixture kept src0 only
+    assert(rows.forall(r => r._3 == s"text body ${r._1}"))    // tags stripped, ws collapsed
+    assert(rows.map(_._4).toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic: same yaml → same ids
+    val again = Config.run(spark, yaml).select("id").as[Long].collect().toSet
+    assert(again == rows.map(_._1).toSet)
+  }
+
+  test("sample op from config is a pure filter of the source") {
+    val dir = Files.createTempDirectory("graft_cfg_smp_").toString
+    (1L to 500L).toDF("id").write.parquet(s"$dir/in")
+    val out = Config.run(spark,
+      s"source: {type: parquet, path: $dir/in}\ntransforms: [{op: sample, key: id, perMille: 100}]")
+    val n = out.count()
+    assert(n > 20 && n < 100)
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")
