@@ -515,6 +515,31 @@ object SparkEntry {
       Tables(s, dir).documents.select(col("doc_id"),
         T.fingerprint(col("text")).as("fp"))),
 
+    // two-phase salted aggregation — result must equal the plain group-by
+    // (the salt only changes task placement, never the answer)
+    "skew_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+        Tables(s, dir).lineitem
+          .withColumn("qty", col("l_quantity").cast("decimal(18,2)")),
+        Seq("l_returnflag"), "qty", factor = 8,
+        sumName = "sum_qty", countName = "n")
+        .withColumn("sum_qty", col("sum_qty").cast("double"))),
+
+    // size-governed parquet write → read-back (content equality is the
+    // oracle; SinksSpec asserts the file-count contract)
+    "sink_file_sized" -> ((s, dir) => {
+      val out = tmpDir(dir, "sized_orders")
+      FileSink.parquetSized(Tables(s, dir).orders, out, maxRecordsPerFile = 2000)
+      s.read.parquet(out)
+    }),
+
+    // per-source quality-percentile filter: keep each source's best half
+    "curate_quality_topk" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("source"),
+        T.qualityPerMille(col("text")).as("quality_pm"))
+      Curation.topQuantileByGroup(d, "source", "quality_pm", "doc_id", 0.5)
+    }),
+
     // per-source corpus dashboard: counts/tokens/languages exactly, plus an
     // HLL sketch (approx_count_distinct — mergeable, constant memory, the
     // 100 TB path for distinct counts) tolerance-gated at ±5% vs the exact
@@ -1084,6 +1109,28 @@ object SparkEntry {
 
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "sink_file_sized" -> "SELECT * FROM orders",
+
+    "curate_quality_topk" ->
+      """SELECT doc_id, source, quality_pm FROM (
+        |  SELECT doc_id, source, CAST(floor(
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |    * (1.0 - least(CAST(punct_pm AS DOUBLE) / 300.0, 1.0)) * 1000 + 0.5) AS BIGINT) AS quality_pm
+        |  FROM (SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |      ELSE floor((length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1000.0 / length(text) + 0.5) END AS punct_pm
+        |  FROM documents))
+        |QUALIFY percent_rank() OVER (PARTITION BY source
+        |  ORDER BY quality_pm DESC, doc_id) <= 0.5""".stripMargin,
 
     "corpus_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -119,6 +119,23 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Keep the top `keepFraction` of each stratum by a score column —
+    * per-source quality-percentile filtering (e.g. "keep each source's best
+    * half by quality score"). Rank-based, so it adapts per stratum instead
+    * of using one global threshold that over-prunes weak sources. One
+    * window per stratum (`percent_rank` over score desc, tie-broken by
+    * `tieCol` for determinism) — same bounded-strata caveat as
+    * [[stratifiedFixedN]].
+    */
+  def topQuantileByGroup(df: DataFrame, strataCol: String, scoreCol: String,
+                         tieCol: String, keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= keepFraction).drop("__pr")
+  }
+
   /** Eval-set decontamination: drop training documents that share at least
     * one distinct word `shingleN`-gram with any eval document (the standard
     * n-gram-overlap contamination rule). Inverted-index join on the shingle

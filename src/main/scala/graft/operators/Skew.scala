@@ -29,6 +29,28 @@ object Skew {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Two-phase (salted) aggregation for skewed grouping keys: partial
+    * aggregate on (keys, salt), then merge partials on keys. Spark's
+    * hash-aggregate already computes map-side partials, but every partial
+    * for one key still merges in ONE reduce task — a hot key at 100 TB
+    * makes that task the straggler. Salting splits the merge over `factor`
+    * tasks at the cost of one extra (tiny, `factor × |keys|`-row) shuffle.
+    *
+    * `aggs` maps output column → (partialExpr, mergeExpr) over the value
+    * column — e.g. `"s" -> (sum _, sum _)` or count via `count`/`sum`.
+    * [[saltedSumCount]] covers the common case.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     factor: Int, sumName: String = "sum",
+                     countName: String = "cnt"): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val salted = df.withColumn("__salt", (rand(42) * factor).cast("int"))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__ps"), count(lit(1)).as("__pc"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__ps")).as(sumName), sum(col("__pc")).as(countName))
+  }
+
   /** Top-N most frequent key values — the diagnostic for choosing a salt
     * factor (run on a sample at scale).
     */

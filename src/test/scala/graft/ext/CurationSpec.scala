@@ -78,6 +78,17 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._1).toSet.size == 100)
   }
 
+  test("topQuantileByGroup keeps each stratum's best half by score") {
+    val df = (1L to 100L).map(i => (i, s"s${i % 2}", i % 50)).toDF("id", "src", "score")
+    val out = Curation.topQuantileByGroup(df, "src", "score", "id", 0.5)
+    val byS = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // 50 rows per stratum → percent_rank <= 0.5 keeps ranks 1..26 (pr = (r-1)/49)
+    assert(byS.values.forall(n => n >= 25 && n <= 27))
+    // kept scores dominate dropped scores within each stratum
+    val kept = out.filter($"src" === "s0").agg(min("score")).as[Long].head()
+    assert(kept >= 24)
+  }
+
   test("decontaminate drops overlapping train docs, keeps clean ones") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -25,6 +25,18 @@ class SkewSpec extends SparkSpec {
     assert(out.filter($"k" === 99).collect().head.isNullAt(2))
   }
 
+  test("saltedSumCount equals the plain group-by aggregate") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "cold" else "hot", i.toDouble))
+      .toDF("k", "x")
+    val salted = Skew.saltedSumCount(df, Seq("k"), "x", factor = 8)
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    val plain = df.groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum($"x"),
+        org.apache.spark.sql.functions.count($"x"))
+      .as[(String, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(salted == plain)
+  }
+
   test("keyHistogram surfaces the hot keys") {
     val df = ((1 to 50).map(_ => Tuple1("hot")) ++ Seq(Tuple1("cold"))).toDF("k")
     val top = Skew.keyHistogram(df, Seq("k"), topN = 1).as[(String, Long)].collect()

@@ -50,6 +50,16 @@ class SinksSpec extends SparkSpec {
     assert(html.contains("<td>&lt;script&gt;</td>") && !html.contains("<script>"))
   }
 
+  test("parquetSized caps rows per output file and round-trips content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized_").toString + "/out"
+    val df = spark.range(10000).toDF("id").coalesce(1)
+    FileSink.parquetSized(df, dir, maxRecordsPerFile = 1000)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.length >= 10)          // one writer task still rolls files
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
+
   test("kafka sink fails fast with a clear message when the connector jar is absent") {
     assert(!Sinks.kafkaAvailable)
     val e = intercept[IllegalArgumentException] {
