@@ -545,14 +545,17 @@ object SparkEntry {
     // 100 TB path for distinct counts) tolerance-gated at ±5% vs the exact
     // distinct, same oracle pattern as q5_approx_percentile
     "corpus_stats" -> ((s, dir) => {
-      val d = Tables(s, dir).documents
-      val fp = T.fingerprint(col("text"))
+      // fingerprint (minhash-over-shingles) is the expensive scalar here —
+      // project it ONCE per row; the three distinct-aggregates then read a
+      // 32-char column instead of re-deriving the shingle pipeline each
+      val d = Tables(s, dir).documents.select(col("source"), col("lang"),
+        T.tokenCount(col("text")).as("__ntok"), T.fingerprint(col("text")).as("__fp"))
       d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
-        sum(T.tokenCount(col("text"))).as("total_tokens"),
+        sum(col("__ntok")).as("total_tokens"),
         countDistinct(col("lang")).as("n_langs"),
-        (abs(approx_count_distinct(fp, 0.02) - countDistinct(fp)).cast("double") /
-          countDistinct(fp) <= 0.05).as("hll_ok"))
+        (abs(approx_count_distinct(col("__fp"), 0.02) - countDistinct(col("__fp")))
+          .cast("double") / countDistinct(col("__fp")) <= 0.05).as("hll_ok"))
     }),
 
     // dirt (markup, control chars, ragged whitespace) is injected on both
