@@ -540,6 +540,16 @@ object SparkEntry {
       Curation.topQuantileByGroup(d, "source", "quality_pm", "doc_id", 0.5)
     }),
 
+    // z-order clustered write → read-back: content equality is the oracle
+    // (ZOrderSpec asserts the per-file min/max narrowing that makes the
+    // layout skip files on multi-dimension filters)
+    "layout_zorder" -> ((s, dir) => {
+      val out = tmpDir(dir, "zorder_orders")
+      graft.sources.ZOrder.writeClustered(Tables(s, dir).orders, out,
+        Seq("o_custkey", "o_totalprice"), numPartitions = 8)
+      s.read.parquet(out)
+    }),
+
     // per-source corpus dashboard: counts/tokens/languages exactly, plus an
     // HLL sketch (approx_count_distinct — mergeable, constant memory, the
     // 100 TB path for distinct counts) tolerance-gated at ±5% vs the exact
@@ -711,6 +721,20 @@ object SparkEntry {
       val counts = Streams.sessionCounts(ev, "ts_t", "30 minutes", "1 hour",
         Seq("user_id"))
       Streams.runToMemoryComplete(s, counts, outputMode = "complete")
+    }),
+
+    // curation ops are stateless scan-side predicates, so they run
+    // unchanged on streams: deterministic split of an event stream,
+    // aggregated per split (complete mode) — oracle is the batch equivalent
+    "stream_split_counts" -> ((s, dir) => {
+      withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val split = Curation.splitByHash(ev, "user_id")
+      Streams.runToMemoryComplete(s,
+        split.groupBy("split").count().withColumnRenamed("count", "cnt"),
+        outputMode = "complete")
     }),
 
     "stream_dedup_keys" -> ((s, dir) => {
@@ -1113,6 +1137,13 @@ object SparkEntry {
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
+    "stream_split_counts" ->
+      s"""SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+         |  ELSE 'test' END AS split, count(*) AS cnt
+         |FROM (SELECT ${duckBucket("CAST(user_id AS VARCHAR)", 1000, "graft")} AS b
+         |  FROM events)
+         |GROUP BY 1""".stripMargin,
+
     "skew_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1120,6 +1151,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "sink_file_sized" -> "SELECT * FROM orders",
+
+    "layout_zorder" -> "SELECT * FROM orders",
 
     "curate_quality_topk" ->
       """SELECT doc_id, source, quality_pm FROM (
