@@ -540,6 +540,17 @@ object SparkEntry {
       Curation.topQuantileByGroup(d, "source", "quality_pm", "doc_id", 0.5)
     }),
 
+    // context-window chunking: 64-token chunks, 16-token overlap
+    "curate_chunk" -> ((s, dir) =>
+      Curation.chunkByTokens(Tables(s, dir).documents, "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)),
+
+    // BM25 relevance search (Lucene-style +1 idf), fixed-order score
+    // assembly → bit-deterministic, full DuckDB oracle
+    "search_bm25" -> ((s, dir) =>
+      graft.ext.Search.bm25TopK(Tables(s, dir).documents, "doc_id", "text",
+        Seq("hash", "join", "vector"), k = 20)),
+
     // z-order clustered write → read-back: content equality is the oracle
     // (ZOrderSpec asserts the per-file min/max narrowing that makes the
     // layout skip files on multi-dimension filters)
@@ -1153,6 +1164,36 @@ object SparkEntry {
     "sink_file_sized" -> "SELECT * FROM orders",
 
     "layout_zorder" -> "SELECT * FROM orders",
+
+    "curate_chunk" ->
+      """WITH tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(w[(i*48+1):(i*48+64)], ' ') AS chunk
+        |FROM tok, unnest(range(0, CAST(ceil(len(w) / 48.0) AS BIGINT))) AS t(i)""".stripMargin,
+
+    "search_bm25" ->
+      """WITH dl AS (SELECT doc_id AS id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS dl
+        |  FROM documents),
+        |  c AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |  tf AS (SELECT id, w, count(*) AS tf FROM (
+        |    SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |    WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |  dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |  ctr AS (SELECT tf.id, tf.w,
+        |    ln((c.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl)) AS cb
+        |  FROM tf JOIN dft USING (w) JOIN dl ON tf.id = dl.id CROSS JOIN c),
+        |  pt AS (SELECT id,
+        |    sum(CASE WHEN w = 'hash' THEN cb END) AS c1,
+        |    sum(CASE WHEN w = 'join' THEN cb END) AS c2,
+        |    sum(CASE WHEN w = 'vector' THEN cb END) AS c3
+        |  FROM ctr GROUP BY id)
+        |SELECT id AS doc_id,
+        |  round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 4) AS score
+        |FROM pt ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "curate_quality_topk" ->
       """SELECT doc_id, source, quality_pm FROM (

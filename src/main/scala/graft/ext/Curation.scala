@@ -119,6 +119,30 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Split documents into fixed-token-count chunks with overlap — context-
+    * window example prep. Chunk i covers tokens [i·step, i·step+chunkTokens)
+    * with step = chunkTokens − overlapTokens; chunks are emitted while
+    * i·step < n_tokens, so trailing text is never dropped (the last chunk
+    * may be short). Empty docs yield no rows. One explode expression —
+    * distributed, stateless, codegen'd.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens)
+    val step = chunkTokens - overlapTokens
+    val chunks = graft.functions.ExprOps.let(T.tokens(col(textCol))) { t =>
+      // sequence(0, -1) counts DOWN in Spark, so guard the empty doc
+      when(size(t) === 0, array().cast("array<struct<chunk_idx:int,chunk:string>>"))
+        .otherwise(transform(
+          sequence(lit(0), ceil(size(t).cast("double") / step).cast("int") - 1),
+          i => struct(i.as("chunk_idx"),
+            array_join(slice(t, i * step + 1, lit(chunkTokens)), " ").as("chunk"))))
+    }
+    df.select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx").cast("bigint").as("chunk_idx"),
+        col("__c.chunk"))
+  }
+
   /** Keep the top `keepFraction` of each stratum by a score column —
     * per-source quality-percentile filtering (e.g. "keep each source's best
     * half by quality score"). Rank-based, so it adapts per stratum instead

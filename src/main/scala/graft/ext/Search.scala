@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance search over a document corpus — BM25 (Robertson/
+  * Sparck Jones; the `+1` idf variant, as in Lucene, keeps idf positive for
+  * terms in more than half the corpus).
+  *
+  * Scale shape for "run a query against 100 TB": the postings explode is
+  * filtered to the query's terms AT THE SCAN (an `isin` over a few
+  * literals), so the shuffle carries only matching (doc, term) pairs —
+  * corpus-linear work happens in one codegen'd pass, everything after is
+  * proportional to the hit set. Document frequencies and corpus stats are
+  * single-row/`|terms|`-row aggregates that broadcast. Per-document scores
+  * sum the per-term contributions in FIXED column order (conditional
+  * aggregates, not a double-sum over an unordered group), so results are
+  * bit-deterministic and cross-engine verifiable.
+  */
+object Search {
+
+  /** Top-k BM25 matches for `queryTerms`. Returns (doc_id, score). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+
+    val dl = docs.select(col(idCol).as("id"),
+      T.tokenCount(col(textCol)).as("dl"))
+    // exact corpus stats: sum of bigints, divided once — no double-sum
+    // ordering dependence
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    val tf = docs.select(col(idCol).as("id"),
+        explode(T.tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("w").agg(count(lit(1)).as("df"))
+
+    val contrib = tf
+      .join(broadcast(dft), "w")
+      .join(dl, "id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+
+    // fixed-order per-term columns → deterministic score assembly
+    val perTerm = contrib.groupBy("id")
+      .pivot("w", terms).agg(first(col("c")))
+    val score = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduce(_ + _)
+    perTerm.select(col("id").as(idCol), round(score, 4).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}

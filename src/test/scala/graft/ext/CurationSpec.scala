@@ -78,6 +78,23 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._1).toSet.size == 100)
   }
 
+  test("chunkByTokens: overlap windows cover all tokens; empty docs vanish") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 tokens
+      (2L, "a b"),                                     // < one chunk
+      (3L, "")).toDF("id", "text")
+    val out = Curation.chunkByTokens(docs, "id", "text",
+      chunkTokens = 4, overlapTokens = 1)              // step 3
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: starts 0,3,6,9 → 4 chunks; last is the single trailing token
+    val d1 = out.filter(_._1 == 1L).map(_._3)
+    assert(d1.toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
+    assert(!out.exists(_._1 == 3L))
+    // consecutive chunks share exactly the overlap token
+    assert(d1(0).split(" ").last == d1(1).split(" ").head)
+  }
+
   test("topQuantileByGroup keeps each stratum's best half by score") {
     val df = (1L to 100L).map(i => (i, s"s${i % 2}", i % 50)).toDF("id", "src", "score")
     val out = Curation.topQuantileByGroup(df, "src", "score", "id", 0.5)
