@@ -407,6 +407,18 @@ object SparkEntry {
       Dedup.rescoreExact(withCopies, cands, "doc_id", Seq("text"))
     }),
 
+    // pairs → duplicate clusters: min-label connected components over the
+    // (oracle-equal) rescored MinHash pair graph; DuckDB verifies via a
+    // recursive-CTE transitive closure of the same all-pairs graph
+    "dedup_components" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      val cands = Dedup.minhashCandidatePairs(withCopies, "doc_id", "text")
+      val pairs = Dedup.rescoreJaccard(withCopies, cands, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+      Dedup.connectedComponents(pairs)
+    }),
+
     // sign-LSH candidates + exact-cosine filter; scores rounded so the
     // all-pairs DuckDB cosine oracle hash-matches (identical vectors always
     // collide in every table → recall is total at this threshold)
@@ -995,6 +1007,26 @@ object SparkEntry {
         |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
         |FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5""".stripMargin,
+
+    "dedup_components" ->
+      """WITH RECURSIVE u AS (SELECT doc_id AS id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |  tok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM u),
+        |  sh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM tok),
+        |  sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh),
+        |  inv AS (SELECT id, unnest(s) AS sng FROM sh),
+        |  pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |    FROM inv a JOIN inv b ON a.sng = b.sng AND a.id < b.id GROUP BY 1, 2),
+        |  p AS (SELECT pr.id_a, pr.id_b FROM pr
+        |    JOIN sz sa ON pr.id_a = sa.id JOIN sz sb ON pr.id_b = sb.id
+        |    WHERE CAST(pr.inter AS DOUBLE) / (sa.n + sb.n - pr.inter) >= 0.5),
+        |  edges AS (SELECT id_a AS s, id_b AS d FROM p
+        |    UNION SELECT id_b, id_a FROM p),
+        |  walk AS (SELECT s AS id, s AS comp FROM edges
+        |    UNION SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id)
+        |SELECT id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
 
     // identical-text pairs (plain = excludes NULL text on both engines —
     // NULL simhash never enters a band bucket in Spark either)

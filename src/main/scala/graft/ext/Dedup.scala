@@ -260,6 +260,54 @@ object Dedup {
           .reduce((x, y) => x.bitwiseOR(y)).as("h"))
   }
 
+  /** Connected components over a candidate-pair graph — the step between
+    * "near-dup pairs" and "keep one document per duplicate CLUSTER".
+    * Iterative min-label propagation: each node repeatedly adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(log diameter) rounds (duplicate clusters are near-cliques, so
+    * typically 2-3). Each round is one join+agg shuffle on node id;
+    * `localCheckpoint` cuts the lineage so plans don't grow with rounds.
+    * Returns (id, comp) where comp = min id of the component.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
+        .groupBy("src").agg(min("__nc").as("__minNbr"))
+      val next = labels
+        .join(nbr.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__minNbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.select(col("id"), col("comp").as("__c2")).join(labels, "id")
+        .filter(col("__c2") =!= col("comp")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** One representative per duplicate cluster: drops every document whose
+    * component label is a smaller id (singletons — docs in no pair — are
+    * kept as their own representative). Compose after any candidate+rescore
+    * pipeline to materialize the deduplicated corpus.
+    */
+  def representatives(docs: DataFrame, components: DataFrame,
+                      idCol: String): DataFrame = {
+    val dupes = components.filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: banded (multi-table) sign-LSH to bound
     * the pair space, exact cosine within buckets, keep pairs ≥ threshold.
     *

@@ -17,6 +17,30 @@ class DedupSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("connectedComponents labels clusters with the min id; singleton-free") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents converges on a long chain") {
+    // path graph 1-2-3-...-12: worst case for label propagation
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L) && comp.size == 12)
+  }
+
+  test("representatives keeps one doc per cluster plus all singletons") {
+    val all = Seq((1L, "x"), (2L, "x"), (3L, "x"), (7L, "alone"))
+      .toDF("id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val reps = Dedup.representatives(all,
+      Dedup.connectedComponents(pairs), "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(reps == Seq(1L, 7L))
+  }
+
   test("exact dedup does not collide NULL/empty/shifted fields") {
     val adv = Seq((1L, Some("ab"), Some("c")), (2L, Some("a"), Some("bc")),
       (3L, Some("x"), None), (4L, None, Some("x")), (5L, Some("x"), Some("")))
