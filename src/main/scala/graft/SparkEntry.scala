@@ -701,6 +701,16 @@ object SparkEntry {
           col("feature"))
     }),
 
+    // resize stub: every payload normalized to a fixed byte box with
+    // stamped target dimensions (rpad truncate/pad on both engines)
+    "mm_resize" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.filter(col("text").isNotNull)
+      val media = Multimodal.fromText(docs, "doc_id", "text", "image")
+      Multimodal.resizeStub(media, targetBytes = 96)
+        .select(col("media_id"), col("content").cast("string").as("payload"),
+          col("meta.width").as("w"), col("meta.height").as("h"))
+    }),
+
     // ---- streaming (file stream over the events table, AvailableNow) ----
     // DataSource v2 queue source (the AMQP/NSQ stand-in) driven end-to-end:
     // deterministic messages → micro-batch stream → aggregate
@@ -1148,6 +1158,11 @@ object SparkEntry {
         |  substr(text, CAST(i * 64 + 1 AS INT), 64) AS frame
         |FROM documents, unnest(range(0, CAST(greatest(ceil(length(text) / 64.0), 1) AS BIGINT))) AS t(i)
         |WHERE i % 2 = 0 AND text IS NOT NULL""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id AS media_id, rpad(text, 96, ' ') AS payload,
+        |  224 AS w, 224 AS h
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "stream_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, event_type, count(*) AS cnt

@@ -68,6 +68,24 @@ object Multimodal {
         col("content").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
       .drop("content", "n_frames")
 
+  /** STUB resize: normalize every payload to exactly `targetBytes`
+    * (`rpad` truncates long payloads and space-pads short ones) and
+    * stamp the meta width/height to the target box. Stands in for an image
+    * resize the way [[decodeStub]] stands in for a decoder: a real
+    * implementation swaps the byte-level transform for a codec call inside
+    * the same single-pass projection — the schema contract (fixed-size
+    * content + updated meta) is what downstream batch collation relies on.
+    */
+  def resizeStub(df: DataFrame, targetBytes: Int, targetW: Int = 224,
+                 targetH: Int = 224): DataFrame = {
+    require(targetBytes > 0)
+    df.withColumn("content",
+        rpad(col("content").cast("string"), targetBytes, " ").cast("binary"))
+      .withColumn("meta", struct(
+        lit(targetW).as("width"), lit(targetH).as("height"),
+        col("meta.duration_ms").as("duration_ms"), col("meta.mime").as("mime")))
+  }
+
   /** Partition-batched imperative hook (the `mapPartitions` escape hatch a
     * JVM codec would use: one codec/connection per partition, not per row —
     * the reference pools clients the same way,
