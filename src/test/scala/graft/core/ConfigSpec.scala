@@ -138,6 +138,19 @@ class ConfigSpec extends SparkSpec {
     assert(n > 20 && n < 100)
   }
 
+  test("pure-JSON task configs parse (reference JsonParser parity)") {
+    // the reference ships YamlParser + JsonParser; YAML 1.2 is a JSON
+    // superset, so one parser covers both — pin that with a real JSON doc
+    val dir = Files.createTempDirectory("graft_cfg_json_").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$dir/in")
+    val json =
+      s"""{"name": "t1",
+         | "source": {"type": "parquet", "path": "$dir/in"},
+         | "transforms": [{"op": "filter", "expr": "id > 1"}]}""".stripMargin
+    val out = Config.run(spark, json)
+    assert(out.select("v").as[String].collect().toSeq == Seq("b"))
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based checks for the laws the curation operators promise:
+  * splits partition, samples nest monotonically, packing respects budgets,
+  * components are true equivalence classes.
+  */
+class CurationPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 8): Seq[A] =
+    (1 to n).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val idsGen: Gen[List[Long]] =
+    Gen.listOfN(120, Gen.choose(1L, 100000L)).map(_.distinct)
+
+  test("property: splitByHash is a partition — every row in exactly one split") {
+    for (ids <- samples(idsGen)) {
+      val df = ids.toDF("id")
+      val out = Curation.splitByHash(df, "id")
+      assert(out.count() == ids.size.toLong)
+      assert(out.groupBy("id").count().filter($"count" > 1).isEmpty)
+      assert(out.filter(!$"split".isin("train", "val", "test")).isEmpty)
+    }
+  }
+
+  test("property: sampleByHash nests monotonically in the rate") {
+    for (ids <- samples(idsGen)) {
+      val df = ids.toDF("id")
+      val lo = Curation.sampleByHash(df, "id", 100).select("id").as[Long].collect().toSet
+      val hi = Curation.sampleByHash(df, "id", 400).select("id").as[Long].collect().toSet
+      assert(lo.subsetOf(hi))   // raising the rate only ADDS rows
+    }
+  }
+
+  test("property: packSequences never drops or duplicates a document and " +
+    "every non-initial doc starts within its bin's budget") {
+    val docsGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(1L, 10000L), Gen.choose(1L, 120L))).map(_.distinctBy(_._1))
+    for (docs <- samples(docsGen)) {
+      val out = Curation.packSequences(docs.toDF("id", "n"), "id", "n",
+        maxTokensPerBin = 256, shards = 4)
+        .select("id", "bin_offset").as[(Long, Long)].collect()
+      assert(out.map(_._1).toSet == docs.map(_._1).toSet)
+      assert(out.length == docs.size)
+      assert(out.forall { case (_, off) => off >= 0 && off < 256 })
+    }
+  }
+
+  test("property: connectedComponents labels are true equivalence classes") {
+    val edgesGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L))).map(_.filter(p => p._1 != p._2))
+    for (edges <- samples(edgesGen, n = 5) if edges.nonEmpty) {
+      val pairs = edges.toDF("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      // every edge endpoint is labeled and both ends share a component
+      edges.foreach { case (a, b) =>
+        assert(comp(a) == comp(b), s"edge ($a,$b) split across components")
+      }
+      // the label is a member of its own component (canonical representative)
+      comp.values.foreach(c => assert(comp(c) == c, s"label $c not canonical"))
+    }
+  }
+}
