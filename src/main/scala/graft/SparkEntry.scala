@@ -315,6 +315,26 @@ object SparkEntry {
     "del_where" -> ((s, dir) =>
       Sync.delWhere(Tables(s, dir).lineitem, col("l_shipdate") < lit("1994-01-01"))),
 
+    // batch twin of stream_session_counts — same oracle, zero streaming
+    // machinery: gap-based sessionize + per-session aggregate
+    "batch_sessionize" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      Sync.sessionize(ev, Seq("user_id"), "ts_us", gap = 1800000000L)
+        .groupBy("user_id", "session_id")
+        .agg(timestamp_micros(min(col("ts_us"))).as("wstart"),
+          count(lit(1)).as("cnt"))
+        .select("wstart", "user_id", "cnt")
+    }),
+
+    // SCD2 history build: event log → versioned dimension rows
+    // (valid_from/valid_to, null = current version)
+    "sync_scd2" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select("user_id", "event_type", "ts_us", "event_id")
+      Sync.scd2FromHistory(ev, keys = Seq("user_id"), attrs = Seq("event_type"),
+        tsCol = "ts_us", orderTieCols = Seq("event_id"))
+        .select("user_id", "event_type", "valid_from", "valid_to")
+    }),
+
     // ---- sinks ----
     "sink_batch_insert" -> ((s, dir) => {
       val out = tmpDir(dir, "sink_batch_insert")
@@ -572,6 +592,11 @@ object SparkEntry {
         Seq("o_custkey", "o_totalprice"), numPartitions = 8)
       s.read.parquet(out)
     }),
+
+    // TF-IDF keyword extraction: top-3 terms per document
+    "text_tfidf_topk" -> ((s, dir) =>
+      graft.ext.Search.tfidfTopTerms(Tables(s, dir).documents,
+        "doc_id", "text", k = 3)),
 
     // per-source corpus dashboard: counts/tokens/languages exactly, plus an
     // HLL sketch (approx_count_distinct — mergeable, constant memory, the
@@ -1158,6 +1183,40 @@ object SparkEntry {
         |  substr(text, CAST(i * 64 + 1 AS INT), 64) AS frame
         |FROM documents, unnest(range(0, CAST(greatest(ceil(length(text) / 64.0), 1) AS BIGINT))) AS t(i)
         |WHERE i % 2 = 0 AND text IS NOT NULL""".stripMargin,
+
+    // same SQL as stream_session_counts — the batch/stream twins must agree
+    "batch_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+        |  m AS (SELECT user_id, tu,
+        |    CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk FROM e),
+        |  sess AS (SELECT user_id, tu,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT make_timestamp(min(tu)) AS wstart, user_id, count(*) AS cnt
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "sync_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+        |  m AS (SELECT user_id, event_type, tu, event_id,
+        |    lag(event_type) OVER w AS pet, lag(tu) OVER w AS ptu
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |  v AS (SELECT user_id, event_type, tu, event_id FROM m
+        |    WHERE ptu IS NULL OR event_type IS DISTINCT FROM pet)
+        |SELECT user_id, event_type, tu AS valid_from,
+        |  lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS valid_to
+        |FROM v""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |  tf AS (SELECT id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |  dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |  n AS (SELECT count(*) AS n_docs FROM documents),
+        |  s AS (SELECT id, w, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+        |    FROM tf JOIN dft USING (w) CROSS JOIN n)
+        |SELECT id AS doc_id, w AS term, score, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, w) AS rn FROM s)
+        |WHERE rn <= 3""".stripMargin,
 
     "mm_resize" ->
       """SELECT doc_id AS media_id, rpad(text, 96, ' ') AS payload,

@@ -20,6 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** Top-k TF-IDF terms per document — keyword extraction over the corpus.
+    * tf and df are one shuffle each on the term hash; the per-document
+    * top-k window partitions on the document id (bounded by vocabulary per
+    * doc). Scores are rounded BEFORE ranking so ordering is reproducible
+    * cross-engine (ties broken by the term itself).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(T.tokens(lower(col(textCol)))).as("w"))
+    val tf = toks.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, "w").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("score"), col("w"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("id").as(idCol), col("w").as("term"), col("score"),
+        col("__rn").cast("bigint").as("rank"))
+  }
+
   /** Top-k BM25 matches for `queryTerms`. Returns (doc_id, score). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,

@@ -113,4 +113,43 @@ object Sync {
     * would be a real DELETE; on immutable parquet it is a rewrite.
     */
   def delWhere(df: DataFrame, cond: Column): DataFrame = df.filter(!coalesce(cond, lit(false)))
+
+  /** Gap-based batch sessionization: within each entity, a new session
+    * starts when the time since the previous event is ≥ `gap` (same units
+    * as `tsCol`). Adds `session_id` (0-based per-entity ordinal). The batch
+    * twin of `Streams.sessionCounts` — one window per entity, shuffle on
+    * the entity key only.
+    */
+  def sessionize(df: DataFrame, entityCols: Seq[String], tsCol: String,
+                 gap: Long, orderTieCols: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: orderTieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(entityCols.map(col): _*).orderBy(order: _*)
+    val brk = when(
+      col(tsCol) - lag(col(tsCol), 1).over(w) >= gap, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Build a type-2 slowly-changing-dimension history from an event log:
+    * keep only rows where any tracked attribute differs from the entity's
+    * previous row (ordered by `tsCol`, ties by `orderTieCols`), stamp
+    * `valid_from` = that row's ts and `valid_to` = the next version's ts
+    * (null = current). Two windows over the same (entity, order) — one
+    * shuffle total; at 100 TB this is the standard "snapshot log →
+    * versioned dimension" pass.
+    */
+  def scd2FromHistory(df: DataFrame, keys: Seq[String], attrs: Seq[String],
+                      tsCol: String, orderTieCols: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: orderTieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val changed = attrs.map(a =>
+        // null-safe inequality: a NULL→value or value→NULL flip is a change
+        !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _) || lag(col(tsCol), 1).over(w).isNull
+    val versions = df.withColumn("__chg", changed).filter(col("__chg")).drop("__chg")
+    val wv = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    versions
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wv))
+  }
 }

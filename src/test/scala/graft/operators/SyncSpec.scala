@@ -93,4 +93,38 @@ class SyncSpec extends SparkSpec {
     // removes rows where the predicate is TRUE
     assert(out.select("k").as[Int].collect().sorted.toSeq == Seq(1, 3))
   }
+
+  test("sessionize splits on gaps >= the threshold, per entity") {
+    val ev = Seq(
+      ("u1", 0L), ("u1", 100L), ("u1", 400L),   // gap 300 ≥ 300 → new session
+      ("u1", 500L),
+      ("u2", 0L)).toDF("u", "ts")
+    val out = Sync.sessionize(ev, Seq("u"), "ts", gap = 300L)
+      .select("u", "ts", "session_id").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("u1", 0L, 0L), ("u1", 100L, 0L),
+      ("u1", 400L, 1L), ("u1", 500L, 1L), ("u2", 0L, 0L)))
+  }
+
+  test("scd2FromHistory collapses unchanged runs and chains validity") {
+    val hist = Seq(
+      (1L, "a", 10L, 1L), (1L, "a", 20L, 2L),   // unchanged → collapsed
+      (1L, "b", 30L, 3L),                       // change → new version
+      (1L, "a", 40L, 4L),                       // back to a → NEW version
+      (2L, "x", 5L, 5L)).toDF("k", "attr", "ts", "eid")
+    val out = Sync.scd2FromHistory(hist, Seq("k"), Seq("attr"), "ts", Seq("eid"))
+      .select("k", "attr", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, "a", 10L, Some(30L)),
+      (1L, "b", 30L, Some(40L)),
+      (1L, "a", 40L, None),
+      (2L, "x", 5L, None)))
+  }
+
+  test("scd2FromHistory treats NULL attribute flips as changes") {
+    val hist = Seq((1L, Option("a"), 1L), (1L, None: Option[String], 2L),
+      (1L, Option("a"), 3L)).toDF("k", "attr", "ts")
+    val out = Sync.scd2FromHistory(hist, Seq("k"), Seq("attr"), "ts")
+    assert(out.count() == 3)
+  }
 }
