@@ -315,6 +315,38 @@ object SparkEntry {
     "del_where" -> ((s, dir) =>
       Sync.delWhere(Tables(s, dir).lineitem, col("l_shipdate") < lit("1994-01-01"))),
 
+    // JSON column extraction (events.props carries a JSON payload)
+    "xf_json_parse" -> ((s, dir) =>
+      eventsUs(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))),
+
+    // struct → compact JSON text (field order = struct order, no spaces —
+    // same rendering in both engines for int/string fields)
+    "xf_json_format" -> ((s, dir) =>
+      eventsUs(s, dir).select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("j"))),
+
+    // window-function surface: per-customer order sequence with running
+    // spend (decimal-exact, cast to double at the edge) and previous order
+    "q9_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders.select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("run_spend"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+    }),
+
+    // full CUBE lattice (q3 covers ROLLUP)
+    "q3_cube" -> ((s, dir) =>
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))),
+
     // batch twin of stream_session_counts — same oracle, zero streaming
     // machinery: gap-based sessionize + per-session aggregate
     "batch_sessionize" -> ((s, dir) => {
@@ -1183,6 +1215,27 @@ object SparkEntry {
         |  substr(text, CAST(i * 64 + 1 AS INT), 64) AS frame
         |FROM documents, unnest(range(0, CAST(greatest(ceil(length(text) / 64.0), 1) AS BIGINT))) AS t(i)
         |WHERE i % 2 = 0 AND text IS NOT NULL""".stripMargin,
+
+    "xf_json_parse" ->
+      """SELECT event_id, CAST(props ->> '$.k' AS BIGINT) AS k FROM events""",
+
+    "xf_json_format" ->
+      """SELECT event_id, CAST(to_json(struct_pack(event_id := event_id,
+        |  event_type := event_type)) AS VARCHAR) AS j FROM events""".stripMargin,
+
+    "q9_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_spend,
+        |  lag(o_orderkey) OVER w AS prev_order
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q3_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     // same SQL as stream_session_counts — the batch/stream twins must agree
     "batch_sessionize" ->
