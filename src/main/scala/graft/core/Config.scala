@@ -44,9 +44,15 @@ object Config {
       sink = Option(root.get("sink")))
   }
 
-  /** Build the lazy DataFrame for a task (source + transforms, no sink). */
-  def build(spark: SparkSession, task: Task): DataFrame =
+  /** Build the lazy DataFrame for a task (source + transforms, no sink).
+    * graft's SQL functions are registered first (idempotent), so config
+    * expressions can call `graft_quality_pm(text)`, `graft_clean_text(...)`
+    * etc. inside `filter`/`addField`.
+    */
+  def build(spark: SparkSession, task: Task): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     task.transforms.foldLeft(source(spark, task.source))(applyTransform)
+  }
 
   /** Build and deliver: returns the written/result DataFrame. */
   def run(spark: SparkSession, yaml: String): DataFrame = {

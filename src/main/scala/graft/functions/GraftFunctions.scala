@@ -64,7 +64,27 @@ object GraftFunctions {
     "graft_snowflake_id" -> { args =>
       arity("graft_snowflake_id", args, 0 to 0)
       SnowflakeId()
-    })
+    },
+    // Column-composition functions (TextFunctions) exposed to SQL the same
+    // way: build the composed Column over the argument expression and
+    // convert back — the resulting tree is ordinary codegen'd Catalyst.
+    "graft_token_count" -> colFn1("graft_token_count", TextFunctions.tokenCount),
+    "graft_quality_pm" -> colFn1("graft_quality_pm", TextFunctions.qualityPerMille),
+    "graft_langid" -> colFn1("graft_langid", TextFunctions.langId),
+    "graft_fingerprint" -> colFn1("graft_fingerprint", TextFunctions.fingerprint),
+    "graft_clean_text" -> colFn1("graft_clean_text", TextFunctions.cleanText),
+    "graft_redact_pii" -> colFn1("graft_redact_pii", TextFunctions.redactPii))
+
+  /** Lift a unary Column function into an Expression builder — the
+    * composed Column converts EAGERLY to a resolvable Catalyst tree (a
+    * lazy `Bridge.expression` wrapper would be Unevaluable here).
+    */
+  private def colFn1(fn: String,
+                     f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { args =>
+    arity(fn, args, 1 to 1)
+    Bridge.resolvableExpression(f(Bridge.column(args.head)))
+  }
 
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, name)

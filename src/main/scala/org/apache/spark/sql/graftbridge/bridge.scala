@@ -16,6 +16,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column to a Catalyst expression TREE (built-ins
+    * appear as UnresolvedFunction nodes the analyzer then resolves).
+    * `Bridge.expression` wraps lazily in an opaque ColumnNodeExpression,
+    * which is Unevaluable when returned from a FunctionRegistry builder —
+    * this converter is what makes Column-composition functions registrable
+    * as SQL functions.
+    */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register a native function on an ALREADY-RUNNING session (the
     * config-free path; for config-time injection use
     * [[graft.functions.GraftExtensions]] with `spark.sql.extensions`).

@@ -138,6 +138,25 @@ class ConfigSpec extends SparkSpec {
     assert(n > 20 && n < 100)
   }
 
+  test("config expressions can call graft SQL functions (quality gate from YAML)") {
+    val dir = Files.createTempDirectory("graft_cfg_fn_").toString
+    Seq((1L, ("word " * 150).trim), (2L, "!!! ... !!!"))
+      .toDF("id", "text").write.parquet(s"$dir/docs")
+    val yaml =
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - op: addField
+         |    fields:
+         |      quality_pm: "graft_quality_pm(text)"
+         |      n_tok: "graft_token_count(text)"
+         |  - op: filter
+         |    expr: "quality_pm >= 500"
+         |""".stripMargin
+    val out = Config.run(spark, yaml)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(out.select("n_tok").as[Long].head() == 150L)
+  }
+
   test("pure-JSON task configs parse (reference JsonParser parity)") {
     // the reference ships YamlParser + JsonParser; YAML 1.2 is a JSON
     // superset, so one parser covers both — pin that with a real JSON doc
