@@ -521,6 +521,16 @@ object SparkEntry {
               |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin)
     }),
 
+    // the text tier through pure SQL: registered graft_* functions in a
+    // quality-gated projection, verified against the same DuckDB formulas
+    "sql_text_pipeline" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables(s, dir).documents.createOrReplaceTempView("sql_docs")
+      s.sql("""SELECT doc_id, graft_token_count(text) AS n_tok,
+              |  graft_quality_pm(text) AS q
+              |FROM sql_docs WHERE graft_quality_pm(text) >= 300""".stripMargin)
+    }),
+
     // ---- ANN oracle companions: planted-duplicate retrieval. Each
     // approximate index must retrieve the exact copy of every query vector
     // (cosine 1.0 — identical vectors share buckets/cells deterministically),
@@ -1133,6 +1143,22 @@ object SparkEntry {
         |         * list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))), 4) AS score
         |FROM embeddings, q WHERE vec_id <> 1
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "sql_text_pipeline" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+        |  q FROM (
+        |  SELECT doc_id, text, CAST(floor(
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |    * (1.0 - least(CAST(punct_pm AS DOUBLE) / 300.0, 1.0)) * 1000 + 0.5) AS BIGINT) AS q
+        |  FROM (SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    CASE WHEN length(text) = 0 THEN 0
+        |      ELSE floor((length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) * 1000.0 / length(text) + 0.5) END AS punct_pm
+        |  FROM documents))
+        |WHERE q >= 300""".stripMargin,
 
     // same math through the SQL registration surface
     "sql_cosine_topk" ->

@@ -31,17 +31,25 @@ object Config {
   private val mapper = new ObjectMapper(new YAMLFactory())
 
   final case class Task(name: String, source: JsonNode,
-                        transforms: Seq[JsonNode], sink: Option[JsonNode])
+                        transforms: Seq[JsonNode], sinks: Seq[JsonNode]) {
+    def sink: Option[JsonNode] = sinks.headOption
+  }
 
   def parse(yaml: String): Task = {
     val root = mapper.readTree(yaml)
     require(root.hasNonNull("source"), "task config needs a 'source'")
+    // `sink:` (one) or `sinks:` (fan-out — the reference's multi-target
+    // `output` maps, Scheduler.php DAG edges); one plan, delivered N times
+    val sinks = Option(root.get("sinks"))
+      .map(_.elements().asScala.toSeq)
+      .orElse(Option(root.get("sink")).map(Seq(_)))
+      .getOrElse(Nil)
     Task(
       name = Option(root.get("name")).map(_.asText).getOrElse("task"),
       source = root.get("source"),
       transforms = Option(root.get("transforms"))
         .map(_.elements().asScala.toSeq).getOrElse(Nil),
-      sink = Option(root.get("sink")))
+      sinks = sinks)
   }
 
   /** Build the lazy DataFrame for a task (source + transforms, no sink).
@@ -58,7 +66,11 @@ object Config {
   def run(spark: SparkSession, yaml: String): DataFrame = {
     val task = parse(yaml)
     val df = build(spark, task)
-    task.sink.foreach(sink(df, _))
+    // fan-out: persist once when delivering to several sinks so the
+    // transform chain computes once, not once per target
+    val delivered = if (task.sinks.length > 1) df.persist() else df
+    task.sinks.foreach(sink(delivered, _))
+    if (task.sinks.length > 1) delivered.unpersist()
     df
   }
 

@@ -170,6 +170,20 @@ class ConfigSpec extends SparkSpec {
     assert(out.select("v").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("sinks: fan-out delivers the same result to every target") {
+    val dir = Files.createTempDirectory("graft_cfg_fan_").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$dir/in")
+    val yaml =
+      s"""source: {type: parquet, path: $dir/in}
+         |sinks:
+         |  - {type: parquet, path: $dir/out_pq}
+         |  - {type: csv, path: $dir/out_csv}
+         |""".stripMargin
+    Config.run(spark, yaml)
+    assert(spark.read.parquet(s"$dir/out_pq").count() == 2)
+    assert(spark.read.option("header", "true").csv(s"$dir/out_csv").count() == 2)
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")
