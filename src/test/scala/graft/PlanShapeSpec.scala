@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the scale properties the engine promises
+  * (pushdown, zero-shuffle filters, broadcast dims, partition pruning)
+  * asserted on the optimized/physical plans so a refactor can't silently
+  * regress them.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projections push into the parquet scan") {
+    val d = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter($"l_quantity" > 10).select("l_orderkey", "l_quantity")
+    val scan = d.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("hash-keyed curation sample is a scan-side filter — zero exchanges") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = physical(graft.ext.Curation.sampleByHash(d, "doc_id", 100))
+    assert(!plan.contains("Exchange"), s"sample introduced a shuffle:\n$plan")
+  }
+
+  test("fact-to-dim join broadcasts the small side") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val joined = li.join(n, li("l_suppkey") % 25 === n("n_nationkey"))
+    assert(physical(joined).contains("BroadcastHashJoin"),
+      "dim join did not broadcast")
+  }
+
+  test("IVF index layout prunes partitions on the probe filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfplan_").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = graft.ext.Ivf.build(e, "vec_id", "embedding", nLists = 4, maxIter = 2)
+    graft.ext.Ivf.writeIndex(idx, s"$dir/ivf")
+    val pruned = spark.read.parquet(s"$dir/ivf").filter($"list_id".isin(0, 1))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    // partition filters at the directory level — the probe reads 2/4 cells
+    assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
+      s"probe filter not a partition filter:\n$scan")
+  }
+
+  test("whole-stage codegen spans the text-analysis projection") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.TextFunctions.qualityPerMille($"text").as("q"))
+    val hasCodegenStage = d.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegenStage, s"text projection fell out of codegen:\n${physical(d)}")
+  }
+}
