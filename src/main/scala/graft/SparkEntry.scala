@@ -347,6 +347,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))),
 
+    // data-quality expectations: all rules over lineitem in one agg pass
+    // (one intentionally-violated rule so both branches are exercised)
+    "dq_expectations" -> ((s, dir) =>
+      graft.operators.Expectations.check(Tables(s, dir).lineitem, Seq(
+        "qty_positive" -> (col("l_quantity") > 0),
+        "key_not_null" -> col("l_orderkey").isNotNull,
+        "discount_in_range" -> (col("l_discount") >= 0 && col("l_discount") <= 1),
+        "qty_under_40" -> (col("l_quantity") < 40)))),
+
     // batch twin of stream_session_counts — same oracle, zero streaming
     // machinery: gap-based sessionize + per-session aggregate
     "batch_sessionize" -> ((s, dir) => {
@@ -1262,6 +1271,19 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "dq_expectations" ->
+      """WITH t AS (SELECT
+        |    sum(CASE WHEN coalesce(l_quantity > 0, false) THEN 0 ELSE 1 END) AS v1,
+        |    sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v2,
+        |    sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 1, false) THEN 0 ELSE 1 END) AS v3,
+        |    sum(CASE WHEN coalesce(l_quantity < 40, false) THEN 0 ELSE 1 END) AS v4,
+        |    count(*) AS total
+        |  FROM lineitem)
+        |SELECT 'qty_positive' AS rule, v1 AS violations, total, v1 = 0 AS pass FROM t
+        |UNION ALL SELECT 'key_not_null', v2, total, v2 = 0 FROM t
+        |UNION ALL SELECT 'discount_in_range', v3, total, v3 = 0 FROM t
+        |UNION ALL SELECT 'qty_under_40', v4, total, v4 = 0 FROM t""".stripMargin,
 
     // same SQL as stream_session_counts — the batch/stream twins must agree
     "batch_sessionize" ->

@@ -37,6 +37,24 @@ object FileSink {
                     mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format(format).partitionBy(keys: _*).save(path)
 
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ceil(rows/targetRowsPerFile) evenly-sized files. The maintenance job
+    * that keeps a corpus written by many incremental tasks readable —
+    * thousands of KB-sized files turn a 100 TB scan into a metadata storm.
+    * One count + one shuffle-free coalesce when shrinking (repartition when
+    * the target needs MORE files than exist).
+    */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                outPath: String, targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile > 0)
+    val df = spark.read.parquet(inPath)
+    val nFiles = math.max(1L, math.ceil(
+      df.count().toDouble / targetRowsPerFile).toLong).toInt
+    val current = df.rdd.getNumPartitions
+    val sized = if (nFiles < current) df.coalesce(nFiles) else df.repartition(nFiles)
+    sized.write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** Size-governed parquet write: `maxRecordsPerFile` caps rows per output
     * file (a task writing more rolls to a new file), `minPartitions` floors
     * write parallelism. The giant-file/small-file guard for corpus-scale

@@ -60,6 +60,17 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("compactTo rewrites many small files into the sized layout") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cmp_").toString
+    spark.range(5000).toDF("id").repartition(50).write.parquet(s"$base/small")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(s"$base/small") == 50)
+    FileSink.compactTo(spark, s"$base/small", s"$base/compact", targetRowsPerFile = 2500)
+    assert(parts(s"$base/compact") == 2)
+    assert(spark.read.parquet(s"$base/compact").count() == 5000)
+  }
+
   test("kafka sink fails fast with a clear message when the connector jar is absent") {
     assert(!Sinks.kafkaAvailable)
     val e = intercept[IllegalArgumentException] {
