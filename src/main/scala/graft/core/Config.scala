@@ -74,6 +74,44 @@ object Config {
     df
   }
 
+  /** Multi-task DAG config — the reference Scheduler's task graph
+    * (`Scheduler.php:154-188` walks plugin `output` edges): a `tasks:` list
+    * where later tasks read earlier ones via `source: {type: task, name:}`.
+    * Tasks must be listed in dependency order (the reference's configs are
+    * written the same way); each task's frame is registered by name, so a
+    * task consumed twice is still ONE lazy plan — Spark reuses the subtree,
+    * and Catalyst sees through the whole graph for pushdown.
+    * Returns the result of every task by name.
+    */
+  def runAll(spark: SparkSession, yaml: String): Map[String, DataFrame] = {
+    val root = mapper.readTree(yaml)
+    require(root.hasNonNull("tasks"), "multi-task config needs 'tasks'")
+    val built = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    root.get("tasks").elements().asScala.foreach { tn =>
+      val task = Task(
+        name = Option(tn.get("name")).map(_.asText)
+          .getOrElse(s"task${built.size}"),
+        source = tn.get("source"),
+        transforms = Option(tn.get("transforms"))
+          .map(_.elements().asScala.toSeq).getOrElse(Nil),
+        sinks = Option(tn.get("sinks")).map(_.elements().asScala.toSeq)
+          .orElse(Option(tn.get("sink")).map(Seq(_))).getOrElse(Nil))
+      val src = if (task.source.get("type").asText == "task") {
+        val ref = str(task.source, "name")
+        built.getOrElse(ref, throw new IllegalArgumentException(
+          s"task '${task.name}' references undefined task '$ref' " +
+            "(tasks must be listed in dependency order)"))
+      } else source(spark, task.source)
+      graft.functions.GraftFunctions.register(spark)
+      val df = task.transforms.foldLeft(src)(applyTransform)
+      val delivered = if (task.sinks.length > 1) df.persist() else df
+      task.sinks.foreach(sink(delivered, _))
+      if (task.sinks.length > 1) delivered.unpersist()
+      built += task.name -> df
+    }
+    built.toMap
+  }
+
   private def str(n: JsonNode, field: String): String = {
     require(n.hasNonNull(field), s"config needs '$field' in: $n")
     n.get(field).asText
@@ -189,6 +227,10 @@ object Config {
       case "redact" =>
         df.withColumn(str(n, "column"),
           graft.functions.TextFunctions.redactPii(col(str(n, "column"))))
+      // data-quality gate: fail the task if any rule has violations
+      case "expect" =>
+        graft.operators.Expectations.enforce(df,
+          strPairs(n, "rules").map { case (name, e) => name -> expr(e) })
       case other => throw new IllegalArgumentException(s"unknown transform op: $other")
     }
 

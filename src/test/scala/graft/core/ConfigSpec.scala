@@ -184,6 +184,56 @@ class ConfigSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$dir/out_csv").count() == 2)
   }
 
+  test("multi-task DAG: tasks feed tasks, each task can sink independently") {
+    val dir = Files.createTempDirectory("graft_cfg_dag_").toString
+    (1L to 100L).map(i => (i, i % 10)).toDF("id", "grp")
+      .write.parquet(s"$dir/in")
+    val yaml =
+      s"""tasks:
+         |  - name: base
+         |    source: {type: parquet, path: $dir/in}
+         |    transforms: [{op: filter, expr: "id > 50"}]
+         |  - name: agg
+         |    source: {type: task, name: base}
+         |    transforms:
+         |      - op: query
+         |        groupBy: [grp]
+         |        agg: {n: "count(*)"}
+         |    sink: {type: parquet, path: $dir/agg_out}
+         |  - name: sample
+         |    source: {type: task, name: base}
+         |    transforms: [{op: sample, key: id, perMille: 500}]
+         |    sink: {type: parquet, path: $dir/sample_out}
+         |""".stripMargin
+    val out = Config.runAll(spark, yaml)
+    assert(out.keySet == Set("base", "agg", "sample"))
+    assert(spark.read.parquet(s"$dir/agg_out").as[(Long, Long)]
+      .collect().map(_._2).sum == 50L)
+    assert(spark.read.parquet(s"$dir/sample_out").count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Config.runAll(spark,
+        "tasks: [{name: x, source: {type: task, name: missing}}]")
+    }
+    assert(e.getMessage.contains("undefined task"))
+  }
+
+  test("expect op gates delivery on data-quality rules") {
+    val dir = Files.createTempDirectory("graft_cfg_dq_").toString
+    Seq((1, 5), (2, -3)).toDF("id", "n").write.parquet(s"$dir/in")
+    val ok = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms: [{op: expect, rules: {id_pos: "id > 0"}}]
+         |""".stripMargin)
+    assert(ok.count() == 2)
+    val e = intercept[IllegalStateException] {
+      Config.run(spark,
+        s"""source: {type: parquet, path: $dir/in}
+           |transforms: [{op: expect, rules: {n_pos: "n > 0"}}]
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("n_pos=1"))
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")
