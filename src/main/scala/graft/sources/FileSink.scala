@@ -37,6 +37,17 @@ object FileSink {
                     mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format(format).partitionBy(keys: _*).save(path)
 
+  /** Backfill write: overwrite ONLY the hive partitions present in `df`,
+    * leaving every other partition of the dataset untouched (dynamic
+    * partition overwrite). The idempotent-reprocessing primitive: re-running
+    * one day's extraction replaces that day, not the table.
+    */
+  def overwritePartitions(df: DataFrame, path: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "dynamic partition overwrite needs partition keys")
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet dataset into
     * ceil(rows/targetRowsPerFile) evenly-sized files. The maintenance job
     * that keeps a corpus written by many incremental tasks readable —

@@ -91,6 +91,47 @@ class SinksSpec extends SparkSpec {
     assert(builds.get() == 2)
   }
 
+  test("overwritePartitions replaces only the partitions present in the frame") {
+    val dir = Files.createTempDirectory("graft_dpo_").toString + "/t"
+    Seq((1, "d1"), (2, "d1"), (3, "d2")).toDF("id", "day")
+      .write.partitionBy("day").parquet(dir)
+    // backfill day d1 with corrected data; d2 must remain untouched
+    FileSink.overwritePartitions(
+      Seq((10, "d1")).toDF("id", "day"), dir, Seq("day"))
+    val back = spark.read.parquet(dir).as[(Int, String)].collect().toSet
+    assert(back == Set((10, "d1"), (3, "d2")))
+  }
+
+  test("checkpointed incremental ingest processes only NEW files per run") {
+    val dir = Files.createTempDirectory("graft_incr_").toString
+    val data = s"$dir/data"; val ckpt = s"$dir/ckpt"
+    new java.io.File(data).mkdirs()
+    def drop(name: String, rows: Seq[Long]): Unit = {
+      rows.toDF("id").coalesce(1).write.parquet(s"$dir/stage_$name")
+      new java.io.File(s"$dir/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          new java.io.File(data, s"$name.parquet").toPath))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def runOnce(): Unit = {
+      val s = Streams.fileStream(spark, data, schema)
+      val q = graft.streaming.Streams.foreachBatchSink(s, ckpt) { (b, _) =>
+        val rows = b.as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().toSeq.sorted
+        if (rows.nonEmpty) seen.synchronized { seen += rows }
+      }
+      q.awaitTermination()
+    }
+    drop("a", Seq(1L, 2L)); runOnce()
+    drop("b", Seq(3L)); runOnce()
+    runOnce()  // no new files → no new delivery
+    assert(seen.toSeq == Seq(Seq(1L, 2L), Seq(3L)))
+  }
+
   test("fileStream turns file arrivals into micro-batches") {
     val dir = Files.createTempDirectory("graft_fs_").toString
     val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
