@@ -227,6 +227,20 @@ object Config {
       case "redact" =>
         df.withColumn(str(n, "column"),
           graft.functions.TextFunctions.redactPii(col(str(n, "column"))))
+      case "stratifiedN" =>
+        graft.ext.Curation.stratifiedFixedN(df, str(n, "key"), str(n, "strata"),
+          n.get("n").asInt, strOpt(n, "salt").getOrElse("graft"))
+      case "qualityTopQuantile" =>
+        graft.ext.Curation.topQuantileByGroup(df, str(n, "strata"),
+          str(n, "score"), str(n, "tie"), n.get("keepFraction").asDouble)
+      case "chunk" =>
+        graft.ext.Curation.chunkByTokens(df, str(n, "key"), str(n, "column"),
+          n.get("chunkTokens").asInt,
+          Option(n.get("overlapTokens")).map(_.asInt).getOrElse(0))
+      case "pack" =>
+        graft.ext.Curation.packSequences(df, str(n, "key"), str(n, "tokens"),
+          n.get("maxTokensPerBin").asInt, n.get("shards").asInt,
+          strOpt(n, "salt").getOrElse("graft"))
       // data-quality gate: fail the task if any rule has violations
       case "expect" =>
         graft.operators.Expectations.enforce(df,

@@ -184,6 +184,31 @@ class ConfigSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$dir/out_csv").count() == 2)
   }
 
+  test("chunk + pack ops compose from config (context-window prep)") {
+    val dir = Files.createTempDirectory("graft_cfg_chunk_").toString
+    (1L to 20L).map(i => (i, ("tok " * 100).trim)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    val yaml =
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - op: chunk
+         |    key: doc_id
+         |    column: text
+         |    chunkTokens: 64
+         |    overlapTokens: 16
+         |  - op: addField
+         |    fields: {n_tok: "graft_token_count(chunk)"}
+         |  - op: pack
+         |    key: chunk_idx
+         |    tokens: n_tok
+         |    maxTokensPerBin: 256
+         |    shards: 2
+         |""".stripMargin
+    val out = Config.run(spark, yaml)
+    assert(out.count() == 20 * 3)   // 100 tokens, step 48 → 3 chunks each
+    assert(out.columns.toSet.contains("bin"))
+  }
+
   test("multi-task DAG: tasks feed tasks, each task can sink independently") {
     val dir = Files.createTempDirectory("graft_cfg_dag_").toString
     (1L to 100L).map(i => (i, i % 10)).toDF("id", "grp")
