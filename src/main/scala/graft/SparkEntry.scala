@@ -347,6 +347,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))),
 
+    // correlation/variance from EXACT decimal sums (n·Σxy−ΣxΣy …): float
+    // aggregation order varies per partitioning, so the engine computes the
+    // moments exactly and divides once at the edge — bit-identical on any
+    // cluster size, hash-comparable cross-engine (no tolerance needed)
+    "q10_stats" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+            .as("corr_qty_price"),
+          round(((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n") * col("n"))).cast("double"), 4).as("var_qty"))
+    }),
+
+    // file-level lineage: every row carries its source file (provenance for
+    // audits/backfills). Basename only — the oracle harness resolves tables
+    // through views, so the full path isn't reachable on the DuckDB side
+    "src_lineage" -> ((s, dir) =>
+      Tables(s, dir).nation.select(col("n_nationkey"),
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("src_file"))),
+
     // data-quality expectations: all rules over lineitem in one agg pass
     // (one intentionally-violated rule so both branches are exercised)
     "dq_expectations" -> ((s, dir) =>
@@ -1271,6 +1300,23 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q10_stats" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) AS corr_qty_price,
+        |  round(CAST(CAST(n * sxx - sx * sx AS DOUBLE) / (n * n) AS DOUBLE), 4) AS var_qty
+        |FROM m""".stripMargin,
+
+    "src_lineage" ->
+      "SELECT n_nationkey, 'nation.parquet' AS src_file FROM nation",
 
     "dq_expectations" ->
       """WITH t AS (SELECT
