@@ -762,6 +762,19 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // deterministic 2.5× upsampling: every doc twice + half the keys a
+    // third time (the >1× side of mixture weighting)
+    "curate_upsample" -> ((s, dir) =>
+      Curation.upsampleByHash(Tables(s, dir).documents, "doc_id",
+        ratePerMille = 2500).select("doc_id", "copy_idx")),
+
+    // deterministic negative sampling for contrastive pairs: 8 negatives
+    // per query over the dense vec_id space
+    "curate_negatives" -> ((s, dir) =>
+      Curation.negativeSampleDense(
+        Tables(s, dir).embeddings.filter(col("vec_id") <= 5).select("vec_id"),
+        "vec_id", maxId = 500, n = 8)),
+
     // the composite pretrain-cleaning pipeline: language filter → quality
     // gate → exact dedup → deterministic split (each stage is individually
     // oracle-verified above; this checks their composition end-to-end)
@@ -1539,6 +1552,24 @@ object SparkEntry {
          |      ROWS UNBOUNDED PRECEDING) - n_tok AS cum FROM d)
          |SELECT doc_id, n_tok, shard, cum // 512 AS bin, cum % 512 AS bin_offset
          |FROM c""".stripMargin,
+
+    "curate_upsample" ->
+      s"""SELECT doc_id, CAST(k AS INT) AS copy_idx
+         |FROM (SELECT doc_id, 2 + CASE WHEN
+         |    ${duckBucket("CAST(doc_id AS VARCHAR)", 1000, "graft")} < 500
+         |    THEN 1 ELSE 0 END AS copies FROM documents),
+         |  unnest(range(1, copies + 1)) AS t(k)""".stripMargin,
+
+    // lambda var renamed j: the outer k (negative index) must stay visible
+    // inside the md5-fold
+    "curate_negatives" ->
+      """SELECT vec_id, neg_id FROM (
+        |  SELECT vec_id, (CAST(list_sum(list_transform(range(1, 5),
+        |    j -> (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR) || ':graft:' || CAST(k AS VARCHAR)), CAST(j AS INT), 1)) - 1)
+        |         * (16.0 ** (4 - j)))) AS BIGINT) % 500) + 1 AS neg_id
+        |  FROM embeddings, unnest(range(1, 9)) AS t(k)
+        |  WHERE vec_id <= 5)
+        |WHERE neg_id <> vec_id""".stripMargin,
 
     "curate_decontaminate" ->
       """WITH tr AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0),

@@ -77,6 +77,49 @@ object Curation {
     df.filter(hashBucket(col(keyCol), 1000, salt) < rate)
   }
 
+  /** Deterministic upsampling: emit each row `ratePerMille/1000` times in
+    * expectation — whole copies plus one hash-gated fractional copy, so
+    * 3200‰ yields 3 copies always and a 4th for a fixed 20% of keys.
+    * The >1× half of mixture weighting (epochs over curated data);
+    * `copy_idx` distinguishes repeats for downstream shuffling. Explode of
+    * a per-row sequence — no shuffle, no state, reproducible.
+    */
+  def upsampleByHash(df: DataFrame, keyCol: String, ratePerMille: Int,
+                     salt: String = "graft"): DataFrame = {
+    require(ratePerMille >= 0)
+    val whole = ratePerMille / 1000
+    val frac = ratePerMille % 1000
+    val copies = lit(whole) +
+      when(hashBucket(col(keyCol), 1000, salt) < frac, 1).otherwise(0)
+    // sequence(1, 0) counts DOWN in Spark — zero-copy rows need an
+    // explicit empty array, not a degenerate sequence
+    df.withColumn("copy_idx", explode(
+      when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Deterministic negative sampling over a DENSE id space [1, maxId]: for
+    * each query row, `n` pseudo-random corpus ids derived from
+    * md5(query ‖ k) — the contrastive-training counterpart of
+    * [[splitByHash]] (reproducible negatives, no RNG state, no shuffle;
+    * collisions with the query id are dropped). For sparse id spaces,
+    * compute a dense index first (zipWithIndex-style) and map back.
+    */
+  def negativeSampleDense(queries: DataFrame, queryIdCol: String,
+                          maxId: Long, n: Int, salt: String = "graft"): DataFrame = {
+    require(n > 0 && maxId > 1 && maxId <= 65536,
+      "dense negative sampling draws from a 16-bit hash; maxId must be <= 65536")
+    val negId = graft.functions.ExprOps.let(col("__k")) { k =>
+      (conv(substring(md5(concat(col(queryIdCol).cast("string"),
+        lit(":" + salt + ":"), k.cast("string"))), 1, 4), 16, 10)
+        .cast("long") % maxId) + 1
+    }
+    queries.withColumn("__k", explode(sequence(lit(1), lit(n))))
+      .withColumn("neg_id", negId)
+      .filter(col("neg_id") =!= col(queryIdCol))
+      .drop("__k")
+  }
+
   /** Exactly-N-per-stratum deterministic sample: rank rows within each
     * stratum by (key hash, key) and keep the first `n`. Uses a window
     * partitioned by the stratum — right for bounded-cardinality strata

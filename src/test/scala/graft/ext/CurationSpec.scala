@@ -78,6 +78,36 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._1).toSet.size == 100)
   }
 
+  test("upsampleByHash: whole copies + hash-gated fractional copy") {
+    val df = (1L to 1000L).toDF("id")
+    val up = Curation.upsampleByHash(df, "id", ratePerMille = 2500)
+    val perId = up.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(perId.values.forall(c => c == 2L || c == 3L))
+    val total = perId.values.sum
+    assert(total > 2300 && total < 2700)            // ≈ 2.5×
+    // sub-1× rate: some keys vanish entirely, none duplicated
+    val down = Curation.upsampleByHash(df, "id", ratePerMille = 400)
+    val dn = down.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(dn.values.forall(_ == 1L))
+    assert(dn.size > 300 && dn.size < 500)
+    // and it matches sampleByHash exactly (same hash, same salt)
+    val sampled = Curation.sampleByHash(df, "id", 400).select("id")
+      .as[Long].collect().toSet
+    assert(dn.keySet == sampled)
+  }
+
+  test("negativeSampleDense: n reproducible negatives per query, never self") {
+    val q = (1L to 5L).toDF("vec_id")
+    val negs = Curation.negativeSampleDense(q, "vec_id", maxId = 500, n = 8)
+      .as[(Long, Long)].collect()
+    assert(negs.forall { case (qid, nid) => nid >= 1 && nid <= 500 && nid != qid })
+    val perQ = negs.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQ.values.forall(c => c == 8 || c == 7))   // self-collisions dropped
+    val again = Curation.negativeSampleDense(q, "vec_id", maxId = 500, n = 8)
+      .as[(Long, Long)].collect()
+    assert(negs.toSet == again.toSet)
+  }
+
   test("chunkByTokens: overlap windows cover all tokens; empty docs vanish") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 tokens
