@@ -361,9 +361,12 @@ object SparkEntry {
           sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
         .select(col("l_returnflag"), col("n"),
+          // each moment difference is exact decimal; cast to double BEFORE
+          // the product — the product of two ~1e16 decimals overflows
+          // Decimal(38) at sf0.1 and beyond
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
             .as("corr_qty_price"),
           round(((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
             (col("n") * col("n"))).cast("double"), 4).as("var_qty"))
@@ -1324,7 +1327,7 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) AS corr_qty_price,
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price,
         |  round(CAST(CAST(n * sxx - sx * sx AS DOUBLE) / (n * n) AS DOUBLE), 4) AS var_qty
         |FROM m""".stripMargin,
 
