@@ -891,6 +891,20 @@ object SparkEntry {
         outputMode = "complete")
     }),
 
+    // stream–static join: the streaming side enriches against a static dim
+    // (broadcast per micro-batch — no state, no watermark needed)
+    "stream_static_join" -> ((s, dir) => {
+      withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val cust = Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = ev.join(cust, ev("user_id") === cust("c_custkey"))
+        .groupBy("c_mktsegment").count().withColumnRenamed("count", "cnt")
+      Streams.runToMemoryComplete(s, joined, outputMode = "complete")
+    }),
+
     "stream_dedup_keys" -> ((s, dir) => {
       withNanosAsLong(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -1416,6 +1430,11 @@ object SparkEntry {
 
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "stream_split_counts" ->
       s"""SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
