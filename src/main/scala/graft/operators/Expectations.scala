@@ -16,6 +16,9 @@ object Expectations {
     */
   def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate rule names in $names")
+    require(!names.contains("__total"), "'__total' is a reserved rule name")
     val aggs = rules.map { case (name, cond) =>
       sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L)).as(name)
     } :+ count(lit(1)).as("__total")

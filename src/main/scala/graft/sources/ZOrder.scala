@@ -24,12 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Per-column (min,max) over a numeric projection — one driver-side agg. */
+  /** Per-column (min,max) over a numeric projection — one driver-side agg.
+    * An all-NULL (or empty-input) column yields (0,0), which [[zvalueWith]]
+    * treats as a constant: it contributes rank 0 instead of crashing.
+    */
   private def stats(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"__lo_$c"), max(col(c).cast("double")).as(s"__hi_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    cols.indices.map { i =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) (0.0, 0.0)
+      else (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
   }
 
   /** Morton z-value: each column binned to 2^bits equal-width buckets

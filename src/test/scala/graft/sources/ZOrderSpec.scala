@@ -30,6 +30,13 @@ class ZOrderSpec extends SparkSpec {
     assert(z.length == 2)   // lo==hi column contributes rank 0, no crash
   }
 
+  test("an all-NULL column degrades to a constant dimension, no crash") {
+    val df = Seq((1.0, None: Option[Double]), (2.0, None))
+      .toDF("a", "b")
+    val out = ZOrder.cluster(df, Seq("a", "b"), numPartitions = 2)
+    assert(out.count() == 2)
+  }
+
   test("clustering narrows per-file ranges on BOTH dimensions") {
     val n = 64
     val df = (for { x <- 0 until n; y <- 0 until n } yield (x, y))
