@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 
 /** A pipeline is a composition of `DataFrame => DataFrame` stages.
   *
@@ -24,4 +24,23 @@ object Pipeline {
     * first when branches are expensive and the source is not parquet.
     */
   def fanOut(df: DataFrame, branches: Op*): Seq[DataFrame] = branches.map(_(df))
+
+  /** Attach observed metrics to a stage: aggregates computed DURING the
+    * next action on the returned frame — no extra pass over the data, no
+    * second job (Spark's Observation/CollectMetrics). The pipeline-metrics
+    * answer for jobs where a separate `count()` would double the IO:
+    *
+    * {{{
+    * val (out, obs) = Pipeline.observed(df, "ingest",
+    *   count(lit(1)).as("rows"), sum("bytes").as("bytes"))
+    * out.write.parquet(path)            // metrics collected by this action
+    * val rows = obs.get("rows")
+    * }}}
+    */
+  def observed(df: DataFrame, name: String,
+               metrics: Column*): (DataFrame, Observation) = {
+    require(metrics.nonEmpty, "need at least one metric")
+    val obs = Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }
