@@ -315,6 +315,27 @@ object SparkEntry {
     "del_where" -> ((s, dir) =>
       Sync.delWhere(Tables(s, dir).lineitem, col("l_shipdate") < lit("1994-01-01"))),
 
+    // per-key top-k (WindowGroupLimit pre-filters map-side): each
+    // customer's 3 biggest orders
+    "q11_topk_per_key" -> ((s, dir) =>
+      ColumnOps.topKPerKey(Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)(
+        Tables(s, dir).orders)
+        .select("o_custkey", "o_orderkey", "rank_in_key")),
+
+    // blocked fuzzy join: every customer matched to a deterministically
+    // dirtied twin within edit distance 2, blocking on the stable suffix
+    "fuzzy_match" -> ((s, dir) => {
+      val cust = Tables(s, dir).customer
+        .select(col("c_custkey").as("id_l"), col("c_name").as("name_l"))
+      val dirty = Tables(s, dir).customer
+        .select(col("c_custkey").as("id_r"),
+          regexp_replace(col("c_name"), "ustome", "ustoma").as("name_r"))
+      graft.operators.Fuzzy.joinByEditDistance(cust, dirty,
+        "name_l", "name_r", maxDist = 2, blockKey = substring(_, -6, 6))
+        .select("id_l", "id_r", "edit_dist")
+    }),
+
     // JSON column extraction (events.props carries a JSON payload)
     "xf_json_parse" -> ((s, dir) =>
       eventsUs(s, dir).select(col("event_id"),
@@ -1309,6 +1330,20 @@ object SparkEntry {
         |  substr(text, CAST(i * 64 + 1 AS INT), 64) AS frame
         |FROM documents, unnest(range(0, CAST(greatest(ceil(length(text) / 64.0), 1) AS BIGINT))) AS t(i)
         |WHERE i % 2 = 0 AND text IS NOT NULL""".stripMargin,
+
+    "q11_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rank_in_key FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "fuzzy_match" ->
+      """WITH l AS (SELECT c_custkey AS id_l, c_name AS name_l FROM customer),
+        |  r AS (SELECT c_custkey AS id_r,
+        |    regexp_replace(c_name, 'ustome', 'ustoma') AS name_r FROM customer)
+        |SELECT id_l, id_r, CAST(levenshtein(name_l, name_r) AS BIGINT) AS edit_dist
+        |FROM l JOIN r ON right(name_l, 6) = right(name_r, 6)
+        |WHERE levenshtein(name_l, name_r) <= 2""".stripMargin,
 
     "xf_json_parse" ->
       """SELECT event_id, CAST(props ->> '$.k' AS BIGINT) AS k FROM events""",

@@ -63,4 +63,21 @@ object ColumnOps {
     */
   def coalesceFallback(out: String, candidates: Column*): DataFrame => DataFrame =
     df => df.withColumn(out, coalesce(candidates: _*))
+
+  /** Top-k rows per key by an explicit order. One window per key group —
+    * and Spark's WindowGroupLimit optimization pre-filters to k rows per
+    * key on the MAP side, so the shuffle carries ≤ k rows per key per input
+    * partition, not the whole group (same machinery that makes
+    * latestVersion scale).
+    */
+  def topKPerKey(keys: Seq[String], order: Seq[Column], k: Int): DataFrame => DataFrame = {
+    require(k > 0)
+    df => {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .withColumnRenamed("__rn", "rank_in_key")
+        .withColumn("rank_in_key", col("rank_in_key").cast("bigint"))
+    }
+  }
 }

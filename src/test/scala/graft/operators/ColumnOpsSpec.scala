@@ -76,4 +76,22 @@ class ColumnOpsSpec extends SparkSpec {
     val Seq(a, b) = Pipeline.fanOut(df, ColumnOps.exclude("id"), ColumnOps.exclude("name"))
     assert(a.columns.toSeq == Seq("name", "amount") && b.columns.toSeq == Seq("id", "amount"))
   }
+
+  test("topKPerKey keeps exactly k ranked rows per key") {
+    val data = (1 to 30).map(i => (i % 3, i)).toDF("k", "v")
+    val out = ColumnOps.topKPerKey(Seq("k"), Seq($"v".desc), k = 2)(data)
+      .select("k", "v", "rank_in_key").as[(Int, Int, Long)].collect()
+    assert(out.length == 6)
+    assert(out.filter(_._1 == 0).map(_._2).sorted.toSeq == Seq(27, 30))
+    assert(out.forall(_._3 <= 2))
+  }
+
+  test("fuzzy join matches within the edit-distance bound inside blocks") {
+    val l = Seq((1L, "spark engine"), (2L, "flink engine")).toDF("id_l", "name_l")
+    val r = Seq((10L, "spark enginr"), (20L, "totally different")).toDF("id_r", "name_r")
+    val out = Fuzzy.joinByEditDistance(l, r, "name_l", "name_r", maxDist = 2,
+      blockKey = org.apache.spark.sql.functions.substring(_, 1, 3))
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))   // blocked + thresholded, no cross noise
+  }
 }
