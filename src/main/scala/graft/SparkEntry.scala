@@ -409,6 +409,18 @@ object SparkEntry {
         "discount_in_range" -> (col("l_discount") >= 0 && col("l_discount") <= 1),
         "qty_under_40" -> (col("l_quantity") < 40)))),
 
+    // time-series densify + impute: per-type daily counts on a gapless
+    // grid, forward-filled then zero-coalesced
+    "ts_gapfill_ffill" -> ((s, dir) => {
+      val daily = eventsUs(s, dir)
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      val grid = graft.operators.TimeSeries.gapFill(daily, Seq("event_type"), "day")
+      graft.operators.TimeSeries.ffill(grid, Seq("event_type"), "day", Seq("cnt"))
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("cnt_ff"))
+    }),
+
     // batch twin of stream_session_counts — same oracle, zero streaming
     // machinery: gap-based sessionize + per-session aggregate
     "batch_sessionize" -> ((s, dir) => {
@@ -1395,6 +1407,17 @@ object SparkEntry {
         |UNION ALL SELECT 'key_not_null', v2, total, v2 = 0 FROM t
         |UNION ALL SELECT 'discount_in_range', v3, total, v3 = 0 FROM t
         |UNION ALL SELECT 'qty_under_40', v4, total, v4 = 0 FROM t""".stripMargin,
+
+    "ts_gapfill_ffill" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |    FROM events GROUP BY 1, 2),
+        |  spans AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+        |  grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM spans),
+        |  j AS (SELECT g.event_type, g.day, d.cnt FROM grid g
+        |    LEFT JOIN d USING (event_type, day))
+        |SELECT event_type, day, coalesce(last_value(cnt IGNORE NULLS) OVER (
+        |  PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS cnt_ff
+        |FROM j""".stripMargin,
 
     // same SQL as stream_session_counts — the batch/stream twins must agree
     "batch_sessionize" ->
