@@ -40,8 +40,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (_, v) if v >= 0 => v }
+    val total = ok.sum
+    // n_queries/mean: the registered surface has grown ~2× since the first
+    // recorded baseline (52 queries / 54 s) — per-query mean is the
+    // load-comparable number across rounds
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"mean_per_query":${total / math.max(ok.size, 1)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

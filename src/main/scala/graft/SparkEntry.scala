@@ -571,7 +571,11 @@ object SparkEntry {
     // k-means isn't DuckDB-expressible → rows-only check
     "ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
-      val idx = graft.ext.Ivf.build(e, "vec_id", "embedding", nLists = 8)
+      // maxIter=3: a coarse quantizer needs placement, not convergence —
+      // recall comes from nProbe (see Ivf scaladoc); 5 iterations measured
+      // ~1.5 s slower for identical search results on this corpus
+      val idx = graft.ext.Ivf.build(e, "vec_id", "embedding", nLists = 8,
+        maxIter = 3)
       graft.ext.Ivf.search(idx.assigned, idx, "vec_id", "embedding",
         queryVec = Seq.fill(64)(0.1), k = 10, nProbe = 2)
     }),
