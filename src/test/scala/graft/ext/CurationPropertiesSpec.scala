@@ -52,6 +52,35 @@ class CurationPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: chunking is lossless — stepped chunk prefixes rebuild the doc") {
+    val docGen = Gen.choose(0, 40).map(n => (1 to n).map(i => s"w$i").mkString(" "))
+    for ((doc, i) <- samples(docGen, n = 10).zipWithIndex) {
+      val df = Seq((1L, doc)).toDF("id", "text")
+      val chunks = Curation.chunkByTokens(df, "id", "text",
+        chunkTokens = 7, overlapTokens = 2)
+        .orderBy("chunk_idx").select("chunk").as[String].collect()
+      val step = 5
+      val rebuilt = chunks.zipWithIndex.map { case (c, idx) =>
+        val toks = c.split(" ").toSeq
+        if (idx == chunks.length - 1) toks else toks.take(step)
+      }.flatten
+      val want = if (doc.isEmpty) Seq.empty else doc.split(" ").toSeq
+      assert(rebuilt.toSeq == want, s"case $i: doc of ${want.size} tokens")
+    }
+  }
+
+  test("property: zvalue is monotone per coordinate (other coordinate fixed)") {
+    import graft.sources.ZOrder
+    val grid = (for { x <- 0 to 7; y <- 0 to 7 } yield (x, y)).toDF("x", "y")
+    val z = grid.withColumn("z", ZOrder.zvalueWith(Seq("x", "y"),
+        Seq((0.0, 7.0), (0.0, 7.0)), bits = 3))
+      .as[(Int, Int, Long)].collect().map { case (x, y, v) => (x, y) -> v }.toMap
+    for (y <- 0 to 7; x <- 0 until 7)
+      assert(z((x, y)) < z((x + 1, y)), s"x-monotonicity broke at ($x,$y)")
+    for (x <- 0 to 7; y <- 0 until 7)
+      assert(z((x, y)) < z((x, y + 1)), s"y-monotonicity broke at ($x,$y)")
+  }
+
   test("property: connectedComponents labels are true equivalence classes") {
     val edgesGen = Gen.listOfN(40,
       Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L))).map(_.filter(p => p._1 != p._2))
