@@ -277,6 +277,12 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    // labels only ever DECREASE under min-propagation, so the label sum is
+    // strictly decreasing until the fixpoint — convergence is one 1-column
+    // aggregate per round instead of an old-vs-new join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -288,8 +294,9 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("__minNbr"), col("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next.select(col("id"), col("comp").as("__c2")).join(labels, "id")
-        .filter(col("__c2") =!= col("comp")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
