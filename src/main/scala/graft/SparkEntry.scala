@@ -15,9 +15,11 @@ import graft.streaming.Streams
   *
   * Every operator from SURVEY.md §2 (plus the LLM-data-pipeline ext tier)
   * is registered as a `queries` entry; `oracleSql` carries the equivalent
-  * DuckDB SQL for the hash-compared correctness gate. Ops whose math is not
-  * expressible in DuckDB (xxhash64-based MinHash/SimHash/sign-LSH) are
-  * registered without oracle SQL → rows-only check.
+  * DuckDB SQL for the hash-compared correctness gate. Only the three
+  * approximate-by-design ANN paths are rows-only (each carries a separate
+  * planted-duplicate retrieval oracle); the LSH dedup tiers reach exact
+  * oracles through candidate → exact-rescore pipelines. SparkEntrySpec
+  * pins that contract.
   *
   * Cross-engine determinism rules used throughout (see SURVEY.md §7.4):
   *  - money aggregates go through DECIMAL(18,2) (exact) and cast the final
