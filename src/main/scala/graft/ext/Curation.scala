@@ -40,6 +40,19 @@ object Curation {
       .cast("int") % buckets
   }
 
+  /** Collision-safe composite key for multi-column identities: JSON-encode
+    * the struct (same field-delimiting trick as [[Dedup.exact]], so
+    * ("ab","c") and ("a","bc") never collide the way a plain concat would).
+    * Feed the result to any keyCol-taking op via a derived column:
+    * {{{ df.withColumn("__key", Curation.compositeKey(col("a"), col("b"))) }}}
+    */
+  def compositeKey(cols: Column*): Column = {
+    require(cols.nonEmpty)
+    to_json(struct(cols: _*),
+      scala.jdk.CollectionConverters.MapHasAsJava(
+        Map("ignoreNullFields" -> "false")).asJava)
+  }
+
   /** Keep a deterministic `keepPerMille`/1000 sample of rows by key hash.
     * Pure filter — no shuffle, no state, stable under corpus growth.
     */

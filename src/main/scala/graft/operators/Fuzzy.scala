@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
+  /** Phonetic block key — catches typos a prefix block misses ("Jon" /
+    * "John" share a soundex but not a 4-prefix). Use as a second pass and
+    * union the match sets for higher recall.
+    */
+  val soundexBlock: Column => Column = c => soundex(c)
+
   /** Join rows whose string keys are within `maxDist` Levenshtein edits,
     * blocking on `blockKey` of each side's key column. Adds `edit_dist`.
     */

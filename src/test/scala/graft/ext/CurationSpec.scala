@@ -78,6 +78,18 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_._1).toSet.size == 100)
   }
 
+  test("compositeKey never collides across field boundaries") {
+    val df = Seq(("ab", "c"), ("a", "bc"), ("x", null), (null, "x"))
+      .toDF("a", "b")
+    val keys = df.select(Curation.compositeKey(col("a"), col("b")).as("k"))
+      .as[String].collect()
+    assert(keys.distinct.length == 4)
+    // and it drives split/sample like any scalar key
+    val split = Curation.splitByHash(
+      df.withColumn("k", Curation.compositeKey(col("a"), col("b"))), "k")
+    assert(split.count() == 4)
+  }
+
   test("upsampleByHash: whole copies + hash-gated fractional copy") {
     val df = (1L to 1000L).toDF("id")
     val up = Curation.upsampleByHash(df, "id", ratePerMille = 2500)

@@ -86,6 +86,16 @@ class ColumnOpsSpec extends SparkSpec {
     assert(out.forall(_._3 <= 2))
   }
 
+  test("soundex blocking catches first-char-safe phonetic variants") {
+    val l = Seq((1L, "Jon Smith")).toDF("id_l", "name_l")
+    val r = Seq((10L, "John Smith")).toDF("id_r", "name_r")
+    // a 4-prefix block would separate "Jon " from "John"; soundex doesn't
+    val out = Fuzzy.joinByEditDistance(l, r, "name_l", "name_r", maxDist = 2,
+      blockKey = Fuzzy.soundexBlock)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("fuzzy join matches within the edit-distance bound inside blocks") {
     val l = Seq((1L, "spark engine"), (2L, "flink engine")).toDF("id_l", "name_l")
     val r = Seq((10L, "spark enginr"), (20L, "totally different")).toDF("id_r", "name_r")
