@@ -314,6 +314,16 @@ object SparkEntry {
       AsOf.joinBackward(ev, ord, Seq("user_id"), "ts_us", "ots", Seq("o_totalprice"))
     }),
 
+    // next-event-after direction, same dedup + oracle pattern
+    "asof_join_fwd" -> ((s, dir) => {
+      val ev = eventsUs(s, dir).select("event_id", "user_id", "ts_us")
+      val ord = Sync.latestVersion(Tables(s, dir).orders,
+          Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+        .select(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ots"), col("o_totalprice"))
+      AsOf.joinForward(ev, ord, Seq("user_id"), "ts_us", "ots", Seq("o_totalprice"))
+    }),
+
     "del_where" -> ((s, dir) =>
       Sync.delWhere(Tables(s, dir).lineitem, col("l_shipdate") < lit("1994-01-01"))),
 
@@ -1113,6 +1123,15 @@ object SparkEntry {
         |e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
         |SELECT e.event_id, e.user_id, e.ts_us, ord.o_totalprice
         |FROM e ASOF LEFT JOIN ord ON e.user_id = ord.o_custkey AND e.ts_us >= ord.ots""".stripMargin,
+
+    "asof_join_fwd" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS ots, o_totalprice
+        |  FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT e.event_id, e.user_id, e.ts_us, ord.o_totalprice
+        |FROM e ASOF LEFT JOIN ord ON e.user_id = ord.o_custkey AND e.ts_us <= ord.ots""".stripMargin,
 
     "sink_batch_insert" -> "SELECT * FROM orders",
 

@@ -26,7 +26,25 @@ object AsOf {
 
   def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, rightCols: Seq[String],
-                   tolerance: Option[Long] = None): DataFrame = {
+                   tolerance: Option[Long] = None): DataFrame =
+    joinDirected(left, right, keys, leftTs, rightTs, rightCols, tolerance,
+      forward = false)
+
+  /** Forward as-of join — the EARLIEST right row with `rightTs >= leftTs`
+    * per key (next-event-after: "first fill after the order", "next
+    * observation after the probe"). Same union+window shape as backward,
+    * with the sort reversed; DuckDB's `ASOF ... ON l.ts <= r.ts` is the
+    * oracle.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String, rightCols: Seq[String],
+                  tolerance: Option[Long] = None): DataFrame =
+    joinDirected(left, right, keys, leftTs, rightTs, rightCols, tolerance,
+      forward = true)
+
+  private def joinDirected(left: DataFrame, right: DataFrame, keys: Seq[String],
+                           leftTs: String, rightTs: String, rightCols: Seq[String],
+                           tolerance: Option[Long], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__ts", col(leftTs).cast("long"))
@@ -38,7 +56,10 @@ object AsOf {
       .withColumn("__tag", lit(0))
 
     val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__ts"), col("__tag"))
+    // right rows sort before left rows at equal ts in BOTH directions, so
+    // the match is inclusive; forward just walks time backwards
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tsOrder, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rightCols.foldLeft(
@@ -47,8 +68,10 @@ object AsOf {
       df.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
 
+    val gap: Column =
+      if (forward) col("__rts") - col("__ts") else col("__ts") - col("__rts")
     val withinTol: Column = tolerance match {
-      case Some(t) => col("__rts").isNotNull && (col("__ts") - col("__rts") <= t)
+      case Some(t) => col("__rts").isNotNull && (gap <= t)
       case None    => col("__rts").isNotNull
     }
     carried.filter(col("__tag") === 1)

@@ -33,6 +33,25 @@ class AsOfSpec extends SparkSpec {
     assert(out(("B", 50L)).isEmpty)
   }
 
+  test("forward as-of picks the earliest quote at or after each trade") {
+    val out = AsOf.joinForward(trades, quotes, Seq("sym"), "ts", "qts", Seq("px"))
+      .as[(String, Long, String, Option[Double])].collect().toSet
+    assert(out == Set(
+      ("A", 100L, "t1", Some(11.0)),     // next quote after 100 is 240
+      ("A", 250L, "t2", Some(12.0)),
+      ("A", 300L, "t3", Some(12.0)),     // equal timestamps match (inclusive)
+      ("B", 50L, "t4", Some(5.0))))      // quote at 60 is ahead of 50
+  }
+
+  test("forward tolerance bounds how far ahead a match may be") {
+    val out = AsOf.joinForward(trades, quotes, Seq("sym"), "ts", "qts", Seq("px"),
+      tolerance = Some(20L))
+      .as[(String, Long, String, Option[Double])].collect().toMap2
+    assert(out(("A", 100L)).isEmpty)         // 240-100 > 20
+    assert(out(("A", 300L)).contains(12.0))  // 0 ≤ 20
+    assert(out(("B", 50L)).contains(5.0))    // 60-50 ≤ 20
+  }
+
   test("plan has a single exchange (one shuffle, no range explosion)") {
     val out = AsOf.joinBackward(trades, quotes, Seq("sym"), "ts", "qts", Seq("px"))
     val exchanges = out.queryExecution.executedPlan.toString()
