@@ -1422,10 +1422,10 @@ object SparkEntry {
 
     "dq_expectations" ->
       """WITH t AS (SELECT
-        |    sum(CASE WHEN coalesce(l_quantity > 0, false) THEN 0 ELSE 1 END) AS v1,
-        |    sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v2,
-        |    sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 1, false) THEN 0 ELSE 1 END) AS v3,
-        |    sum(CASE WHEN coalesce(l_quantity < 40, false) THEN 0 ELSE 1 END) AS v4,
+        |    CAST(sum(CASE WHEN coalesce(l_quantity > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN coalesce(l_discount >= 0 AND l_discount <= 1, false) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN coalesce(l_quantity < 40, false) THEN 0 ELSE 1 END) AS BIGINT) AS v4,
         |    count(*) AS total
         |  FROM lineitem)
         |SELECT 'qty_positive' AS rule, v1 AS violations, total, v1 = 0 AS pass FROM t
@@ -1582,8 +1582,8 @@ object SparkEntry {
 
     "corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)) AS total_tokens,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
         |  count(DISTINCT lang) AS n_langs, true AS hll_ok
         |FROM documents GROUP BY source""".stripMargin,
 
@@ -1653,8 +1653,8 @@ object SparkEntry {
          |    ${duckBucket("CAST(doc_id AS VARCHAR)", 8, "graft")} AS shard
          |  FROM documents),
          |  c AS (SELECT doc_id, n_tok, shard,
-         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS UNBOUNDED PRECEDING) - n_tok AS cum FROM d)
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS cum FROM d)
          |SELECT doc_id, n_tok, shard, cum // 512 AS bin, cum % 512 AS bin_offset
          |FROM c""".stripMargin,
 

@@ -8,28 +8,36 @@ matching SQL from <verifyOutDir>/oracle_sql.json on DuckDB views over the
 sfDir parquet tables, and compares the two result sets exactly (columns
 sorted by name, rows sorted by all columns, values compared after a
 canonical repr). Exit code 1 if any mismatch.
+
+IMPORTANT: both sides are fetched through pandas (`.df()`), mirroring the
+driver's compare. This is dtype-sensitive on purpose: DuckDB `sum()` over
+any integer type returns HUGEINT, which pandas converts to float64, so an
+oracle `sum(bigint_col)` hashes as "431.0" against Spark's int64 "431" and
+FAILS even though the values are numerically equal. The fix is always a
+`CAST(sum(...) AS BIGINT)` in the oracle SQL, never a looser compare here.
 """
 import sys, json, glob, os
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon_df(df):
+    """Dtype-sensitive canonical form of a pandas frame: columns sorted by
+    name, every value repr'd the way the driver's hash sees it, rows sorted."""
+    cols = sorted(df.columns)
     out = []
-    for r in rows:
+    for row in df[cols].itertuples(index=False, name=None):
         vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                vals.append(repr(v))          # exact double repr
-            elif isinstance(v, bytes):
-                vals.append(v.hex())
+        for v in row:
+            if isinstance(v, (bytes, bytearray)):
+                vals.append(bytes(v).hex())
+            elif isinstance(v, float):
+                vals.append(repr(v))          # exact double repr; int64 stays int
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
     out.sort()
-    return [cols[i] for i in order], out
+    return cols, out
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -45,20 +53,16 @@ def main(sf_dir, out_dir):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"FAIL  {name}: no result parquet"); n_fail += 1; continue
-        got = con.execute(f"SELECT * FROM '{files[0]}'")
-        gcols = [d[0] for d in got.description]
-        grows = got.fetchall()
+        got_df = con.execute(f"SELECT * FROM '{files[0]}'").df()
         if name not in oracle:
-            print(f"rows  {name}: {len(grows)} rows (no oracle)"); n_rowsonly += 1
+            print(f"rows  {name}: {len(got_df)} rows (no oracle)"); n_rowsonly += 1
             continue
         try:
-            exp = con.execute(oracle[name])
-            ecols = [d[0] for d in exp.description]
-            erows = exp.fetchall()
+            exp_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
-        gc, gr = canon(grows, gcols)
-        ec, er = canon(erows, ecols)
+        gc, gr = canon_df(got_df)
+        ec, er = canon_df(exp_df)
         if gc != ec:
             print(f"FAIL  {name}: columns {gc} vs oracle {ec}"); n_fail += 1; continue
         if len(gr) != len(er):
