@@ -173,7 +173,9 @@ object Dedup {
     val sizes = sh.select(col("id"), size(col("sh")).cast("bigint").as("n"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("sh_h"))
-    val inter = pairs.select("id_a", "id_b")
+    // public API over arbitrary pair sets: duplicate (id_a,id_b) rows would
+    // double-count the shingle intersection (jaccard could exceed 1.0)
+    val inter = pairs.select("id_a", "id_b").distinct()
       .join(inv.withColumnRenamed("id", "id_a"), "id_a")
       .join(inv.withColumnRenamed("id", "id_b"), Seq("id_b", "sh_h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
@@ -197,7 +199,7 @@ object Dedup {
     val h = docs.select(col(idCol).as("id"),
       md5(to_json(struct(contentCols.map(col): _*),
         Map("ignoreNullFields" -> "false").asJava)).as("ch"))
-    pairs.select("id_a", "id_b")
+    pairs.select("id_a", "id_b").distinct()
       .join(h.withColumnRenamed("id", "id_a").withColumnRenamed("ch", "ch_a"), "id_a")
       .join(h.withColumnRenamed("id", "id_b").withColumnRenamed("ch", "ch_b"), "id_b")
       .filter(col("ch_a") === col("ch_b"))
@@ -262,12 +264,20 @@ object Dedup {
 
   /** Connected components over a candidate-pair graph — the step between
     * "near-dup pairs" and "keep one document per duplicate CLUSTER".
-    * Iterative min-label propagation: each node repeatedly adopts the
-    * smallest label among itself and its neighbors; converges in
-    * O(log diameter) rounds (duplicate clusters are near-cliques, so
-    * typically 2-3). Each round is one join+agg shuffle on node id;
+    * Per round: (1) min-label propagation — each node adopts the smallest
+    * label among itself and its neighbors — then (2) pointer jumping — each
+    * node re-reads the current label OF its label (path compression). The
+    * jump doubles the propagation reach per round, so a chain of diameter D
+    * converges in O(log D) rounds (reach ≥ 2^r), not D rounds as plain
+    * neighbor-min would; near-clique duplicate clusters still converge in
+    * 2-3. Each round is two hash-join shuffles keyed on id/label;
     * `localCheckpoint` cuts the lineage so plans don't grow with rounds.
-    * Returns (id, comp) where comp = min id of the component.
+    * Convergence is exact and type-agnostic (did ANY label change this
+    * round — one limit-1 scan over the checkpointed round result, no
+    * numeric-id assumption); if `maxIter` rounds pass without a fixpoint
+    * the result would be silently split components, so this THROWS instead
+    * of returning wrong data. Returns (id, comp) where comp = min id of
+    * the component.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
@@ -277,29 +287,33 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
-    // labels only ever DECREASE under min-propagation, so the label sum is
-    // strictly decreasing until the fixpoint — convergence is one 1-column
-    // aggregate per round instead of an old-vs-new join
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
         .groupBy("src").agg(min("__nc").as("__minNbr"))
-      val next = labels
+      val stepped = labels
         .join(nbr.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("__minNbr"), col("comp"))).as("comp"))
+      // pointer jump through the *post-step* labels: comp := label[comp]
+      // (labels only decrease, so the lookup can only improve the label)
+      val next = stepped
+        .join(stepped.select(col("id").as("comp"), col("comp").as("__jump")),
+          Seq("comp"), "left")
+        .select(col("id"), col("__prev"),
+          least(col("comp"), coalesce(col("__jump"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
+      converged = next.filter(col("comp") =!= col("__prev")).isEmpty
+      labels = next.drop("__prev")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          "pair graph has a component of diameter > ~2^" + maxIter +
+          "; raise maxIter (results would otherwise be silently split)")
     labels
   }
 

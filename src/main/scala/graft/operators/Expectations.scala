@@ -19,8 +19,13 @@ object Expectations {
     val names = rules.map(_._1)
     require(names.distinct.size == names.size, s"duplicate rule names in $names")
     require(!names.contains("__total"), "'__total' is a reserved rule name")
+    // outer coalesce: on an EMPTY input sum() is NULL, which would make
+    // violations/pass NULL and sail through enforce()'s violations>0 filter
+    // — an upstream bug producing zero rows must still report pass=true
+    // explicitly (guard zero-row inputs themselves with enforce's minRows;
+    // a row-level rule can't see them)
     val aggs = rules.map { case (name, cond) =>
-      sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L)).as(name)
+      coalesce(sum(when(coalesce(cond, lit(false)), 0L).otherwise(1L)), lit(0L)).as(name)
     } :+ count(lit(1)).as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stacked = rules.map { case (name, _) =>
@@ -30,15 +35,22 @@ object Expectations {
     stacked.withColumn("pass", col("violations") === 0L)
   }
 
-  /** Fail-fast gate: throw if any rule has violations; otherwise return
-    * `df` unchanged for further composition.
+  /** Fail-fast gate: throw if any rule has violations, or if the input has
+    * fewer than `minRows` rows (row-level rules are vacuously satisfied on
+    * an empty input — a dead upstream needs the count guard); otherwise
+    * return `df` unchanged for further composition.
     */
-  def enforce(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val bad = check(df, rules).filter(col("violations") > 0)
-      .select("rule", "violations").collect()
-    if (bad.nonEmpty) {
-      val detail = bad.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
-      throw new IllegalStateException(s"data-quality expectations failed: $detail")
+  def enforce(df: DataFrame, rules: Seq[(String, Column)], minRows: Long = 0L): DataFrame = {
+    val rows = check(df, rules).filter(col("violations") > 0 || col("total") < minRows)
+      .select("rule", "violations", "total").collect()
+    if (rows.nonEmpty) {
+      val total = rows.head.getLong(2)
+      val bad = rows.filter(_.getLong(1) > 0)
+      val detail =
+        (if (total < minRows) Seq(s"total=$total<minRows=$minRows") else Nil) ++
+          bad.map(r => s"${r.getString(0)}=${r.getLong(1)}")
+      throw new IllegalStateException(
+        s"data-quality expectations failed: ${detail.mkString(", ")}")
     }
     df
   }

@@ -44,8 +44,12 @@ object FileSink {
     */
   def overwritePartitions(df: DataFrame, path: String, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "dynamic partition overwrite needs partition keys")
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode(SaveMode.Overwrite).partitionBy(keys: _*).parquet(path)
+    // per-write option, NOT the session conf: a session-wide
+    // partitionOverwriteMode=dynamic would silently change how every later
+    // Overwrite+partitionBy write on this shared session truncates
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(keys: _*).parquet(path)
   }
 
   /** Small-file compaction: rewrite a parquet dataset into

@@ -25,10 +25,28 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents converges on a long chain") {
-    // path graph 1-2-3-...-12: worst case for label propagation
-    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // path graph 1-2-...-200, diameter 199: worst case for plain label
+    // propagation (needs 199 rounds); pointer jumping must close it well
+    // inside the default 20
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
-    assert(comp.values.toSet == Set(1L) && comp.size == 12)
+    assert(comp.values.toSet == Set(1L) && comp.size == 200)
+  }
+
+  test("connectedComponents throws instead of returning split components") {
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents works with non-numeric (string) ids") {
+    val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("representatives keeps one doc per cluster plus all singletons") {
@@ -94,6 +112,16 @@ class DedupSpec extends SparkSpec {
     if (out.contains((1L, 3L))) assert(out((1L, 3L)) == 0.4)
     // threshold filters: nothing below 0.3 survives
     assert(out.values.forall(_ >= 0.3))
+  }
+
+  test("rescore methods tolerate duplicate candidate pairs (jaccard ≤ 1)") {
+    val dupCands = Seq((1L, 2L), (1L, 2L), (1L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.rescoreJaccard(docs, dupCands, "id", "text")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j.size == 2 && j((1L, 2L)) == 1.0 && j((1L, 3L)) == 0.4)
+    val e = Dedup.rescoreExact(docs, dupCands, "id", Seq("text"))
+      .as[(Long, Long)].collect().toSeq
+    assert(e == Seq((1L, 2L)))
   }
 
   test("rescoreExact keeps only identical-content candidate pairs") {

@@ -27,4 +27,21 @@ class ExpectationsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("n_positive=2"))
   }
+
+  test("empty input reports violations=0/pass=true, not NULL") {
+    val empty = df.filter($"k" > 99)
+    val out = Expectations.check(empty, Seq("n_positive" -> ($"n" > 0)))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(("n_positive", 0L, 0L, true)))
+  }
+
+  test("enforce minRows catches a dead upstream that row rules cannot see") {
+    val empty = df.filter($"k" > 99)
+    // without the guard an empty input sails through
+    assert(Expectations.enforce(empty, Seq("n_positive" -> ($"n" > 0))).count() == 0)
+    val e = intercept[IllegalStateException] {
+      Expectations.enforce(empty, Seq("n_positive" -> ($"n" > 0)), minRows = 1)
+    }
+    assert(e.getMessage.contains("minRows"))
+  }
 }

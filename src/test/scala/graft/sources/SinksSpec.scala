@@ -100,6 +100,11 @@ class SinksSpec extends SparkSpec {
       Seq((10, "d1")).toDF("id", "day"), dir, Seq("day"))
     val back = spark.read.parquet(dir).as[(Int, String)].collect().toSet
     assert(back == Set((10, "d1"), (3, "d2")))
+    // the dynamic mode must be per-write, not leaked into the session:
+    // a later plain Overwrite+partitionBy must still truncate ALL partitions
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic")
+    FileSink.partitionedBy(Seq((7, "d3")).toDF("id", "day"), dir, "parquet", Seq("day"))
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().toSet == Set((7, "d3")))
   }
 
   test("checkpointed incremental ingest processes only NEW files per run") {
