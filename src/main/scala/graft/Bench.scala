@@ -38,14 +38,18 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the line short, and the headline
+    // fields go LAST: the driver records only the tail of the output, so a
+    // long per-query map must not push value/mean past the capture window
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = ok.sum
     // n_queries/mean: the registered surface has grown ~2× since the first
     // recorded baseline (52 queries / 54 s) — per-query mean is the
     // load-comparable number across rounds
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"mean_per_query":${total / math.max(ok.size, 1)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${ok.size},"mean_per_query":${r3(total / math.max(ok.size, 1))},"value":${r3(total)}}""")
     spark.stop()
   }
 }

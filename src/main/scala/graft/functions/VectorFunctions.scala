@@ -70,6 +70,32 @@ object VectorFunctions {
     sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
   }
 
+  /** Symmetric int8 scalar quantization: scale = max|v| / 127, q[i] =
+    * round(v[i] / scale) ∈ [-127, 127]. Returns struct(scale: double,
+    * q: array<int>). The 4× (vs float32) / 8× (vs float64) memory cut that
+    * makes a 100 TB embedding corpus fit a fraction of the executors —
+    * brute-force and IVF scans read int8 and rescore survivors at full
+    * precision. Zero vectors quantize to all-zero with scale 0 (no 0/0).
+    * max is order-independent and round/divide are exact IEEE ops, so the
+    * result is bit-stable across engines and partitionings.
+    */
+  def quantizeInt8(v: Column): Column =
+    ExprOps.let(toDouble(v)) { vd =>
+      ExprOps.let(aggregate(vd, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0) { s =>
+        struct(s.as("scale"),
+          when(s === 0.0, transform(vd, x => (x * 0).cast("int")))
+            .otherwise(transform(vd, x => round(x / s).cast("int"))).as("q"))
+      }
+    }
+
+  /** Inverse of [[quantizeInt8]]: q[i] × scale back to array<double>.
+    * Reconstruction error is ≤ scale/2 per element by construction.
+    */
+  def dequantizeInt8(qs: Column): Column =
+    ExprOps.let(qs.getField("scale")) { s =>
+      transform(qs.getField("q"), x => x.cast("double") * s)
+    }
+
   /** Sign-bit LSH bucket for a vector: `nBits` deterministic pseudo-random
     * hyperplanes (splitmix64-derived row-constants). Delegates to the
     * native codegen'd [[SignLshBucketExpr]] — the planes ride along as one

@@ -80,6 +80,26 @@ object Streams {
       .toDF(keyCol, "running_count", "running_sum")
   }
 
+  /** Stream-stream inner join within an event-time interval — the
+    * attribution/funnel primitive (e.g. click → purchase within 30 min).
+    * Both sides carry the SAME watermark delay and the join condition
+    * bounds `rightTs` to `[leftTs, leftTs + maxGap]`, so Spark can evict
+    * buffered state as the watermark advances — state is
+    * O(rate × (delay + maxGap)) per key range, never unbounded. Column
+    * names must be disjoint across the two sides (alias before calling for
+    * self-joins). Inner join in append mode: each matched pair is emitted
+    * exactly once.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCond: org.apache.spark.sql.Column,
+                   leftTs: String, rightTs: String, watermarkDelay: String,
+                   maxGap: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, keyCond &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxGap"))
+  }
+
   /** The reference's `cron:` scheduling modes mapped to triggers
     * (`/root/reference/src/Scheduler.php:79-96`): interval N seconds →
     * ProcessingTime; -1 (run once) → AvailableNow.

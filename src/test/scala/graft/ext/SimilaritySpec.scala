@@ -25,6 +25,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._1 == 2L && math.abs(out.head._2 - 1.0) < 1e-9)
   }
 
+  test("int8TopK ranks like the exact scan on well-separated vectors") {
+    val out = Similarity.int8TopK(vecs, "vec_id", "embedding", queryId = 0L, k = 4)
+      .as[(Long, Long)].collect()
+    // same order the exact cosine scan produces for this corpus: 1 ≻ 4 ≻ 2 ≻ 3
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    // codes are in [-127,127], dim 3 → |iscore| ≤ 3·127²
+    assert(out.forall(r => math.abs(r._2) <= 3L * 127 * 127))
+    // orthogonal vector scores 0, opposite scores negative
+    val m = out.toMap
+    assert(m(2L) == 0L && m(3L) < 0L)
+  }
+
   test("bucketJoinKnn returns at most k neighbors per query, never itself") {
     val out = Similarity.bucketJoinKnn(vecs, vecs, "vec_id", "embedding",
       dim = 3, k = 2, lshBits = 2)

@@ -115,4 +115,26 @@ class FunctionsSpec extends SparkSpec {
     val r2 = one.select(VectorFunctions.signLshBucket(v, 8, 3)).as[Long].head()
     assert(r1 == r2 && r1 >= 0 && r1 < 256)
   }
+
+  test("quantizeInt8 codes stay in [-127,127] and round-trip within scale/2") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))       // zero vector: no 0/0
+      .toDF("id", "v")
+    val out = df.select($"id",
+        VectorFunctions.quantizeInt8($"v").as("qs"), $"v")
+      .select($"id", $"qs.scale".as("scale"), $"qs.q".as("q"),
+        VectorFunctions.dequantizeInt8($"qs").as("d"), $"v")
+      .as[(Long, Double, Seq[Int], Seq[Double], Seq[Float])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s1, q1, d1, v1) = out(1L)
+    assert(s1 == 1.0 / 127)
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    assert(q1.head == 127)                      // max element maps to ±127
+    v1.zip(d1).foreach { case (orig, deq) =>
+      assert(math.abs(deq - orig) <= s1 / 2 + 1e-12)
+    }
+    val (_, s2, q2, d2, _) = out(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0) && d2.forall(_ == 0.0))
+  }
 }

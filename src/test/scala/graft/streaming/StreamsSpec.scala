@@ -78,6 +78,28 @@ class StreamsSpec extends SparkSpec {
       (ts("2024-01-01 00:05:00"), 2L, 1L)))
   }
 
+  test("intervalJoin emits each in-window pair exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    clicks.addData(
+      (1L, 100L, ts("2024-01-01 00:00:00")),
+      (1L, 101L, ts("2024-01-01 00:30:00")),
+      (2L, 102L, ts("2024-01-01 00:00:00")))
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    purchases.addData(
+      (1L, 200L, ts("2024-01-01 00:10:00")),   // in window of click 100
+      (1L, 201L, ts("2024-01-01 00:40:00")),   // in window of 101, outside 100's
+      (3L, 202L, ts("2024-01-01 00:05:00")))   // user with no click
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+      purchases.toDF().toDF("p_user", "purchase_id", "p_ts"),
+      col("user_id") === col("p_user"), "click_ts", "p_ts",
+      watermarkDelay = "1 hour", maxGap = "30 minutes")
+    val got = Streams.runToMemoryComplete(spark, joined, outputMode = "append")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 200L), (101L, 201L)))
+  }
+
   test("dedupWithinWatermark emits one row per key within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
