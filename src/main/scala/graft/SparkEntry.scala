@@ -696,6 +696,27 @@ object SparkEntry {
         sumName = "sum_qty", countName = "n")
         .withColumn("sum_qty", col("sum_qty").cast("double"))),
 
+    // salted JOIN end-to-end: the hot-key spreading must be semantically
+    // invisible — the oracle is the plain unsalted join + aggregate
+    "skew_salted_join" -> ((s, dir) => {
+      val small = Tables(s, dir).supplier
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(
+          Tables(s, dir).lineitem.select(
+            col("l_suppkey"), col("l_extendedprice").cast("decimal(18,2)").as("price")),
+          small, Seq("l_suppkey"), factor = 8)
+        .groupBy("s_nationkey")
+        .agg(sum(col("price")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // deterministic training-order shuffle: the permutation key is the
+    // oracle (order-insensitive hash compare); the range-sort execution
+    // contract is unit-tested in CurationSpec
+    "curate_shuffle" -> ((s, dir) =>
+      Curation.shuffleByHash(Tables(s, dir).documents, "doc_id", numPartitions = 8)
+        .select("doc_id", "shuffle_key")),
+
     // size-governed parquet write → read-back (content equality is the
     // oracle; SinksSpec asserts the file-count contract)
     "sink_file_sized" -> ((s, dir) => {
@@ -1584,6 +1605,18 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT s_nationkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+
+    "curate_shuffle" ->
+      """SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || ':graft') AS shuffle_key
+        |FROM documents""".stripMargin,
 
     "sink_file_sized" -> "SELECT * FROM orders",
 

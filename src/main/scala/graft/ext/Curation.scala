@@ -62,6 +62,28 @@ object Curation {
     df.filter(hashBucket(col(keyCol), 1000, salt) < keepPerMille)
   }
 
+  /** Deterministic global "shuffle" for training order: sort by
+    * md5(key ‖ ':' ‖ salt) — byte-identical across runs, partitionings and
+    * cluster sizes (vs `orderBy(rand())`, which is neither reproducible nor
+    * stable under retries). Executed as `repartitionByRange` on the hash +
+    * `sortWithinPartitions`: range partition boundaries come from a sampled
+    * sketch, so no single task ever globally sorts — writing the result
+    * preserves order across sequentially-numbered output files. A new salt
+    * is a fresh epoch permutation. Adds the sort key as `shuffleKeyCol`
+    * (keep it: resuming a run re-sorts by the stored key without
+    * re-hashing).
+    */
+  def shuffleByHash(df: DataFrame, keyCol: String, salt: String = "graft",
+                    numPartitions: Int = 0,
+                    shuffleKeyCol: String = "shuffle_key"): DataFrame = {
+    val keyed = df.withColumn(shuffleKeyCol,
+      md5(concat(col(keyCol).cast("string"), lit(":" + salt))))
+    val ranged =
+      if (numPartitions > 0) keyed.repartitionByRange(numPartitions, col(shuffleKeyCol))
+      else keyed.repartitionByRange(col(shuffleKeyCol))
+    ranged.sortWithinPartitions(shuffleKeyCol)
+  }
+
   /** Deterministic train/val/test split: adds a `split` column from the key
     * hash. Defaults 800/100/100 per-mille. A row's split never changes when
     * other rows are added or the data is repartitioned.

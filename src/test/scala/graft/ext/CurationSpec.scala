@@ -22,6 +22,25 @@ class CurationSpec extends SparkSpec {
     assert(inLowTenth > 60 && inLowTenth < 140)       // ~10% ± noise
   }
 
+  test("shuffleByHash is a deterministic global permutation in read order") {
+    val out = Curation.shuffleByHash(rows, "id", numPartitions = 4)
+    val keys = out.select("shuffle_key").as[String].collect().toSeq
+    // collect() walks partitions in range order → the sequence must be the
+    // globally-sorted md5 ordering, not just sorted-within-partition
+    assert(keys == keys.sorted)
+    assert(out.rdd.getNumPartitions == 4)
+    // permutation: all 1000 rows survive, order is reproducible, and a new
+    // salt is a different epoch order
+    val ids = out.select("id").as[Long].collect().toSeq
+    assert(ids.sorted == (1L to 1000L))
+    val ids2 = Curation.shuffleByHash(rows, "id", numPartitions = 4)
+      .select("id").as[Long].collect().toSeq
+    assert(ids == ids2)
+    val epoch2 = Curation.shuffleByHash(rows, "id", salt = "epoch2", numPartitions = 4)
+      .select("id").as[Long].collect().toSeq
+    assert(ids != epoch2)
+  }
+
   test("sampleByHash keeps a stable subset; stability under corpus growth") {
     val s1 = Curation.sampleByHash(rows, "id", 200, "s1").select("id").as[Long].collect().toSet
     val grown = (1L to 2000L).map(i => (i, "x")).toDF("id", "src")
