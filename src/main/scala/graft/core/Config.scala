@@ -241,10 +241,16 @@ object Config {
         graft.ext.Curation.packSequences(df, str(n, "key"), str(n, "tokens"),
           n.get("maxTokensPerBin").asInt, n.get("shards").asInt,
           strOpt(n, "salt").getOrElse("graft"))
+      case "shuffle" =>
+        graft.ext.Curation.shuffleByHash(df, str(n, "key"),
+          strOpt(n, "salt").getOrElse("graft"),
+          Option(n.get("partitions")).map(_.asInt).getOrElse(0))
       // data-quality gate: fail the task if any rule has violations
+      // (minRows guards empty upstreams that row-level rules cannot see)
       case "expect" =>
         graft.operators.Expectations.enforce(df,
-          strPairs(n, "rules").map { case (name, e) => name -> expr(e) })
+          strPairs(n, "rules").map { case (name, e) => name -> expr(e) },
+          Option(n.get("minRows")).map(_.asLong).getOrElse(0L))
       case other => throw new IllegalArgumentException(s"unknown transform op: $other")
     }
 

@@ -257,6 +257,27 @@ class ConfigSpec extends SparkSpec {
            |""".stripMargin)
     }
     assert(e.getMessage.contains("n_pos=1"))
+    // minRows catches an empty upstream that row rules sail past
+    val e2 = intercept[IllegalStateException] {
+      Config.run(spark,
+        s"""source: {type: parquet, path: $dir/in}
+           |transforms:
+           |  - {op: filter, expr: "id > 99"}
+           |  - {op: expect, rules: {id_pos: "id > 0"}, minRows: 1}
+           |""".stripMargin)
+    }
+    assert(e2.getMessage.contains("minRows"))
+  }
+
+  test("shuffle op from config orders by the epoch permutation key") {
+    val dir = Files.createTempDirectory("graft_cfg_shuf_").toString
+    (1L to 200L).toDF("id").write.parquet(s"$dir/in")
+    val out = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms: [{op: shuffle, key: id, salt: ep1, partitions: 3}]
+         |""".stripMargin)
+    val keys = out.select("shuffle_key").collect().map(_.getString(0)).toSeq
+    assert(keys == keys.sorted && keys.size == 200)
   }
 
   test("unknown op fails fast with a clear message") {

@@ -100,6 +100,35 @@ class StreamsSpec extends SparkSpec {
     assert(got == Set((100L, 200L), (101L, 201L)))
   }
 
+  test("intervalJoin matches the batch interval join on a pseudo-random load") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic pseudo-random events (fixed LCG, no wall-clock): 60
+    // left and 80 right rows over 12 users and a 2 h span — enough overlap
+    // to exercise in-window, out-of-window, and multi-match cases
+    var seed = 0x5DEECE66DL
+    def next(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n }
+    val base = ts("2024-01-01 00:00:00").getTime
+    val lRows = (1 to 60).map(i =>
+      (next(12).toLong, 1000L + i, new Timestamp(base + next(7200) * 1000L)))
+    val rRows = (1 to 80).map(i =>
+      (next(12).toLong, 2000L + i, new Timestamp(base + next(7200) * 1000L)))
+    val l = MemoryStream[(Long, Long, Timestamp)]; l.addData(lRows: _*)
+    val r = MemoryStream[(Long, Long, Timestamp)]; r.addData(rRows: _*)
+    val streamed = Streams.intervalJoin(
+      l.toDF().toDF("u", "lid", "lts"), r.toDF().toDF("ru", "rid", "rts"),
+      col("u") === col("ru"), "lts", "rts",
+      watermarkDelay = "1 hour", maxGap = "15 minutes")
+    val got = Streams.runToMemoryComplete(spark, streamed, outputMode = "append")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (lu, lid, lts) <- lRows; (ru, rid, rts) <- rRows
+      if lu == ru && rts.getTime >= lts.getTime &&
+        rts.getTime <= lts.getTime + 15 * 60 * 1000L
+    } yield (lid, rid)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("dedupWithinWatermark emits one row per key within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
