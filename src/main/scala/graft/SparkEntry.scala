@@ -41,6 +41,23 @@ object SparkEntry {
   private def withNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`, restoring
+    * the previous value after. Streaming queries use this: each stateful
+    * operator materializes one state store PER shuffle partition (a
+    * stream-stream join keeps four), so the partition count should track
+    * STATE VOLUME, not core count — at this test scale 32 partitions is
+    * pure store-setup overhead (measured 9.3 s → 2.7 s on the interval
+    * join with 8). At 100 TB the same knob goes the other way: size it so
+    * each store's state fits its executor. Results are partitioning-
+    * independent (oracle-verified), only the wall clock moves.
+    */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** events with `ts_us` (µs-truncated BIGINT event time) prepended. */
   private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
     withNanosAsLong(spark)
@@ -924,15 +941,18 @@ object SparkEntry {
     // DataSource v2 queue source (the AMQP/NSQ stand-in) driven end-to-end:
     // deterministic messages → micro-batch stream → aggregate
     "stream_queue_source" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
       import graft.streaming.MessageQueues
       MessageQueues.clear("verify_q")
       MessageQueues.push("verify_q", "alpha", "beta", "alpha", "gamma", "beta", "alpha")
       val src = s.readStream.format("graft.streaming.QueueSourceProvider")
         .option("queue", "verify_q").load()
       Streams.runToMemoryComplete(s, src.groupBy("body").count().withColumnRenamed("count", "cnt"))
+      }
     }),
 
     "stream_tumbling_counts" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
       withNanosAsLong(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
@@ -941,9 +961,11 @@ object SparkEntry {
       val counts = Streams.windowedCounts(ev, "ts_t", "1 hour", None, "1 hour",
         Seq("event_type"))
       Streams.runToMemoryComplete(s, counts, outputMode = "complete")
+      }
     }),
 
     "stream_sliding_counts" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
       withNanosAsLong(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
@@ -952,9 +974,11 @@ object SparkEntry {
       val counts = Streams.windowedCounts(ev, "ts_t", "1 hour", Some("30 minutes"),
         "1 hour", Seq("event_type"))
       Streams.runToMemoryComplete(s, counts, outputMode = "complete")
+      }
     }),
 
     "stream_session_counts" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
       withNanosAsLong(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
@@ -963,12 +987,14 @@ object SparkEntry {
       val counts = Streams.sessionCounts(ev, "ts_t", "30 minutes", "1 hour",
         Seq("user_id"))
       Streams.runToMemoryComplete(s, counts, outputMode = "complete")
+      }
     }),
 
     // curation ops are stateless scan-side predicates, so they run
     // unchanged on streams: deterministic split of an event stream,
     // aggregated per split (complete mode) — oracle is the batch equivalent
     "stream_split_counts" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
       withNanosAsLong(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
@@ -977,11 +1003,13 @@ object SparkEntry {
       Streams.runToMemoryComplete(s,
         split.groupBy("split").count().withColumnRenamed("count", "cnt"),
         outputMode = "complete")
+      }
     }),
 
     // stream–static join: the streaming side enriches against a static dim
     // (broadcast per micro-batch — no state, no watermark needed)
     "stream_static_join" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
       withNanosAsLong(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
@@ -991,9 +1019,11 @@ object SparkEntry {
       val joined = ev.join(cust, ev("user_id") === cust("c_custkey"))
         .groupBy("c_mktsegment").count().withColumnRenamed("count", "cnt")
       Streams.runToMemoryComplete(s, joined, outputMode = "complete")
+      }
     }),
 
     "stream_dedup_keys" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
       withNanosAsLong(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
@@ -1005,12 +1035,14 @@ object SparkEntry {
       // watermark horizon; the batch-equivalence check is over the key set
       Streams.runToMemoryComplete(s, dd, outputMode = "append")
         .select("user_id", "event_type").distinct()
+      }
     }),
 
     // stream-stream interval join (click → purchase attribution within
     // 30 min): watermark-evicted join state on both sides; inner join in
     // append mode emits each matched pair exactly once
     "stream_stream_join" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
       withNanosAsLong(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def ev = s.readStream.schema(schema)
@@ -1027,6 +1059,7 @@ object SparkEntry {
         watermarkDelay = "1 hour", maxGap = "30 minutes")
       Streams.runToMemoryComplete(s, joined, outputMode = "append")
         .select("user_id", "click_id", "purchase_id")
+      }
     })
   )
 

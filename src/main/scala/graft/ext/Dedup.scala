@@ -297,16 +297,25 @@ object Dedup {
         .join(nbr.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("__minNbr"), col("comp"))).as("comp"))
-      // pointer jump through the *post-step* labels: comp := label[comp]
-      // (labels only decrease, so the lookup can only improve the label)
-      val next = stepped
-        .join(stepped.select(col("id").as("comp"), col("comp").as("__jump")),
-          Seq("comp"), "left")
-        .select(col("id"), col("__prev"),
-          least(col("comp"), coalesce(col("__jump"), col("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next.filter(col("comp") =!= col("__prev")).isEmpty
-      labels = next.drop("__prev")
+      // a step-fixpoint IS the global fixpoint (edges are symmetric: if no
+      // node improved, every edge has equal labels on both ends), so the
+      // converged round skips the jump join entirely
+      converged = stepped.filter(col("comp") =!= col("__prev")).isEmpty
+      labels =
+        if (converged) stepped.drop("__prev")
+        else {
+          // pointer jump through the *post-step* labels: comp := label[comp]
+          // (labels only decrease, so the lookup can only improve the label);
+          // stepped is checkpointed above so the self-join reads it twice
+          // instead of recomputing the neighbor join twice
+          stepped
+            .join(stepped.select(col("id").as("comp"), col("comp").as("__jump")),
+              Seq("comp"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("__jump"), col("comp"))).as("comp"))
+            .localCheckpoint()
+        }
       iter += 1
     }
     if (!converged)
