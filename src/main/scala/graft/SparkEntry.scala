@@ -749,6 +749,22 @@ object SparkEntry {
       Curation.topQuantileByGroup(d, "source", "quality_pm", "doc_id", 0.5)
     }),
 
+    // per-source hard cap: each source contributes at most its 50 best docs
+    // by quality score — the per-domain cap of a pretraining mix
+    "curate_source_caps" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"), col("source"),
+        T.qualityPerMille(col("text")).as("quality_pm"))
+      Curation.capPerStratum(d, "source", "quality_pm", "doc_id", cap = 50)
+    }),
+
+    // quality-weighted Bernoulli sample: keep probability = quality/1000
+    // per row (continuous per-row weights, vs mixture's per-stratum rates)
+    "curate_weighted_sample" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select(col("doc_id"),
+        T.qualityPerMille(col("text")).as("quality_pm"))
+      Curation.sampleByWeight(d, "doc_id", col("quality_pm"), salt = "wsamp")
+    }),
+
     // context-window chunking: 64-token chunks, 16-token overlap
     "curate_chunk" -> ((s, dir) =>
       Curation.chunkByTokens(Tables(s, dir).documents, "doc_id", "text",
@@ -1072,6 +1088,22 @@ object SparkEntry {
     s"""CAST(list_sum(list_transform(range(1, 5),
        |    k -> (instr('0123456789abcdef', substr(md5($keyExpr || ':$salt'), CAST(k AS INT), 1)) - 1)
        |         * (16.0 ** (4 - k)))) AS BIGINT) % $buckets""".stripMargin
+
+  /** DuckDB rendering of [[graft.functions.TextFunctions.qualityPerMille]]
+    * over `documents`: projects `doc_id`, any `extraCols`, and `quality_pm`.
+    */
+  private def duckQualityPm(extraCols: String*): String = {
+    val extra = extraCols.map(c => s"$c, ").mkString
+    s"""SELECT doc_id, ${extra}CAST(floor(
+       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |    * (1.0 - least(CAST(punct_pm AS DOUBLE) / 300.0, 1.0)) * 1000 + 0.5) AS BIGINT) AS quality_pm
+       |  FROM (SELECT doc_id, $extra
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |    CASE WHEN length(text) = 0 THEN 0
+       |      ELSE floor((length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) * 1000.0 / length(text) + 0.5) END AS punct_pm
+       |  FROM documents)""".stripMargin
+  }
 
   /** DuckDB oracle SQL per query (same parquet tables, bare table names).
     * Omitted keys (xxhash64/sign-LSH-based ops) get a rows-only check.
@@ -1698,6 +1730,15 @@ object SparkEntry {
         |  FROM documents))
         |QUALIFY percent_rank() OVER (PARTITION BY source
         |  ORDER BY quality_pm DESC, doc_id) <= 0.5""".stripMargin,
+
+    "curate_source_caps" ->
+      s"""SELECT doc_id, source, quality_pm FROM (${duckQualityPm("source")})
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY quality_pm DESC, doc_id) <= 50""".stripMargin,
+
+    "curate_weighted_sample" ->
+      s"""SELECT doc_id, quality_pm FROM (${duckQualityPm()})
+         |WHERE ${duckBucket("CAST(doc_id AS VARCHAR)", 1000, "wsamp")} < quality_pm""".stripMargin,
 
     "corpus_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -238,6 +238,36 @@ object Curation {
       .filter(col("__pr") <= keepFraction).drop("__pr")
   }
 
+  /** Per-stratum hard cap by score: keep each stratum's top `cap` rows by
+    * (`scoreCol` desc, `tieCol`) — the absolute-count sibling of
+    * [[topQuantileByGroup]] (fractional) and [[stratifiedFixedN]]
+    * (hash-ordered). This is the per-domain cap used when composing a
+    * pretraining mix: no single source may contribute more than N documents,
+    * and the N it does contribute are its best. One window per stratum —
+    * same bounded-cardinality-strata caveat as [[stratifiedFixedN]]; for
+    * heavy-tailed strata pre-filter with [[mixtureByHash]] so the capped
+    * stratum's partition fits an executor.
+    */
+  def capPerStratum(df: DataFrame, strataCol: String, scoreCol: String,
+                    tieCol: String, cap: Int): DataFrame = {
+    require(cap > 0)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= cap).drop("__rn")
+  }
+
+  /** Weighted Bernoulli sample: keep each row with probability
+    * `weightPerMilleCol`/1000 — per-ROW continuous weights (e.g. a quality
+    * score), vs [[mixtureByHash]]'s per-STRATUM rate map. Deterministic via
+    * the key hash, so the sample is reproducible across runs/engines and a
+    * row's fate is stable under corpus growth. Pure scan-side predicate:
+    * zero shuffle, codegen'd, pushed to the scan when the weight is a
+    * stored column.
+    */
+  def sampleByWeight(df: DataFrame, keyCol: String, weightPerMille: Column,
+                     salt: String = "graft"): DataFrame =
+    df.filter(hashBucket(col(keyCol), 1000, salt) < weightPerMille)
+
   /** Eval-set decontamination: drop training documents that share at least
     * one distinct word `shingleN`-gram with any eval document (the standard
     * n-gram-overlap contamination rule). Inverted-index join on the shingle

@@ -167,6 +167,35 @@ class CurationSpec extends SparkSpec {
     assert(kept >= 24)
   }
 
+  test("capPerStratum keeps each stratum's top-N by score") {
+    val df = (1L to 100L).map(i => (i, s"s${i % 2}", i)).toDF("id", "src", "score")
+    val out = Curation.capPerStratum(df, "src", "score", "id", cap = 10)
+    assert(out.count() == 20)
+    // s0 holds even ids (scores 2..100): its top 10 are 82..100; s1 81..99
+    val minKept = out.groupBy("src").agg(min("score"))
+      .as[(String, Long)].collect().toMap
+    assert(minKept("s0") == 82 && minKept("s1") == 81)
+    // a stratum smaller than the cap survives whole
+    val tiny = Seq((1L, "only", 5L), (2L, "only", 3L)).toDF("id", "src", "score")
+    assert(Curation.capPerStratum(tiny, "src", "score", "id", cap = 10).count() == 2)
+  }
+
+  test("sampleByWeight keeps rows according to their own weight") {
+    val df = (1L to 1000L).map(i =>
+      (i, if (i <= 300) 0L else if (i <= 600) 1000L else 500L))
+      .toDF("id", "w")
+    val out = Curation.sampleByWeight(df, "id", $"w").as[(Long, Long)].collect()
+    // weight 0 → never kept; weight 1000 → always kept
+    assert(!out.exists(_._1 <= 300))
+    assert(out.count(r => r._1 > 300 && r._1 <= 600) == 300)
+    // weight 500 → roughly half of the 400 rows (hash-uniform ±10%)
+    val half = out.count(_._1 > 600)
+    assert(half > 150 && half < 250, s"kept $half of 400 at weight 500")
+    // deterministic: same salt → identical sample
+    val again = Curation.sampleByWeight(df, "id", $"w").as[(Long, Long)].collect()
+    assert(out.toSeq.sorted == again.toSeq.sorted)
+  }
+
   test("decontaminate drops overlapping train docs, keeps clean ones") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),
