@@ -528,6 +528,25 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(withCopies, "doc_id", "text", shingleN = 3, minJaccard = 0.5)
     }),
 
+    // span-level boilerplate signal: per-doc count/ratio of shingles that
+    // appear in >= 2 documents corpus-wide (what pairwise dedup misses)
+    "dedup_span_stats" -> ((s, dir) =>
+      Dedup.spanStats(Tables(s, dir).documents.select("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, minDf = 2)),
+
+    // incremental ingest dedup: corpus = 80% of docs, batch = the rest plus
+    // re-submitted copies of corpus content under new ids; only novel
+    // content may come back (first-in-batch wins on in-batch dups)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.incrementalExact(batch, corpus, Seq("text"), "doc_id")
+        .select("doc_id")
+    }),
+
     // winnowing candidates (SIGMOD'03) rescored with exact n-gram Jaccard —
     // the standard LSH recall/precision split: candidates bound the pair
     // space, the exact rescore restores precision, and the oracle checks the
@@ -1300,6 +1319,32 @@ object SparkEntry {
         |  CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
         |FROM pairs p JOIN sz sa ON p.id_a = sa.id JOIN sz sb ON p.id_b = sb.id
         |WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5""".stripMargin,
+
+    "dedup_span_stats" ->
+      """WITH tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents),
+        |  sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM tok),
+        |  inv AS (SELECT doc_id, unnest(s) AS sng FROM sh),
+        |  cnt AS (SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles
+        |    FROM (SELECT doc_id, sng, count(*) OVER (PARTITION BY sng) AS df FROM inv)
+        |    GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(c.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(c.dup_shingles, 0) AS BIGINT) AS dup_shingles,
+        |  CAST(CASE WHEN coalesce(c.n_shingles, 0) = 0 THEN 0
+        |    ELSE floor(c.dup_shingles * 1000.0 / c.n_shingles + 0.5) END AS BIGINT) AS dup_pm
+        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |  batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |    UNION ALL SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 7 = 0),
+        |  b1 AS (SELECT doc_id, text FROM batch
+        |    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
+        |SELECT doc_id FROM b1
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b1.text)""".stripMargin,
 
     // exact-Jaccard oracle for the LSH-candidate + rescore pipelines: equals
     // DuckDB's all-pairs exact Jaccard because candidate recall is total on

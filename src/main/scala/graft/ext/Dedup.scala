@@ -206,6 +206,57 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Per-document duplicated-span statistics: for each document, how many of
+    * its distinct word `shingleN`-grams also appear in at least `minDf`
+    * documents total (itself included). High `dup_pm` flags boilerplate-
+    * heavy documents — navigation chrome, license headers, templated pages —
+    * the SPAN-level signal that pairwise dedup misses (a page can be 60%
+    * boilerplate yet near-duplicate of nothing). Filter on `dup_pm` before
+    * pairwise dedup to shrink both the corpus and the hot-shingle tail.
+    *
+    * Plan shape: one explode → one count window partitioned by the 8-byte
+    * shingle hash (the df computation) → one groupBy id. Shuffle carries
+    * hashes, never text; empty documents come back with zero counts via the
+    * left join.
+    */
+  def spanStats(df: DataFrame, idCol: String, textCol: String,
+                shingleN: Int = 3, minDf: Int = 2): DataFrame = {
+    require(minDf >= 1)
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(T.wordShingles(col(textCol), shingleN)).as("sh"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("sh_h"))
+    val counted = inv
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh_h")))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("dup_shingles"))
+    df.select(col(idCol).as("id")).join(counted, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("dup_shingles"), lit(0L)).as("dup_shingles"))
+      .withColumn("dup_pm",
+        when(col("n_shingles") === 0, 0L).otherwise(
+          floor(col("dup_shingles") * 1000.0 / col("n_shingles") + 0.5).cast("bigint")))
+  }
+
+  /** Incremental exact dedup: admit only the rows of `batch` whose content
+    * is new — not already in `corpus`, and not earlier in the batch itself
+    * (first-by-`idCol` wins, as in [[exact]]). This is the daily-ingest
+    * shape: the corpus never rescans, only its content-hash column joins.
+    * At 100 TB the corpus side is a stored 16-byte-hash table (write
+    * `__h` once, bucket it by hash); each increment then shuffles only the
+    * BATCH, and the anti-join streams the corpus hashes partition-aligned.
+    */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+                       contentCols: Seq[String], idCol: String): DataFrame = {
+    def contentHash = md5(to_json(struct(contentCols.map(col): _*),
+      Map("ignoreNullFields" -> "false").asJava))
+    val fresh = exact(batch, contentCols, idCol).withColumn("__h", contentHash)
+    val seen = corpus.select(contentHash.as("__h")).distinct()
+    fresh.join(seen, Seq("__h"), "left_anti").drop("__h")
+  }
+
   /** SimHash near-dup candidate pairs: 64-bit simhash split into `bands`
     * bit-bands; pairs agreeing on any band are candidates, then filtered by
     * exact Hamming distance ≤ maxHamming. Same explode-shuffle shape as

@@ -131,6 +131,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("spanStats counts corpus-duplicated shingles per doc, empty-safe") {
+    val d = Seq(
+      (1L, "a b c d e"),          // shingles: "a b c","b c d","c d e"
+      (2L, "a b c x y"),          // shares "a b c" with doc 1
+      (3L, "zz yy xx ww"),        // no shared shingles
+      (4L, "")).toDF("id", "text")
+    val out = Dedup.spanStats(d, "id", "text", shingleN = 3, minDf = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((3L, 1L, 333L)))
+    assert(out(2L) == ((3L, 1L, 333L)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
+  test("incrementalExact admits only novel content, first-in-batch wins") {
+    val corpus = Seq((1L, "aa"), (2L, "bb")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "aa"),   // already in corpus → dropped
+      (12L, "cc"), (11L, "cc"),  // in-batch dup → smaller id wins
+      (13L, "dd")).toDF("id", "text")
+    val out = Dedup.incrementalExact(batch, corpus, Seq("text"), "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 13L))
+  }
+
   test("embedding dup pairs find identical vectors across LSH tables") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),
