@@ -939,6 +939,18 @@ object SparkEntry {
           array_min(col("qs.q")).cast("bigint").as("min_q"),
           array_max(col("qs.q")).cast("bigint").as("max_q"))),
 
+    // deterministic Rademacher projection 64→16 over int8-quantized codes:
+    // integer sums are order-independent, so the md5-derived ±1 matrix makes
+    // the whole projection hash-oracle-able (same precedent as ann_int8_topk)
+    "vec_random_projection" -> ((s, dir) => {
+      val q = Tables(s, dir).embeddings.select(col("vec_id"),
+        V.quantizeInt8(col("embedding")).getField("q").as("q"))
+      q.select(col("vec_id"),
+          posexplode(V.randomProjection(col("q"), dim = 64, outDim = 16)))
+        .select(col("vec_id"), col("pos").cast("bigint").as("j"),
+          col("col").cast("bigint").as("proj"))
+    }),
+
     // ---- ext: multimodal plumbing ----
     // NULL payloads are filtered on both engines: Spark's md5/substr of a
     // NULL column and DuckDB's unnest-join disagree on whether the doc
@@ -1956,6 +1968,20 @@ object SparkEntry {
         |  CAST(list_min(qa) AS BIGINT) AS min_q,
         |  CAST(list_max(qa) AS BIGINT) AS max_q
         |FROM q""".stripMargin,
+
+    "vec_random_projection" ->
+      """WITH sc AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |  FROM embeddings),
+        |  q AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(round(x / s) AS BIGINT)) END AS qa FROM sc)
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |    CASE WHEN (instr('0123456789abcdef',
+        |        substr(md5('graft:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |      THEN qa[CAST(i + 1 AS INT)] ELSE -qa[CAST(i + 1 AS INT)] END)) AS BIGINT) AS proj
+        |FROM q, unnest(range(0, 16)) AS t(j)""".stripMargin,
 
     // inner interval join: every (click, purchase-within-30min) pair is
     // emitted once regardless of micro-batching, so the batch self-join is

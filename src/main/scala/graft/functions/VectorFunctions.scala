@@ -96,6 +96,41 @@ object VectorFunctions {
       transform(qs.getField("q"), x => x.cast("double") * s)
     }
 
+  /** Deterministic Rademacher (±1) random projection `dim` → `outDim`:
+    * out[j] = Σᵢ sign(j,i)·v[i], with sign(j,i) the parity of the first hex
+    * nibble of md5("salt:j:i"). Johnson–Lindenstrauss with the
+    * database-friendly ±1 matrix (Achlioptas, PODS'01): scaling the output
+    * by 1/√outDim preserves pairwise distances within 1±ε for
+    * outDim = O(log n / ε²) — the cheap dimension cut before LSH/IVF
+    * indexing of a 100 TB embedding corpus (64→16 dims = 4× less shuffle
+    * and scan per downstream similarity op).
+    *
+    * No RNG anywhere: the matrix is a pure function of (salt, j, i), so an
+    * oracle engine regenerates it exactly, and re-running a pipeline on a
+    * grown corpus projects old rows identically. The matrix is materialized
+    * once driver-side as a literal (outDim×dim doubles ride into the plan —
+    * trivial next to 100 TB of rows); accumulation is sequential in element
+    * order, so integer-valued inputs (e.g. [[quantizeInt8]] codes) project
+    * bit-exactly on any engine. `v` must have exactly `dim` elements.
+    */
+  def randomProjection(v: Column, dim: Int, outDim: Int,
+                       salt: String = "graft"): Column = {
+    require(dim > 0 && outDim > 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val h = md.digest(s"$salt:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+    val signs: Seq[Seq[Double]] =
+      (0 until outDim).map(j => (0 until dim).map(i => sign(j, i)))
+    val m = typedLit(signs)
+    ExprOps.let(toDouble(v)) { vd =>
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        aggregate(zip_with(vd, element_at(m, (j + 1).cast("int")), (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x))
+    }
+  }
+
   /** Sign-bit LSH bucket for a vector: `nBits` deterministic pseudo-random
     * hyperplanes (splitmix64-derived row-constants). Delegates to the
     * native codegen'd [[SignLshBucketExpr]] — the planes ride along as one

@@ -137,4 +137,22 @@ class FunctionsSpec extends SparkSpec {
     val (_, s2, q2, d2, _) = out(2L)
     assert(s2 == 0.0 && q2.forall(_ == 0) && d2.forall(_ == 0.0))
   }
+
+  test("randomProjection is deterministic, linear, salt-sensitive, ±1-valued") {
+    val v = typedlit(Seq(1.0, 2.0, -3.0, 0.5))
+    def proj(c: org.apache.spark.sql.Column, salt: String = "graft") =
+      one.select(VectorFunctions.randomProjection(c, 4, 8, salt))
+        .as[Seq[Double]].head()
+    val p1 = proj(v)
+    assert(p1.size == 8 && proj(v) == p1)                    // deterministic
+    assert(proj(v, "other") != p1)                           // salt-sensitive
+    // linearity: P(2v) = 2·P(v) exactly (±1 matrix, exact doubles)
+    val p2 = proj(typedlit(Seq(2.0, 4.0, -6.0, 1.0)))
+    assert(p2 == p1.map(_ * 2))
+    // each output of a basis vector is exactly ±1
+    val pb = proj(typedlit(Seq(0.0, 1.0, 0.0, 0.0)))
+    assert(pb.forall(x => x == 1.0 || x == -1.0))
+    // signs differ across output rows somewhere (the matrix isn't constant)
+    assert(p1.distinct.size > 1)
+  }
 }
