@@ -951,6 +951,17 @@ object SparkEntry {
           col("col").cast("bigint").as("proj"))
     }),
 
+    // batched inference harness end-to-end: a deterministic stand-in model
+    // (code-point count mod 997) scores documents through the per-partition
+    // batching machinery; the oracle checks id↔score alignment survives
+    // batch boundaries under any partitioning
+    "infer_batched" -> ((s, dir) =>
+      graft.ext.Inference.scoreBatched(s,
+        Tables(s, dir).documents.select("doc_id", "text"),
+        "doc_id", "text", batchSize = 32, numPartitions = 8) { batch =>
+        batch.map(t => (t.codePointCount(0, t.length) % 997).toDouble)
+      }),
+
     // ---- ext: multimodal plumbing ----
     // NULL payloads are filtered on both engines: Spark's md5/substr of a
     // NULL column and DuckDB's unnest-join disagree on whether the doc
@@ -1968,6 +1979,9 @@ object SparkEntry {
         |  CAST(list_min(qa) AS BIGINT) AS min_q,
         |  CAST(list_max(qa) AS BIGINT) AS max_q
         |FROM q""".stripMargin,
+
+    "infer_batched" ->
+      "SELECT doc_id, CAST(length(text) % 997 AS DOUBLE) AS score FROM documents",
 
     "vec_random_projection" ->
       """WITH sc AS (SELECT vec_id,
