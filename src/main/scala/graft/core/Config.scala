@@ -245,6 +245,22 @@ object Config {
         graft.ext.Curation.shuffleByHash(df, str(n, "key"),
           strOpt(n, "salt").getOrElse("graft"),
           Option(n.get("partitions")).map(_.asInt).getOrElse(0))
+      case "sourceCap" =>
+        graft.ext.Curation.capPerStratum(df, str(n, "strata"),
+          str(n, "score"), str(n, "tie"), n.get("cap").asInt)
+      // per-row weighted keep: `weight` is any SQL expression in [0,1000]
+      case "weightedSample" =>
+        graft.ext.Curation.sampleByWeight(df, str(n, "key"),
+          expr(str(n, "weight")), strOpt(n, "salt").getOrElse("graft"))
+      case "spanStats" =>
+        graft.ext.Dedup.spanStats(df, str(n, "key"), str(n, "column"),
+          Option(n.get("shingleN")).map(_.asInt).getOrElse(3),
+          Option(n.get("minDf")).map(_.asInt).getOrElse(2))
+      // incremental ingest dedup against a stored corpus (parquet path)
+      case "dedupIncremental" =>
+        val corpus = df.sparkSession.read.parquet(str(n, "target"))
+        graft.ext.Dedup.incrementalExact(df, corpus,
+          strSeq(n, "columns"), str(n, "key"))
       // data-quality gate: fail the task if any rule has violations
       // (minRows guards empty upstreams that row-level rules cannot see)
       case "expect" =>

@@ -280,6 +280,46 @@ class ConfigSpec extends SparkSpec {
     assert(keys == keys.sorted && keys.size == 200)
   }
 
+  test("sourceCap + weightedSample + spanStats + dedupIncremental from config") {
+    val dir = Files.createTempDirectory("graft_cfg_cap_").toString
+    (1L to 100L).map(i => (i, s"src${i % 2}", s"alpha beta gamma word$i tail$i"))
+      .toDF("id", "source", "text").write.parquet(s"$dir/docs")
+    // corpus for the incremental dedup: holds the text of ids 1..10
+    (1L to 10L).map(i => (i + 500, s"alpha beta gamma word$i tail$i"))
+      .toDF("id", "text").write.parquet(s"$dir/corpus")
+
+    val capped = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: sourceCap, strata: source, score: id, tie: id, cap: 5}
+         |""".stripMargin)
+    assert(capped.count() == 10)
+    assert(capped.groupBy("source").count().as[(String, Long)]
+      .collect().forall(_._2 == 5))
+
+    val weighted = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: weightedSample, key: id, weight: "CASE WHEN id <= 50 THEN 1000 ELSE 0 END"}
+         |""".stripMargin)
+    assert(weighted.select("id").as[Long].collect().toSet == (1L to 50L).toSet)
+
+    val stats = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: spanStats, key: id, column: text}
+         |""".stripMargin)
+    // "alpha beta gamma" appears in every doc → every doc has ≥1 dup shingle
+    assert(stats.filter($"dup_shingles" >= 1).count() == 100)
+
+    val fresh = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: dedupIncremental, key: id, columns: [text], target: $dir/corpus}
+         |""".stripMargin)
+    assert(fresh.select("id").as[Long].collect().toSet == (11L to 100L).toSet)
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")
