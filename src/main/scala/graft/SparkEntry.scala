@@ -805,6 +805,17 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    // single-pass numeric column profiling (one scan for all stats; exact
+    // decimal means so the doubles are engine-stable)
+    "dq_profile" -> ((s, dir) =>
+      graft.operators.Profile.numeric(Tables(s, dir).lineitem,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // corpus vocabulary head: top-30 tokens by frequency with doc frequency
+    "text_top_tokens" -> ((s, dir) =>
+      graft.ext.Search.topTokens(Tables(s, dir).documents,
+        "doc_id", "text", k = 30)),
+
     // TF-IDF keyword extraction: top-3 terms per document
     "text_tfidf_topk" -> ((s, dir) =>
       graft.ext.Search.tfidfTopTerms(Tables(s, dir).documents,

@@ -43,6 +43,22 @@ object Search {
         col("__rn").cast("bigint").as("rank"))
   }
 
+  /** Corpus vocabulary head: the `k` most frequent tokens with term
+    * frequency and document frequency — the tokenizer-coverage /
+    * stopword-discovery dashboard for a new corpus. One explode →
+    * one (token) aggregation (tf sums map-side; df is a distinct-by-doc
+    * count on the same key) → TakeOrdered top-k; ties broken by the token
+    * so the cut is deterministic cross-engine.
+    */
+  def topTokens(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(T.tokens(lower(col(textCol)))).as("token"))
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
+      .orderBy(desc("tf"), col("token")).limit(k)
+  }
+
   /** Top-k BM25 matches for `queryTerms`. Returns (doc_id, score). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
