@@ -1696,6 +1696,32 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, w) AS rn FROM s)
         |WHERE rn <= 3""".stripMargin,
 
+    // same whitespace tokenization as text_tfidf_topk; top-30 by tf is a
+    // deterministic SET (ties broken by token), so order-insensitive compare
+    // is safe. count(*)/count(DISTINCT) are BIGINT in DuckDB already, but
+    // cast anyway per the HUGEINT rule.
+    "text_top_tokens" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT id) AS BIGINT) AS df
+        |FROM toks GROUP BY 1 ORDER BY tf DESC, token LIMIT 30""".stripMargin,
+
+    // mirrors Profile.numeric: means accumulate in DECIMAL(28,6) then divide
+    // as doubles — bit-stable across engines (same IEEE ops on both sides)
+    "dq_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+           |  CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+           |  CAST(sum(CAST($c AS DECIMAL(28,6))) AS DOUBLE)
+           |    / CAST(nullif(count($c), 0) AS DOUBLE) AS mean
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
     "mm_resize" ->
       """SELECT doc_id AS media_id, rpad(text, 96, ' ') AS payload,
         |  224 AS w, 224 AS h
