@@ -283,15 +283,13 @@ object Curation {
                     maxDocFreq: Int = 10000): DataFrame = {
     def inv(df: DataFrame) = df
       .select(col(idCol), explode(array_distinct(
-        T.wordShingles(col(textCol), shingleN))).as("__s"))
-      .select(col(idCol), xxhash64(col("__s")).as("__sh"))
+        T.wordShingleHashes(col(textCol), shingleN))).as("__sh"))
     val trainInv = inv(train)
     val evalShingles = inv(eval).select("__sh").distinct()
-    // df-cap window shuffles on __sh — the same key the eval join needs, so
-    // the partitioning is reused (one shuffle pays for both)
-    val contaminated = trainInv
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
-      .filter(col("__df") <= maxDocFreq)
+    // df-cap via partial-agg + broadcast anti-join (see Dedup.dropHotKeys):
+    // a count window here would funnel the hottest shingle's full posting
+    // list into one task before dropping it
+    val contaminated = Dedup.dropHotKeys(trainInv, Seq("__sh"), maxDocFreq)
       .join(evalShingles, "__sh")
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")

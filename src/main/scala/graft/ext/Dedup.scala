@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Document-frequency cap without a hot-key funnel: drop postings whose
+    * key appears more than `cap` times. Computed as a partial-aggregated
+    * `groupBy.count` (one row per key per map task shuffles — a boilerplate
+    * shingle in 1% of a 100 TB corpus contributes one tiny row per
+    * partition, not its full posting list) followed by a broadcast anti-join
+    * of the hot-key list, which is small by construction (only keys ABOVE
+    * the cap). The postings relation itself never shuffles on an uncapped
+    * hot key, and no single task ever materializes a hot key's postings —
+    * unlike a `count().over(Window.partitionBy(key))`, which funnels every
+    * posting of the hottest key into one task before filtering it.
+    */
+  private[ext] def dropHotKeys(postings: DataFrame, keyCols: Seq[String],
+                               cap: Int): DataFrame = {
+    val hot = postings.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > cap)
+      .select(keyCols.map(col): _*)
+    postings.join(broadcast(hot), keyCols, "left_anti")
+  }
+
   /** Exact dedup: keep the row with the smallest `idCol` per identical
     * content. Groups on a 128-bit content hash so the shuffle key is fixed
     * width (hash-groupBy; md5 collision odds are negligible at any corpus
@@ -51,10 +71,18 @@ object Dedup {
     * computed; a pair is a candidate iff some band of `rowsPerBand`
     * consecutive hashes agrees — the classic S-curve knob.
     *
-    * Plan shape: explode to (band, bucketHash) → shuffle on the bucket →
-    * within-bucket self-pairing → distinct pairs → signature re-check.
-    * Buckets are tiny for non-pathological corpora; a hot bucket (e.g.
-    * boilerplate) is the known skew case — cap with `maxBucketSize`.
+    * Plan shape: explode to (band, bucketHash) → ONE shuffle on the bucket,
+    * shared (ReusedExchange) by three consumers: the hot-bucket count, the
+    * broadcast anti-join that drops buckets above `maxBucketSize`, and both
+    * sides of the within-bucket self-pairing → distinct pairs → signature
+    * re-check. The signature (the dominant CPU cost here) is therefore
+    * computed exactly once. Unlike the other df-capped operators, the cap
+    * is applied AFTER the shuffle — recomputing the signature for a
+    * pre-shuffle count pass would double the dominant cost — but every
+    * post-shuffle consumer streams: the count holds one counter per bucket
+    * and the anti-join probes a broadcast set, so a hot bucket costs one
+    * task a bounded-memory scan of its rows, never a window buffer. Cap
+    * with `maxBucketSize`; the residual skew is that scan.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
@@ -71,10 +99,12 @@ object Dedup {
               _.cast("string")), ","))
               .as("bucket")))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .repartition(col("band"), col("bucket"))
 
-    val capped = banded
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val hot = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+      .select("band", "bucket")
+    val capped = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
 
     val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
@@ -96,26 +126,21 @@ object Dedup {
                         shingleN: Int = 3, minJaccard: Double = 0.0,
                         maxDocFreq: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(T.wordShingles(col(textCol), shingleN)).as("sh"))
+      array_distinct(T.wordShingleHashes(col(textCol), shingleN)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).cast("bigint").as("n"))
-    val inv0 = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh_h"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("sh_h"))
     // Hot-shingle (stop-shingle) cap: a boilerplate shingle shared by k docs
     // creates a k² pair blowup in the self-join below. Standard practice is a
     // document-frequency cutoff — drop shingles appearing in more than
     // `maxDocFreq` docs before pairing (they carry ~no Jaccard signal anyway;
     // note the dropped postings slightly under-count `inter` for affected
-    // pairs — the price of boundedness at corpus scale).
-    //
-    // Shape: count window over the postings partitioned by shingle hash.
-    // The shuffle this costs is the SAME shuffle the pair self-join below
-    // needs (Catalyst reuses the partitioning), and the postings list is
-    // computed once — a separate partial-agg + broadcast-anti-join pass
-    // halves the shuffle but recomputes the shingle explode, measured 2×
-    // slower end-to-end.
-    val inv = inv0
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh_h")))
-      .filter(col("__df") <= maxDocFreq).drop("__df")
+    // pairs — the price of boundedness at corpus scale). See [[dropHotKeys]]
+    // for why this is a partial-agg + broadcast anti-join, not a count
+    // window: the window shape funnels the hottest shingle's entire posting
+    // list into one task before dropping it.
+    // repartition once on the join key: both self-join sides then consume
+    // the SAME exchange (ReusedExchange), so the shingle explode runs once
+    val inv = dropHotKeys(inv0, Seq("sh_h"), maxDocFreq).repartition(col("sh_h"))
     val shared = inv.as("a").join(inv.as("b"), col("a.sh_h") === col("b.sh_h"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -146,9 +171,7 @@ object Dedup {
     val inv0 = df.select(col(idCol).as("id"),
       explode(array_distinct(
         graft.functions.WinnowFingerprints.winnowCol(col(textCol), k, w))).as("fp"))
-    val inv = inv0
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("__df") <= maxDocFreq).drop("__df")
+    val inv = dropHotKeys(inv0, Seq("fp"), maxDocFreq).repartition(col("fp"))
     inv.as("a").join(inv.as("b"), col("a.fp") === col("b.fp"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -169,10 +192,9 @@ object Dedup {
   def rescoreJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      array_distinct(T.wordShingles(col(textCol), shingleN)).as("sh"))
+      array_distinct(T.wordShingleHashes(col(textCol), shingleN)).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).cast("bigint").as("n"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh_h"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("sh_h"))
     // public API over arbitrary pair sets: duplicate (id_a,id_b) rows would
     // double-count the shingle intersection (jaccard could exceed 1.0)
     val inter = pairs.select("id_a", "id_b").distinct()
@@ -214,24 +236,37 @@ object Dedup {
     * boilerplate yet near-duplicate of nothing). Filter on `dup_pm` before
     * pairwise dedup to shrink both the corpus and the hot-shingle tail.
     *
-    * Plan shape: one explode → one count window partitioned by the 8-byte
-    * shingle hash (the df computation) → one groupBy id. Shuffle carries
-    * hashes, never text; empty documents come back with zero counts via the
-    * left join.
+    * Plan shape: one explode → one exchange on the 8-byte shingle hash,
+    * shared (ReusedExchange) by the df aggregation and the semi-join that
+    * filters postings to `df ≥ minDf` shingles → one groupBy id. Unlike a
+    * count window partitioned by the shingle, nothing buffers a hot
+    * shingle's posting list: the aggregation holds one counter per distinct
+    * key and the sort-merge semi-join streams the postings (its right side
+    * is one row per qualifying shingle — too common a set to broadcast at
+    * minDf=2). Shuffle carries hashes, never text; empty documents come
+    * back with zero counts via the left join.
     */
   def spanStats(df: DataFrame, idCol: String, textCol: String,
                 shingleN: Int = 3, minDf: Int = 2): DataFrame = {
     require(minDf >= 1)
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(T.wordShingles(col(textCol), shingleN)).as("sh"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("sh_h"))
-    val counted = inv
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh_h")))
-      .groupBy("id").agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("dup_shingles"))
-    df.select(col(idCol).as("id")).join(counted, Seq("id"), "left")
+      array_distinct(T.wordShingleHashes(col(textCol), shingleN)).as("sh"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("sh_h"))
+    // one explicit repartition on the shingle hash; the df aggregation AND
+    // the semi-join left side both consume that same exchange (partitioning
+    // already satisfies both), so the explode runs once and no operator
+    // buffers a key's postings — the semi-join streams them, the agg holds
+    // one counter per distinct key
+    val inv2 = inv.repartition(col("sh_h"))
+    val dup = inv2.groupBy("sh_h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("sh_h")
+    val counted = inv2.join(dup, Seq("sh_h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("dup_shingles"))
+    // n_shingles needs no second pass over the postings: it is the size of
+    // the per-document distinct-shingle array
+    val nSh = sh.select(col("id"), size(col("sh")).cast("bigint").as("n_shingles"))
+    df.select(col(idCol).as("id"))
+      .join(nSh, Seq("id"), "left").join(counted, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("dup_shingles"), lit(0L)).as("dup_shingles"))

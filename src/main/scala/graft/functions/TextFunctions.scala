@@ -59,6 +59,23 @@ object TextFunctions {
           i => array_join(slice(t, i, lit(n)), " ")))
     }
 
+  /** Word n-gram shingle HASHES: per-word xxhash64 combined with a second
+    * xxhash64 over the n consecutive word hashes. Set-equivalent to hashing
+    * [[wordShingles]] strings (only equality matters for Jaccard /
+    * document-frequency semantics, and collisions are equally negligible)
+    * but far cheaper: no per-shingle string concatenation, no string
+    * re-hashing — each word is hashed once and each shingle is a fixed
+    * n-long hash combine, all inside whole-stage codegen. Empty array when
+    * the document has fewer than n words.
+    */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    ExprOps.let(transform(tokens(text), w => xxhash64(w))) { h =>
+      when(size(h) < n, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(1), size(h) - (n - 1)),
+          i => xxhash64((0 until n).map(j => element_at(h, i + lit(j))): _*)))
+    }
+
   private def hitsOn(padded: Column, words: Seq[String]): Column =
     words.map(w => when(instr(padded, s" $w ") > 0, 1).otherwise(0))
       .reduce(_ + _)

@@ -51,6 +51,31 @@ class PlanShapeSpec extends SparkSpec {
       s"probe filter not a partition filter:\n$scan")
   }
 
+  test("df-capped dedup plans contain no Window over the postings relation") {
+    // the cap must be a partial-agg + broadcast anti-join (Dedup.dropHotKeys):
+    // a count window partitioned by the shingle/bucket key funnels a hot
+    // key's entire posting list into one task before filtering it
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val plans = Map(
+      "minhash" -> graft.ext.Dedup.minhashCandidatePairs(d, "doc_id", "text"),
+      "ngram" -> graft.ext.Dedup.ngramJaccardPairs(d, "doc_id", "text"),
+      "winnow" -> graft.ext.Dedup.winnowPairs(d, "doc_id", "text"),
+      "spanStats" -> graft.ext.Dedup.spanStats(d, "doc_id", "text"),
+      "decontaminate" -> graft.ext.Curation.decontaminate(
+        d, d.limit(5), "doc_id", "text"))
+    plans.foreach { case (name, df) =>
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty, s"$name still uses a Window:\n$windows")
+      // spanStats keeps a shuffled semi-join by design: its df>=minDf set is
+      // one row per *common* shingle — far too large to broadcast at minDf=2
+      if (name != "spanStats")
+        assert(physical(df).contains("BroadcastHashJoin"),
+          s"$name hot-key cap is not a broadcast anti-join")
+    }
+  }
+
   test("whole-stage codegen spans the text-analysis projection") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(graft.functions.TextFunctions.qualityPerMille($"text").as("q"))
