@@ -56,11 +56,13 @@ object Streams {
   /** Custom per-key streaming state via `flatMapGroupsWithState` — the
     * escape hatch for semantics windows can't express (SURVEY.md §7.3).
     * Emits one row per key per micro-batch with the running count and sum
-    * over ALL batches so far; state is explicitly bounded by
-    * `maxKeys`-free design (one tiny row per key) plus event-time timeout
-    * if a watermark is set upstream. The reference's only cross-run state
-    * is its ClickHouse flag column + Redis locks (SURVEY.md §2.3) — this
-    * is the checkpointed, exactly-once form.
+    * over ALL batches so far. State is one tiny row per key and NEVER
+    * EXPIRES in this overload — correct only for bounded key domains
+    * (status codes, device models); for unbounded keys (user ids) use the
+    * event-time-timeout overload below, or state grows forever. The
+    * reference's only cross-run state is its ClickHouse flag column +
+    * Redis locks (SURVEY.md §2.3) — this is the checkpointed,
+    * exactly-once form.
     */
   def runningTotals(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -78,6 +80,64 @@ object Streams {
           Iterator((key, n, s))
       }
       .toDF(keyCol, "running_count", "running_sum")
+  }
+
+  /** [[runningTotals]] with BOUNDED state: a key's state is evicted once
+    * the event-time watermark passes its last event by `idleTimeout` —
+    * the 100 TB-safe form for unbounded key domains (user ids), where
+    * NoTimeout state grows with every key ever seen. A key that reappears
+    * after eviction restarts its totals from zero (the price of
+    * boundedness; widen `idleTimeout` to trade memory for history).
+    * `tsCol` must be the event-time column; the watermark is applied here.
+    */
+  def runningTotalsExpiring(df: DataFrame, keyCol: String, valueCol: String,
+                            tsCol: String, watermarkDelay: String,
+                            idleTimeout: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import df.sparkSession.implicits._
+    val idleMs = durationMs(idleTimeout)
+    // watermark AFTER the cast: casting creates a fresh attribute, and a
+    // watermark tagged on the pre-cast column would not survive it
+    val rows3 = df
+      .select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast("double").as("__v"),
+        col(tsCol).cast("timestamp").as("__t"))
+      .withWatermark("__t", watermarkDelay)
+      .as[(String, Double, java.sql.Timestamp)]
+    rows3.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Long), (String, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[(Long, Double, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (n0, s0, t0) = state.getOption.getOrElse((0L, 0.0, Long.MinValue))
+            var n = n0; var s = s0; var maxTs = t0
+            rows.foreach { case (_, v, t) =>
+              n += 1; s += v; if (t.getTime > maxTs) maxTs = t.getTime
+            }
+            state.update((n, s, maxTs))
+            // evict when the watermark passes last-event + idle; clamp above
+            // the current watermark (late-but-admitted events could otherwise
+            // place the timeout in the past, which Spark rejects)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleMs, state.getCurrentWatermarkMs() + 1))
+            Iterator((key, n, s))
+          }
+      }
+      .toDF(keyCol, "running_count", "running_sum")
+  }
+
+  /** "N unit" duration → milliseconds (seconds/minutes/hours/days). */
+  private def durationMs(d: String): Long = {
+    val Array(n, unit) = d.trim.toLowerCase.split("\\s+")
+    val base = unit.stripSuffix("s") match {
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour"   => 3600000L
+      case "day"    => 86400000L
+      case other    => throw new IllegalArgumentException(s"unsupported unit: $other")
+    }
+    n.toLong * base
   }
 
   /** Stream-stream inner join within an event-time interval — the

@@ -186,6 +186,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTotalsExpiring evicts a key's state once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Timestamp)]
+    val streamed = Streams.runningTotalsExpiring(
+      mem.toDF().toDF("k", "v", "t"), "k", "v", "t",
+      watermarkDelay = "10 minutes", idleTimeout = "30 minutes")
+    val name = s"graft_expire_${System.nanoTime()}"
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: key a accumulates (timeout set to 00:10 + 30 min = 00:40)
+      mem.addData(("a", 1.0, ts("2024-01-01 00:00:00")),
+        ("a", 2.0, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // batch 2: other-key traffic pushes the watermark to 01:50 > 00:40 —
+      // a's state times out and is removed
+      mem.addData(("b", 5.0, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      // batch 3: a reappears — totals restart from zero (state was evicted)
+      mem.addData(("a", 7.0, ts("2024-01-01 02:05:00")))
+      q.processAllAvailable()
+      val aRows = spark.table(name).as[(String, Long, Double)].collect()
+        .filter(_._1 == "a").toSet
+      assert(aRows == Set(("a", 2L, 3.0), ("a", 1L, 7.0)),
+        s"expected eviction between batches, got $aRows")
+    } finally q.stop()
+  }
+
   test("triggerOf maps the reference's cron modes") {
     assert(Streams.triggerOf(-1) == Trigger.AvailableNow())
     assert(Streams.triggerOf(30) == Trigger.ProcessingTime(30000L))
