@@ -616,6 +616,13 @@ object SparkEntry {
       Similarity.int8TopK(Tables(s, dir).embeddings, "vec_id", "embedding",
         queryId = 1L, k = 20)),
 
+    // int8 candidate scan + exact-cosine rescore of the top 4k: recovers the
+    // exact ranking (oracle: the same all-pairs cosine SQL as
+    // ann_cosine_topk), while the wide read stays on the 1-byte codes
+    "ann_int8_rescored" -> ((s, dir) =>
+      Similarity.int8TopKRescored(Tables(s, dir).embeddings, "vec_id",
+        "embedding", queryId = 1L, k = 20)),
+
     // lshBits sized to the test corpus (~500 vecs): 2^6 buckets keeps them
     // populated; the 16-bit default is the 100 TB setting (see Similarity).
     "ann_lsh_topk" -> ((s, dir) =>
@@ -1467,6 +1474,17 @@ object SparkEntry {
         |  (CAST(1000001 AS BIGINT), 1.0)) AS t(vec_id, score)""".stripMargin,
 
     "ann_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |         * list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))), 4) AS score
+        |FROM embeddings, q WHERE vec_id <> 1
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // rescored int8 ANN recovers the exact ranking → same oracle as the
+    // brute-force cosine scan
+    "ann_int8_rescored" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
         |SELECT vec_id,
         |  round(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))

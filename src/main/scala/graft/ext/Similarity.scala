@@ -95,6 +95,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the int8 code table once — the scan side of the 1-byte/element
+    * economics [[int8TopK]]'s scaladoc promises (re-quantizing float vectors
+    * per query reads the full-width corpus every time). Codes are stored as
+    * `array<tinyint>` (true 1-byte parquet elements) plus the per-vector
+    * scale for reconstruction; written once, probed by every query via
+    * [[int8TopKFromCodes]].
+    */
+  def writeCodes(df: DataFrame, idCol: String, vecCol: String, path: String): Unit =
+    df.select(col(idCol), V.quantizeInt8(col(vecCol)).as("__qs"))
+      .select(col(idCol), col("__qs").getField("scale").as("scale"),
+        transform(col("__qs").getField("q"), _.cast("byte")).as("code"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[int8TopK]] over a persisted [[writeCodes]] table: same integer dot
+    * product, same ranking, but the scan reads 1-byte codes instead of
+    * re-quantizing the float corpus. Byte codes are widened to int BEFORE
+    * multiplying (byte×byte would wrap at ±127·±127).
+    */
+  def int8TopKFromCodes(codes: DataFrame, idCol: String,
+                        queryId: Long, k: Int): DataFrame = {
+    val q = codes.filter(col(idCol) === queryId).select(col("code").as("__qc"))
+    codes.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("iscore",
+        aggregate(zip_with(col("code"), col("__qc"),
+          (x, y) => (x.cast("int") * y.cast("int")).cast("bigint")),
+          lit(0L), (acc, v) => acc + v))
+      .select(col(idCol), col("iscore"))
+      .orderBy(desc("iscore"), col(idCol))
+      .limit(k)
+  }
+
+  /** Int8 scan + exact-cosine rescore: rank the corpus by quantized integer
+    * dot product, keep the top `rescoreFactor × k`, then rescore ONLY those
+    * candidates with full-precision cosine and return the top k — the
+    * precision the per-vector scales drop (int8 ranking is monotone in
+    * `scale_a·dot` for a fixed query, so vectors with different norms can
+    * swap places near the cut). The rescore side is a broadcast of
+    * `rescoreFactor × k` ids probing the float corpus — the 100 TB read is
+    * the 1-byte code scan, not the float table.
+    */
+  def int8TopKRescored(df: DataFrame, idCol: String, vecCol: String,
+                       queryId: Long, k: Int, rescoreFactor: Int = 4,
+                       roundTo: Int = 4): DataFrame = {
+    val cand = int8TopK(df, idCol, vecCol, queryId, k * rescoreFactor)
+      .select(col(idCol))
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    df.join(broadcast(cand), Seq(idCol))
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(V.cosine(col(vecCol), col("__qv")), roundTo))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Batch k-NN: for every row of `queries`, its top-k neighbors in `corpus`
     * by cosine, via bucket join + per-query window rank. This is the
     * many-query scale path (no cross product).

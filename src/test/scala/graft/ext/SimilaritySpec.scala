@@ -37,6 +37,33 @@ class SimilaritySpec extends SparkSpec {
     assert(m(2L) == 0L && m(3L) < 0L)
   }
 
+  test("persisted codes reproduce the in-memory int8 top-k exactly") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_codes_").toString
+    Similarity.writeCodes(real, "vec_id", "embedding", s"$dir/codes")
+    val fromCodes = Similarity.int8TopKFromCodes(
+      spark.read.parquet(s"$dir/codes"), "vec_id", queryId = 1L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val direct = Similarity.int8TopK(real, "vec_id", "embedding", queryId = 1L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(fromCodes == direct)
+    // and the stored element type really is 1-byte
+    val codeType = spark.read.parquet(s"$dir/codes").schema("code").dataType
+    assert(codeType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      codeType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+  }
+
+  test("int8 rescore restores exact-cosine top-k") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rescored = Similarity.int8TopKRescored(real, "vec_id", "embedding",
+      queryId = 1L, k = 10).as[(Long, Double)].collect().toSeq
+    val exact = Similarity.cosineTopK(real, "vec_id", "embedding",
+      queryId = 1L, k = 10).as[(Long, Double)].collect().toSeq
+    assert(rescored == exact)
+  }
+
   test("bucketJoinKnn returns at most k neighbors per query, never itself") {
     val out = Similarity.bucketJoinKnn(vecs, vecs, "vec_id", "embedding",
       dim = 3, k = 2, lshBits = 2)
