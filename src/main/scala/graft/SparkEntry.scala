@@ -136,25 +136,31 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // EXACT percentiles without the percentile-aggregate's per-group value
+    // buffer: GK-bracketed two-pass order statistics (graft.ext.Stats) —
+    // bit-identical results, bounded memory at any group size
     "q5_percentile" -> ((s, dir) =>
-      Tables(s, dir).lineitem.groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95"))),
+      graft.ext.Stats.exactPercentiles(Tables(s, dir).lineitem,
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("p50" -> 0.5, "p95" -> 0.95))),
 
-    // the 100 TB percentile path: exact `percentile` buffers every value per
-    // group (driver-of-OOM shape at scale); `approx_percentile` (GK sketch,
-    // bounded memory) is the engine's scale answer. The query checks the
-    // sketch against the exact value within 1% — a tolerance gate the oracle
-    // can assert without reproducing Spark's sketch internals.
-    "q5_approx_percentile" -> ((s, dir) =>
-      Tables(s, dir).lineitem.groupBy("l_returnflag")
+    // approx_percentile (GK sketch, bounded memory) checked against the
+    // EXACT value within 1% — a tolerance gate the oracle can assert
+    // without reproducing Spark's sketch internals. The exact arm uses the
+    // bounded two-pass Stats.exactPercentiles, so neither arm buffers a
+    // group's values in one task.
+    "q5_approx_percentile" -> ((s, dir) => {
+      val li = Tables(s, dir).lineitem
+      val ap = li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-          expr("percentile(l_extendedprice, 0.5)").as("ep50"),
-          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"),
-          expr("percentile(l_extendedprice, 0.95)").as("ep95"))
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+      val ex = graft.ext.Stats.exactPercentiles(li,
+        Seq("l_returnflag"), "l_extendedprice", Seq("ep50" -> 0.5, "ep95" -> 0.95))
+      ap.join(ex, Seq("l_returnflag"))
         .select(col("l_returnflag"),
           (abs(col("ap50") - col("ep50")) <= col("ep50") * 0.01).as("p50_ok"),
-          (abs(col("ap95") - col("ep95")) <= col("ep95") * 0.01).as("p95_ok"))),
+          (abs(col("ap95") - col("ep95")) <= col("ep95") * 0.01).as("p95_ok"))
+    }),
 
     // collect_set joined to a scalar: the driver's pandas compare can't hash
     // raw array cells, and a delimited string is hash-equivalent here
