@@ -42,4 +42,44 @@ class SkewSpec extends SparkSpec {
     val top = Skew.keyHistogram(df, Seq("k"), topN = 1).as[(String, Long)].collect()
     assert(top.head == ("hot", 50L))
   }
+
+  /** Set confs for one test body, restoring prior values after. */
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("salting spreads a hot key holding 50% of rows across ~factor tasks") {
+    val factor = 8
+    // the pathological shape AQE's skew split cannot fix: ONE key is half
+    // the fact table, so however partitions are re-split, every row of that
+    // key still hashes to the same reducer without a salt
+    val big = ((1 to 5000).map(i => (1, i.toLong)) ++
+      (1 to 5000).map(i => (i % 100 + 2, i.toLong))).toDF("k", "v")
+    val small = (1 to 101).map(i => (i, s"dim$i")).toDF("k", "attr")
+    // force the shuffle join (broadcast would hide the reducer placement)
+    // and freeze partitioning so spark_partition_id measures reducers
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "32") {
+      import org.apache.spark.sql.functions.spark_partition_id
+      def hotSpread(joined: org.apache.spark.sql.DataFrame): Long =
+        joined.select($"k", spark_partition_id().as("pid"))
+          .filter($"k" === 1).select("pid").distinct().count()
+      // unsalted: the hot key funnels into exactly one reduce task
+      assert(hotSpread(big.join(small, Seq("k"))) == 1L)
+      // salted: the hot key's rows land on ≥ factor/2 distinct tasks (8
+      // salt values hash into 32 partitions; a few collisions are expected,
+      // a funnel is not) — and the join is still exactly correct
+      val salted = Skew.saltedJoin(big, small, Seq("k"), factor)
+      assert(hotSpread(salted) >= factor / 2,
+        s"salt factor $factor spread the hot key over ${hotSpread(salted)} tasks")
+      assert(salted.count() == 10000L)
+    }
+  }
 }
