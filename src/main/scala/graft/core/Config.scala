@@ -200,12 +200,28 @@ object Config {
           orderBy = strSeq(n, "orderBy"),
           limit = Option(n.get("limit")).map(_.asInt))(df)
       // Common\HttpRequest: url template with {} placeholder, pooled client,
-      // retry + per-partition throttle
+      // retry + per-partition throttle (minIntervalMs = the reference's
+      // throttleTime; aggregate rate = partitions × 1000/minIntervalMs)
       case "httpEnrich" =>
         val template = str(n, "url")
         graft.operators.Enrich.httpTransport(df, str(n, "in"), str(n, "out"),
           urlFor = v => template.replace("{}", v),
-          retries = Option(n.get("retries")).map(_.asInt).getOrElse(2))
+          timeoutMs = Option(n.get("timeoutMs")).map(_.asLong).getOrElse(5000L),
+          retries = Option(n.get("retries")).map(_.asInt).getOrElse(2),
+          minIntervalMs = Option(n.get("minIntervalMs")).map(_.asLong).getOrElse(0L))
+      // batched model inference: scores `input` with a registered model
+      // (Inference.registerModel) and joins the score back on `id`.
+      // batchSize is the model-call unit; numPartitions decouples inference
+      // parallelism from the scan layout (0 = keep upstream partitioning)
+      case "infer" =>
+        val idCol = str(n, "id")
+        val scores = graft.ext.Inference.scoreBatched(df.sparkSession, df,
+          idCol, str(n, "input"),
+          batchSize = Option(n.get("batchSize")).map(_.asInt).getOrElse(64),
+          outCol = strOpt(n, "out").getOrElse("score"),
+          numPartitions = Option(n.get("numPartitions")).map(_.asInt).getOrElse(0))(
+          graft.ext.Inference.model(str(n, "model")))
+        df.join(scores, Seq(idCol))
       // curation tier (ext/Curation): deterministic hash-keyed ops
       case "sample" =>
         graft.ext.Curation.sampleByHash(df, str(n, "key"),

@@ -27,6 +27,23 @@ import org.apache.spark.sql.types._
   */
 object Inference {
 
+  /** Named-model registry — the seam that lets pipeline-as-config (the YAML
+    * layer) reference a model by name: code registers the function once at
+    * startup, configs say `model: quality-v2`. Driver-side only; the
+    * function itself still ships to executors through the [[scoreBatched]]
+    * closure, so it must be serializable like any Spark closure.
+    */
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String] => Seq[Double]]()
+
+  def registerModel(name: String, model: Seq[String] => Seq[Double]): Unit =
+    models.put(name, model)
+
+  def model(name: String): Seq[String] => Seq[Double] =
+    Option(models.get(name)).getOrElse(throw new IllegalArgumentException(
+      s"no model registered under '$name' — call Inference.registerModel first " +
+        s"(registered: ${models.keySet().toArray.mkString(", ")})"))
+
   /** Score `inputCol` with `model`, called once per `batchSize` rows within
     * each partition. Output: (`idCol` with its original type, `outCol`
     * double). The model MUST return exactly one output per input — a

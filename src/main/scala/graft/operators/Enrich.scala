@@ -77,12 +77,15 @@ object Enrich {
   /** Real HTTP GET transport over the JDK client: `urlFor` builds the
     * request URL from the input value; response body (2xx) is the result,
     * non-2xx throws (so the retry/fallback path engages — the reference's
-    * `checkResponseFunc`, `HttpRequest.php:122-126`).
+    * `checkResponseFunc`, `HttpRequest.php:122-126`). `minIntervalMs` is
+    * the per-task throttle (the reference's `throttleTime`) — aggregate
+    * upstream rate is bounded by partitions × 1000/minIntervalMs.
     */
   def httpTransport(df: DataFrame, inCol: String, outCol: String,
                     urlFor: String => String,
                     timeoutMs: Long = 5000L,
-                    retries: Int = 2): DataFrame =
+                    retries: Int = 2,
+                    minIntervalMs: Long = 0L): DataFrame =
     withPartitionClient[HttpClient](df, inCol, outCol,
       mkClient = () => HttpClient.newBuilder()
         .connectTimeout(Duration.ofMillis(timeoutMs)).build(),
@@ -94,5 +97,6 @@ object Enrich {
           throw new RuntimeException(s"HTTP ${resp.statusCode()}")
         resp.body()
       },
-      retries = retries)
+      retries = retries,
+      minIntervalMs = minIntervalMs)
 }

@@ -320,6 +320,64 @@ class ConfigSpec extends SparkSpec {
     assert(fresh.select("id").as[Long].collect().toSet == (11L to 100L).toSet)
   }
 
+  test("infer op scores through a registered model with batch/partition knobs") {
+    val dir = Files.createTempDirectory("graft_cfg_infer_").toString
+    (1L to 20L).map(i => (i, "x" * i.toInt)).toDF("id", "text")
+      .write.parquet(s"$dir/docs")
+    graft.ext.Inference.registerModel("len-model", _.map(_.length.toDouble))
+    val scored = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: infer, id: id, input: text, model: len-model,
+         |     batchSize: 4, numPartitions: 3, out: n_chars}
+         |""".stripMargin)
+    // score joins back onto the full row; every id keeps ITS OWN score
+    // regardless of batch boundaries and the repartition to 3
+    assert(scored.columns.toSeq == Seq("id", "text", "n_chars"))
+    assert(scored.as[(Long, String, Double)].collect()
+      .forall { case (id, _, s) => s == id.toDouble })
+    // an unregistered model name fails fast, naming the seam
+    val e = intercept[IllegalArgumentException] {
+      Config.run(spark,
+        s"""source: {type: parquet, path: $dir/docs}
+           |transforms: [{op: infer, id: id, input: text, model: ghost}]
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("registerModel"))
+  }
+
+  test("httpEnrich wires timeoutMs and the minIntervalMs throttle from config") {
+    val dir = Files.createTempDirectory("graft_cfg_http_").toString
+    Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")).toDF("id", "payload")
+      .coalesce(1).write.parquet(s"$dir/in")
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/echo", { exchange =>
+      val q = exchange.getRequestURI.getQuery
+      val body = s"got:${q.stripPrefix("v=")}".getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val t0 = System.nanoTime()
+      val out = Config.run(spark,
+        s"""source: {type: parquet, path: $dir/in}
+           |transforms:
+           |  - {op: httpEnrich, in: payload, out: resp,
+           |     url: "http://127.0.0.1:$port/echo?v={}",
+           |     timeoutMs: 2000, minIntervalMs: 40}
+           |""".stripMargin)
+      val resp = out.orderBy("id").select("resp").as[String].collect().toSeq
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(resp == Seq("got:a", "got:b", "got:c", "got:d", "got:e"))
+      // 5 calls in one partition at ≥40ms spacing: 4 gaps ≥ 160ms total
+      assert(elapsedMs >= 160L, s"elapsed ${elapsedMs}ms — throttle not wired")
+    } finally server.stop(0)
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")
