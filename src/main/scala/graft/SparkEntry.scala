@@ -654,6 +654,19 @@ object SparkEntry {
         dim = 64, k = 5, lshBits = 6)
     }),
 
+    // product-quantized ADC scan (FAISS-style m-byte codes, 32× the scan-
+    // byte cut of float32); k-means codebooks aren't DuckDB-expressible →
+    // rows-only, gated by ann_pq_recall
+    "ann_pq" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cb = graft.ext.Pq.train(e, "embedding", dim = 64, m = 8)
+      val codes = graft.ext.Pq.encode(e, "vec_id", "embedding", cb)
+      val qv = e.filter(col("vec_id") === 1L).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      graft.ext.Pq.adcTopK(codes.filter(col("vec_id") =!= 1L), cb, "vec_id",
+        qv, k = 10)
+    }),
+
     // the SQL registration surface driven end-to-end: GraftFunctions
     // registers the native expressions in the session's FunctionRegistry and
     // the query runs as pure SQL through graft_cosine — same math as
@@ -713,6 +726,41 @@ object SparkEntry {
         nLists = 8, maxIter = 2)
       graft.ext.Ivf.search(idx.assigned, idx, "vec_id", "embedding",
         queryVec = qv, k = 2, nProbe = 1)
+    }),
+
+    // batch (many-query) IVF, planted-duplicate gate: every query vector is
+    // its own nearest centroid's cell-mate with its copy, so nProbe=1 must
+    // surface the copy at cosine 1.0 for ALL 20 queries in one distributed
+    // search — no driver round-trip per query (k=3 absorbs incidental
+    // rounded-1.0 ties ahead of the planted hit)
+    "ann_ivf_batch_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      val idx = graft.ext.Ivf.build(withCopies, "vec_id", "embedding",
+        nLists = 8, maxIter = 2)
+      graft.ext.Ivf.searchMany(idx.assigned, idx, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, nProbe = 1)
+        .filter(col("corpus_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("corpus_id").as("hit_id"), col("score"))
+    }),
+
+    // PQ planted-duplicate gate: a copy encodes to the query's own code, so
+    // its ADC distance is the sum of per-subspace minima — the global
+    // minimum — and MUST appear in the top-k (k=4 absorbs the query's own
+    // corpus row and incidental code collisions)
+    "ann_pq_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      val cb = graft.ext.Pq.train(withCopies, "embedding", dim = 64, m = 8)
+      val codes = graft.ext.Pq.encode(withCopies, "vec_id", "embedding", cb)
+      val queries = e.filter(col("vec_id").between(1L, 5L))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      queries.map { case (qid, qv) =>
+        graft.ext.Pq.adcTopK(codes, cb, "vec_id", qv, k = 4)
+          .filter(col("vec_id") === qid + 1000000L)
+          .select(lit(qid).as("query_id"), col("vec_id").as("hit_id"))
+      }.reduce(_ unionByName _)
     }),
 
     // ---- ext: text analysis ----
@@ -1171,6 +1219,19 @@ object SparkEntry {
        |  FROM documents)""".stripMargin
   }
 
+  /** Every rows-only key (a [[queries]] entry with no [[oracleSql]]) must
+    * name an oracled companion gate here — a hash-verified query exercising
+    * the same code path (the ANN recall-gate pattern: approximate indexes
+    * can't be SQL-oracled directly, but their planted-duplicate retrieval
+    * can). [[graft.SparkEntrySpec]] enforces the pairing structurally, so a
+    * key can never again land rows-only without a named correctness gate.
+    */
+  def rowsOnlyGates: Map[String, String] = Map(
+    "ann_ivf"        -> "ann_ivf_recall",
+    "ann_knn_bucket" -> "ann_knn_recall",
+    "ann_lsh_topk"   -> "ann_lsh_recall",
+    "ann_pq"         -> "ann_pq_recall")
+
   /** DuckDB oracle SQL per query (same parquet tables, bare table names).
     * Omitted keys (xxhash64/sign-LSH-based ops) get a rows-only check.
     */
@@ -1478,6 +1539,14 @@ object SparkEntry {
     "ann_ivf_recall" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 1.0),
         |  (CAST(1000001 AS BIGINT), 1.0)) AS t(vec_id, score)""".stripMargin,
+
+    "ann_ivf_batch_recall" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id, 1.0 AS score
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "ann_pq_recall" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id
+        |FROM embeddings WHERE vec_id BETWEEN 1 AND 5""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)

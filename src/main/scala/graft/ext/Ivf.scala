@@ -2,7 +2,8 @@ package graft.ext
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => V}
@@ -64,12 +65,35 @@ object Ivf {
     Index(assigned, model.clusterCenters.map(_.toArray))
   }
 
-  /** Persist the index partitioned by cell — the layout that turns probe
-    * selection into parquet partition pruning.
+  /** Persist the FULL index: the assignment partitioned by cell (the layout
+    * that turns probe selection into parquet partition pruning) plus the
+    * centroid table (nLists tiny rows), so a search job can [[readIndex]]
+    * without refitting k-means. Layout: `path/assigned/list_id=*`,
+    * `path/centroids`.
     */
-  def writeIndex(index: Index, path: String): Unit =
+  def writeIndex(index: Index, path: String): Unit = {
     index.assigned.write.mode(SaveMode.Overwrite)
-      .partitionBy("list_id").parquet(path)
+      .partitionBy("list_id").parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** Reload a [[writeIndex]]-persisted index. The assignment stays a lazy
+    * partition-pruned scan; only the centroids (nLists × dim doubles)
+    * collect to the driver, same as after [[build]].
+    */
+  def readIndex(spark: SparkSession, path: String): Index = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select("list_id", "centroid").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    Index(assigned, centroids)
+  }
 
   /** The `nProbe` cell ids nearest to the query (driver-side math over the
     * tiny centroid table).
@@ -97,5 +121,57 @@ object Ivf {
       .select(col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** Batch IVF search: for every row of `queries`, its top-k neighbors by
+    * cosine among that query's `nProbe` nearest cells — corpus-vs-corpus
+    * retrieval without one driver round-trip per query.
+    *
+    * Plan shape, sized for many queries over a 100 TB corpus:
+    *  1. probe selection — queries × the broadcast nLists-row centroid
+    *    table, ranked per query: Q·nLists tiny rows, never the corpus;
+    *  2. candidate join on `list_id` — with a [[writeIndex]]-persisted
+    *    assignment this stays aligned with the storage partitioning (and a
+    *    small probe side broadcasts under AQE);
+    *  3. two-stage top-k — rank within (query, cell) first, so no task ever
+    *    holds more than one CELL's candidates for one query (~N/nLists
+    *    rows); the final per-query rank then sees only nProbe·k survivors.
+    *    A single per-query window would funnel all nProbe cells' candidates
+    *    for a query into one task — the same hot-key funnel shape the df-cap
+    *    rework removed from the dedup tier.
+    *
+    * Query rows whose id appears in the corpus never match themselves
+    * (`corpus_id =!= query_id`, same convention as
+    * [[Similarity.bucketJoinKnn]]).
+    */
+  def searchMany(assigned: DataFrame, index: Index, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(k > 0 && nProbe > 0)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("__list", "__cent")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // squared-L2 to each centroid (the k-means metric), nProbe best per query
+    val dists = q.crossJoin(broadcast(cents))
+      .withColumn("__d", aggregate(zip_with(col("__qv"), col("__cent"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0d), (acc, v) => acc + v))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("__d"), col("__list"))
+    val probes = dists.withColumn("__rk", row_number().over(wProbe))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__list").as("list_id"))
+    val scored = assigned.join(probes, Seq("list_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col("list_id"), col(idCol).as("corpus_id"),
+        round(V.cosine(col(vecCol), col("__qv")), 4).as("score"))
+    val wCell = Window.partitionBy("query_id", "list_id")
+      .orderBy(desc("score"), col("corpus_id"))
+    val wQuery = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("corpus_id"))
+    scored.withColumn("__rc", row_number().over(wCell)).filter(col("__rc") <= k)
+      .withColumn("__rk", row_number().over(wQuery)).filter(col("__rk") <= k)
+      .select("query_id", "corpus_id", "score")
   }
 }

@@ -1,0 +1,205 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011 — the FAISS-style ANN memory path): split a
+  * `dim`-float vector into `m` subvectors, learn a 256-centroid k-means
+  * codebook per subspace, and store each vector as `m` one-byte codes.
+  *
+  * The 100 TB economics: a 64-float embedding is 256 bytes; its PQ code at
+  * m=8 is 8 bytes — a 32× scan-byte cut, far past int8's 4×. Search uses
+  * asymmetric distance computation (ADC): the query stays full-precision,
+  * per-subspace distances to all 256 centroids are precomputed ONCE into an
+  * m×256 table (driver-side, tiny), and scoring a corpus vector is m table
+  * lookups — no float math per row at all.
+  *
+  * Spark shape:
+  *  - [[train]] is `m` sampled k-means fits (the same capped-sample rule as
+  *    [[Ivf.build]] — a codebook needs placement, not convergence);
+  *  - [[encode]] / [[adcTopK]] run per-partition over primitive arrays
+  *    (broadcast codebooks; an argmin over 256 centroids per subspace is a
+  *    genuinely imperative kernel — a declarative 256-way `aggregate` would
+  *    run interpreted via CodegenFallback, orders slower);
+  *  - codes persist via [[writeCodes]] like the int8 table
+  *    ([[Similarity.writeCodes]]): written once, scanned by every query.
+  *
+  * Like the other approximate indexes, PQ is not SQL-oracle-able — it
+  * carries a planted-duplicate recall gate (`ann_pq_recall`) plus unit
+  * specs, per the `SparkEntry.rowsOnlyGates` contract.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `books(j)(c)` is centroid `c` (0..255) of
+    * subspace `j`, each of length dim/m. Driver-held and broadcast — at
+    * m=8, dim=64 this is 8×256×8 doubles ≈ 128 KiB.
+    */
+  final case class Codebooks(books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def subDim: Int = books(0)(0).length
+    def dim: Int = m * subDim
+  }
+
+  /** Learn the codebooks on a capped uniform sample: one distributed
+    * counting/sampling pass, then `m` LOCAL Lloyd's fits over the collected
+    * sample. Codebook training is a driver-scale problem by construction —
+    * the fit input is capped (100k rows × dim doubles ≈ 50 MB at dim=64)
+    * because a codebook needs placement, not convergence, so `m`
+    * distributed k-means fits would pay m× scheduler overhead to move no
+    * data. (FAISS trains PQ codebooks in-memory for the same reason.)
+    * Deterministic: seeded sample, seeded init, tie-free argmin.
+    */
+  def train(df: DataFrame, vecCol: String, dim: Int, m: Int,
+            codes: Int = 256, seed: Long = 42L, maxIter: Int = 5,
+            fitSampleRows: Long = 100000L): Codebooks = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(codes >= 2 && codes <= 256, "codes must fit one byte (2..256)")
+    val subDim = dim / m
+    val sample: Array[Array[Double]] = Ivf.fitSample(
+      df.select(col(vecCol).cast(ArrayType(DoubleType)).as("__v")),
+      math.max(fitSampleRows, codes * 20L), seed)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty input")
+    val books = Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      lloyd(pts, codes, maxIter, new scala.util.Random(seed + j))
+    }
+    Codebooks(books)
+  }
+
+  /** Plain Lloyd's iterations with seeded distinct-point init; empty
+    * clusters keep their previous centroid (harmless — an unused codeword).
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int, maxIter: Int,
+                    rnd: scala.util.Random): Array[Array[Double]] = {
+    val kk = math.min(k, pts.length)
+    val init = rnd.shuffle(pts.indices.toVector).take(kk)
+    var centroids = Array.tabulate(k)(c => pts(init(c % kk)).clone())
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.fill(k)(new Array[Double](pts(0).length))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < pts.length) {
+        val p = pts(i); var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = squaredDist(p, 0, centroids(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var x = 0
+        while (x < p.length) { s(x) += p(x); x += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  private def squaredDist(v: Array[Double], off: Int, c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = v(off + i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Encode every vector to its `m` nearest-centroid byte codes. Output:
+    * (idCol as-is, `code` array<tinyint> of length m). Deterministic: ties
+    * take the smallest centroid index.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             cb: Codebooks): DataFrame = {
+    val spark = df.sparkSession
+    val bcast = spark.sparkContext.broadcast(cb)
+    val in = df.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("code", ArrayType(ByteType, containsNull = false))))
+    val rdd = in.rdd.mapPartitions { rows =>
+      val books = bcast.value.books
+      val subDim = bcast.value.subDim
+      rows.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val code = new Array[Byte](books.length)
+        var j = 0
+        while (j < books.length) {
+          val book = books(j); var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            val d = squaredDist(v, j * subDim, book(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          code(j) = best.toByte
+          j += 1
+        }
+        Row(r.get(0), code.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Persist the code table — m bytes per vector, the table every query
+    * scans (write once; the float corpus is only read again to rescore).
+    */
+  def writeCodes(codes: DataFrame, path: String): Unit =
+    codes.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** ADC top-k: nearest `k` corpus codes to the FULL-PRECISION `queryVec`
+    * by approximate squared L2. The per-subspace distance table (m×256
+    * doubles) is computed once on the driver and broadcast; each corpus row
+    * costs m array lookups. Returns (idCol, `adist` double) ascending —
+    * smaller is nearer. Ties break on id, so the ranking is deterministic
+    * and a planted exact duplicate (whose code equals the query's own code)
+    * is guaranteed in the top ranks.
+    */
+  def adcTopK(codes: DataFrame, cb: Codebooks, idCol: String,
+              queryVec: Seq[Double], k: Int): DataFrame = {
+    require(queryVec.length == cb.dim,
+      s"query dim ${queryVec.length} != codebook dim ${cb.dim}")
+    val q = queryVec.toArray
+    val table: Array[Array[Double]] = cb.books.zipWithIndex.map { case (book, j) =>
+      book.map(c => squaredDist(q, j * cb.subDim, c))
+    }
+    val spark = codes.sparkSession
+    val bcast = spark.sparkContext.broadcast(table)
+    val in = codes.select(col(idCol), col("code"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol), StructField("adist", DoubleType)))
+    val scored = spark.createDataFrame(
+      in.rdd.mapPartitions { rows =>
+        val t = bcast.value
+        rows.map { r =>
+          val code = r.getSeq[Byte](1)
+          var s = 0.0; var j = 0
+          while (j < t.length) { s += t(j)(code(j) & 0xff); j += 1 }
+          Row(r.get(0), s)
+        }
+      }, outSchema)
+    scored.orderBy(col("adist"), col(idCol)).limit(k)
+  }
+
+  /** ADC candidates + exact-cosine rescore of the top `rescoreFactor × k`
+    * against the float corpus — the same pattern as
+    * [[Similarity.int8TopKRescored]]: the 100 TB read is the m-byte code
+    * scan; the float table is probed only for rescoreFactor·k ids.
+    */
+  def adcTopKRescored(codes: DataFrame, corpus: DataFrame, cb: Codebooks,
+                      idCol: String, vecCol: String, queryVec: Seq[Double],
+                      k: Int, rescoreFactor: Int = 4): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
+    val cand = adcTopK(codes, cb, idCol, queryVec, k * rescoreFactor).select(col(idCol))
+    val qv = array(queryVec.map(lit): _*)
+    corpus.join(broadcast(cand), Seq(idCol))
+      .withColumn("score", round(V.cosine(col(vecCol), qv), 4))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}

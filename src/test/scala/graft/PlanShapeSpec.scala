@@ -44,7 +44,7 @@ class PlanShapeSpec extends SparkSpec {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val idx = graft.ext.Ivf.build(e, "vec_id", "embedding", nLists = 4, maxIter = 2)
     graft.ext.Ivf.writeIndex(idx, s"$dir/ivf")
-    val pruned = spark.read.parquet(s"$dir/ivf").filter($"list_id".isin(0, 1))
+    val pruned = spark.read.parquet(s"$dir/ivf/assigned").filter($"list_id".isin(0, 1))
     val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
     // partition filters at the directory level — the probe reads 2/4 cells
     assert(scan.contains("PartitionFilters") && scan.contains("list_id"),

@@ -3,12 +3,21 @@ package graft
 /** Contract checks over the registered query/oracle surface itself. */
 class SparkEntrySpec extends SparkSpec {
 
-  test("every registered query has an oracle, except the documented ANN trio") {
+  test("every rows-only query names an oracled companion gate") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // approximate-by-design ANN paths: verified instead via the planted-
-    // duplicate retrieval gates (ann_*_recall) and unit/property specs
-    assert(rowsOnly == Set("ann_ivf", "ann_knn_bucket", "ann_lsh_topk"),
-      s"new rows-only keys appeared without an oracle: $rowsOnly")
+    // a key may skip the DuckDB oracle ONLY by registering a companion gate
+    // (the ANN recall-gate pattern): the pairing below makes a bare
+    // rows-only key a structural impossibility, not a convention
+    assert(rowsOnly == SparkEntry.rowsOnlyGates.keySet,
+      s"rows-only keys ${rowsOnly -- SparkEntry.rowsOnlyGates.keySet} have no " +
+        s"companion gate; stale gates: ${SparkEntry.rowsOnlyGates.keySet -- rowsOnly}")
+    SparkEntry.rowsOnlyGates.foreach { case (key, gate) =>
+      assert(SparkEntry.queries.contains(gate),
+        s"gate '$gate' for rows-only '$key' is not a registered query")
+      assert(SparkEntry.oracleSql.contains(gate),
+        s"gate '$gate' for rows-only '$key' is itself unoracled — gates must " +
+          "be hash-verified")
+    }
   }
 
   test("no orphan oracles (oracle without a registered query)") {

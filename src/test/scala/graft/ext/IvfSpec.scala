@@ -63,7 +63,7 @@ class IvfSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_ivf_").toString
     val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
     Ivf.writeIndex(idx, dir)
-    val assigned = spark.read.parquet(dir)
+    val assigned = spark.read.parquet(s"$dir/assigned")
     val cells = Ivf.probeCells(idx, Seq(0.0, 10.0, 0.0), nProbe = 1)
     val plan = Ivf.search(assigned, idx, "vec_id", "embedding",
       Seq(0.0, 10.0, 0.0), k = 3, nProbe = 1)
@@ -73,5 +73,45 @@ class IvfSpec extends SparkSpec {
     val hits = Ivf.search(assigned, idx, "vec_id", "embedding",
       Seq(0.0, 10.0, 0.0), k = 3, nProbe = 1).as[(Long, Double)].collect()
     assert(hits.forall(_._1 % 3 == 1))
+  }
+
+  test("readIndex round-trips: reloaded index searches identically, no refit") {
+    val dir = Files.createTempDirectory("graft_ivf_rt_").toString
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
+    Ivf.writeIndex(idx, dir)
+    val loaded = Ivf.readIndex(spark, dir)
+    assert(loaded.centroids.length == 3)
+    // centroid order survives the round trip (probe selection depends on it)
+    idx.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(a.sameElements(b), "centroid table reordered by persistence")
+    }
+    val before = Ivf.search(idx.assigned, idx, "vec_id", "embedding",
+      Seq(10.0, 0.1, 0.1), k = 5, nProbe = 1).as[(Long, Double)].collect().toSeq
+    val after = Ivf.search(loaded.assigned, loaded, "vec_id", "embedding",
+      Seq(10.0, 0.1, 0.1), k = 5, nProbe = 1).as[(Long, Double)].collect().toSeq
+    assert(after == before)
+  }
+
+  test("searchMany returns each query's cluster-mates, k per query") {
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
+    // one query per cluster, drawn from the corpus itself
+    val queries = corpus.filter($"vec_id" < 3)
+    val hits = Ivf.searchMany(idx.assigned, idx, queries, "vec_id", "embedding",
+      k = 5, nProbe = 1).as[(Long, Long, Double)].collect()
+    assert(hits.length == 15, s"expected 3 queries × 5 hits, got ${hits.length}")
+    // a query never matches itself; every hit shares the query's cluster
+    hits.foreach { case (qid, cid, score) =>
+      assert(cid != qid)
+      assert(cid % 3 == qid % 3, s"query $qid got cross-cluster hit $cid")
+      assert(score > 0.99)
+    }
+    // batch result per query == the single-vector search path
+    val qv = corpus.filter($"vec_id" === 0L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val single = Ivf.search(idx.assigned, idx, "vec_id", "embedding",
+      qv, k = 6, nProbe = 1).as[(Long, Double)].collect()
+      .filter(_._1 != 0L).take(5).toSeq
+    val batchQ0 = hits.filter(_._1 == 0L).map(h => (h._2, h._3)).toSeq
+    assert(batchQ0 == single)
   }
 }

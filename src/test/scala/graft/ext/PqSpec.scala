@@ -1,0 +1,94 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated clusters around the axes, 16-dim
+  private def corpus = {
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(3, 16)((c, i) => if (i / 5 == c) 10.0f else 0.0f)
+    (0 until 120).map { i =>
+      (i.toLong, base(i % 3).map(v => v + rnd.nextFloat() * 0.4f).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("train → encode produces m one-byte codes; identical vectors share codes") {
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    assert(cb.m == 4 && cb.subDim == 4 && cb.books.forall(_.length == 16))
+    val doubled = corpus.unionByName(
+      corpus.withColumn("vec_id", $"vec_id" + 1000L))
+    val codes = Pq.encode(doubled, "vec_id", "embedding", cb)
+    assert(codes.columns.toSeq == Seq("vec_id", "code"))
+    val byId = codes.as[(Long, Seq[Byte])].collect().toMap
+    assert(byId.size == 240 && byId.values.forall(_.length == 4))
+    // an exact copy always encodes to the query's own code
+    (0L until 120L).foreach(i => assert(byId(i) == byId(i + 1000L)))
+  }
+
+  test("ADC retrieves the planted copy first and stays within the cluster") {
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    val doubled = corpus.unionByName(
+      corpus.withColumn("vec_id", $"vec_id" + 1000L))
+    val codes = Pq.encode(doubled, "vec_id", "embedding", cb)
+    val qv = corpus.filter($"vec_id" === 0L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val hits = Pq.adcTopK(codes.filter($"vec_id" =!= 0L), cb, "vec_id", qv, k = 10)
+      .as[(Long, Double)].collect()
+    assert(hits.length == 10)
+    // the copy's code equals the query's own code → per-subspace minima →
+    // globally minimal ADC distance (ties broken by id)
+    assert(hits.map(_._1).contains(1000L),
+      s"planted copy missing from ADC top-10: ${hits.mkString(", ")}")
+    // every hit is an x-cluster member (id % 3 == 0 in either id range)
+    assert(hits.forall(h => h._1 % 3 == 0 || (h._1 - 1000L) % 3 == 0))
+    assert(hits.map(_._2).sameElements(hits.map(_._2).sorted), "not ascending")
+  }
+
+  test("ADC + exact rescore equals brute-force cosine top-k on this corpus") {
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+    val qv = corpus.filter($"vec_id" === 0L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val rescored = Pq.adcTopKRescored(
+        codes.filter($"vec_id" =!= 0L), corpus.filter($"vec_id" =!= 0L),
+        cb, "vec_id", "embedding", qv, k = 5, rescoreFactor = 8)
+      .as[(Long, Double)].collect().toSeq
+    // brute force with the SAME round-then-order rule the rescore path uses
+    // (ordering by the raw score would break rounded-score ties differently)
+    val brute = corpus.filter($"vec_id" =!= 0L)
+      .select($"vec_id", round(graft.functions.VectorFunctions.cosine(
+        $"embedding", array(qv.map(lit): _*)), 4).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(5)
+      .as[(Long, Double)].collect().toSeq
+    assert(rescored == brute)
+  }
+
+  test("codes persist and reread: 1-byte elements, same ADC result") {
+    val dir = Files.createTempDirectory("graft_pq_").toString
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+    Pq.writeCodes(codes, s"$dir/codes")
+    val reread = spark.read.parquet(s"$dir/codes")
+    // element type survives as 1-byte tinyint (containsNull is not
+    // preserved by the parquet list encoding — irrelevant to the scan size)
+    assert(reread.schema("code").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+    val qv = corpus.filter($"vec_id" === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val a = Pq.adcTopK(codes, cb, "vec_id", qv, k = 8).as[(Long, Double)].collect().toSeq
+    val b = Pq.adcTopK(reread, cb, "vec_id", qv, k = 8).as[(Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("train rejects a dim that does not divide into m") {
+    intercept[IllegalArgumentException] {
+      Pq.train(corpus, "embedding", dim = 16, m = 5)
+    }
+  }
+}
