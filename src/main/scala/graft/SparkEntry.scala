@@ -1168,6 +1168,29 @@ object SparkEntry {
       }
     }),
 
+    // streaming corpus ingest with exact content dedup: a duplicated
+    // document feed (every text arrives twice under different ids, split
+    // over multiple micro-batches) must land in the corpus exactly once.
+    // The admitted CONTENT set is batch-order-independent, so the oracle
+    // compares texts — which id survives a cross-batch duplicate is
+    // arrival order, deliberately not asserted (the unit spec pins the
+    // in-batch min-id rule)
+    "stream_ingest_dedup" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_q_").toString
+        val docs = Tables(s, dir).documents.select("doc_id", "text")
+        docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+          .coalesce(4).write.parquet(s"$tmp/in")
+        val q = Streams.ingestDedup(
+          Streams.fileStream(s, s"$tmp/in", docs.schema,
+            options = Map("maxFilesPerTrigger" -> "1")),
+          s"$tmp/corpus", contentCols = Seq("text"), idCol = "doc_id",
+          checkpoint = s"$tmp/ckpt")
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/corpus").select("text")
+      }
+    }),
+
     // stream-stream interval join (click → purchase attribution within
     // 30 min): watermark-evicted join state on both sides; inner join in
     // append mode emits each matched pair exactly once
@@ -1823,6 +1846,10 @@ object SparkEntry {
     "stream_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // duplicated feed → corpus holds each distinct content exactly once
+    "stream_ingest_dedup" ->
+      "SELECT DISTINCT text FROM documents",
 
     // sliding windows: each event belongs to the window starting at its
     // 30-min-truncated time and the one 30 min earlier (duration 1 h)

@@ -22,9 +22,13 @@ object Streams {
     * (`src/Sources/FindFiles.php:53-74`): new files become new micro-batches.
     */
   def fileStream(spark: SparkSession, dir: String, schema: StructType,
-                 format: String = "parquet"): DataFrame =
-    spark.readStream.schema(schema).format(format)
-      .option("pathGlobFilter", s"*.$format").load(dir)
+                 format: String = "parquet",
+                 options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(
+      spark.readStream.schema(schema).format(format)
+        .option("pathGlobFilter", s"*.$format")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(dir)
 
   /** Tumbling/sliding event-time windowed aggregation with a watermark. */
   def windowedCounts(df: DataFrame, tsCol: String, windowDur: String,
@@ -182,6 +186,37 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Streaming corpus ingest with exact content dedup — the daily-feed
+    * shape of an LLM training-data pipeline run continuously: each
+    * micro-batch admits only rows whose content is new (not in the stored
+    * corpus, not earlier in the batch — [[graft.ext.Dedup.incrementalExact]])
+    * and appends them to `corpusPath`. The corpus is never rescanned as
+    * documents: only its 16-byte content-hash column joins each batch.
+    *
+    * Delivery is idempotent BY CONSTRUCTION, not just by checkpoint: a
+    * replayed micro-batch re-runs the anti-join against a corpus that
+    * already holds its content, admits zero rows, and appends nothing — so
+    * failure/retry cannot double-ingest content even across checkpoint
+    * loss. (Which ID survives for duplicated content follows batch arrival
+    * order; the admitted CONTENT set is order-independent.)
+    */
+  def ingestDedup(stream: DataFrame, corpusPath: String, contentCols: Seq[String],
+                  idCol: String, checkpoint: String,
+                  trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      val path = new org.apache.hadoop.fs.Path(corpusPath)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasCorpus = fs.exists(path) &&
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$corpusPath/*.parquet")).nonEmpty
+      val fresh =
+        if (hasCorpus)
+          graft.ext.Dedup.incrementalExact(
+            batch, spark.read.parquet(corpusPath), contentCols, idCol)
+        else graft.ext.Dedup.exact(batch, contentCols, idCol)
+      fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+    }
 
   /** Stream → JDBC upsert: each micro-batch goes through the batched,
     * retrying [[graft.sources.JdbcSink.upsert]] writer. Idempotent template

@@ -168,6 +168,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestDedup admits only new content across micro-batches, idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestDedup(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", contentCols = Seq("text"), idCol = "doc_id",
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: an in-batch duplicate (ids 1,2 share content) → min id wins
+      mem.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate (beta) and genuinely new content
+      mem.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      // batch 3: pure replay of already-ingested content → appends nothing
+      mem.addData((6L, "alpha"), (7L, "gamma"))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$dir/corpus")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(corpus == Seq((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
+    } finally q.stop()
+  }
+
   test("runningTotals keeps per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
