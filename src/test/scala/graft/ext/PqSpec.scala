@@ -91,4 +91,24 @@ class PqSpec extends SparkSpec {
       Pq.train(corpus, "embedding", dim = 16, m = 5)
     }
   }
+
+  test("IVF-PQ composition: probe-pruned ADC scan stays within the probed cell") {
+    // the FAISS IVF-PQ shape from the two existing pieces: the IVF
+    // assignment prunes WHICH codes are scanned (partition pruning on a
+    // persisted index), PQ decides HOW CHEAP scanning each one is
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+      .join(idx.assigned.select("vec_id", "list_id"), "vec_id")
+    val qv = corpus.filter($"vec_id" === 0L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val cells = Ivf.probeCells(idx, qv, nProbe = 1)
+    val hits = Pq.adcTopK(
+        codes.filter($"list_id".isin(cells: _*) && $"vec_id" =!= 0L),
+        cb, "vec_id", qv, k = 5)
+      .as[(Long, Double)].collect()
+    assert(hits.length == 5)
+    // probed cell = the query's own x-axis cluster; ADC agrees
+    assert(hits.forall(_._1 % 3 == 0), s"cross-cluster hit in ${hits.mkString(",")}")
+  }
 }
