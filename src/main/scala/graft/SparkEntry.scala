@@ -947,6 +947,15 @@ object SparkEntry {
       Curation.stratifiedFixedN(Tables(s, dir).documents, "doc_id", "lang", n = 10)
         .select("doc_id", "lang")),
 
+    // per-stratum TOKEN budgets (the unit real data mixes are specified
+    // in): fill each language in deterministic hash order until its
+    // character budget is exhausted
+    "curate_token_budget" -> ((s, dir) =>
+      Curation.sampleToTokenBudget(
+        Tables(s, dir).documents.select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", "n_chars",
+        budgets = Map("en" -> 60000L), defaultBudget = 25000L, salt = "tb")),
+
     // greedy sequence packing into 512-token bins across 8 hash shards
     "curate_pack_greedy" -> ((s, dir) => {
       val d = Tables(s, dir).documents
@@ -2030,6 +2039,16 @@ object SparkEntry {
          |  ${duckBucket("CAST(doc_id AS VARCHAR)", 65536, "graft")} AS b
          |  FROM documents)
          |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) <= 10""".stripMargin,
+
+    // the cum column stays internal (window sum over BIGINT would surface
+    // as HUGEINT otherwise); comparison against the CASE budget is typeless
+    "curate_token_budget" ->
+      s"""SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, n_chars,
+         |  sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
+         |    ORDER BY ${duckBucket("CAST(doc_id AS VARCHAR)", 65536, "tb")}, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |WHERE cum <= CASE WHEN lang = 'en' THEN 60000 ELSE 25000 END""".stripMargin,
 
     "curate_pack_greedy" ->
       s"""WITH d AS (SELECT doc_id,

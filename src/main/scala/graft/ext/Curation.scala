@@ -168,6 +168,38 @@ object Curation {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Fill each stratum to a TOKEN budget (not a row count) — the unit data
+    * mixes are actually specified in: "50 B tokens of web, 5 B of code".
+    * Rows are admitted in deterministic (key hash, key) order while the
+    * stratum's cumulative `tokensCol` stays within its budget; the first
+    * row that would overflow is dropped and, cumsum being monotone, so is
+    * everything after it (strict prefix fill — simple, reproducible, and
+    * exactly mirrorable in an oracle; a best-fit repack would admit a few
+    * more tokens at the cost of both).
+    *
+    * `budgets` maps stratum value → token budget; strata not listed get
+    * `defaultBudget` (0 = drop unlisted strata entirely). Same windowed
+    * shape and same caveat as [[stratifiedFixedN]]: right for
+    * bounded-cardinality strata; for heavy-tailed strata prefer
+    * [[mixtureByHash]] with rates derived from per-stratum token totals.
+    */
+  def sampleToTokenBudget(df: DataFrame, keyCol: String, strataCol: String,
+                          tokensCol: String, budgets: Map[String, Long],
+                          defaultBudget: Long = 0L,
+                          salt: String = "graft"): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "token budgets must be non-negative")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(keyCol), 65536, salt), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__cum", sum(col(tokensCol).cast("bigint")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Greedy sequence packing: assign documents to fixed-token-budget bins by
     * filling bins in key order within a hash shard — the standard
     * concat-and-chunk packing used to build pretraining examples, expressed

@@ -196,6 +196,27 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq.sorted == again.toSeq.sorted)
   }
 
+  test("sampleToTokenBudget fills each stratum to its budget, prefix-strict") {
+    val df = (1L to 100L).map(i => (i, if (i <= 60) "en" else "code", 10L))
+      .toDF("id", "lang", "toks")
+    val out = Curation.sampleToTokenBudget(df, "id", "lang", "toks",
+      budgets = Map("en" -> 250L, "code" -> 95L), salt = "t")
+      .as[(Long, String, Long)].collect()
+    val byLang = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // en: 25 docs × 10 toks = exactly 250; code: 9 docs = 90 ≤ 95 (the 10th
+    // would overflow to 100 and is dropped along with everything after)
+    assert(byLang == Map("en" -> 250L, "code" -> 90L))
+    // deterministic: same salt reproduces the same document set
+    val again = Curation.sampleToTokenBudget(df, "id", "lang", "toks",
+      budgets = Map("en" -> 250L, "code" -> 95L), salt = "t")
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // unlisted strata with the default 0 budget vanish entirely
+    val only = Curation.sampleToTokenBudget(df, "id", "lang", "toks",
+      budgets = Map("en" -> 250L), salt = "t")
+    assert(only.filter($"lang" === "code").count() == 0)
+  }
+
   test("decontaminate drops overlapping train docs, keeps clean ones") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),
