@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -183,6 +184,67 @@ object Pq {
         }
       }, outSchema)
     scored.orderBy(col("adist"), col(idCol)).limit(k)
+  }
+
+  /** Batch ADC: top-k nearest corpus codes for EVERY query row, in one
+    * pass over the code table. Query vectors collect to the driver
+    * (Q × dim doubles — a 10k-query batch at dim 64 is ~5 MB) and their Q
+    * precomputed distance tables broadcast; each partition keeps a k-capped
+    * heap per query and emits at most Q·k candidate rows, so the Q×N score
+    * space is never materialized — the only shuffle ranks the ≤ Q·k·P
+    * survivors per query. Ids must be integral (cast to long): ties on
+    * distance break on id, making the result deterministic and equal to
+    * per-query [[adcTopK]]. Returns (query_id, corpus_id, adist).
+    */
+  def adcTopKMany(codes: DataFrame, cb: Codebooks, idCol: String,
+                  queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0)
+    val qs = queries.select(col(queryIdCol).cast("long"),
+        col(queryVecCol).cast(ArrayType(DoubleType))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    qs.foreach { case (qid, q) => require(q.length == cb.dim,
+      s"query $qid dim ${q.length} != codebook dim ${cb.dim}") }
+    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, q) =>
+      qid -> cb.books.zipWithIndex.map { case (book, j) =>
+        book.map(c => squaredDist(q, j * cb.subDim, c))
+      }
+    }
+    val spark = codes.sparkSession
+    val bcast = spark.sparkContext.broadcast(tables)
+    val in = codes.select(col(idCol).cast("long"), col("code"))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("corpus_id", LongType, nullable = false),
+      StructField("adist", DoubleType, nullable = false)))
+    // heap keeps the k SMALLEST (adist, id); head = current worst
+    val byWorst = Ordering.Tuple2(
+      Ordering.Double.TotalOrdering, Ordering.Long)
+    val candidates = spark.createDataFrame(
+      in.rdd.mapPartitions { rows =>
+        val ts = bcast.value
+        val heaps = Array.fill(ts.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](byWorst))
+        rows.foreach { r =>
+          val id = r.getLong(0); val code = r.getSeq[Byte](1)
+          var qi = 0
+          while (qi < ts.length) {
+            val t = ts(qi)._2
+            var s = 0.0; var j = 0
+            while (j < t.length) { s += t(j)(code(j) & 0xff); j += 1 }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((s, id))
+            else if (byWorst.lt((s, id), h.head)) { h.dequeue(); h.enqueue((s, id)) }
+            qi += 1
+          }
+        }
+        heaps.iterator.zip(ts.iterator).flatMap { case (h, (qid, _)) =>
+          h.iterator.map { case (s, id) => Row(qid, id, s) }
+        }
+      }, outSchema)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("corpus_id"))
+    candidates.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .drop("__rk")
   }
 
   /** ADC candidates + exact-cosine rescore of the top `rescoreFactor × k`

@@ -92,6 +92,25 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("adcTopKMany equals per-query adcTopK, one pass over the codes") {
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb).repartition(3)
+    val queries = corpus.filter($"vec_id" < 4)
+    val batch = Pq.adcTopKMany(codes, cb, "vec_id",
+        queries, "vec_id", "embedding", k = 6)
+      .as[(Long, Long, Double)].collect()
+    assert(batch.length == 24, s"4 queries x 6 hits, got ${batch.length}")
+    (0L until 4L).foreach { qid =>
+      val qv = corpus.filter($"vec_id" === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val single = Pq.adcTopK(codes, cb, "vec_id", qv, k = 6)
+        .as[(Long, Double)].collect().toSeq
+      val got = batch.filter(_._1 == qid).map(b => (b._2, b._3))
+        .sortBy(t => (t._2, t._1)).toSeq
+      assert(got == single, s"batch result diverged for query $qid")
+    }
+  }
+
   test("IVF-PQ composition: probe-pruned ADC scan stays within the probed cell") {
     // the FAISS IVF-PQ shape from the two existing pieces: the IVF
     // assignment prunes WHICH codes are scanned (partition pruning on a
