@@ -215,13 +215,19 @@ object Config {
       // parallelism from the scan layout (0 = keep upstream partitioning)
       case "infer" =>
         val idCol = str(n, "id")
+        val out = strOpt(n, "out").getOrElse("score")
+        require(!df.columns.contains(out),
+          s"infer output column '$out' already exists — set 'out' to a fresh name")
         val scores = graft.ext.Inference.scoreBatched(df.sparkSession, df,
           idCol, str(n, "input"),
           batchSize = Option(n.get("batchSize")).map(_.asInt).getOrElse(64),
-          outCol = strOpt(n, "out").getOrElse("score"),
+          outCol = out,
           numPartitions = Option(n.get("numPartitions")).map(_.asInt).getOrElse(0))(
           graft.ext.Inference.model(str(n, "model")))
-        df.join(scores, Seq(idCol))
+        // one score row per id before the join-back: ids are expected unique
+        // (document keys); if one repeats, its rows all get ONE of their
+        // scores rather than a silent id×id row multiplication
+        df.join(scores.dropDuplicates(idCol), Seq(idCol))
       // curation tier (ext/Curation): deterministic hash-keyed ops
       case "sample" =>
         graft.ext.Curation.sampleByHash(df, str(n, "key"),

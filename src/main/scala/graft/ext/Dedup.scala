@@ -27,6 +27,12 @@ object Dedup {
     * hot key, and no single task ever materializes a hot key's postings —
     * unlike a `count().over(Window.partitionBy(key))`, which funnels every
     * posting of the hottest key into one task before filtering it.
+    *
+    * Callers should `repartition` the postings on `keyCols` BEFORE calling:
+    * the df count and the anti-join probe are two consumers of the same
+    * relation, and only an explicit exchange between them makes the
+    * (expensive) shingle explode compute once (ReusedExchange) instead of
+    * once per consumer.
     */
   private[ext] def dropHotKeys(postings: DataFrame, keyCols: Seq[String],
                                cap: Int): DataFrame = {
@@ -37,18 +43,24 @@ object Dedup {
     postings.join(broadcast(hot), keyCols, "left_anti")
   }
 
+  /** The canonical 128-bit content hash every exact-dedup variant keys on.
+    * Unambiguous content encoding: JSON delimits fields and keeps explicit
+    * nulls, so ("ab","c")/("a","bc") and ("x",null)/(null,"x") don't collide
+    * the way a plain concat would (collisions silently delete rows here).
+    * Persist this column with a corpus ([[graft.streaming.Streams.ingestDedup]])
+    * so increments never re-read content.
+    */
+  def contentHash(contentCols: Seq[String]): Column =
+    md5(to_json(struct(contentCols.map(col): _*),
+      Map("ignoreNullFields" -> "false").asJava))
+
   /** Exact dedup: keep the row with the smallest `idCol` per identical
     * content. Groups on a 128-bit content hash so the shuffle key is fixed
     * width (hash-groupBy; md5 collision odds are negligible at any corpus
     * size we target).
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
-    // Unambiguous content encoding: JSON delimits fields and keeps explicit
-    // nulls, so ("ab","c")/("a","bc") and ("x",null)/(null,"x") don't collide
-    // the way a plain concat would (collisions silently delete rows here).
-    val h = md5(to_json(struct(contentCols.map(col): _*),
-      Map("ignoreNullFields" -> "false").asJava))
-    val w = Window.partitionBy(h).orderBy(col(idCol))
+    val w = Window.partitionBy(contentHash(contentCols)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -138,9 +150,10 @@ object Dedup {
     // for why this is a partial-agg + broadcast anti-join, not a count
     // window: the window shape funnels the hottest shingle's entire posting
     // list into one task before dropping it.
-    // repartition once on the join key: both self-join sides then consume
-    // the SAME exchange (ReusedExchange), so the shingle explode runs once
-    val inv = dropHotKeys(inv0, Seq("sh_h"), maxDocFreq).repartition(col("sh_h"))
+    // repartition once on the join key BEFORE the df-cap: the cap's count,
+    // its anti-join probe, and both self-join sides below all consume the
+    // SAME exchange (ReusedExchange), so the shingle explode runs once
+    val inv = dropHotKeys(inv0.repartition(col("sh_h")), Seq("sh_h"), maxDocFreq)
     val shared = inv.as("a").join(inv.as("b"), col("a.sh_h") === col("b.sh_h"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -171,7 +184,9 @@ object Dedup {
     val inv0 = df.select(col(idCol).as("id"),
       explode(array_distinct(
         graft.functions.WinnowFingerprints.winnowCol(col(textCol), k, w))).as("fp"))
-    val inv = dropHotKeys(inv0, Seq("fp"), maxDocFreq).repartition(col("fp"))
+    // pre-partition so the cap and the self-join share one exchange (the
+    // winnow expression then evaluates once — see ngramJaccardPairs)
+    val inv = dropHotKeys(inv0.repartition(col("fp")), Seq("fp"), maxDocFreq)
     inv.as("a").join(inv.as("b"), col("a.fp") === col("b.fp"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -285,10 +300,9 @@ object Dedup {
     */
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
                        contentCols: Seq[String], idCol: String): DataFrame = {
-    def contentHash = md5(to_json(struct(contentCols.map(col): _*),
-      Map("ignoreNullFields" -> "false").asJava))
-    val fresh = exact(batch, contentCols, idCol).withColumn("__h", contentHash)
-    val seen = corpus.select(contentHash.as("__h")).distinct()
+    val fresh = exact(batch, contentCols, idCol)
+      .withColumn("__h", contentHash(contentCols))
+    val seen = corpus.select(contentHash(contentCols).as("__h")).distinct()
     fresh.join(seen, Seq("__h"), "left_anti").drop("__h")
   }
 

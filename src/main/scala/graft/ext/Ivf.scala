@@ -143,6 +143,12 @@ object Ivf {
     * Query rows whose id appears in the corpus never match themselves
     * (`corpus_id =!= query_id`, same convention as
     * [[Similarity.bucketJoinKnn]]).
+    *
+    * `assigned` is passed separately from `index` (same contract as
+    * [[search]]) so the scan side can be the [[writeIndex]]-persisted,
+    * partition-pruned re-read of `index.assigned` — it must be that same
+    * assignment (or its re-read); centroids from a different fit would
+    * probe the wrong cells.
     */
   def searchMany(assigned: DataFrame, index: Index, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {

@@ -187,11 +187,14 @@ object Pq {
   }
 
   /** Batch ADC: top-k nearest corpus codes for EVERY query row, in one
-    * pass over the code table. Query vectors collect to the driver
-    * (Q × dim doubles — a 10k-query batch at dim 64 is ~5 MB) and their Q
-    * precomputed distance tables broadcast; each partition keeps a k-capped
+    * pass over the code table. Query VECTORS collect to the driver and
+    * broadcast (Q × dim doubles — a 10k-query batch at dim 64 is ~5 MB;
+    * broadcasting the precomputed distance tables instead would ship
+    * codes/dim ≈ 32× that); each partition expands them into its own
+    * m×codes tables once — a Q·m·codes·subDim = Q·codes·dim flop setup,
+    * dwarfed by the Q·N·m lookup scan it serves — then keeps a k-capped
     * heap per query and emits at most Q·k candidate rows, so the Q×N score
-    * space is never materialized — the only shuffle ranks the ≤ Q·k·P
+    * space is never materialized and the only shuffle ranks the ≤ Q·k·P
     * survivors per query. Ids must be integral (cast to long): ties on
     * distance break on id, making the result deterministic and equal to
     * per-query [[adcTopK]]. Returns (query_id, corpus_id, adist).
@@ -205,13 +208,11 @@ object Pq {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     qs.foreach { case (qid, q) => require(q.length == cb.dim,
       s"query $qid dim ${q.length} != codebook dim ${cb.dim}") }
-    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, q) =>
-      qid -> cb.books.zipWithIndex.map { case (book, j) =>
-        book.map(c => squaredDist(q, j * cb.subDim, c))
-      }
-    }
+    require(qs.map(_._1).distinct.length == qs.length,
+      "duplicate query ids — per-query top-k would merge their candidates")
     val spark = codes.sparkSession
-    val bcast = spark.sparkContext.broadcast(tables)
+    val bcastQ = spark.sparkContext.broadcast(qs)
+    val bcastCb = spark.sparkContext.broadcast(cb)
     val in = codes.select(col(idCol).cast("long"), col("code"))
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
@@ -222,7 +223,13 @@ object Pq {
       Ordering.Double.TotalOrdering, Ordering.Long)
     val candidates = spark.createDataFrame(
       in.rdd.mapPartitions { rows =>
-        val ts = bcast.value
+        val book = bcastCb.value
+        val ts: Array[(Long, Array[Array[Double]])] = bcastQ.value.map {
+          case (qid, q) =>
+            qid -> book.books.zipWithIndex.map { case (b, j) =>
+              b.map(c => squaredDist(q, j * book.subDim, c))
+            }
+        }
         val heaps = Array.fill(ts.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](byWorst))
         rows.foreach { r =>

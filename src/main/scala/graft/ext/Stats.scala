@@ -28,10 +28,22 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Null-safe equi-join on `keys` (`<=>`): a NULL group key is a group
+    * like any other — the plain using-columns join would silently drop its
+    * rows, diverging from the `percentile` aggregate this class must match.
+    */
+  private def joinNullSafe(l: DataFrame, r: DataFrame, keys: Seq[String],
+                           how: String = "inner"): DataFrame = {
+    val rr = keys.foldLeft(r)((d, k) => d.withColumnRenamed(k, s"__r_$k"))
+    val cond = keys.map(k => l(k) <=> rr(s"__r_$k")).reduce(_ && _)
+    l.join(rr, cond, how).drop(keys.map(k => s"__r_$k"): _*)
+  }
+
   /** Exact interpolated percentiles per group, one output column per
     * `(name, p)` pair. NULL values are ignored (all-null groups yield NULL,
     * matching the `percentile` aggregate); groups of ≤ `accuracy` rows use
     * the trivial `[min, max]` bracket (the slice is the whole small group).
+    * NULL group keys form their own group, as in any aggregate.
     */
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                        ps: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
@@ -45,10 +57,11 @@ object Stats {
     val bounds = ps.flatMap { case (_, p) =>
       Seq(math.max(0.0, p - pad), math.min(1.0, p + pad))
     }
+    // typed function, not an expr() string — survives column names that
+    // would need backtick-quoting in SQL
     val st = df.groupBy(g: _*).agg(
       count(v).as("__n"), min(v).as("__min"), max(v).as("__max"),
-      expr(s"approx_percentile(cast($valueCol as double), " +
-        s"array(${bounds.mkString(",")}), $accuracy)").as("__br"))
+      approx_percentile(v, array(bounds.map(lit): _*), lit(accuracy)).as("__br"))
     val smallN = col("__n") <= accuracy
     val stB = st.select(g ++ Seq(col("__n")) ++ ps.zipWithIndex.flatMap {
       case ((_, p), i) =>
@@ -62,7 +75,7 @@ object Stats {
     }: _*)
 
     // pass 2: below-bracket counts and the in-bracket slices
-    val joined = df.join(stB, groupCols)
+    val joined = joinNullSafe(df, stB, groupCols)
     val below = joined.groupBy(g: _*).agg(
       ps.indices.map(i =>
         sum(when(v < col(s"__lo$i"), 1L).otherwise(0L)).as(s"__below$i")).head,
@@ -76,9 +89,10 @@ object Stats {
       val pos = lit(p) * (col("__n") - 1).cast("double")
       val k1 = floor(pos).cast("bigint")
       val k2 = ceil(pos).cast("bigint")
-      val slice = joined.filter(v >= col(s"__lo$i") && v <= col(s"__hi$i"))
-        .withColumn("__rn", row_number().over(w))
-        .join(below.select(g :+ col(s"__below$i"): _*), groupCols)
+      val slice = joinNullSafe(
+        joined.filter(v >= col(s"__lo$i") && v <= col(s"__hi$i"))
+          .withColumn("__rn", row_number().over(w)),
+        below.select(g :+ col(s"__below$i"): _*), groupCols)
         .withColumn("__grank", col(s"__below$i") + col("__rn") - 1)
         .filter(col("__grank") === k1 || col("__grank") === k2)
       slice.groupBy(g: _*).agg(
@@ -95,6 +109,8 @@ object Stats {
     }
 
     // assemble off the group list so all-null groups survive as NULLs
-    perP.foldLeft(st.select(g: _*)) { (acc, d) => acc.join(d, groupCols, "left") }
+    perP.foldLeft(st.select(g: _*)) { (acc, d) =>
+      joinNullSafe(acc, d, groupCols, "left")
+    }
   }
 }

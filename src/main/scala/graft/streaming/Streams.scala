@@ -101,11 +101,16 @@ object Streams {
     import df.sparkSession.implicits._
     val idleMs = durationMs(idleTimeout)
     // watermark AFTER the cast: casting creates a fresh attribute, and a
-    // watermark tagged on the pre-cast column would not survive it
+    // watermark tagged on the pre-cast column would not survive it. Rows
+    // whose event time is NULL (or fails the cast) are dropped BEFORE the
+    // state op: they carry no event time, the watermark can't evict them,
+    // and a null Timestamp would NPE the task — one bad record must not
+    // kill a continuous query
     val rows3 = df
       .select(col(keyCol).cast("string").as("__k"),
         col(valueCol).cast("double").as("__v"),
         col(tsCol).cast("timestamp").as("__t"))
+      .filter(col("__t").isNotNull)
       .withWatermark("__t", watermarkDelay)
       .as[(String, Double, java.sql.Timestamp)]
     rows3.groupByKey(_._1)
@@ -190,9 +195,13 @@ object Streams {
   /** Streaming corpus ingest with exact content dedup — the daily-feed
     * shape of an LLM training-data pipeline run continuously: each
     * micro-batch admits only rows whose content is new (not in the stored
-    * corpus, not earlier in the batch — [[graft.ext.Dedup.incrementalExact]])
-    * and appends them to `corpusPath`. The corpus is never rescanned as
-    * documents: only its 16-byte content-hash column joins each batch.
+    * corpus, not earlier in the batch) and appends them to `corpusPath`.
+    * The corpus rows are written WITH their content-hash column (`__h`,
+    * [[graft.ext.Dedup.contentHash]]), so each batch's anti-join reads ONLY
+    * that column back — a column-pruned scan of fixed-width hashes. Without
+    * the stored hash, every batch would re-read and re-hash the full
+    * content of the whole corpus, making continuous ingest O(corpus) per
+    * batch.
     *
     * Delivery is idempotent BY CONSTRUCTION, not just by checkpoint: a
     * replayed micro-batch re-runs the anti-join against a corpus that
@@ -208,14 +217,24 @@ object Streams {
       val spark = batch.sparkSession
       val path = new org.apache.hadoop.fs.Path(corpusPath)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val hasCorpus = fs.exists(path) &&
-        fs.globStatus(new org.apache.hadoop.fs.Path(s"$corpusPath/*.parquet")).nonEmpty
-      val fresh =
+      // globStatus returns null (not empty) for zero matches on some
+      // filesystems — an existing-but-empty corpus dir must read as absent
+      val hasCorpus = fs.exists(path) && Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$corpusPath/*.parquet")))
+        .exists(_.nonEmpty)
+      val fresh = graft.ext.Dedup.exact(batch, contentCols, idCol)
+        .withColumn("__h", graft.ext.Dedup.contentHash(contentCols))
+      val admitted =
         if (hasCorpus)
-          graft.ext.Dedup.incrementalExact(
-            batch, spark.read.parquet(corpusPath), contentCols, idCol)
-        else graft.ext.Dedup.exact(batch, contentCols, idCol)
-      fresh.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+          // the stored hash column is the whole read: column pruning keeps
+          // the corpus content out of the scan
+          fresh.join(spark.read.parquet(corpusPath).select("__h").distinct(),
+            Seq("__h"), "left_anti")
+        else fresh
+      // fixed column order (the using-column join reorders __h first):
+      // every corpus file carries the identical schema
+      admitted.select((batch.columns :+ "__h").map(col): _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
     }
 
   /** Stream → JDBC upsert: each micro-batch goes through the batched,

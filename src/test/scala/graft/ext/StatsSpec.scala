@@ -39,6 +39,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("NULL group keys form a group, matching the percentile aggregate") {
+    val df = Seq(
+      (Option("a"), Some(1.0)), (Option("a"), Some(3.0)),
+      (Option.empty[String], Some(10.0)), (None, Some(20.0)), (None, Some(30.0))
+    ).toDF("k", "v")
+    for (p <- Seq(0.0, 0.5, 1.0)) {
+      assert(viaStats(df, p) == viaAggregate(df, p), s"p=$p")
+      // the null-keyed group really is present, not dropped by the joins
+      assert(viaStats(df, p).contains(null))
+    }
+  }
+
+  test("column names needing backticks work (no string-SQL interpolation)") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("k", "unit price")
+    val got = Stats.exactPercentiles(df, Seq("k"), "unit price", Seq("e" -> 0.5))
+      .as[(String, Double)].collect().head
+    assert(got == (("g", 2.0)))
+  }
+
   test("several percentiles at once, ungrouped-style single group") {
     val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("k", "v")
     val got = Stats.exactPercentiles(df, Seq("k"), "v",

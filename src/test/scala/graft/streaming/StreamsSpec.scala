@@ -185,7 +185,10 @@ class StreamsSpec extends SparkSpec {
       // batch 3: pure replay of already-ingested content → appends nothing
       mem.addData((6L, "alpha"), (7L, "gamma"))
       q.processAllAvailable()
-      val corpus = spark.read.parquet(s"$dir/corpus")
+      val stored = spark.read.parquet(s"$dir/corpus")
+      // rows carry their content hash so later batches read only that column
+      assert(stored.columns.toSeq == Seq("doc_id", "text", "__h"))
+      val corpus = stored.select("doc_id", "text")
         .as[(Long, String)].collect().sortBy(_._1).toSeq
       assert(corpus == Seq((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
     } finally q.stop()
@@ -206,6 +209,25 @@ class StreamsSpec extends SparkSpec {
       val rows = spark.table(name).as[(String, Long, Double)].collect()
       // batch 1 emits a=(2, 3.0) and b=(1, 10.0); batch 2 emits a=(3, 6.0)
       assert(rows.toSet == Set(("a", 2L, 3.0), ("b", 1L, 10.0), ("a", 3L, 6.0)))
+    } finally q.stop()
+  }
+
+  test("runningTotalsExpiring drops null event times instead of crashing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Option[Timestamp])]
+    val streamed = Streams.runningTotalsExpiring(
+      mem.toDF().toDF("k", "v", "t"), "k", "v", "t",
+      watermarkDelay = "10 minutes", idleTimeout = "30 minutes")
+    val name = s"graft_nullts_${System.nanoTime()}"
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // the malformed row (no event time) must not kill the query NOR
+      // count toward state — it is invisible to event-time semantics
+      mem.addData(("a", 1.0, Some(ts("2024-01-01 00:00:00"))), ("a", 99.0, None))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(String, Long, Double)].collect()
+      assert(rows.toSet == Set(("a", 1L, 1.0)))
     } finally q.stop()
   }
 
