@@ -877,6 +877,13 @@ object SparkEntry {
       graft.ext.Search.topTokens(Tables(s, dir).documents,
         "doc_id", "text", k = 30)),
 
+    // corpus-relative rare-token ratio (integer-only "poor man's
+    // perplexity"): per-mille of a doc's token occurrences that appear ≤ 2
+    // times in the whole corpus
+    "text_rare_tokens" -> ((s, dir) =>
+      graft.ext.Search.rareTokenStats(Tables(s, dir).documents,
+        "doc_id", "text", maxCount = 2L)),
+
     // TF-IDF keyword extraction: top-3 terms per document
     "text_tfidf_topk" -> ((s, dir) =>
       graft.ext.Search.tfidfTopTerms(Tables(s, dir).documents,
@@ -1832,6 +1839,22 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS tf,
         |  CAST(count(DISTINCT id) AS BIGINT) AS df
         |FROM toks GROUP BY 1 ORDER BY tf DESC, token LIMIT 30""".stripMargin,
+
+    "text_rare_tokens" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |  tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |  rc AS (SELECT t.id, CAST(count(*) AS BIGINT) AS rare
+        |    FROM tok t JOIN tf ON t.w = tf.w WHERE tf.c <= 2 GROUP BY t.id),
+        |  nt AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |  CAST(coalesce(rc.rare, 0) AS BIGINT) AS rare_tokens,
+        |  CAST(CASE WHEN nt.n_tokens = 0 THEN 0
+        |    ELSE floor(coalesce(rc.rare, 0) * 1000.0 / nt.n_tokens + 0.5) END AS BIGINT) AS rare_pm
+        |FROM nt LEFT JOIN rc ON nt.doc_id = rc.id""".stripMargin,
 
     // mirrors Profile.numeric: means accumulate in DECIMAL(28,6) then divide
     // as doubles — bit-stable across engines (same IEEE ops on both sides)

@@ -59,6 +59,42 @@ object Search {
       .orderBy(desc("tf"), col("token")).limit(k)
   }
 
+  /** Corpus-relative rare-token ratio — the quality signal per-document
+    * heuristics (length/punct/stopword) cannot see: a document whose tokens
+    * mostly appear ≤ `maxCount` times in the WHOLE corpus is OCR noise,
+    * mojibake, or gibberish, while near-zero `rare_pm` flags boilerplate.
+    * The poor man's perplexity, in integer math only, so the result is
+    * hash-exact cross-engine (an avg-log-likelihood would accumulate
+    * floats in engine-dependent order).
+    *
+    * Output: (id, n_tokens, rare_tokens, rare_pm) — rare_pm = per-mille of
+    * token OCCURRENCES whose corpus-wide occurrence count is ≤ maxCount.
+    *
+    * Scale shape: one explode → one exchange on the token, shared by the
+    * corpus-count aggregation and the semi-join that filters postings to
+    * rare tokens (same ReusedExchange shape as [[Dedup.spanStats]]); the
+    * shuffle carries tokens and ids, never documents, and no operator
+    * buffers a hot token's postings.
+    */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
+                     maxCount: Long = 2L): DataFrame = {
+    require(maxCount >= 1, "maxCount must be at least 1")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(T.tokens(lower(col(textCol)))).as("w"))
+    val rep = toks.repartition(col("w"))
+    val rare = rep.groupBy("w").agg(count(lit(1)).as("__tf"))
+      .filter(col("__tf") <= maxCount).select("w")
+    val rareCnt = rep.join(rare, Seq("w"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("rare_tokens"))
+    val nTok = docs.select(col(idCol).as("id"),
+      T.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+    nTok.join(rareCnt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("rare_tokens"), lit(0L)).as("rare_tokens"))
+      .withColumn("rare_pm", when(col("n_tokens") === 0, lit(0L)).otherwise(
+        floor(col("rare_tokens") * 1000.0 / col("n_tokens") + 0.5).cast("bigint")))
+  }
+
   /** Top-k BM25 matches for `queryTerms`. Returns (doc_id, score). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,

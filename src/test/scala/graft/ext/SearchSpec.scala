@@ -39,4 +39,22 @@ class SearchSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("rareTokenStats flags gibberish and clears boilerplate") {
+    val corpus = Seq(
+      (1L, "the quick brown fox the quick brown fox"),   // all tokens common
+      (2L, "the quick zxqv9 gibberish8 mojibake7 fox"),  // half unique junk
+      (3L, "the quick brown fox"),
+      (4L, "")                                           // empty doc
+    ).toDF("id", "text")
+    val out = Search.rareTokenStats(corpus, "id", "text", maxCount = 1)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // every token of docs 1/3 appears in ≥2 docs → zero rare occurrences
+    assert(out(1L) == ((1L, 8L, 0L, 0L)))
+    assert(out(3L) == ((3L, 4L, 0L, 0L)))
+    // doc 2: zxqv9/gibberish8/mojibake7 are corpus-unique → 3 of 6 = 500‰
+    assert(out(2L) == ((2L, 6L, 3L, 500L)))
+    // empty doc reports zeros, not null/missing
+    assert(out(4L) == ((4L, 0L, 0L, 0L)))
+  }
 }
