@@ -216,7 +216,8 @@ object Config {
       case "infer" =>
         val idCol = str(n, "id")
         val out = strOpt(n, "out").getOrElse("score")
-        require(!df.columns.contains(out),
+        // case-insensitive, matching Spark's default column resolution
+        require(!df.columns.exists(_.equalsIgnoreCase(out)),
           s"infer output column '$out' already exists — set 'out' to a fresh name")
         val scores = graft.ext.Inference.scoreBatched(df.sparkSession, df,
           idCol, str(n, "input"),

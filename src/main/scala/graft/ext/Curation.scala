@@ -319,12 +319,10 @@ object Curation {
     val trainInv = inv(train)
     val evalShingles = inv(eval).select("__sh").distinct()
     // df-cap via partial-agg + broadcast anti-join (see Dedup.dropHotKeys):
-    // a count window here would funnel the hottest shingle's full posting
-    // list into one task before dropping it. Pre-partition on the shingle
-    // so the cap's count, its probe, and the eval join share one exchange
-    // (the train-side explode computes once)
-    val contaminated = Dedup.dropHotKeys(
-        trainInv.repartition(col("__sh")), Seq("__sh"), maxDocFreq)
+    // a count window — or a pre-cap repartition on the shingle — would
+    // funnel the hottest shingle's full posting list into one task; the
+    // cap's count branch re-evaluating the explode is the accepted price
+    val contaminated = Dedup.dropHotKeys(trainInv, Seq("__sh"), maxDocFreq)
       .join(evalShingles, "__sh")
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")

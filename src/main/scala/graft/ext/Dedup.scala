@@ -28,11 +28,13 @@ object Dedup {
     * unlike a `count().over(Window.partitionBy(key))`, which funnels every
     * posting of the hottest key into one task before filtering it.
     *
-    * Callers should `repartition` the postings on `keyCols` BEFORE calling:
-    * the df count and the anti-join probe are two consumers of the same
-    * relation, and only an explicit exchange between them makes the
-    * (expensive) shingle explode compute once (ReusedExchange) instead of
-    * once per consumer.
+    * Deliberate trade: the count branch and the anti-join probe each
+    * evaluate the postings relation, so the (codegen'd) explode computes
+    * twice. Do NOT "fix" that by repartitioning the postings on `keyCols`
+    * before calling — a pre-cap key-partitioned exchange routes the
+    * hottest key's ENTIRE uncapped posting list through one reducer, which
+    * is this function's whole reason to exist. Repartition only AFTER the
+    * cap (per-key rows are then ≤ cap), where downstream joins need it.
     */
   private[ext] def dropHotKeys(postings: DataFrame, keyCols: Seq[String],
                                cap: Int): DataFrame = {
@@ -150,10 +152,12 @@ object Dedup {
     // for why this is a partial-agg + broadcast anti-join, not a count
     // window: the window shape funnels the hottest shingle's entire posting
     // list into one task before dropping it.
-    // repartition once on the join key BEFORE the df-cap: the cap's count,
-    // its anti-join probe, and both self-join sides below all consume the
-    // SAME exchange (ReusedExchange), so the shingle explode runs once
-    val inv = dropHotKeys(inv0.repartition(col("sh_h")), Seq("sh_h"), maxDocFreq)
+    // repartition on the join key AFTER the df-cap (capped postings are
+    // skew-bounded; both self-join sides then consume one exchange). The
+    // cap itself re-evaluates the explode for its count branch — 2× scan
+    // CPU, accepted: pre-cap partitioning would funnel a hot shingle's
+    // whole posting list through one reducer (see dropHotKeys)
+    val inv = dropHotKeys(inv0, Seq("sh_h"), maxDocFreq).repartition(col("sh_h"))
     val shared = inv.as("a").join(inv.as("b"), col("a.sh_h") === col("b.sh_h"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -184,9 +188,8 @@ object Dedup {
     val inv0 = df.select(col(idCol).as("id"),
       explode(array_distinct(
         graft.functions.WinnowFingerprints.winnowCol(col(textCol), k, w))).as("fp"))
-    // pre-partition so the cap and the self-join share one exchange (the
-    // winnow expression then evaluates once — see ngramJaccardPairs)
-    val inv = dropHotKeys(inv0.repartition(col("fp")), Seq("fp"), maxDocFreq)
+    // cap first, partition after — same skew rationale as ngramJaccardPairs
+    val inv = dropHotKeys(inv0, Seq("fp"), maxDocFreq).repartition(col("fp"))
     inv.as("a").join(inv.as("b"), col("a.fp") === col("b.fp"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -33,6 +33,20 @@ import org.apache.spark.sql.types._
   */
 object Pq {
 
+  /** Executor-side memo for [[adcTopKMany]]'s expanded distance tables,
+    * keyed by the query broadcast's id (unique per call): a corpus of many
+    * small partitions expands the tables once per JVM, not per partition.
+    * Bounded: entries from older calls are evicted coarsely by a size cap.
+    */
+  private object TableCache {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      Long, Array[(Long, Array[Array[Double]])]]()
+    def get(id: Long, compute: => Array[(Long, Array[Array[Double]])]): Array[(Long, Array[Array[Double]])] = {
+      if (cache.size > 4 && !cache.containsKey(id)) cache.clear()
+      cache.computeIfAbsent(id, _ => compute)
+    }
+  }
+
   /** Per-subspace codebooks: `books(j)(c)` is centroid `c` (0..255) of
     * subspace `j`, each of length dim/m. Driver-held and broadcast — at
     * m=8, dim=64 this is 8×256×8 doubles ≈ 128 KiB.
@@ -221,15 +235,21 @@ object Pq {
     // heap keeps the k SMALLEST (adist, id); head = current worst
     val byWorst = Ordering.Tuple2(
       Ordering.Double.TotalOrdering, Ordering.Long)
+    val bcastQId = bcastQ.id
     val candidates = spark.createDataFrame(
       in.rdd.mapPartitions { rows =>
-        val book = bcastCb.value
-        val ts: Array[(Long, Array[Array[Double]])] = bcastQ.value.map {
-          case (qid, q) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+        // tables memoized per executor JVM: a corpus of many small
+        // partitions must not pay the Q·codes·dim expansion per partition
+        val ts = TableCache.get(bcastQId, {
+          val book = bcastCb.value
+          bcastQ.value.map { case (qid, q) =>
             qid -> book.books.zipWithIndex.map { case (b, j) =>
               b.map(c => squaredDist(q, j * book.subDim, c))
             }
-        }
+          }
+        })
         val heaps = Array.fill(ts.length)(
           scala.collection.mutable.PriorityQueue.empty[(Double, Long)](byWorst))
         rows.foreach { r =>
@@ -247,6 +267,7 @@ object Pq {
         }
         heaps.iterator.zip(ts.iterator).flatMap { case (h, (qid, _)) =>
           h.iterator.map { case (s, id) => Row(qid, id, s) }
+        }
         }
       }, outSchema)
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("corpus_id"))

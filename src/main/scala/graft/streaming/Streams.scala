@@ -101,16 +101,18 @@ object Streams {
     import df.sparkSession.implicits._
     val idleMs = durationMs(idleTimeout)
     // watermark AFTER the cast: casting creates a fresh attribute, and a
-    // watermark tagged on the pre-cast column would not survive it. Rows
-    // whose event time is NULL (or fails the cast) are dropped BEFORE the
-    // state op: they carry no event time, the watermark can't evict them,
-    // and a null Timestamp would NPE the task — one bad record must not
-    // kill a continuous query
+    // watermark tagged on the pre-cast column would not survive it. Casts
+    // are try_cast — Spark 4's default ANSI mode makes a plain cast THROW
+    // on a malformed string, killing the query — and rows whose event time
+    // or value is null/uncastable are dropped BEFORE the state op: they
+    // carry no event time (the watermark can't evict them) or no value,
+    // and a null in the typed tuple would NPE the task. One bad record
+    // must not kill a continuous query.
     val rows3 = df
       .select(col(keyCol).cast("string").as("__k"),
-        col(valueCol).cast("double").as("__v"),
-        col(tsCol).cast("timestamp").as("__t"))
-      .filter(col("__t").isNotNull)
+        col(valueCol).try_cast("double").as("__v"),
+        col(tsCol).try_cast("timestamp").as("__t"))
+      .filter(col("__t").isNotNull && col("__v").isNotNull)
       .withWatermark("__t", watermarkDelay)
       .as[(String, Double, java.sql.Timestamp)]
     rows3.groupByKey(_._1)
@@ -214,6 +216,8 @@ object Streams {
                   idCol: String, checkpoint: String,
                   trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      require(!batch.columns.exists(_.equalsIgnoreCase("__h")),
+        "'__h' is the reserved corpus content-hash column — rename it upstream")
       val spark = batch.sparkSession
       val path = new org.apache.hadoop.fs.Path(corpusPath)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -224,16 +228,28 @@ object Streams {
         .exists(_.nonEmpty)
       val fresh = graft.ext.Dedup.exact(batch, contentCols, idCol)
         .withColumn("__h", graft.ext.Dedup.contentHash(contentCols))
-      val admitted =
-        if (hasCorpus)
-          // the stored hash column is the whole read: column pruning keeps
-          // the corpus content out of the scan
-          fresh.join(spark.read.parquet(corpusPath).select("__h").distinct(),
-            Seq("__h"), "left_anti")
-        else fresh
+      // a corpus NEVER mixes formats: a pre-hash-format corpus (no __h in
+      // its schema) would read half-null __h after a mixed append, and
+      // null hash keys never match an equi-join — silent re-ingestion. So
+      // legacy corpora stay legacy (hashes recomputed from content each
+      // batch — the documented slow path) and only corpora created by this
+      // version get the pruned fixed-width-hash scan.
+      val (admitted, outCols) =
+        if (!hasCorpus) (fresh, batch.columns :+ "__h")
+        else {
+          val corpus = spark.read.parquet(corpusPath)
+          if (corpus.columns.contains("__h"))
+            (fresh.join(corpus.select("__h").distinct(), Seq("__h"), "left_anti"),
+              batch.columns :+ "__h")
+          else
+            (fresh.join(
+              corpus.select(graft.ext.Dedup.contentHash(contentCols).as("__h"))
+                .distinct(), Seq("__h"), "left_anti").drop("__h"),
+              batch.columns)
+        }
       // fixed column order (the using-column join reorders __h first):
       // every corpus file carries the identical schema
-      admitted.select((batch.columns :+ "__h").map(col): _*)
+      admitted.select(outCols.map(col): _*)
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
     }
 

@@ -194,6 +194,65 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestDedup stays compatible with a pre-hash-format corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_leg_").toString
+    // corpus written by the old format: content columns only, no __h
+    Seq((1L, "alpha"), (3L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/corpus")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestDedup(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", contentCols = Seq("text"), idCol = "doc_id",
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((6L, "alpha"), (7L, "gamma"))   // alpha already ingested
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/corpus")
+      // the corpus NEVER mixes formats: appends to a legacy corpus stay
+      // legacy (half-null __h would break the anti-join silently)
+      assert(stored.columns.toSeq == Seq("doc_id", "text"))
+      assert(stored.as[(Long, String)].collect().sortBy(_._1).toSeq ==
+        Seq((1L, "alpha"), (3L, "beta"), (7L, "gamma")))
+    } finally q.stop()
+  }
+
+  test("ingestDedup rejects a batch that carries the reserved hash column") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_res_").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.ingestDedup(mem.toDF().toDF("doc_id", "text", "__h"),
+      s"$dir/corpus", contentCols = Seq("text"), idCol = "doc_id",
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "alpha", "x"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("__h") ||
+        Option(e.getCause).exists(_.getMessage.contains("__h")))
+    } finally q.stop()
+  }
+
+  test("runningTotalsExpiring survives malformed timestamps and null values") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Option[Double], String)]
+    val streamed = Streams.runningTotalsExpiring(
+      mem.toDF().toDF("k", "v", "t"), "k", "v", "t",
+      watermarkDelay = "10 minutes", idleTimeout = "30 minutes")
+    val name = s"graft_badrec_${System.nanoTime()}"
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(
+        ("a", Some(1.0), "2024-01-01 00:00:00"),
+        ("a", None, "2024-01-01 00:01:00"),       // null value
+        ("a", Some(5.0), "not-a-timestamp"))      // ANSI cast would throw
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(String, Long, Double)].collect()
+      assert(rows.toSet == Set(("a", 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("runningTotals keeps per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
