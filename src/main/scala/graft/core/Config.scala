@@ -253,6 +253,18 @@ object Config {
       case "stratifiedN" =>
         graft.ext.Curation.stratifiedFixedN(df, str(n, "key"), str(n, "strata"),
           n.get("n").asInt, strOpt(n, "salt").getOrElse("graft"))
+      // per-stratum token-budget fill (mixes are specified in tokens)
+      case "tokenBudget" =>
+        graft.ext.Curation.sampleToTokenBudget(df, str(n, "key"),
+          str(n, "strata"), str(n, "tokens"),
+          budgets = strPairs(n, "budgets")
+            .map { case (k, v) => k -> v.toLong }.toMap,
+          defaultBudget = Option(n.get("default")).map(_.asLong).getOrElse(0L),
+          salt = strOpt(n, "salt").getOrElse("graft"))
+      // corpus-relative rare-token quality signal
+      case "rareTokens" =>
+        graft.ext.Search.rareTokenStats(df, str(n, "key"), str(n, "column"),
+          Option(n.get("maxCount")).map(_.asLong).getOrElse(2L))
       case "qualityTopQuantile" =>
         graft.ext.Curation.topQuantileByGroup(df, str(n, "strata"),
           str(n, "score"), str(n, "tie"), n.get("keepFraction").asDouble)

@@ -320,6 +320,33 @@ class ConfigSpec extends SparkSpec {
     assert(fresh.select("id").as[Long].collect().toSet == (11L to 100L).toSet)
   }
 
+  test("tokenBudget and rareTokens ops run from config") {
+    val dir = Files.createTempDirectory("graft_cfg_tb_").toString
+    (1L to 40L).map(i => (i, if (i <= 30) "en" else "code",
+      s"common words here plus unique$i", 10L))
+      .toDF("id", "lang", "text", "toks").write.parquet(s"$dir/docs")
+
+    val budgeted = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: tokenBudget, key: id, strata: lang, tokens: toks,
+         |     budgets: {en: 100}, default: 50}
+         |""".stripMargin)
+    val byLang = budgeted.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(byLang("en") <= 100L && byLang("code") <= 50L)
+
+    val rare = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: rareTokens, key: id, column: text, maxCount: 1}
+         |""".stripMargin)
+    // every doc: 4 shared tokens + 1 corpus-unique token → 200 per mille
+    assert(rare.count() == 40)
+    assert(rare.filter($"rare_pm" =!= 200L).count() == 0)
+  }
+
   test("infer op scores through a registered model with batch/partition knobs") {
     val dir = Files.createTempDirectory("graft_cfg_infer_").toString
     (1L to 20L).map(i => (i, "x" * i.toInt)).toDF("id", "text")

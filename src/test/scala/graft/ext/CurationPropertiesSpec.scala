@@ -29,6 +29,37 @@ class CurationPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: sampleToTokenBudget never exceeds a stratum's budget and is prefix-closed") {
+    val rowsGen: Gen[List[(Long, String, Long)]] =
+      Gen.listOfN(150, for {
+        id <- Gen.choose(1L, 100000L)
+        s  <- Gen.oneOf("web", "code", "books")
+        t  <- Gen.choose(1L, 500L)
+      } yield (id, s, t)).map(_.distinctBy(_._1))
+    for (rows <- samples(rowsGen)) {
+      val df = rows.toDF("id", "strata", "toks")
+      val budgets = Map("web" -> 3000L, "code" -> 1000L)
+      val kept = Curation.sampleToTokenBudget(df, "id", "strata", "toks",
+        budgets, defaultBudget = 500L)
+        .as[(Long, String, Long)].collect()
+      // budget law: per-stratum token sums stay within their budgets
+      kept.groupBy(_._2).foreach { case (s, rs) =>
+        assert(rs.map(_._3).sum <= budgets.getOrElse(s, 500L), s"stratum $s over budget")
+      }
+      // prefix law: the kept set is closed under the deterministic hash
+      // order — no kept row comes after a dropped one within its stratum
+      val order = df.withColumn("__o",
+          Curation.hashBucket(col("id"), 65536)).orderBy("__o", "id")
+        .as[(Long, String, Long, Int)].collect()
+      val keptIds = kept.map(_._1).toSet
+      order.groupBy(_._2).foreach { case (s, rs) =>
+        val flags = rs.map(r => keptIds.contains(r._1))
+        assert(!flags.dropWhile(identity).contains(true),
+          s"stratum $s kept a row after dropping an earlier one")
+      }
+    }
+  }
+
   test("property: sampleByHash nests monotonically in the rate") {
     for (ids <- samples(idsGen)) {
       val df = ids.toDF("id")
