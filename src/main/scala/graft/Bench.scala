@@ -1,9 +1,27 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Per-round benchmark main: runs every registered query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR, then one sustained streaming-throughput pass, and
+  * prints ONE COMPACT machine-parseable JSON line as the very last output.
+  *
+  * Output contract (learned from six rounds of `"parsed": null`): the
+  * harness records only the TAIL of the run output (~2000 chars), so a
+  * single line carrying all ~120 per-query timings (~3.8 KB) can never be
+  * parsed — its head falls off the capture window. So:
+  *  - the FULL per-query map + env fingerprint goes to `bench_full.json`
+  *    in the working directory (committed with the round);
+  *  - stdout gets one final line ≤ ~1.2 KB: headline totals, an env
+  *    fingerprint (cpus/load/jvm — so host drift between rounds is visible
+  *    IN the artifact, not reconstructed after the fact), the streaming
+  *    rows/sec, and the slowest queries only, with `queries_file` pointing
+  *    at the full map. Nothing else is printed after it.
+  * `tools/bench_replay.sh` benches two commits back-to-back under identical
+  * host conditions for any regression call this artifact can't settle.
   *
   * Materialization: results are written to the `noop` sink — every row is
   * fully computed and serialized by the executors but discarded, so
@@ -11,9 +29,52 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune unused projections and times a near-no-op).
   */
 object Bench {
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+
+  /** Sustained streaming throughput: a fixed row budget through a
+    * watermarked tumbling-window aggregation, split over several
+    * micro-batches so per-batch fixed overhead amortizes (the registered
+    * `stream_*` queries at sf0.1 are nearly ALL fixed overhead — this is
+    * the number that moves when state handling or shuffle in the streaming
+    * tier regresses). Input parquet is generated before the clock starts;
+    * rows/sec covers the streaming read → window agg → noop sink only.
+    */
+  private def streamThroughput(spark: SparkSession, rows: Long): (Double, Double) = {
+    val tmp = Files.createTempDirectory("graft_stream_bench_").toString
+    spark.range(rows).select(
+        col("id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000L).as("ts"),
+        (col("id") % 1000L).as("key"))
+      .repartition(16).write.parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val t0 = System.nanoTime()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4").parquet(s"$tmp/in")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, rows / sec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,18 +99,48 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // 3-decimal (ms) precision keeps the line short, and the headline
-    // fields go LAST: the driver records only the tail of the output, so a
-    // long per-query map must not push value/mean past the capture window
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val ok = results.collect { case (_, v) if v >= 0 => v }
+    val nFailed = results.count(_._2 < 0)
     val total = ok.sum
-    // n_queries/mean: the registered surface has grown ~2× since the first
-    // recorded baseline (52 queries / 54 s) — per-query mean is the
-    // load-comparable number across rounds
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","unit":"sec","n_queries":${ok.size},"mean_per_query":${r3(total / math.max(ok.size, 1))},"value":${r3(total)}}""")
+    val mean = total / math.max(ok.size, 1)
+
+    System.gc()
+    val streamRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "2000000").toLong
+    val (streamSec, streamRps) =
+      try streamThroughput(spark, streamRows)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
+        (-1.0, -1.0)
+      }
+
+    // env fingerprint: lets the next round's reader separate host drift
+    // from plan regression without replaying (r5→r6 lesson: a ~1.4× slower
+    // host read as a 42% code regression until a manual replay cleared it)
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val env = s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""load":${f"${os.getSystemLoadAverage}%.2f"},""" +
+      s""""jvm":${jsonStr(System.getProperty("java.version"))},""" +
+      s""""spark":${jsonStr(spark.version)}}"""
+    val stream = s"""{"rows":$streamRows,"sec":${r3(streamSec)},""" +
+      s""""rows_per_sec":${if (streamRps < 0) "-1" else f"$streamRps%.0f"}}"""
+
+    val fullQs = results.map { case (k, v) => jsonStr(k) + ":" + r3(v) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""sf":${jsonStr(sfDir)},"n_queries":${ok.size},"n_failed":$nFailed,""" +
+      s""""mean_per_query":${r3(mean)},"env":$env,"stream":$stream,""" +
+      s""""queries":$fullQs}"""
+    Files.write(Paths.get(outFile), full.getBytes("UTF-8"))
+
+    // the slowest queries are the only per-query data that fits the tail
+    // window; everything is in `queries_file`
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => jsonStr(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""sf":${jsonStr(sfDir)},"n_queries":${ok.size},"n_failed":$nFailed,""" +
+      s""""mean_per_query":${r3(mean)},"env":$env,"stream":$stream,""" +
+      s""""queries":$slowest,"queries_truncated":true,""" +
+      s""""queries_file":${jsonStr(outFile)}}""")
     spark.stop()
   }
 }
