@@ -226,9 +226,19 @@ object Config {
           numPartitions = Option(n.get("numPartitions")).map(_.asInt).getOrElse(0))(
           graft.ext.Inference.model(str(n, "model")))
         // one score row per id before the join-back: ids are expected unique
-        // (document keys); if one repeats, its rows all get ONE of their
-        // scores rather than a silent id×id row multiplication
-        df.join(scores.dropDuplicates(idCol), Seq(idCol))
+        // (document keys). Duplicated ids collapse to their MIN score
+        // (deterministic — dropDuplicates picked an arbitrary one) and a
+        // LEFT join + raise_error turns a missing score row (null id, or a
+        // scorer that dropped a row) into a loud failure at execution time
+        // instead of silently dropping the pipeline row. raise_error lives
+        // inside the output column, so Catalyst can't prune the check away.
+        val dedupScores = scores.groupBy(idCol).agg(min(col(out)).as(out))
+        df.join(dedupScores, Seq(idCol), "left")
+          .withColumn(out, when(col(out).isNull,
+            raise_error(concat(lit(s"infer: no score for $idCol="),
+              coalesce(col(idCol).cast("string"), lit("NULL"))))
+              .cast("double"))
+            .otherwise(col(out)))
       // curation tier (ext/Curation): deterministic hash-keyed ops
       case "sample" =>
         graft.ext.Curation.sampleByHash(df, str(n, "key"),

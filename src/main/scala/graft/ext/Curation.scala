@@ -182,6 +182,15 @@ object Curation {
     * shape and same caveat as [[stratifiedFixedN]]: right for
     * bounded-cardinality strata; for heavy-tailed strata prefer
     * [[mixtureByHash]] with rates derived from per-stratum token totals.
+    *
+    * NULL token counts read as 0 (`coalesce` before the cumulative sum), so
+    * a null-token row is admitted budget-free wherever it falls in the
+    * prefix — consistently, instead of the null-propagation lottery where a
+    * mid-stratum null inherited the previous cumsum but a stratum-leading
+    * null nulled the filter and was dropped. Keys must be unique: duplicate
+    * keys share a hash prefix position, making which duplicate survives the
+    * budget cut nondeterministic (same contract as every hash-keyed op
+    * here — document ids are unique by construction).
     */
   def sampleToTokenBudget(df: DataFrame, keyCol: String, strataCol: String,
                           tokensCol: String, budgets: Map[String, Long],
@@ -195,7 +204,8 @@ object Curation {
     val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    df.withColumn("__cum", sum(col(tokensCol).cast("bigint")).over(w))
+    df.withColumn("__cum",
+        sum(coalesce(col(tokensCol).cast("bigint"), lit(0L))).over(w))
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }

@@ -34,16 +34,28 @@ import org.apache.spark.sql.types._
 object Pq {
 
   /** Executor-side memo for [[adcTopKMany]]'s expanded distance tables,
-    * keyed by the query broadcast's id (unique per call): a corpus of many
-    * small partitions expands the tables once per JVM, not per partition.
-    * Bounded: entries from older calls are evicted coarsely by a size cap.
+    * keyed by a per-call NONCE minted on the driver — not the broadcast id:
+    * broadcast ids restart from 0 per SparkContext, so a JVM that hosts a
+    * second context (local-mode restart, long-lived test JVM) could take a
+    * stale hit on a bare id and score against a previous call's tables.
+    * A corpus of many small partitions still expands the tables once per
+    * JVM, not per partition. Values are SoftReferences so the GC can
+    * reclaim an idle call's Q×m×codes doubles under pressure; the size cap
+    * bounds the map itself.
     */
   private object TableCache {
     private val cache = new java.util.concurrent.ConcurrentHashMap[
-      Long, Array[(Long, Array[Array[Double]])]]()
-    def get(id: Long, compute: => Array[(Long, Array[Array[Double]])]): Array[(Long, Array[Array[Double]])] = {
-      if (cache.size > 4 && !cache.containsKey(id)) cache.clear()
-      cache.computeIfAbsent(id, _ => compute)
+      String, java.lang.ref.SoftReference[Array[(Long, Array[Array[Double]])]]]()
+    def get(key: String, compute: => Array[(Long, Array[Array[Double]])]): Array[(Long, Array[Array[Double]])] = {
+      if (cache.size > 4 && !cache.containsKey(key)) cache.clear()
+      val ref = cache.get(key)
+      val hit = if (ref == null) null else ref.get()
+      if (hit != null) hit
+      else {
+        val v = compute
+        cache.put(key, new java.lang.ref.SoftReference(v))
+        v
+      }
     }
   }
 
@@ -235,14 +247,15 @@ object Pq {
     // heap keeps the k SMALLEST (adist, id); head = current worst
     val byWorst = Ordering.Tuple2(
       Ordering.Double.TotalOrdering, Ordering.Long)
-    val bcastQId = bcastQ.id
+    // globally-unique cache key for this call (see TableCache scaladoc)
+    val cacheKey = java.util.UUID.randomUUID().toString
     val candidates = spark.createDataFrame(
       in.rdd.mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
         // tables memoized per executor JVM: a corpus of many small
         // partitions must not pay the Q·codes·dim expansion per partition
-        val ts = TableCache.get(bcastQId, {
+        val ts = TableCache.get(cacheKey, {
           val book = bcastCb.value
           bcastQ.value.map { case (qid, q) =>
             qid -> book.books.zipWithIndex.map { case (b, j) =>

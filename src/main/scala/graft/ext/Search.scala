@@ -70,22 +70,29 @@ object Search {
     * Output: (id, n_tokens, rare_tokens, rare_pm) — rare_pm = per-mille of
     * token OCCURRENCES whose corpus-wide occurrence count is ≤ maxCount.
     *
-    * Scale shape: one explode → one exchange on the token, shared by the
-    * corpus-count aggregation and the semi-join that filters postings to
-    * rare tokens (same ReusedExchange shape as [[Dedup.spanStats]]); the
-    * shuffle carries tokens and ids, never documents, and no operator
-    * buffers a hot token's postings.
+    * Scale shape: explode → partial-aggregate to (id, token, count) FIRST —
+    * the exchange key is the high-cardinality (id, token) pair, so the
+    * hottest token ('the') spreads across reducers instead of funneling
+    * every occurrence through one task (the same pre-aggregation shape the
+    * dedup tier's df-cap uses; an explicit `repartition(token)` before the
+    * count was exactly that funnel, and it also forfeited map-side partial
+    * aggregation). The corpus-wide token count then aggregates the REDUCED
+    * relation (one row per document per distinct token, partial-agg'd
+    * map-side again), and the semi-join back streams it — no operator
+    * buffers a hot token's postings, and the straggler scan of a hot
+    * token's per-doc rows is bounded by distinct docs, not occurrences.
     */
   def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
                      maxCount: Long = 2L): DataFrame = {
     require(maxCount >= 1, "maxCount must be at least 1")
     val toks = docs.select(col(idCol).as("id"),
       explode(T.tokens(lower(col(textCol)))).as("w"))
-    val rep = toks.repartition(col("w"))
-    val rare = rep.groupBy("w").agg(count(lit(1)).as("__tf"))
+    val perDoc = toks.groupBy("id", "w").agg(count(lit(1)).as("__c"))
+    val rare = perDoc.groupBy("w")
+      .agg(sum(col("__c")).as("__tf"))
       .filter(col("__tf") <= maxCount).select("w")
-    val rareCnt = rep.join(rare, Seq("w"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("rare_tokens"))
+    val rareCnt = perDoc.join(rare, Seq("w"), "left_semi")
+      .groupBy("id").agg(sum(col("__c")).as("rare_tokens"))
     val nTok = docs.select(col(idCol).as("id"),
       T.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
     nTok.join(rareCnt, Seq("id"), "left")

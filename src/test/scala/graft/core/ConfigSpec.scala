@@ -373,6 +373,35 @@ class ConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("registerModel"))
   }
 
+  test("infer op fails loud on a missing score and collapses duplicate ids deterministically") {
+    val dir = Files.createTempDirectory("graft_cfg_infer2_").toString
+    graft.ext.Inference.registerModel("len-model2", _.map(_.length.toDouble))
+    // a NULL id can never join its score back — the old inner join silently
+    // dropped the row; now the output column itself raises
+    Seq((Some(1L), "abc"), (None, "orphan")).toDF("id", "text")
+      .write.parquet(s"$dir/null_id")
+    val e = intercept[Exception] {
+      Config.run(spark,
+        s"""source: {type: parquet, path: $dir/null_id}
+           |transforms: [{op: infer, id: id, input: text, model: len-model2}]
+           |sink: {type: parquet, path: $dir/out1}
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("infer: no score") ||
+      Option(e.getCause).exists(_.getMessage.contains("infer: no score")))
+    // duplicated ids collapse to their MIN score (deterministic), not an
+    // arbitrary dropDuplicates survivor
+    Seq((5L, "abc"), (5L, "abcdefg"), (6L, "zz")).toDF("id", "text")
+      .write.parquet(s"$dir/dup_id")
+    val scored = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/dup_id}
+         |transforms: [{op: infer, id: id, input: text, model: len-model2}]
+         |""".stripMargin)
+    val byId = scored.as[(Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byId(5L) == Set(3.0) && byId(6L) == Set(2.0))
+  }
+
   test("httpEnrich wires timeoutMs and the minIntervalMs throttle from config") {
     val dir = Files.createTempDirectory("graft_cfg_http_").toString
     Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")).toDF("id", "payload")

@@ -217,6 +217,26 @@ class CurationSpec extends SparkSpec {
     assert(only.filter($"lang" === "code").count() == 0)
   }
 
+  test("sampleToTokenBudget admits null token counts budget-free, wherever they fall") {
+    // a null-token row must behave the same whether it sorts first or
+    // mid-stratum (the old null-propagating cumsum dropped a stratum-LEADING
+    // null but admitted a mid-stratum one for free)
+    val df = Seq(
+      (1L, "en", Some(10L)), (2L, "en", None), (3L, "en", Some(10L)),
+      (4L, "en", None), (5L, "en", Some(10L))).toDF("id", "lang", "toks")
+    val out = Curation.sampleToTokenBudget(df, "id", "lang", "toks",
+      budgets = Map("en" -> 30L), salt = "t")
+      .select("id").as[Long].collect().sorted.toSeq
+    // all 30 budget tokens fit and nulls cost nothing → every row kept,
+    // including both null rows regardless of their hash-prefix position
+    assert(out == Seq(1L, 2L, 3L, 4L, 5L))
+    // tighter budget: non-null rows past the cut drop, nulls in the
+    // admitted prefix stay
+    val tight = Curation.sampleToTokenBudget(df, "id", "lang", "toks",
+      budgets = Map("en" -> 20L), salt = "t")
+    assert(tight.filter($"toks".isNotNull).count() == 2)
+  }
+
   test("decontaminate drops overlapping train docs, keeps clean ones") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),
