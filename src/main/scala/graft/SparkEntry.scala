@@ -267,8 +267,27 @@ object SparkEntry {
       ColumnOps.addFields("src" -> lit("graft"), "flag" -> lit(1))(
         Tables(s, dir).supplier)),
 
+    // parity-only variant: dense oracle-deterministic ids via ONE
+    // partition-less window — allowlisted in PlanShapeSpec for the 25-row
+    // nation ONLY; the scale path is xf_idkey_snowflake below
     "xf_idkey" -> ((s, dir) =>
       ColumnOps.idKeyOrdered("rid", col("n_nationkey"))(Tables(s, dir).nation)),
+
+    // the production id generator: snowflake ids, zero shuffle, time-
+    // sortable. Ids are wall-clock-based → rows-only; the oracled gate
+    // below asserts the invariants that matter (cardinality preserved,
+    // global uniqueness, positivity) deterministically
+    "xf_idkey_snowflake" -> ((s, dir) =>
+      ColumnOps.idKeySnowflake("rid")(
+        Tables(s, dir).orders.select("o_orderkey"))),
+
+    "xf_idkey_snowflake_gate" -> ((s, dir) => {
+      val ids = ColumnOps.idKeySnowflake("rid")(
+        Tables(s, dir).orders.select("o_orderkey"))
+      ids.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("rid")).as("n_unique"),
+        (min(col("rid")) > 0L).as("all_positive"))
+    }),
 
     // ---- XML parse/format ----
     "xf_xml_parse" -> ((s, dir) => {
@@ -1266,10 +1285,11 @@ object SparkEntry {
     * key can never again land rows-only without a named correctness gate.
     */
   def rowsOnlyGates: Map[String, String] = Map(
-    "ann_ivf"        -> "ann_ivf_recall",
-    "ann_knn_bucket" -> "ann_knn_recall",
-    "ann_lsh_topk"   -> "ann_lsh_recall",
-    "ann_pq"         -> "ann_pq_recall")
+    "ann_ivf"             -> "ann_ivf_recall",
+    "ann_knn_bucket"      -> "ann_knn_recall",
+    "ann_lsh_topk"        -> "ann_lsh_recall",
+    "ann_pq"              -> "ann_pq_recall",
+    "xf_idkey_snowflake"  -> "xf_idkey_snowflake_gate")
 
   /** DuckDB oracle SQL per query (same parquet tables, bare table names).
     * Omitted keys (xxhash64/sign-LSH-based ops) get a rows-only check.
@@ -1371,6 +1391,12 @@ object SparkEntry {
 
     "xf_idkey" ->
       "SELECT n_nationkey, n_name, n_regionkey, row_number() OVER (ORDER BY n_nationkey) AS rid FROM nation",
+
+    // the gate asserts the snowflake invariants, not the time-based ids:
+    // one id per row, all distinct, all positive (same
+    // tolerance-gate-as-oracle pattern as q5_approx_percentile)
+    "xf_idkey_snowflake_gate" ->
+      "SELECT count(*) AS n_rows, count(*) AS n_unique, true AS all_positive FROM orders",
 
     "xf_xml_parse" ->
       "SELECT c_name AS name, c_custkey FROM customer",

@@ -57,6 +57,20 @@ object ColumnOps {
   def idKeyUnique(name: String): DataFrame => DataFrame =
     df => df.withColumn(name, monotonically_increasing_id())
 
+  /** Production idKey, full snowflake semantics: time-sortable globally-
+    * unique 64-bit ids (`(millis << 22) | worker << 12 | seq`, see
+    * [[graft.functions.SnowflakeId]]) — zero shuffle, zero coordination,
+    * and unlike [[idKeyUnique]] the ids carry a wall-clock component so
+    * they sort by creation time across RUNS, exactly the property the
+    * reference's `idGen` service provides (`LineParser.php:255`).
+    * Nondeterministic by nature (time-based) — for oracle-deterministic
+    * keys on SMALL relations use [[idKeyOrdered]]; never use that variant
+    * at scale (its partition-less window funnels the whole relation
+    * through one task).
+    */
+  def idKeySnowflake(name: String): DataFrame => DataFrame =
+    df => df.withColumn(name, graft.functions.SnowflakeId.snowflakeId())
+
   /** First-non-null fallback across candidate columns — the XmlParser field
     * mapping where several source keys may carry the value
     * (`/root/reference/src/Transforms/XmlParser.php:42-50`).

@@ -76,6 +76,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("no registered query plans a partition-less window (global-order funnel)") {
+    // row_number().over(Window.orderBy(...)) with no partition spec routes
+    // the WHOLE relation through one task — the single worst operator shape
+    // at 100 TB. Exactly one query is allowed to carry it: the documented
+    // parity-only xf_idkey over the 25-row nation (its scale companion is
+    // xf_idkey_snowflake). Anyone registering another global-window query
+    // fails here, by name.
+    val allowed = Set("xf_idkey")
+    // streaming keys run eagerly when built (runToMemoryComplete) and
+    // return memory-table results whose plans carry no windows — building
+    // them here would only burn minutes re-running the streaming tier the
+    // oracle gate already covers, so they are skipped, not exempted.
+    val skip = (k: String) => k.startsWith("stream_")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !skip(name) =>
+        val df = fn(spark, sf)
+        val globalWindows = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        name -> globalWindows.size
+    }.filter { case (name, n) => n > 0 && !allowed(name) }
+    assert(offenders.isEmpty,
+      s"global-window funnels in registered queries: $offenders — use a " +
+        "partitioned window, or idKeySnowflake for surrogate keys")
+  }
+
   test("whole-stage codegen spans the text-analysis projection") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(graft.functions.TextFunctions.qualityPerMille($"text").as("q"))

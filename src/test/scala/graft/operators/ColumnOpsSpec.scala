@@ -38,6 +38,15 @@ class ColumnOpsSpec extends SparkSpec {
     assert(out.orderBy("rid").select("id").as[Int].collect().toSeq == Seq(3, 2, 1))
   }
 
+  test("idKeySnowflake ids are unique, positive, and shuffle-free") {
+    val big = spark.range(0, 5000, 1, 4).toDF("v")
+    val out = ColumnOps.idKeySnowflake("sid")(big)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "snowflake idKey must not shuffle")
+    val ids = out.select("sid").collect().map(_.getLong(0))
+    assert(ids.length == 5000 && ids.distinct.length == 5000 && ids.forall(_ > 0))
+  }
+
   test("idKeyUnique ids are unique") {
     val out = ColumnOps.idKeyUnique("uid")(df)
     assert(out.select("uid").distinct().count() == 3)
