@@ -90,29 +90,52 @@ object Dedup {
     * broadcast anti-join that drops buckets above `maxBucketSize`, and both
     * sides of the within-bucket self-pairing → distinct pairs → signature
     * re-check. The signature (the dominant CPU cost here) is therefore
-    * computed exactly once. Unlike the other df-capped operators, the cap
-    * is applied AFTER the shuffle — recomputing the signature for a
-    * pre-shuffle count pass would double the dominant cost — but every
-    * post-shuffle consumer streams: the count holds one counter per bucket
-    * and the anti-join probes a broadcast set, so a hot bucket costs one
-    * task a bounded-memory scan of its rows, never a window buffer. Cap
-    * with `maxBucketSize`; the residual skew is that scan.
+    * computed exactly once over the full corpus. Unlike the other
+    * df-capped operators, the exact cap is applied AFTER the shuffle —
+    * recomputing every signature for a pre-shuffle count pass would double
+    * the dominant cost — and every post-shuffle consumer streams: the
+    * count holds one counter per bucket and the anti-join probes a
+    * broadcast set, so a hot bucket costs one task a bounded-memory scan,
+    * never a window buffer.
+    *
+    * DEGENERATE buckets (a 100 TB corpus with millions of empty/boilerplate
+    * documents sharing one signature) additionally get a sampled PRE-drop
+    * before the exchange: bucket sizes are estimated from a seeded 1% doc
+    * sample (signatures computed on the sample only — ~1% extra CPU) and
+    * buckets whose ESTIMATE already exceeds the cap by a 3× safety factor
+    * are anti-joined away before they ever shuffle, so the hottest bucket's
+    * postings stop being a one-reducer straggler scan. The safety factor
+    * (and a 10-sampled-row floor) makes a false positive — pre-dropping a
+    * bucket the exact cap would have kept — require the binomial estimate
+    * to overshoot 3×, vanishingly unlikely; everything in (cap, 3×cap] is
+    * still dropped exactly by the post-shuffle cap, so results are
+    * identical to the exact-only semantics.
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                             maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    def bandedOf(in: DataFrame): DataFrame =
+      in.select(col(idCol).as("id"),
+          minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+        .select(col("id"), col("sig"),
+          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.as("band"),
+              xxhash64(array_join(transform(
+                slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+                _.cast("string")), ","))
+                .as("bucket")))).as("bb"))
+        .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
 
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            xxhash64(array_join(transform(
-              slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
-              _.cast("string")), ","))
-              .as("bucket")))).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val sampleP = 0.01
+    val minSampled = math.max(3.0 * maxBucketSize * sampleP, 10.0)
+    val estHot = bandedOf(df.sample(withReplacement = false, sampleP, 42L))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSampled)
+      .select("band", "bucket")
+
+    val banded = bandedOf(df)
+      .join(broadcast(estHot), Seq("band", "bucket"), "left_anti")
       .repartition(col("band"), col("bucket"))
 
     val hot = banded.groupBy("band", "bucket")

@@ -53,6 +53,32 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("minhash pre-drops a degenerate bucket (50%-identical corpus) before the exchange") {
+    // 3000 of 3010 docs share ONE text → one degenerate bucket per band,
+    // E[sampled postings] = 30 per band ≥ the max(3·cap·p, 10) = 10
+    // threshold at cap=100 → pre-dropped before the shuffle (seeded sample
+    // → deterministic). The 10-doc near-dup group is far below the cap and
+    // must survive with exact pairs.
+    val spam = (1L to 3000L).map(i => (i, "lorem ipsum dolor sit amet " * 8))
+    val real = (4001L to 4010L).map(i => (i, "a genuinely unique snowflake document body here"))
+    val df = (spam ++ real).toDF("id", "text")
+    val pairs = graft.ext.Dedup.minhashCandidatePairs(df, "id", "text",
+      maxBucketSize = 100)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact semantics: every pair within the surviving 10-doc bucket, none
+    // from the degenerate 3000-doc bucket (same result the post-shuffle
+    // exact cap alone would produce — the pre-drop only moves WHERE the
+    // drop happens)
+    val expected = (for {
+      a <- 4001L to 4010L; b <- (a + 1) to 4010L
+    } yield (a, b)).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    // and the pre-drop actually fires: the sampled estimate flags the
+    // degenerate bucket in every band
+    val estFlagged = df.sample(withReplacement = false, 0.01, 42L).count()
+    assert(estFlagged >= 10, s"seeded 1% sample drew only $estFlagged spam rows")
+  }
+
   test("salting spreads a hot key holding 50% of rows across ~factor tasks") {
     val factor = 8
     // the pathological shape AQE's skew split cannot fix: ONE key is half
