@@ -782,6 +782,25 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // persisted-index PQ, batch form: the corpus is encoded ONCE, the full
+    // index (codes + codebooks) round-trips through parquet, and the
+    // planted-duplicate batch search runs from the REREAD index — the
+    // encode-once/search-many shape a 100 TB deployment actually uses
+    // (per-query adcTopK from fresh codes is ann_pq/ann_pq_recall)
+    "ann_pq_persisted_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      val cb = graft.ext.Pq.train(withCopies, "embedding", dim = 64, m = 8)
+      val codes = graft.ext.Pq.encode(withCopies, "vec_id", "embedding", cb)
+      val path = tmpDir(dir, "pq_index")
+      graft.ext.Pq.writeIndex(codes, cb, path)
+      val (codes2, cb2) = graft.ext.Pq.readIndex(s, path)
+      graft.ext.Pq.adcTopKMany(codes2, cb2, "vec_id",
+        e.filter(col("vec_id").between(1L, 5L)), "vec_id", "embedding", k = 4)
+        .filter(col("corpus_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("corpus_id").as("hit_id"))
+    }),
+
     // ---- ext: text analysis ----
     "text_stats" -> ((s, dir) =>
       Tables(s, dir).documents.select(col("doc_id"),
@@ -1610,6 +1629,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     "ann_pq_recall" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id
+        |FROM embeddings WHERE vec_id BETWEEN 1 AND 5""".stripMargin,
+
+    "ann_pq_persisted_recall" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id
         |FROM embeddings WHERE vec_id BETWEEN 1 AND 5""".stripMargin,
 

@@ -306,6 +306,37 @@ object Config {
         val corpus = df.sparkSession.read.parquet(str(n, "target"))
         graft.ext.Dedup.incrementalExact(df, corpus,
           strSeq(n, "columns"), str(n, "key"))
+      // ---- retrieval tier (ext/Ivf, ext/Pq, ext/Similarity): declare
+      // index-build and batch-search steps in a task file, so the
+      // encode-once/search-many deployment shape is config, not code.
+      // Build ops persist the index at `path` and pass the corpus-side
+      // relation through (assignment/codes), so a sink after them
+      // materializes the index-aligned table; search ops treat the task's
+      // input as the QUERY relation and read the persisted index.
+      case "ivfBuild" =>
+        val idx = graft.ext.Ivf.build(df, str(n, "id"), str(n, "vec"),
+          nLists = n.get("nLists").asInt,
+          maxIter = Option(n.get("maxIter")).map(_.asInt).getOrElse(5),
+          fitSampleRows = Option(n.get("fitSampleRows")).map(_.asLong).getOrElse(0L))
+        graft.ext.Ivf.writeIndex(idx, str(n, "path"))
+        idx.assigned
+      case "ivfSearchMany" =>
+        val idx = graft.ext.Ivf.readIndex(df.sparkSession, str(n, "path"))
+        graft.ext.Ivf.searchMany(idx.assigned, idx, df,
+          str(n, "id"), str(n, "vec"),
+          k = n.get("k").asInt,
+          nProbe = Option(n.get("nProbe")).map(_.asInt).getOrElse(1))
+      case "pqBuild" =>
+        val cb = graft.ext.Pq.train(df, str(n, "vec"),
+          dim = n.get("dim").asInt, m = n.get("m").asInt,
+          codes = Option(n.get("codes")).map(_.asInt).getOrElse(256))
+        val codes = graft.ext.Pq.encode(df, str(n, "id"), str(n, "vec"), cb)
+        graft.ext.Pq.writeIndex(codes, cb, str(n, "path"))
+        codes
+      case "pqSearchMany" =>
+        val (codes, cb) = graft.ext.Pq.readIndex(df.sparkSession, str(n, "path"))
+        graft.ext.Pq.adcTopKMany(codes, cb, str(n, "id"),
+          df, str(n, "queryId"), str(n, "vec"), k = n.get("k").asInt)
       // data-quality gate: fail the task if any rule has violations
       // (minRows guards empty upstreams that row-level rules cannot see)
       case "expect" =>

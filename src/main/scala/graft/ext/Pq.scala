@@ -178,6 +178,44 @@ object Pq {
   def writeCodes(codes: DataFrame, path: String): Unit =
     codes.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Persist the FULL index — code table + codebooks — so a 100 TB corpus
+    * is encoded exactly once and every search job starts from the m-byte
+    * scan ([[readIndex]]); without the codebooks on disk, each job would
+    * retrain k-means and re-encode the corpus. Layout: `path/codes`,
+    * `path/codebooks` (m×codes tiny rows of (subspace, code, centroid) —
+    * same shape as [[Ivf.writeIndex]]'s centroid table).
+    */
+  def writeIndex(codes: DataFrame, cb: Codebooks, path: String): Unit = {
+    writeCodes(codes, s"$path/codes")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+  }
+
+  /** Reload a [[writeIndex]]-persisted index: the code table stays a lazy
+    * scan; only the codebooks (m × codes × subDim doubles, ~128 KiB at the
+    * defaults) collect to the driver, same as after [[train]].
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, Codebooks) = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select("subspace", "code", "centroid").collect()
+    require(rows.nonEmpty, s"no codebooks at $path/codebooks")
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, nCodes)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(books.forall(_.forall(_ != null)),
+      s"codebooks at $path are not a dense $m x $nCodes table")
+    (codes, Codebooks(books))
+  }
+
   /** ADC top-k: nearest `k` corpus codes to the FULL-PRECISION `queryVec`
     * by approximate squared L2. The per-subspace distance table (m×256
     * doubles) is computed once on the driver and broadcast; each corpus row

@@ -373,6 +373,67 @@ class ConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("registerModel"))
   }
 
+  test("retrieval tier from config: IVF build task + batch-search task find the planted copy") {
+    val dir = Files.createTempDirectory("graft_cfg_ivf_").toString
+    // 60 well-separated 8-dim vectors + an exact copy of each (+1000 ids)
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => if (d == (i % 4).toInt * 2) 10.0f else rnd.nextFloat() * 0.3f).toSeq)
+    }
+    (base ++ base.map { case (i, v) => (i + 1000L, v) })
+      .toDF("vec_id", "vec").write.parquet(s"$dir/corpus")
+    base.take(10).toDF("vec_id", "vec").write.parquet(s"$dir/queries")
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: build
+         |    source: {type: parquet, path: $dir/corpus}
+         |    transforms:
+         |      - {op: ivfBuild, id: vec_id, vec: vec, nLists: 4, maxIter: 2,
+         |         path: $dir/ivf}
+         |  - name: search
+         |    source: {type: parquet, path: $dir/queries}
+         |    transforms:
+         |      - {op: ivfSearchMany, path: $dir/ivf, id: vec_id, vec: vec,
+         |         k: 3, nProbe: 1}
+         |    sink: {type: parquet, path: $dir/hits}
+         |""".stripMargin)
+    assert(out("build").columns.contains("list_id"))
+    val hits = spark.read.parquet(s"$dir/hits")
+    // every query's exact copy shares its cell → retrieved at cosine 1.0
+    val planted = hits.filter($"corpus_id" === $"query_id" + 1000L)
+    assert(planted.count() == 10)
+    assert(planted.filter($"score" < 1.0).count() == 0)
+  }
+
+  test("retrieval tier from config: PQ build + batch ADC search from the persisted index") {
+    val dir = Files.createTempDirectory("graft_cfg_pq_").toString
+    val rnd = new scala.util.Random(9)
+    val base = (0L until 80L).map { i =>
+      (i, Array.tabulate(16)(d => if (d / 4 == (i % 4).toInt) 8.0f + rnd.nextFloat() else rnd.nextFloat() * 0.2f).toSeq)
+    }
+    (base ++ base.map { case (i, v) => (i + 1000L, v) })
+      .toDF("vec_id", "vec").write.parquet(s"$dir/corpus")
+    base.take(8).toDF("vec_id", "vec").write.parquet(s"$dir/queries")
+    Config.runAll(spark,
+      s"""tasks:
+         |  - name: build
+         |    source: {type: parquet, path: $dir/corpus}
+         |    transforms:
+         |      - {op: pqBuild, id: vec_id, vec: vec, dim: 16, m: 4, codes: 16,
+         |         path: $dir/pq}
+         |  - name: search
+         |    source: {type: parquet, path: $dir/queries}
+         |    transforms:
+         |      - {op: pqSearchMany, path: $dir/pq, id: vec_id, queryId: vec_id,
+         |         vec: vec, k: 4}
+         |    sink: {type: parquet, path: $dir/hits}
+         |""".stripMargin)
+    val hits = spark.read.parquet(s"$dir/hits")
+    // the copy encodes to the query's own code → globally minimal ADC
+    // distance → must be in every query's top-k
+    assert(hits.filter($"corpus_id" === $"query_id" + 1000L).count() == 8)
+  }
+
   test("infer op fails loud on a missing score and collapses duplicate ids deterministically") {
     val dir = Files.createTempDirectory("graft_cfg_infer2_").toString
     graft.ext.Inference.registerModel("len-model2", _.map(_.length.toDouble))

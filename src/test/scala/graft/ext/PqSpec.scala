@@ -86,6 +86,37 @@ class PqSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("writeIndex/readIndex round-trips codes AND codebooks: identical top-k") {
+    val dir = Files.createTempDirectory("graft_pq_idx_").toString
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+    Pq.writeIndex(codes, cb, dir)
+    val (codes2, cb2) = Pq.readIndex(spark, dir)
+    // codebooks reconstruct exactly (doubles survive parquet bit-for-bit)
+    assert(cb2.m == cb.m && cb2.subDim == cb.subDim)
+    (0 until cb.m).foreach { j =>
+      (0 until 16).foreach { c =>
+        assert(cb2.books(j)(c).sameElements(cb.books(j)(c)), s"book $j code $c")
+      }
+    }
+    // search from the persisted index = search from the fresh one, per
+    // query and batched
+    val qv = corpus.filter($"vec_id" === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val fresh = Pq.adcTopK(codes, cb, "vec_id", qv, k = 8)
+      .as[(Long, Double)].collect().toSeq
+    val persisted = Pq.adcTopK(codes2, cb2, "vec_id", qv, k = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(fresh == persisted)
+    val batchFresh = Pq.adcTopKMany(codes, cb, "vec_id",
+        corpus.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val batchPersisted = Pq.adcTopKMany(codes2, cb2, "vec_id",
+        corpus.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchFresh == batchPersisted)
+  }
+
   test("train rejects a dim that does not divide into m") {
     intercept[IllegalArgumentException] {
       Pq.train(corpus, "embedding", dim = 16, m = 5)
