@@ -1245,6 +1245,28 @@ object SparkEntry {
       }
     }),
 
+    // custom bounded per-key state (flatMapGroupsWithState with event-time
+    // timeout): running count/sum per user with idle-key eviction — the
+    // 100 TB-safe form for unbounded key domains. The feed arrives in one
+    // AvailableNow batch and the idle timeout exceeds its span, so no key
+    // evicts mid-run and the emitted totals equal the batch aggregate
+    // (eviction across batches is pinned by the StreamsSpec unit). The
+    // summed value is integral (event_id % 1000) so the double running_sum
+    // is order-independent and hash-exact cross-engine.
+    "stream_running_totals" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
+      withNanosAsLong(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ival", (col("event_id") % 1000L).cast("double"))
+      val totals = Streams.runningTotalsExpiring(ev, "user_id", "ival",
+        "ts_t", watermarkDelay = "1 hour", idleTimeout = "30 days")
+      Streams.runToMemoryComplete(s, totals, outputMode = "append")
+      }
+    }),
+
     // stream-stream interval join (click → purchase attribution within
     // 30 min): watermark-evicted join state on both sides; inner join in
     // append mode emits each matched pair exactly once
@@ -1958,6 +1980,15 @@ object SparkEntry {
 
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // single AvailableNow batch + idle timeout beyond the feed's span → the
+    // expiring running totals equal the batch aggregate; the summed value
+    // is integral so double accumulation order cannot change the hash
+    "stream_running_totals" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id, count(*) AS running_count,
+        |  CAST(sum(event_id % 1000) AS DOUBLE) AS running_sum
+        |FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
 
     "stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS cnt
