@@ -15,11 +15,12 @@ import graft.streaming.Streams
   *
   * Every operator from SURVEY.md §2 (plus the LLM-data-pipeline ext tier)
   * is registered as a `queries` entry; `oracleSql` carries the equivalent
-  * DuckDB SQL for the hash-compared correctness gate. Only the three
-  * approximate-by-design ANN paths are rows-only (each carries a separate
-  * planted-duplicate retrieval oracle); the LSH dedup tiers reach exact
-  * oracles through candidate → exact-rescore pipelines. SparkEntrySpec
-  * pins that contract.
+  * DuckDB SQL for the hash-compared correctness gate. Only the
+  * approximate-by-design ANN paths and the wall-clock snowflake id are
+  * rows-only, and each names an oracled companion gate in
+  * [[rowsOnlyGates]] (planted-duplicate retrieval / invariant gates); the
+  * LSH dedup tiers reach exact oracles through candidate → exact-rescore
+  * pipelines. SparkEntrySpec pins that contract.
   *
   * Cross-engine determinism rules used throughout (see SURVEY.md §7.4):
   *  - money aggregates go through DECIMAL(18,2) (exact) and cast the final
@@ -797,6 +798,26 @@ object SparkEntry {
       val (codes2, cb2) = graft.ext.Pq.readIndex(s, path)
       graft.ext.Pq.adcTopKMany(codes2, cb2, "vec_id",
         e.filter(col("vec_id").between(1L, 5L)), "vec_id", "embedding", k = 4)
+        .filter(col("corpus_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("corpus_id").as("hit_id"))
+    }),
+
+    // composed IVF-PQ (the FAISS IVFADC architecture) from a PERSISTED
+    // index: the coarse quantizer prunes which cells are scanned (parquet
+    // partition pruning), PQ makes each scanned code m bytes + m lookups.
+    // Planted-duplicate gate: a copy shares its original's cell and code →
+    // globally minimal ADC distance at nProbe=1 (k=3 absorbs the query's
+    // own corpus row + incidental code collisions)
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      val idx = graft.ext.IvfPq.build(withCopies, "vec_id", "embedding",
+        dim = 64, m = 8, nLists = 8, maxIter = 2)
+      val path = tmpDir(dir, "ivfpq_index")
+      graft.ext.IvfPq.writeIndex(idx, path)
+      val idx2 = graft.ext.IvfPq.readIndex(s, path)
+      graft.ext.IvfPq.searchMany(idx2, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, nProbe = 1)
         .filter(col("corpus_id") === col("query_id") + 1000000L)
         .select(col("query_id"), col("corpus_id").as("hit_id"))
     }),
@@ -1657,6 +1678,10 @@ object SparkEntry {
     "ann_pq_persisted_recall" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id
         |FROM embeddings WHERE vec_id BETWEEN 1 AND 5""".stripMargin,
+
+    "ann_ivfpq_recall" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)

@@ -337,6 +337,19 @@ object Config {
         val (codes, cb) = graft.ext.Pq.readIndex(df.sparkSession, str(n, "path"))
         graft.ext.Pq.adcTopKMany(codes, cb, str(n, "id"),
           df, str(n, "queryId"), str(n, "vec"), k = n.get("k").asInt)
+      case "ivfpqBuild" =>
+        val idx = graft.ext.IvfPq.build(df, str(n, "id"), str(n, "vec"),
+          dim = n.get("dim").asInt, m = n.get("m").asInt,
+          nLists = n.get("nLists").asInt,
+          codes = Option(n.get("codes")).map(_.asInt).getOrElse(256),
+          maxIter = Option(n.get("maxIter")).map(_.asInt).getOrElse(5))
+        graft.ext.IvfPq.writeIndex(idx, str(n, "path"))
+        idx.codes
+      case "ivfpqSearchMany" =>
+        val idx = graft.ext.IvfPq.readIndex(df.sparkSession, str(n, "path"))
+        graft.ext.IvfPq.searchMany(idx, df, str(n, "queryId"), str(n, "vec"),
+          k = n.get("k").asInt,
+          nProbe = Option(n.get("nProbe")).map(_.asInt).getOrElse(1))
       // data-quality gate: fail the task if any rule has violations
       // (minRows guards empty upstreams that row-level rules cannot see)
       case "expect" =>

@@ -98,13 +98,18 @@ object Ivf {
   /** The `nProbe` cell ids nearest to the query (driver-side math over the
     * tiny centroid table).
     */
-  def probeCells(index: Index, queryVec: Seq[Double], nProbe: Int): Seq[Int] = {
+  def probeCells(index: Index, queryVec: Seq[Double], nProbe: Int): Seq[Int] =
+    probeCells(index.centroids, queryVec, nProbe)
+
+  /** Same, from a bare centroid table (shared with [[IvfPq]]). */
+  def probeCells(centroids: Array[Array[Double]], queryVec: Seq[Double],
+                 nProbe: Int): Seq[Int] = {
     def dist(c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < c.length) { val d = c(i) - queryVec(i); s += d * d; i += 1 }
       s
     }
-    index.centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
+    centroids.zipWithIndex.sortBy { case (c, _) => dist(c) }
       .take(nProbe).map(_._2).toSeq
   }
 

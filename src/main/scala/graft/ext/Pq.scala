@@ -43,7 +43,7 @@ object Pq {
     * reclaim an idle call's Q×m×codes doubles under pressure; the size cap
     * bounds the map itself.
     */
-  private object TableCache {
+  private[ext] object TableCache {
     private val cache = new java.util.concurrent.ConcurrentHashMap[
       String, java.lang.ref.SoftReference[Array[(Long, Array[Array[Double]])]]]()
     def get(key: String, compute: => Array[(Long, Array[Array[Double]])]): Array[(Long, Array[Array[Double]])] = {
@@ -130,29 +130,33 @@ object Pq {
     centroids
   }
 
-  private def squaredDist(v: Array[Double], off: Int, c: Array[Double]): Double = {
+  private[ext] def squaredDist(v: Array[Double], off: Int, c: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < c.length) { val d = v(off + i) - c(i); s += d * d; i += 1 }
     s
   }
 
   /** Encode every vector to its `m` nearest-centroid byte codes. Output:
-    * (idCol as-is, `code` array<tinyint> of length m). Deterministic: ties
-    * take the smallest centroid index.
+    * (idCol as-is, `keep` columns as-is, `code` array<tinyint> of length
+    * m). Deterministic: ties take the smallest centroid index. `keep`
+    * carries metadata columns (e.g. an IVF `list_id`) through the encode
+    * without a corpus-wide join-back afterwards.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             cb: Codebooks): DataFrame = {
+             cb: Codebooks, keep: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val bcast = spark.sparkContext.broadcast(cb)
-    val in = df.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)))
-    val outSchema = StructType(Seq(
-      in.schema.head.copy(name = idCol),
-      StructField("code", ArrayType(ByteType, containsNull = false))))
+    val in = df.select(col(idCol) +: keep.map(col) :+
+      col(vecCol).cast(ArrayType(DoubleType)): _*)
+    val vecIdx = 1 + keep.size
+    val outSchema = StructType(
+      in.schema.head.copy(name = idCol) +: keep.map(in.schema(_)) :+
+        StructField("code", ArrayType(ByteType, containsNull = false)))
     val rdd = in.rdd.mapPartitions { rows =>
       val books = bcast.value.books
       val subDim = bcast.value.subDim
       rows.map { r =>
-        val v = r.getSeq[Double](1).toArray
+        val v = r.getSeq[Double](vecIdx).toArray
         val code = new Array[Byte](books.length)
         var j = 0
         while (j < books.length) {
@@ -166,7 +170,7 @@ object Pq {
           code(j) = best.toByte
           j += 1
         }
-        Row(r.get(0), code.toSeq)
+        Row((0 until vecIdx).map(r.get) :+ code.toSeq: _*)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -405,6 +405,33 @@ class ConfigSpec extends SparkSpec {
     assert(planted.filter($"score" < 1.0).count() == 0)
   }
 
+  test("retrieval tier from config: IVF-PQ build + probe-pruned batch ADC search") {
+    val dir = Files.createTempDirectory("graft_cfg_ivfpq_").toString
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 90L).map { i =>
+      (i, Array.tabulate(16)(d => if (d / 4 == (i % 3).toInt) 9.0f + rnd.nextFloat() else rnd.nextFloat() * 0.2f).toSeq)
+    }
+    (base ++ base.map { case (i, v) => (i + 1000L, v) })
+      .toDF("vec_id", "vec").write.parquet(s"$dir/corpus")
+    base.take(6).toDF("vec_id", "vec").write.parquet(s"$dir/queries")
+    Config.runAll(spark,
+      s"""tasks:
+         |  - name: build
+         |    source: {type: parquet, path: $dir/corpus}
+         |    transforms:
+         |      - {op: ivfpqBuild, id: vec_id, vec: vec, dim: 16, m: 4,
+         |         codes: 16, nLists: 3, path: $dir/ivfpq}
+         |  - name: search
+         |    source: {type: parquet, path: $dir/queries}
+         |    transforms:
+         |      - {op: ivfpqSearchMany, path: $dir/ivfpq, queryId: vec_id,
+         |         vec: vec, k: 3, nProbe: 1}
+         |    sink: {type: parquet, path: $dir/hits}
+         |""".stripMargin)
+    val hits = spark.read.parquet(s"$dir/hits")
+    assert(hits.filter($"corpus_id" === $"query_id" + 1000L).count() == 6)
+  }
+
   test("retrieval tier from config: PQ build + batch ADC search from the persisted index") {
     val dir = Files.createTempDirectory("graft_cfg_pq_").toString
     val rnd = new scala.util.Random(9)
