@@ -31,7 +31,9 @@ object Config {
   private val mapper = new ObjectMapper(new YAMLFactory())
 
   final case class Task(name: String, source: JsonNode,
-                        transforms: Seq[JsonNode], sinks: Seq[JsonNode]) {
+                        transforms: Seq[JsonNode], sinks: Seq[JsonNode],
+                        cron: Option[Int] = None,
+                        checkpoint: Option[String] = None) {
     def sink: Option[JsonNode] = sinks.headOption
   }
 
@@ -49,7 +51,9 @@ object Config {
       source = root.get("source"),
       transforms = Option(root.get("transforms"))
         .map(_.elements().asScala.toSeq).getOrElse(Nil),
-      sinks = sinks)
+      sinks = sinks,
+      cron = Option(root.get("cron")).map(_.asInt),
+      checkpoint = strOpt(root, "checkpoint"))
   }
 
   /** Build the lazy DataFrame for a task (source + transforms, no sink).
@@ -62,17 +66,42 @@ object Config {
     task.transforms.foldLeft(source(spark, task.source))(applyTransform)
   }
 
-  /** Build and deliver: returns the written/result DataFrame. */
+  /** Build and deliver: returns the written/result DataFrame.
+    *
+    * STREAMING tasks (a `queue`/`readStream` source) deliver through
+    * `foreachBatch` with a checkpoint — the reference's Scheduler loop
+    * (`Scheduler.php:79-96`) as config: `cron: -1` (default) drains
+    * currently-available input and returns (AvailableNow, run-once —
+    * the reference's one-shot mode); `cron: N` starts a continuous
+    * ProcessingTime(N s) query and returns immediately with the query
+    * running (manage it via `spark.streams`). Each micro-batch is
+    * delivered to every declared sink; `checkpoint:` pins the offset log
+    * (defaults to a temp dir = this run only).
+    */
   def run(spark: SparkSession, yaml: String): DataFrame = {
     val task = parse(yaml)
     val df = build(spark, task)
-    // fan-out: persist once when delivering to several sinks so the
-    // transform chain computes once, not once per target
-    val delivered = if (task.sinks.length > 1) df.persist() else df
-    task.sinks.foreach(sink(delivered, _))
-    if (task.sinks.length > 1) delivered.unpersist()
+    deliver(task, df)
     df
   }
+
+  private def deliver(task: Task, df: DataFrame): Unit =
+    if (df.isStreaming) {
+      require(task.sinks.nonEmpty, "a streaming task needs a sink")
+      val ckpt = task.checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_cfg_ckpt_").toString)
+      val trigger = graft.streaming.Streams.triggerOf(task.cron.getOrElse(-1))
+      val q = graft.streaming.Streams.foreachBatchSink(df, ckpt, trigger) {
+        (batch, _) => task.sinks.foreach(sink(batch, _, streaming = true))
+      }
+      if (task.cron.getOrElse(-1) == -1) q.awaitTermination()
+    } else {
+      // fan-out: persist once when delivering to several sinks so the
+      // transform chain computes once, not once per target
+      val delivered = if (task.sinks.length > 1) df.persist() else df
+      task.sinks.foreach(sink(delivered, _))
+      if (task.sinks.length > 1) delivered.unpersist()
+    }
 
   /** Multi-task DAG config — the reference Scheduler's task graph
     * (`Scheduler.php:154-188` walks plugin `output` edges): a `tasks:` list
@@ -95,7 +124,9 @@ object Config {
         transforms = Option(tn.get("transforms"))
           .map(_.elements().asScala.toSeq).getOrElse(Nil),
         sinks = Option(tn.get("sinks")).map(_.elements().asScala.toSeq)
-          .orElse(Option(tn.get("sink")).map(Seq(_))).getOrElse(Nil))
+          .orElse(Option(tn.get("sink")).map(Seq(_))).getOrElse(Nil),
+        cron = Option(tn.get("cron")).map(_.asInt),
+        checkpoint = strOpt(tn, "checkpoint"))
       val src = if (task.source.get("type").asText == "task") {
         val ref = str(task.source, "name")
         built.getOrElse(ref, throw new IllegalArgumentException(
@@ -104,9 +135,7 @@ object Config {
       } else source(spark, task.source)
       graft.functions.GraftFunctions.register(spark)
       val df = task.transforms.foldLeft(src)(applyTransform)
-      val delivered = if (task.sinks.length > 1) df.persist() else df
-      task.sinks.foreach(sink(delivered, _))
-      if (task.sinks.length > 1) delivered.unpersist()
+      deliver(task, df)
       built += task.name -> df
     }
     built.toMap
@@ -254,6 +283,12 @@ object Config {
           n.get("defaultPerMille").asInt, strOpt(n, "salt").getOrElse("graft"))
       case "dedupExact" =>
         graft.ext.Dedup.exact(df, strSeq(n, "columns"), str(n, "key"))
+      // the full near-dup pipeline (MinHash candidates → exact-Jaccard
+      // rescore → connected components → one representative per cluster)
+      case "dedupNear" =>
+        graft.ext.Dedup.nearDedup(df, str(n, "key"), str(n, "column"),
+          minJaccard = Option(n.get("minJaccard")).map(_.asDouble).getOrElse(0.8),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3))
       case "clean" =>
         df.withColumn(str(n, "column"),
           graft.functions.TextFunctions.cleanText(col(str(n, "column"))))
@@ -359,8 +394,11 @@ object Config {
       case other => throw new IllegalArgumentException(s"unknown transform op: $other")
     }
 
-  private def sink(df: DataFrame, n: JsonNode): Unit = {
-    val mode = strOpt(n, "mode").map(SaveMode.valueOf).getOrElse(SaveMode.Overwrite)
+  private def sink(df: DataFrame, n: JsonNode, streaming: Boolean = false): Unit = {
+    // micro-batches APPEND by default (overwrite would keep only the last
+    // batch); batch tasks default to overwrite, the reference's semantics
+    val mode = strOpt(n, "mode").map(SaveMode.valueOf)
+      .getOrElse(if (streaming) SaveMode.Append else SaveMode.Overwrite)
     str(n, "type") match {
       case "parquet" => FileSink.parquet(df, str(n, "path"), mode)
       case "csv"     => FileSink.csv(df, str(n, "path"), header = true, mode)
@@ -372,7 +410,8 @@ object Config {
       // Sinks\Pdo batch insert (append/overwrite per `mode`)
       case "jdbc" =>
         graft.sources.JdbcSink.append(df, str(n, "url"), str(n, "table"),
-          mode = if (mode == SaveMode.Overwrite) SaveMode.Overwrite else SaveMode.Append)
+          mode = if (mode == SaveMode.Overwrite && !streaming) SaveMode.Overwrite
+                 else SaveMode.Append)
       case other => throw new IllegalArgumentException(s"unknown sink type: $other")
     }
   }

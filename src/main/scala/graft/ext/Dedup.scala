@@ -464,6 +464,26 @@ object Dedup {
     docs.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /** The whole near-dup pipeline as one call (and one config op):
+    * MinHash+LSH candidates → exact-Jaccard rescore ≥ `minJaccard` →
+    * connected components → one representative (min id) per cluster.
+    * Every stage keeps its documented scale bound — banded candidates,
+    * rescore linear in candidate posting lists, O(log D) label rounds —
+    * so this composition is 100 TB-safe end to end. Returns the KEPT
+    * documents with their original schema.
+    */
+  def nearDedup(docs: DataFrame, idCol: String, textCol: String,
+                minJaccard: Double = 0.8, shingleN: Int = 3,
+                bands: Int = 4, rowsPerBand: Int = 4,
+                maxBucketSize: Int = 1000): DataFrame = {
+    val candidates = minhashCandidatePairs(docs, idCol, textCol,
+      shingleN, bands, rowsPerBand, maxBucketSize)
+    val confirmed = rescoreJaccard(docs, candidates, idCol, textCol,
+      shingleN, minJaccard)
+    if (confirmed.isEmpty) docs
+    else representatives(docs, connectedComponents(confirmed), idCol)
+  }
+
   /** Embedding-cosine near-dup pairs: banded (multi-table) sign-LSH to bound
     * the pair space, exact cosine within buckets, keep pairs ≥ threshold.
     *

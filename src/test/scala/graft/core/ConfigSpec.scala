@@ -373,6 +373,54 @@ class ConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("registerModel"))
   }
 
+  test("streaming task from config: queue source drains to a parquet sink (cron -1)") {
+    val dir = Files.createTempDirectory("graft_cfg_stream_").toString
+    graft.streaming.MessageQueues.clear("cfg_q")
+    graft.streaming.MessageQueues.push("cfg_q", "alpha", "beta", "alpha")
+    val df = Config.run(spark,
+      s"""name: drain
+         |cron: -1
+         |checkpoint: $dir/ckpt
+         |source: {type: queue, name: cfg_q}
+         |transforms:
+         |  - {op: addField, fields: {src: "'mq'"}}
+         |sink: {type: parquet, path: $dir/out}
+         |""".stripMargin)
+    assert(df.isStreaming)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.columns.toSeq == Seq("offset", "body", "src"))
+    assert(out.select("body").as[String].collect().sorted.toSeq ==
+      Seq("alpha", "alpha", "beta"))
+    // run-once again with the SAME checkpoint: offsets are committed, so a
+    // re-run admits nothing new (exactly-once into the idempotent sink)
+    Config.run(spark,
+      s"""name: drain
+         |cron: -1
+         |checkpoint: $dir/ckpt
+         |source: {type: queue, name: cfg_q}
+         |sink: {type: parquet, path: $dir/out2}
+         |""".stripMargin)
+    // out2 dir may hold no files at all (zero batches) — read via out's schema
+    val out2 = scala.util.Try(spark.read.parquet(s"$dir/out2").count()).getOrElse(0L)
+    assert(out2 == 0L, s"checkpointed re-run re-admitted $out2 rows")
+  }
+
+  test("dedupNear op collapses a near-duplicate cluster to one representative") {
+    val dir = Files.createTempDirectory("graft_cfg_near_").toString
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, text), (2L, text),                       // exact dupes of each other
+      (3L, text + " extra"),                         // near-dup of 1/2
+      (4L, "completely different content here that shares nothing at all"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val out = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms:
+         |  - {op: dedupNear, key: doc_id, column: text, minJaccard: 0.5}
+         |""".stripMargin)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("retrieval tier from config: IVF build task + batch-search task find the planted copy") {
     val dir = Files.createTempDirectory("graft_cfg_ivf_").toString
     // 60 well-separated 8-dim vectors + an exact copy of each (+1000 ids)

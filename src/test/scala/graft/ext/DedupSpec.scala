@@ -156,6 +156,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(11L, 13L))
   }
 
+  test("nearDedup keeps one representative per near-dup cluster, all singletons") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, a), (11L, a),                       // identical pair
+      (12L, a + " lambda"),                      // near-dup of the pair
+      (20L, "one two three four five six seven eight nine ten"),
+      (30L, "")).toDF("id", "text")              // empty doc survives alone
+    val kept = Dedup.nearDedup(docs, "id", "text", minJaccard = 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 20L, 30L))
+    // no near-dups at all → input unchanged
+    val solo = Seq((1L, "unique one"), (2L, "entirely different two"))
+      .toDF("id", "text")
+    assert(Dedup.nearDedup(solo, "id", "text").count() == 2)
+  }
+
   test("embedding dup pairs find identical vectors across LSH tables") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),
