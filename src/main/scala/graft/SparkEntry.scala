@@ -649,6 +649,18 @@ object SparkEntry {
       Similarity.int8TopKRescored(Tables(s, dir).embeddings, "vec_id",
         "embedding", queryId = 1L, k = 20)),
 
+    // batch int8 search from the PERSISTED code table: integer scores are
+    // bit-exact across engines, so the whole batch ranking gets a full
+    // hash oracle (the only batch-ANN tier where that is possible)
+    "ann_int8_batch" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val path = tmpDir(dir, "int8_codes")
+      Similarity.writeCodes(e, "vec_id", "embedding", path)
+      val codes = s.read.parquet(path)
+      Similarity.int8TopKMany(codes, "vec_id",
+        codes.filter(col("vec_id").between(1L, 5L)), "vec_id", k = 10)
+    }),
+
     // lshBits sized to the test corpus (~500 vecs): 2^6 buckets keeps them
     // populated; the 16-bit default is the 100 TB setting (see Similarity).
     "ann_lsh_topk" -> ((s, dir) =>
@@ -1702,6 +1714,25 @@ object SparkEntry {
         |         * list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))), 4) AS score
         |FROM embeddings, q WHERE vec_id <> 1
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // the batch ranking uses the same quantization as ann_int8_topk; per
+    // query: rank by integer dot desc, corpus id asc, top 10, no self-match
+    "ann_int8_batch" ->
+      """WITH sc AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |  FROM embeddings),
+        |  q8 AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x -> CAST(round(x / s) AS INT)) END AS qa FROM sc),
+        |  qq AS (SELECT vec_id AS query_id, qa AS qv FROM q8 WHERE vec_id BETWEEN 1 AND 5),
+        |  scored AS (SELECT query_id, q8.vec_id AS corpus_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(qa[i] AS BIGINT) * qv[i])) AS BIGINT) AS iscore
+        |    FROM q8, qq WHERE q8.vec_id <> query_id)
+        |SELECT query_id, corpus_id, iscore FROM (
+        |  SELECT query_id, corpus_id, iscore,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, corpus_id) AS rk
+        |  FROM scored) WHERE rk <= 10""".stripMargin,
 
     "ann_int8_topk" ->
       """WITH sc AS (SELECT vec_id,

@@ -127,6 +127,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch int8 search over a [[writeCodes]] table: top-k by integer dot
+    * product for EVERY query row, in one pass over the code scan. Unlike
+    * the LSH/IVF/PQ batch tiers this is EXACT over the quantized codes —
+    * integer scores have no summation-order dependence, so the batch
+    * ranking carries a full hash oracle, not just a recall gate.
+    *
+    * Same kernel shape as [[graft.ext.Pq.adcTopKMany]]: query codes
+    * collect + broadcast (Q × dim bytes — tiny), each partition keeps a
+    * k-capped heap per query and emits ≤ Q·k candidate rows, the only
+    * shuffle ranks the Q·k·P survivors — the Q×N score space is never
+    * materialized, and the corpus read is the 1-byte code table. Queries
+    * never match themselves (`corpus_id =!= query_id`). Returns
+    * (query_id, corpus_id, iscore) with deterministic (iscore desc, id)
+    * ranking, equal to per-query [[int8TopKFromCodes]].
+    */
+  def int8TopKMany(codes: DataFrame, idCol: String, queries: DataFrame,
+                   queryIdCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qs = queries.select(col(queryIdCol).cast("long"), col("code")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1).map(_.toInt).toArray))
+    require(qs.map(_._1).distinct.length == qs.length,
+      "duplicate query ids — per-query top-k would merge their candidates")
+    val spark = codes.sparkSession
+    val bcastQ = spark.sparkContext.broadcast(qs)
+    val in = codes.select(col(idCol).cast("long"), col("code"))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("corpus_id", LongType, nullable = false),
+      StructField("iscore", LongType, nullable = false)))
+    // heap dequeues its max; make "max" = the WORST kept candidate (lowest
+    // iscore, then largest id) so a better candidate replaces the head
+    val byWorst = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
+    val candidates = spark.createDataFrame(
+      in.rdd.mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val queries = bcastQ.value
+          val heaps = Array.fill(queries.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Long, Long)](byWorst))
+          rows.foreach { r =>
+            val id = r.getLong(0); val code = r.getSeq[Byte](1)
+            var qi = 0
+            while (qi < queries.length) {
+              val (qid, qc) = queries(qi)
+              if (id != qid) {
+                var s = 0L; var i = 0
+                while (i < qc.length) { s += code(i).toLong * qc(i); i += 1 }
+                val h = heaps(qi)
+                // keep if better than the current worst: higher score, or
+                // equal score with smaller id
+                if (h.size < k) h.enqueue((s, id))
+                else if (s > h.head._1 || (s == h.head._1 && id < h.head._2)) {
+                  h.dequeue(); h.enqueue((s, id))
+                }
+              }
+              qi += 1
+            }
+          }
+          heaps.iterator.zip(queries.iterator).flatMap { case (h, (qid, _)) =>
+            h.iterator.map { case (s, id) => Row(qid, id, s) }
+          }
+        }
+      }, outSchema)
+    val w = Window.partitionBy("query_id").orderBy(desc("iscore"), col("corpus_id"))
+    candidates.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Int8 scan + exact-cosine rescore: rank the corpus by quantized integer
     * dot product, keep the top `rescoreFactor × k`, then rescore ONLY those
     * candidates with full-precision cosine and return the top k — the

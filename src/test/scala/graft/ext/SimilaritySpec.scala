@@ -55,6 +55,23 @@ class SimilaritySpec extends SparkSpec {
         org.apache.spark.sql.types.ByteType, containsNull = true))
   }
 
+  test("int8TopKMany equals per-query int8TopKFromCodes, one pass over codes") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_codes_b_").toString
+    Similarity.writeCodes(real, "vec_id", "embedding", s"$dir/codes")
+    val codes = spark.read.parquet(s"$dir/codes").repartition(3)
+    val batch = Similarity.int8TopKMany(codes, "vec_id",
+        codes.filter($"vec_id" < 4), "vec_id", k = 6)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq)
+      .toMap
+    (0L until 4L).foreach { qid =>
+      val single = Similarity.int8TopKFromCodes(codes, "vec_id", qid, k = 6)
+        .as[(Long, Long)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid: ${batch(qid)} != $single")
+    }
+  }
+
   test("int8 rescore restores exact-cosine top-k") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rescored = Similarity.int8TopKRescored(real, "vec_id", "embedding",
