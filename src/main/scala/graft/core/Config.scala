@@ -204,10 +204,17 @@ object Config {
       case "addField" =>
         ColumnOps.addFields(strPairs(n, "fields")
           .map { case (k, v) => k -> expr(v) }: _*)(df)
+      // idKey kinds: explicit `order` → dense deterministic ids (small
+      // relations ONLY — partition-less window); `kind: snowflake` →
+      // time-sortable unique ids (the reference's idGen, the scale path);
+      // default → monotonically-increasing unique ids
       case "idKey" =>
-        strSeq(n, "order") match {
-          case Nil   => ColumnOps.idKeyUnique(str(n, "name"))(df)
-          case order => ColumnOps.idKeyOrdered(str(n, "name"), order.map(col): _*)(df)
+        (strSeq(n, "order"), strOpt(n, "kind")) match {
+          case (Nil, Some("snowflake")) =>
+            ColumnOps.idKeySnowflake(str(n, "name"))(df)
+          case (Nil, _) => ColumnOps.idKeyUnique(str(n, "name"))(df)
+          case (order, _) =>
+            ColumnOps.idKeyOrdered(str(n, "name"), order.map(col): _*)(df)
         }
       case "latestVersion" =>
         Sync.latestVersion(df, strSeq(n, "pk"), strSeq(n, "version").map(col))

@@ -373,6 +373,23 @@ class ConfigSpec extends SparkSpec {
     assert(e.getMessage.contains("registerModel"))
   }
 
+  test("idKey kinds from config: ordered (dense), default (unique), snowflake") {
+    val dir = Files.createTempDirectory("graft_cfg_idkey_").toString
+    (1 to 50).map(i => (i, s"r$i")).toDF("n", "payload").write.parquet(s"$dir/in")
+    def run(op: String) = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms: [$op]
+         |""".stripMargin)
+    val ordered = run("{op: idKey, name: rid, order: [n]}")
+      .select("n", "rid").as[(Int, Long)].collect().sortBy(_._1)
+    assert(ordered.map(_._2).toSeq == (1L to 50L))
+    val unique = run("{op: idKey, name: rid}").select("rid").as[Long].collect()
+    assert(unique.distinct.length == 50)
+    val snow = run("{op: idKey, name: rid, kind: snowflake}")
+      .select("rid").as[Long].collect()
+    assert(snow.distinct.length == 50 && snow.forall(_ > 0L))
+  }
+
   test("streaming task from config: queue source drains to a parquet sink (cron -1)") {
     val dir = Files.createTempDirectory("graft_cfg_stream_").toString
     graft.streaming.MessageQueues.clear("cfg_q")
