@@ -1034,6 +1034,14 @@ object SparkEntry {
         "doc_id", "lang", "n_chars",
         budgets = Map("en" -> 60000L), defaultBudget = 25000L, salt = "tb")),
 
+    // the mixture-planning report: what each stratum holds, before setting
+    // rates/budgets — one partial-agg'd groupBy, integer-exact
+    "curate_token_stats" -> ((s, dir) =>
+      Curation.tokenStats(
+        Tables(s, dir).documents
+          .select(col("lang"), T.tokenCount(col("text")).as("n_tok")),
+        "lang", "n_tok")),
+
     // greedy sequence packing into 512-token bins across 8 hash shards
     "curate_pack_greedy" -> ((s, dir) => {
       val d = Tables(s, dir).documents
@@ -2208,6 +2216,16 @@ object SparkEntry {
          |    ROWS UNBOUNDED PRECEDING) AS cum
          |  FROM documents)
          |WHERE cum <= CASE WHEN lang = 'en' THEN 60000 ELSE 25000 END""".stripMargin,
+
+    "curate_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nt) AS BIGINT) // count(*) AS mean_tokens
+        |FROM (SELECT lang,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS nt
+        |  FROM documents)
+        |GROUP BY lang""".stripMargin,
 
     "curate_pack_greedy" ->
       s"""WITH d AS (SELECT doc_id,

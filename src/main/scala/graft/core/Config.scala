@@ -313,6 +313,9 @@ object Config {
             .map { case (k, v) => k -> v.toLong }.toMap,
           defaultBudget = Option(n.get("default")).map(_.asLong).getOrElse(0L),
           salt = strOpt(n, "salt").getOrElse("graft"))
+      // per-stratum token statistics (the mixture-planning report)
+      case "tokenStats" =>
+        graft.ext.Curation.tokenStats(df, str(n, "strata"), str(n, "tokens"))
       // corpus-relative rare-token quality signal
       case "rareTokens" =>
         graft.ext.Search.rareTokenStats(df, str(n, "key"), str(n, "column"),

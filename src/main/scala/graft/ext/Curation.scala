@@ -155,6 +155,21 @@ object Curation {
       .drop("__k")
   }
 
+  /** Per-stratum corpus statistics — the PLANNING input every mixture op
+    * consumes: you cannot set [[mixtureByHash]] rates or
+    * [[sampleToTokenBudget]] budgets without knowing what each stratum
+    * holds. One partial-aggregated groupBy (map-side combine; the shuffle
+    * carries one row per stratum per partition); integer math only, so the
+    * report is hash-exact cross-engine. NULL token counts read as 0, same
+    * convention as the budget fill. Output: (strataCol, n_docs, n_tokens,
+    * mean_tokens = floor division).
+    */
+  def tokenStats(df: DataFrame, strataCol: String, tokensCol: String): DataFrame =
+    df.groupBy(strataCol).agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col(tokensCol).cast("bigint"), lit(0L))).as("n_tokens"))
+      .withColumn("mean_tokens", expr("n_tokens div n_docs"))
+
   /** Exactly-N-per-stratum deterministic sample: rank rows within each
     * stratum by (key hash, key) and keep the first `n`. Uses a window
     * partitioned by the stratum — right for bounded-cardinality strata

@@ -217,6 +217,15 @@ class CurationSpec extends SparkSpec {
     assert(only.filter($"lang" === "code").count() == 0)
   }
 
+  test("tokenStats reports per-stratum docs/tokens/mean with null tokens as 0") {
+    val df = Seq(
+      ("en", Some(10L)), ("en", Some(20L)), ("en", None),
+      ("code", Some(7L))).toDF("lang", "toks")
+    val out = Curation.tokenStats(df, "lang", "toks")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("code", 1L, 7L, 7L), ("en", 3L, 30L, 10L)))
+  }
+
   test("sampleToTokenBudget admits null token counts budget-free, wherever they fall") {
     // a null-token row must behave the same whether it sorts first or
     // mid-stratum (the old null-propagating cumsum dropped a stratum-LEADING
