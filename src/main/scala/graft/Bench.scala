@@ -95,7 +95,14 @@ object Bench {
     // startup (a scan + a tiny shuffle + a write through the noop sink)
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count()
       .write.mode("overwrite").format("noop").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_FILTER=dedup_,ann_ runs only matching prefixes —
+    // the fast iteration loop while tuning one tier (full run = no filter)
+    val prefixes = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      prefixes.isEmpty || prefixes.exists(n.startsWith)
+    }
+    val results = selected.map { case (name, fn) =>
       // pay accumulated GC debt outside the next query's timing window —
       // without this one random query per run absorbs a multi-second pause
       System.gc()

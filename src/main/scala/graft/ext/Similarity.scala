@@ -197,6 +197,20 @@ object Similarity {
       .drop("__rk")
   }
 
+  /** [[int8TopKMany]] for FLOAT query vectors (queries that are not already
+    * rows of the code table — the ad-hoc search-API shape): queries are
+    * quantized by the SAME expression the codes were written with
+    * ([[graft.functions.VectorFunctions.quantizeInt8]], so rounding is
+    * bit-identical to the corpus side), then searched as codes.
+    */
+  def int8TopKManyVecs(codes: DataFrame, idCol: String, queries: DataFrame,
+                       queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    val qcodes = queries.select(col(queryIdCol),
+      transform(V.quantizeInt8(col(queryVecCol)).getField("q"),
+        _.cast("byte")).as("code"))
+    int8TopKMany(codes, idCol, qcodes, queryIdCol, k)
+  }
+
   /** Int8 scan + exact-cosine rescore: rank the corpus by quantized integer
     * dot product, keep the top `rescoreFactor × k`, then rescore ONLY those
     * candidates with full-precision cosine and return the top k — the

@@ -72,6 +72,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8TopKManyVecs quantizes float queries bit-identically to the code table") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_codes_v_").toString
+    Similarity.writeCodes(real, "vec_id", "embedding", s"$dir/codes")
+    val codes = spark.read.parquet(s"$dir/codes")
+    // float queries = corpus rows 0..2 → must equal searching by their codes
+    val viaVecs = Similarity.int8TopKManyVecs(codes, "vec_id",
+        real.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
+    val viaCodes = Similarity.int8TopKMany(codes, "vec_id",
+        codes.filter($"vec_id" < 3), "vec_id", k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
+    assert(viaVecs == viaCodes)
+  }
+
   test("int8 rescore restores exact-cosine top-k") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val rescored = Similarity.int8TopKRescored(real, "vec_id", "embedding",
