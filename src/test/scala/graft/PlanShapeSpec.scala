@@ -103,6 +103,15 @@ class PlanShapeSpec extends SparkSpec {
         "partitioned window, or idKeySnowflake for surrogate keys")
   }
 
+  test("tokenStats aggregates with exactly one exchange (map-side combine)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"lang", lit(1L).as("t"))
+    val plan = physical(graft.ext.Curation.tokenStats(d, "lang", "t"))
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(plan.split("Exchange", -1).length - 1 == 1,
+      s"expected exactly one exchange:\n$plan")
+  }
+
   test("whole-stage codegen spans the text-analysis projection") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(graft.functions.TextFunctions.qualityPerMille($"text").as("q"))
