@@ -1061,6 +1061,15 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // the decon AUDIT: which eval doc leaked into which train doc and how
+    // strongly — same fixture as curate_decontaminate, pair-level output
+    "curate_contamination" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val train = d.filter(col("doc_id") % 10 =!= 0)
+      val heldOut = d.filter(col("doc_id") % 10 === 0)
+      Curation.contaminationReport(train, heldOut, "doc_id", "text", shingleN = 3)
+    }),
+
     // deterministic 2.5× upsampling: every doc twice + half the keys a
     // third time (the >1× side of mixture weighting)
     "curate_upsample" -> ((s, dir) =>
@@ -2275,6 +2284,29 @@ object SparkEntry {
         |    WHERE df <= 10000),
         |  bad AS (SELECT DISTINCT c.id FROM capped c JOIN evsng e ON c.sng = e.sng)
         |SELECT t.id AS doc_id FROM tr t WHERE t.id NOT IN (SELECT id FROM bad)""".stripMargin,
+
+    "curate_contamination" ->
+      """WITH tr AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0),
+        |  ev AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0),
+        |  trtok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM tr),
+        |  trsh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM trtok),
+        |  trinv AS (SELECT id, unnest(s) AS sng FROM trsh),
+        |  evtok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM ev),
+        |  evsh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM evtok),
+        |  evinv AS (SELECT id, unnest(s) AS sng FROM evsh),
+        |  trcap AS (SELECT id, sng FROM (
+        |    SELECT id, sng, count(*) OVER (PARTITION BY sng) AS df FROM trinv)
+        |    WHERE df <= 10000),
+        |  evcap AS (SELECT id, sng FROM (
+        |    SELECT id, sng, count(*) OVER (PARTITION BY sng) AS df FROM evinv)
+        |    WHERE df <= 10000)
+        |SELECT t.id AS train_id, e.id AS eval_id, count(*) AS shared_shingles
+        |FROM trcap t JOIN evcap e ON t.sng = e.sng
+        |GROUP BY 1, 2""".stripMargin,
 
     "curate_pretrain_pipeline" ->
       s"""WITH f AS (SELECT doc_id, text,

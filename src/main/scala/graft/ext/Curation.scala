@@ -335,6 +335,34 @@ object Curation {
     * whole corpus as contaminated — same df-cutoff rationale as
     * [[Dedup.ngramJaccardPairs]].
     */
+  /** The audit companion to [[decontaminate]] (which only DROPS): which
+    * eval document contaminated which train document, and how strongly —
+    * (train_id, eval_id, shared_shingles) for pairs sharing ≥ `minShared`
+    * distinct word `shingleN`-grams. Run it before committing a decon cut:
+    * a report full of 1-shingle matches means the threshold is too eager, a
+    * handful of high-overlap pairs means real leakage.
+    *
+    * Scale shape: BOTH inverted indexes are df-capped (partial agg +
+    * broadcast anti-join — a shingle too common in either set is
+    * boilerplate, carries no leakage signal, and is exactly what would
+    * make the shingle join quadratic); the join then carries 8-byte
+    * hashes and the pair count is one partial-agg'd groupBy.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
+                          textCol: String, shingleN: Int = 3,
+                          maxDocFreq: Int = 10000,
+                          minShared: Long = 1L): DataFrame = {
+    def inv(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), explode(array_distinct(
+        T.wordShingleHashes(col(textCol), shingleN))).as("__sh"))
+    val t = Dedup.dropHotKeys(inv(train, "train_id"), Seq("__sh"), maxDocFreq)
+    val e = Dedup.dropHotKeys(inv(eval, "eval_id"), Seq("__sh"), maxDocFreq)
+    t.join(e, "__sh")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3,
                     maxDocFreq: Int = 10000): DataFrame = {

@@ -246,6 +246,24 @@ class CurationSpec extends SparkSpec {
     assert(tight.filter($"toks".isNotNull).count() == 2)
   }
 
+  test("contaminationReport names the leaking pair with its overlap strength") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally clean unique content here")).toDF("id", "text")
+    val eval = Seq(
+      (100L, "zzz alpha beta gamma delta yyy"),   // 2 shared 3-grams with doc 1
+      (101L, "unrelated eval text")).toDF("id", "text")
+    val report = Curation.contaminationReport(train, eval, "id", "text")
+      .as[(Long, Long, Long)].collect().toSeq
+    // exactly one contaminated pair: train 1 × eval 100, sharing the
+    // "alpha beta gamma" and "beta gamma delta" shingles
+    assert(report == Seq((1L, 100L, 2L)))
+    // and decontaminate agrees with the report's train side
+    val kept = Curation.decontaminate(train, eval, "id", "text")
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
   test("decontaminate drops overlapping train docs, keeps clean ones") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon"),
