@@ -1042,6 +1042,17 @@ object SparkEntry {
           .select(col("lang"), T.tokenCount(col("text")).as("n_tok")),
         "lang", "n_tok")),
 
+    // the materialized form of packing: one row per (shard, bin) with the
+    // member texts concatenated in deterministic bin order
+    "curate_pack_examples" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), T.tokenCount(col("text")).as("n_tok"))
+      Curation.packExamples(d, "doc_id", "text", "n_tok",
+        maxTokensPerBin = 512, shards = 8)
+        .select(col("shard").cast("bigint").as("shard"), col("bin"),
+          col("n_docs"), col("n_tokens"), col("text"))
+    }),
+
     // greedy sequence packing into 512-token bins across 8 hash shards
     "curate_pack_greedy" -> ((s, dir) => {
       val d = Tables(s, dir).documents
@@ -2247,6 +2258,20 @@ object SparkEntry {
          |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS cum FROM d)
          |SELECT doc_id, n_tok, shard, cum // 512 AS bin, cum % 512 AS bin_offset
          |FROM c""".stripMargin,
+
+    "curate_pack_examples" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok,
+         |    ${duckBucket("CAST(doc_id AS VARCHAR)", 8, "graft")} AS shard
+         |  FROM documents),
+         |  c AS (SELECT doc_id, text, n_tok, shard,
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS cum FROM d)
+         |SELECT shard, cum // 512 AS bin, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  string_agg(text, ' ' ORDER BY cum % 512, doc_id) AS text
+         |FROM c GROUP BY 1, 2""".stripMargin,
 
     "curate_upsample" ->
       s"""SELECT doc_id, CAST(k AS INT) AS copy_idx

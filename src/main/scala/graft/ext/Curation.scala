@@ -254,6 +254,36 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Materialize the packed training EXAMPLES that [[packSequences]] only
+    * assigns: one row per (shard, bin) with the member documents'
+    * `textCol` concatenated in deterministic bin order (`sep`-joined),
+    * plus doc/token counts. A document belongs to the bin it STARTS in —
+    * it may straddle into bin+1 by up to its own length; the downstream
+    * chunker ([[chunkByTokens]]) owns the hard cut, same contract as
+    * [[packSequences]].
+    *
+    * Scale shape: the packing window is per-shard (bounded — pick shards ≈
+    * corpus_tokens / executor-chunk), then ONE partial-agg'd groupBy per
+    * (shard, bin); an aggregation buffer holds one bin's documents, which
+    * is bounded by the bin's token budget, not the corpus. The concat
+    * orders by (bin_offset, id) via array_sort on structs, so output text
+    * is byte-identical across partitionings and engines.
+    */
+  def packExamples(df: DataFrame, idCol: String, textCol: String,
+                   tokensCol: String, maxTokensPerBin: Int, shards: Int,
+                   salt: String = "graft", sep: String = " "): DataFrame = {
+    val packed = packSequences(df, idCol, tokensCol, maxTokensPerBin, shards, salt)
+    packed.groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("bigint")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("bin_offset"), col(idCol), col(textCol)))),
+            x => x.getField(textCol)),
+          sep).as("text"))
+  }
+
   /** Split documents into fixed-token-count chunks with overlap — context-
     * window example prep. Chunk i covers tokens [i·step, i·step+chunkTokens)
     * with step = chunkTokens − overlapTokens; chunks are emitted while

@@ -217,6 +217,19 @@ class CurationSpec extends SparkSpec {
     assert(only.filter($"lang" === "code").count() == 0)
   }
 
+  test("packExamples concatenates each bin's docs in offset order") {
+    // one shard → deterministic: docs pack by id order, 10 tokens each,
+    // 25-token bins → bins hold starts at cum 0,10,20 | 30,40 | 50...
+    val df = (1L to 6L).map(i => (i, s"doc$i", 10L)).toDF("id", "text", "toks")
+    val out = Curation.packExamples(df, "id", "text", "toks",
+        maxTokensPerBin = 25, shards = 1)
+      .orderBy("bin").as[(Int, Long, Long, Long, String)].collect().toSeq
+    assert(out.map(r => (r._2, r._3, r._4, r._5)) == Seq(
+      (0L, 3L, 30L, "doc1 doc2 doc3"),
+      (1L, 2L, 20L, "doc4 doc5"),
+      (2L, 1L, 10L, "doc6")))
+  }
+
   test("tokenStats reports per-stratum docs/tokens/mean with null tokens as 0") {
     val df = Seq(
       ("en", Some(10L)), ("en", Some(20L)), ("en", None),
