@@ -331,6 +331,12 @@ object Config {
         graft.ext.Curation.packSequences(df, str(n, "key"), str(n, "tokens"),
           n.get("maxTokensPerBin").asInt, n.get("shards").asInt,
           strOpt(n, "salt").getOrElse("graft"))
+      // packed-example materialization: (shard, bin, n_docs, n_tokens, text)
+      case "packExamples" =>
+        graft.ext.Curation.packExamples(df, str(n, "key"), str(n, "column"),
+          str(n, "tokens"), n.get("maxTokensPerBin").asInt,
+          n.get("shards").asInt, strOpt(n, "salt").getOrElse("graft"),
+          strOpt(n, "sep").getOrElse(" "))
       case "shuffle" =>
         graft.ext.Curation.shuffleByHash(df, str(n, "key"),
           strOpt(n, "salt").getOrElse("graft"),

@@ -83,6 +83,29 @@ class CurationPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: packExamples conserves docs and tokens and agrees with packSequences") {
+    val docsGen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(1L, 10000L), Gen.choose(1L, 120L))).map(_.distinctBy(_._1))
+    for (docs <- samples(docsGen, n = 5) if docs.nonEmpty) {
+      val df = docs.map { case (id, n) => (id, s"t$id", n) }.toDF("id", "text", "n")
+      val ex = Curation.packExamples(df, "id", "text", "n",
+        maxTokensPerBin = 256, shards = 4)
+        .as[(Int, Long, Long, Long, String)].collect()
+      // conservation: every doc appears in exactly one example, token sums add up
+      assert(ex.map(_._3).sum == docs.size.toLong)
+      assert(ex.map(_._4).sum == docs.map(_._2).sum)
+      val mentioned = ex.flatMap(_._5.split(" ")).toSeq.sorted
+      assert(mentioned == docs.map(d => s"t${d._1}").sorted, "doc text lost or duplicated")
+      // agreement: each (shard, bin) doc count matches the assignment op
+      val assigned = Curation.packSequences(df, "id", "n", 256, 4)
+        .groupBy("shard", "bin").count()
+        .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      ex.foreach { case (sh, bin, nDocs, _, _) =>
+        assert(assigned((sh, bin)) == nDocs, s"($sh,$bin) doc count mismatch")
+      }
+    }
+  }
+
   test("property: chunking is lossless — stepped chunk prefixes rebuild the doc") {
     val docGen = Gen.choose(0, 40).map(n => (1 to n).map(i => s"w$i").mkString(" "))
     for ((doc, i) <- samples(docGen, n = 10).zipWithIndex) {
