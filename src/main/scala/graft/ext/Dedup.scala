@@ -484,6 +484,21 @@ object Dedup {
     else representatives(docs, connectedComponents(confirmed), idCol)
   }
 
+  /** [[nearDedup]] for the embedding modality: sign-LSH candidate pairs at
+    * `threshold` cosine → connected components → one representative
+    * (min id) per cluster. Same bounded shapes as the text pipeline
+    * (banded multi-table LSH, O(log D) label rounds); identical vectors
+    * collide in every table, so exact-duplicate recall is total.
+    */
+  def nearDedupEmbeddings(docs: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, threshold: Double = 0.99,
+                          bitsPerTable: Int = 16, tables: Int = 4): DataFrame = {
+    val pairs = embeddingDupPairs(docs, idCol, vecCol, dim, threshold,
+      bitsPerTable, tables)
+    if (pairs.isEmpty) docs
+    else representatives(docs, connectedComponents(pairs), idCol)
+  }
+
   /** Embedding-cosine near-dup pairs: banded (multi-table) sign-LSH to bound
     * the pair space, exact cosine within buckets, keep pairs ≥ threshold.
     *

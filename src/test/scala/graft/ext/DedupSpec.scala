@@ -172,6 +172,16 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.nearDedup(solo, "id", "text").count() == 2)
   }
 
+  test("nearDedupEmbeddings keeps one representative per identical-vector cluster") {
+    val v1 = Seq.fill(8)(0.5f); val v2 = (1 to 8).map(_.toFloat)
+    val docs = Seq((1L, v1), (2L, v1), (3L, v1), (10L, v2), (11L, v2), (20L, (1 to 8).map(i => -i.toFloat)))
+      .toDF("id", "vec")
+    val kept = Dedup.nearDedupEmbeddings(docs, "id", "vec", dim = 8,
+        threshold = 0.999, bitsPerTable = 4)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 10L, 20L))
+  }
+
   test("embedding dup pairs find identical vectors across LSH tables") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),
