@@ -92,7 +92,13 @@ object Config {
         java.nio.file.Files.createTempDirectory("graft_cfg_ckpt_").toString)
       val trigger = graft.streaming.Streams.triggerOf(task.cron.getOrElse(-1))
       val q = graft.streaming.Streams.foreachBatchSink(df, ckpt, trigger) {
-        (batch, _) => task.sinks.foreach(sink(batch, _, streaming = true))
+        (batch, _) =>
+          // same compute-once fan-out guarantee as the batch branch below:
+          // without the persist each extra sink re-executes the batch plan
+          // (and can observe recomputation of non-replayable sources)
+          val b = if (task.sinks.length > 1) batch.persist() else batch
+          try task.sinks.foreach(sink(b, _, streaming = true))
+          finally if (task.sinks.length > 1) b.unpersist()
       }
       if (task.cron.getOrElse(-1) == -1) q.awaitTermination()
     } else {
@@ -211,7 +217,10 @@ object Config {
       case "idKey" =>
         (strSeq(n, "order"), strOpt(n, "kind")) match {
           case (Nil, Some("snowflake")) =>
-            ColumnOps.idKeySnowflake(str(n, "name"))(df)
+            // workerBits: widen past the classic 10-bit split for jobs
+            // wider than 1024 partitions (see SnowflakeId scaladoc)
+            val wb = Option(n.get("workerBits")).map(_.asInt).getOrElse(10)
+            ColumnOps.idKeySnowflake(str(n, "name"), wb)(df)
           case (Nil, _) => ColumnOps.idKeyUnique(str(n, "name"))(df)
           case (order, _) =>
             ColumnOps.idKeyOrdered(str(n, "name"), order.map(col): _*)(df)

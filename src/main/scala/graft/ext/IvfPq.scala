@@ -12,6 +12,14 @@ import org.apache.spark.sql.types._
   * quantization decides how CHEAP scanning each survivor is (m one-byte
   * codes, ADC table lookups, no float math per row).
   *
+  * RESIDUAL ENCODING (the "ADC" in IVFADC): codes quantize the residual
+  * `y − centroid(cell)`, not the raw vector — residuals concentrate near
+  * the origin with far less variance than the raw distribution, which is
+  * what makes m one-byte codes accurate at large nLists (Jégou §IV.A;
+  * FAISS `IndexIVFPQ` does the same). Search mirrors it: the per-subspace
+  * ADC table for a query is built from `query − centroid(cell)` PER PROBED
+  * CELL, so `d(q,y) ≈ Σ_j table_cell(j, code_j)`.
+  *
   * The 100 TB economics multiply: nProbe/nLists of the corpus is read at
   * all, and what is read costs m bytes per vector instead of 4·dim — at
   * dim=64, m=8, nLists=1024, nProbe=8 a query touches 1/128 of the corpus
@@ -19,9 +27,11 @@ import org.apache.spark.sql.types._
   *
   * Spark shape:
   *  - [[build]] fits BOTH quantizers on capped samples (one distributed
-  *    k-means for the cells, m driver-local Lloyd's fits for the
-  *    codebooks) and encodes the corpus ONCE, carrying `list_id` through
-  *    the encode so no corpus-wide join-back is needed;
+  *    k-means for the cells, m driver-local Lloyd's fits for the RESIDUAL
+  *    codebooks). Residuals are a broadcast join against the tiny
+  *    nLists-row centroid table + one `zip_with` — no shuffle — and the
+  *    corpus is encoded ONCE, carrying `list_id` through the encode so no
+  *    corpus-wide join-back is needed;
   *  - [[writeIndex]] persists codes `partitionBy("list_id")` + the two
   *    tiny driver tables (centroids, codebooks);
   *  - [[search]]/[[searchMany]] read only probed cells. `searchMany`
@@ -31,22 +41,57 @@ import org.apache.spark.sql.types._
   */
 object IvfPq {
 
-  /** `codes` carries (id, list_id, code); centroids/codebooks are the two
-    * driver-held tiny tables (nLists×dim and m×codes×subDim doubles).
+  /** `codes` carries (id, list_id, code) where code encodes the residual
+    * against cell `list_id`; centroids/codebooks are the two driver-held
+    * tiny tables (nLists×dim and m×codes×subDim doubles).
     */
   final case class Index(codes: DataFrame, centroids: Array[Array[Double]],
                          cb: Pq.Codebooks)
 
-  /** Fit coarse quantizer + codebooks, encode every row once. Both fits
-    * run on capped samples (see [[Ivf.build]] / [[Pq.train]] for why a
-    * quantizer needs placement, not convergence).
+  /** `vec − centroid`, the IVFADC residual. */
+  private def residual(v: Array[Double], c: Array[Double]): Array[Double] = {
+    val r = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
+    r
+  }
+
+  /** Per-subspace squared-distance table of a (residual) query to every
+    * codeword — the m×codes ADC lookup table.
+    */
+  private def adcTable(cb: Pq.Codebooks, rq: Array[Double]): Array[Array[Double]] =
+    cb.books.zipWithIndex.map { case (book, j) =>
+      book.map(c => Pq.squaredDist(rq, j * cb.subDim, c))
+    }
+
+  /** Attach `__residual = vecCol − centroid(list_id)` to an assigned frame:
+    * broadcast join on the nLists-row centroid table + element-wise
+    * `zip_with` — shuffle-free, codegen'd.
+    */
+  private def withResidual(assigned: DataFrame, vecCol: String,
+                           centroids: Array[Array[Double]]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "__cent")
+    assigned.join(broadcast(centDf), "list_id")
+      .withColumn("__residual",
+        zip_with(col(vecCol).cast(ArrayType(DoubleType)), col("__cent"),
+          (x, c) => x - c))
+  }
+
+  /** Fit coarse quantizer + residual codebooks, encode every row once.
+    * Both fits run on capped samples (see [[Ivf.build]] / [[Pq.train]] for
+    * why a quantizer needs placement, not convergence).
     */
   def build(df: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
             nLists: Int, codes: Int = 256, seed: Long = 42L,
             maxIter: Int = 5): Index = {
     val ivf = Ivf.build(df, idCol, vecCol, nLists, seed, maxIter)
-    val cb = Pq.train(df, vecCol, dim, m, codes, seed, maxIter)
-    val encoded = Pq.encode(ivf.assigned, idCol, vecCol, cb,
+    val withRes = withResidual(ivf.assigned, vecCol, ivf.centroids)
+    val cb = Pq.train(withRes, "__residual", dim, m, codes, seed, maxIter)
+    val encoded = Pq.encode(withRes, idCol, "__residual", cb,
       keep = Seq("list_id"))
     Index(encoded, ivf.centroids, cb)
   }
@@ -92,15 +137,39 @@ object IvfPq {
 
   /** Single-query IVF-PQ: probe the `nProbe` nearest cells (driver math
     * over the centroid table → `isin` filter → partition pruning on a
-    * persisted index) and ADC-scan only those codes. Returns (idCol,
-    * adist) ascending, ties on id — identical semantics to [[Pq.adcTopK]]
-    * restricted to the probed cells.
+    * persisted index) and ADC-scan only those codes. The ADC table is
+    * built per probed cell from the RESIDUAL query `q − centroid(cell)`
+    * (nProbe tiny m×codes tables, driver-computed and broadcast), matching
+    * the residual the codes encode. Returns (idCol, adist) ascending, ties
+    * on id — deterministic.
     */
   def search(index: Index, idCol: String, queryVec: Seq[Double], k: Int,
              nProbe: Int): DataFrame = {
+    require(k > 0 && nProbe > 0)
+    require(queryVec.length == index.cb.dim,
+      s"query dim ${queryVec.length} != codebook dim ${index.cb.dim}")
     val cells = Ivf.probeCells(index.centroids, queryVec, nProbe)
-    Pq.adcTopK(index.codes.filter(col("list_id").isin(cells: _*)),
-      index.cb, idCol, queryVec, k)
+    val q = queryVec.toArray
+    val tables: Map[Int, Array[Array[Double]]] = cells.map { cell =>
+      cell -> adcTable(index.cb, residual(q, index.centroids(cell)))
+    }.toMap
+    val spark = index.codes.sparkSession
+    val bcastT = spark.sparkContext.broadcast(tables)
+    val in = index.codes.filter(col("list_id").isin(cells: _*))
+      .select(col(idCol), col("list_id").cast("int"), col("code"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol), StructField("adist", DoubleType)))
+    val scored = spark.createDataFrame(
+      in.rdd.mapPartitions { rows =>
+        val ts = bcastT.value
+        rows.map { r =>
+          val t = ts(r.getInt(1)); val code = r.getSeq[Byte](2)
+          var s = 0.0; var j = 0
+          while (j < t.length) { s += t(j)(code(j) & 0xff); j += 1 }
+          Row(r.get(0), s)
+        }
+      }, outSchema)
+    scored.orderBy(col("adist"), col(idCol)).limit(k)
   }
 
   /** Batch IVF-PQ: top-k for EVERY query row in one pass over the probed
@@ -109,10 +178,14 @@ object IvfPq {
     * probe cells (partition pruning still applies), and each code row is
     * scored against only the queries that probed ITS cell via a
     * driver-built cell→queries map — per-row cost is m lookups ×
-    * (queries probing that cell) ≈ m·Q·nProbe/nLists, never m·Q. A
-    * k-capped heap per query per partition emits ≤ Q·k candidate rows,
-    * then one per-query rank over Q·k·P survivors. Deterministic: ties
-    * break on (adist, id), equal to per-query [[search]].
+    * (queries probing that cell) ≈ m·Q·nProbe/nLists, never m·Q. ADC
+    * tables are residual-correct: one m×codes table per (query, probed
+    * cell) pair, expanded once per executor (Q·nProbe·m·codes doubles —
+    * size the query batch so that fits; at m=8, codes=256, nProbe=8 a
+    * 1k-query batch is ~128 MB). A k-capped heap per query per partition
+    * emits ≤ Q·k candidate rows, then one per-query rank over Q·k·P
+    * survivors. Deterministic: ties break on (adist, id), equal to
+    * per-query [[search]].
     */
   def searchMany(index: Index, queries: DataFrame, queryIdCol: String,
                  queryVecCol: String, k: Int, nProbe: Int): DataFrame = {
@@ -135,6 +208,7 @@ object IvfPq {
     val bcastQ = spark.sparkContext.broadcast(qs)
     val bcastCb = spark.sparkContext.broadcast(index.cb)
     val bcastCellQ = spark.sparkContext.broadcast(cellToQ)
+    val bcastCents = spark.sparkContext.broadcast(index.centroids)
     val cacheKey = java.util.UUID.randomUUID().toString
     // the corpus id column is whatever the codes schema carries besides
     // (list_id, code) — build/readIndex preserve it by name
@@ -149,28 +223,33 @@ object IvfPq {
       StructField("corpus_id", LongType, nullable = false),
       StructField("adist", DoubleType, nullable = false)))
     val byWorst = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val nQ = qs.length
     val candidates = spark.createDataFrame(
       scanned.rdd.mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
+          // per (probed cell, query) residual ADC tables, memoized per
+          // executor JVM (see TableCache): cell -> [(qi, m×codes table)]
           val ts = Pq.TableCache.get(cacheKey, {
             val book = bcastCb.value
-            bcastQ.value.map { case (qid, q) =>
-              qid -> book.books.zipWithIndex.map { case (b, j) =>
-                b.map(c => Pq.squaredDist(q, j * book.subDim, c))
+            val cents = bcastCents.value
+            val qarr = bcastQ.value
+            bcastCellQ.value.map { case (cell, qis) =>
+              cell -> qis.map { qi =>
+                qi -> adcTable(book, residual(qarr(qi)._2, cents(cell)))
               }
             }
           })
-          val cellQ = bcastCellQ.value
-          val heaps = Array.fill(ts.length)(
+          val qids = bcastQ.value
+          val heaps = Array.fill(nQ)(
             scala.collection.mutable.PriorityQueue.empty[(Double, Long)](byWorst))
           rows.foreach { r =>
             val id = r.getLong(0); val cell = r.getInt(1)
             val code = r.getSeq[Byte](2)
-            val qis = cellQ.getOrElse(cell, Array.empty[Int])
+            val entries = ts.getOrElse(cell, Array.empty[(Int, Array[Array[Double]])])
             var x = 0
-            while (x < qis.length) {
-              val qi = qis(x); val t = ts(qi)._2
+            while (x < entries.length) {
+              val (qi, t) = entries(x)
               var s = 0.0; var j = 0
               while (j < t.length) { s += t(j)(code(j) & 0xff); j += 1 }
               val h = heaps(qi)
@@ -179,8 +258,8 @@ object IvfPq {
               x += 1
             }
           }
-          heaps.iterator.zip(ts.iterator).flatMap { case (h, (qid, _)) =>
-            h.iterator.map { case (s, id) => Row(qid, id, s) }
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            h.iterator.map { case (s, id) => Row(qids(qi)._1, id, s) }
           }
         }
       }, outSchema)

@@ -45,17 +45,28 @@ object Pq {
     */
   private[ext] object TableCache {
     private val cache = new java.util.concurrent.ConcurrentHashMap[
-      String, java.lang.ref.SoftReference[Array[(Long, Array[Array[Double]])]]]()
-    def get(key: String, compute: => Array[(Long, Array[Array[Double]])]): Array[(Long, Array[Array[Double]])] = {
-      if (cache.size > 4 && !cache.containsKey(key)) cache.clear()
-      val ref = cache.get(key)
-      val hit = if (ref == null) null else ref.get()
-      if (hit != null) hit
-      else {
-        val v = compute
-        cache.put(key, new java.lang.ref.SoftReference(v))
-        v
+      String, java.lang.ref.SoftReference[AnyRef]]()
+    /** Atomic get-or-compute: `computeIfAbsent` guarantees concurrent tasks
+      * asking for the same key materialize the tables ONCE (no transient
+      * Q×m×codes duplicates); a GC-cleared SoftReference is replaced via
+      * `remove(key, ref)` + retry so only the cleared entry churns. The
+      * size cap evicts every entry EXCEPT the requested key — an in-flight
+      * key must never be evicted mid-scan (it would be recomputed per
+      * partition thereafter).
+      */
+    def get[T <: AnyRef](key: String, compute: => T): T = {
+      if (cache.size > 4) {
+        val it = cache.keySet.iterator
+        while (it.hasNext) if (it.next() != key) it.remove()
       }
+      var out: AnyRef = null
+      while (out == null) {
+        val ref = cache.computeIfAbsent(key,
+          _ => new java.lang.ref.SoftReference[AnyRef](compute))
+        out = ref.get()
+        if (out == null) cache.remove(key, ref)
+      }
+      out.asInstanceOf[T]
     }
   }
 

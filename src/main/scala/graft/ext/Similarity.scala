@@ -137,13 +137,19 @@ object Similarity {
     * collect + broadcast (Q × dim bytes — tiny), each partition keeps a
     * k-capped heap per query and emits ≤ Q·k candidate rows, the only
     * shuffle ranks the Q·k·P survivors — the Q×N score space is never
-    * materialized, and the corpus read is the 1-byte code table. Queries
-    * never match themselves (`corpus_id =!= query_id`). Returns
-    * (query_id, corpus_id, iscore) with deterministic (iscore desc, id)
-    * ranking, equal to per-query [[int8TopKFromCodes]].
+    * materialized, and the corpus read is the 1-byte code table. With
+    * `excludeSelf` (the default — right when queries ARE rows of the code
+    * table) a query never matches the corpus row carrying its own id;
+    * pass `excludeSelf = false` when query ids live in a DIFFERENT id
+    * space than the corpus (ad-hoc query batches), where dropping the
+    * corpus row that happens to share a number would silently shrink that
+    * query's ranking. Returns (query_id, corpus_id, iscore) with
+    * deterministic (iscore desc, id) ranking, equal to per-query
+    * [[int8TopKFromCodes]] when `excludeSelf` is on.
     */
   def int8TopKMany(codes: DataFrame, idCol: String, queries: DataFrame,
-                   queryIdCol: String, k: Int): DataFrame = {
+                   queryIdCol: String, k: Int,
+                   excludeSelf: Boolean = true): DataFrame = {
     require(k > 0)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -153,6 +159,7 @@ object Similarity {
       "duplicate query ids — per-query top-k would merge their candidates")
     val spark = codes.sparkSession
     val bcastQ = spark.sparkContext.broadcast(qs)
+    val exclSelf = excludeSelf
     val in = codes.select(col(idCol).cast("long"), col("code"))
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
@@ -173,7 +180,7 @@ object Similarity {
             var qi = 0
             while (qi < queries.length) {
               val (qid, qc) = queries(qi)
-              if (id != qid) {
+              if (!exclSelf || id != qid) {
                 var s = 0L; var i = 0
                 while (i < qc.length) { s += code(i).toLong * qc(i); i += 1 }
                 val h = heaps(qi)
@@ -202,13 +209,18 @@ object Similarity {
     * quantized by the SAME expression the codes were written with
     * ([[graft.functions.VectorFunctions.quantizeInt8]], so rounding is
     * bit-identical to the corpus side), then searched as codes.
+    * `excludeSelf` defaults to FALSE here — ad-hoc query ids live in a
+    * caller-chosen id space unrelated to the corpus, so an id collision
+    * must not silently drop a legitimate corpus row; flip it on only when
+    * the float queries really are re-reads of corpus rows.
     */
   def int8TopKManyVecs(codes: DataFrame, idCol: String, queries: DataFrame,
-                       queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+                       queryIdCol: String, queryVecCol: String, k: Int,
+                       excludeSelf: Boolean = false): DataFrame = {
     val qcodes = queries.select(col(queryIdCol),
       transform(V.quantizeInt8(col(queryVecCol)).getField("q"),
         _.cast("byte")).as("code"))
-    int8TopKMany(codes, idCol, qcodes, queryIdCol, k)
+    int8TopKMany(codes, idCol, qcodes, queryIdCol, k, excludeSelf)
   }
 
   /** Int8 scan + exact-cosine rescore: rank the corpus by quantized integer

@@ -57,19 +57,26 @@ object ColumnOps {
   def idKeyUnique(name: String): DataFrame => DataFrame =
     df => df.withColumn(name, monotonically_increasing_id())
 
-  /** Production idKey, full snowflake semantics: time-sortable globally-
-    * unique 64-bit ids (`(millis << 22) | worker << 12 | seq`, see
+  /** Production idKey, full snowflake semantics: time-sortable 64-bit ids
+    * (`(millis << 22) | worker << seqBits | seq`, see
     * [[graft.functions.SnowflakeId]]) — zero shuffle, zero coordination,
     * and unlike [[idKeyUnique]] the ids carry a wall-clock component so
     * they sort by creation time across RUNS, exactly the property the
     * reference's `idGen` service provides (`LineParser.php:255`).
-    * Nondeterministic by nature (time-based) — for oracle-deterministic
-    * keys on SMALL relations use [[idKeyOrdered]]; never use that variant
-    * at scale (its partition-less window funnels the whole relation
-    * through one task).
+    *
+    * Uniqueness holds while every partition index fits in `workerBits`:
+    * the default 10-bit split covers ≤ 1024 concurrent partitions and the
+    * expression FAILS FAST beyond that (no silent cross-partition
+    * collisions). Wider jobs — the norm at 100 TB — pass a wider split,
+    * e.g. `workerBits = 15` for 32k partitions at 128 ids/ms/partition
+    * (sequence overflow borrows from the timestamp, so the rate bound is
+    * soft). Nondeterministic by nature (time-based) — for oracle-
+    * deterministic keys on SMALL relations use [[idKeyOrdered]]; never use
+    * that variant at scale (its partition-less window funnels the whole
+    * relation through one task).
     */
-  def idKeySnowflake(name: String): DataFrame => DataFrame =
-    df => df.withColumn(name, graft.functions.SnowflakeId.snowflakeId())
+  def idKeySnowflake(name: String, workerBits: Int = 10): DataFrame => DataFrame =
+    df => df.withColumn(name, graft.functions.SnowflakeId.snowflakeId(workerBits))
 
   /** First-non-null fallback across candidate columns — the XmlParser field
     * mapping where several source keys may carry the value

@@ -78,13 +78,31 @@ class SimilaritySpec extends SparkSpec {
     Similarity.writeCodes(real, "vec_id", "embedding", s"$dir/codes")
     val codes = spark.read.parquet(s"$dir/codes")
     // float queries = corpus rows 0..2 → must equal searching by their codes
+    // (queries share the corpus id space here, so opt back into excludeSelf)
     val viaVecs = Similarity.int8TopKManyVecs(codes, "vec_id",
-        real.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+        real.filter($"vec_id" < 3), "vec_id", "embedding", k = 5,
+        excludeSelf = true)
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
     val viaCodes = Similarity.int8TopKMany(codes, "vec_id",
         codes.filter($"vec_id" < 3), "vec_id", k = 5)
       .as[(Long, Long, Long)].collect().sortBy(r => (r._1, -r._3, r._2)).toSeq
     assert(viaVecs == viaCodes)
+  }
+
+  test("int8TopKManyVecs default keeps a corpus row whose id collides with a query id") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_codes_c_").toString
+    Similarity.writeCodes(real, "vec_id", "embedding", s"$dir/codes")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val n = codes.count()
+    // ad-hoc query whose id happens to equal a corpus id: with the
+    // ad-hoc default (excludeSelf=false) the full corpus is ranked
+    val q = real.filter($"vec_id" === 1L)
+    val ranked = Similarity.int8TopKManyVecs(codes, "vec_id", q,
+        "vec_id", "embedding", k = n.toInt)
+      .as[(Long, Long, Long)].collect()
+    assert(ranked.length == n, "id collision must not drop a corpus row")
+    assert(ranked.exists(_._2 == 1L), "corpus row sharing the query id must be ranked")
   }
 
   test("int8 rescore restores exact-cosine top-k") {

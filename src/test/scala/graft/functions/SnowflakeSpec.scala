@@ -27,4 +27,27 @@ class SnowflakeSpec extends SparkSpec {
       assert(((id >> 12) & 0x3ff) == (p & 0x3ff))
     }
   }
+
+  test("fails fast when a partition index exceeds the worker-id space") {
+    // workerBits=3 → 8 workers; 16 partitions would collide → must throw,
+    // not silently reuse worker ids (the >1024-partition hazard, scaled down)
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.range(0, 1000, 1, numPartitions = 16)
+        .select(SnowflakeId.snowflakeId(workerBits = 3).as("id")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("workerBits")))
+  }
+
+  test("widened workerBits keeps ids unique past the classic split") {
+    // same job as the failure above, but with a wide-enough worker field
+    val ids = spark.range(0, 20000, 1, numPartitions = 16)
+      .select(SnowflakeId.snowflakeId(workerBits = 5).as("id")).as[Long].collect()
+    assert(ids.distinct.length == 20000)
+    // worker field sits at bits [17, 22) for workerBits=5 (seqBits=17)
+    val workers = ids.map(id => (id >> 17) & 0x1f).distinct
+    assert(workers.length == 16)
+  }
 }
