@@ -304,14 +304,18 @@ object Config {
       case "dedupNear" =>
         graft.ext.Dedup.nearDedup(df, str(n, "key"), str(n, "column"),
           minJaccard = Option(n.get("minJaccard")).map(_.asDouble).getOrElse(0.8),
-          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3))
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3),
+          // reliable component checkpoints for cluster runs (see
+          // Dedup.connectedComponents fault-tolerance note)
+          checkpointDir = strOpt(n, "checkpointDir"))
       // its embedding-modality twin (sign-LSH cosine pairs → components)
       case "dedupNearEmbeddings" =>
         graft.ext.Dedup.nearDedupEmbeddings(df, str(n, "key"), str(n, "vec"),
           dim = n.get("dim").asInt,
           threshold = Option(n.get("threshold")).map(_.asDouble).getOrElse(0.99),
           bitsPerTable = Option(n.get("bitsPerTable")).map(_.asInt).getOrElse(16),
-          tables = Option(n.get("tables")).map(_.asInt).getOrElse(4))
+          tables = Option(n.get("tables")).map(_.asInt).getOrElse(4),
+          checkpointDir = strOpt(n, "checkpointDir"))
       case "clean" =>
         df.withColumn(str(n, "column"),
           graft.functions.TextFunctions.cleanText(col(str(n, "column"))))

@@ -404,26 +404,37 @@ object Dedup {
     * the result would be silently split components, so this THROWS instead
     * of returning wrong data. Returns (id, comp) where comp = min id of
     * the component.
+    *
+    * Fault tolerance: the default `localCheckpoint` stores round results
+    * only on executor block managers — fast, but losing an executor
+    * mid-iteration fails the job (the truncated lineage cannot recompute).
+    * For cluster runs pass `checkpointDir` (HDFS/S3 path): rounds then use
+    * RELIABLE `checkpoint()`, surviving executor loss at the cost of one
+    * distributed write per round. Local/test runs keep the fast default.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // one knob for every lineage cut below: reliable when a dir is given
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = fwd.unionByName(
+    val edges = cut(fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .distinct())
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
         .groupBy("src").agg(min("__nc").as("__minNbr"))
-      val stepped = labels
+      val stepped = cut(labels
         .join(nbr.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("comp").as("__prev"),
-          least(col("comp"), coalesce(col("__minNbr"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("__minNbr"), col("comp"))).as("comp")))
       // a step-fixpoint IS the global fixpoint (edges are symmetric: if no
       // node improved, every edge has equal labels on both ends), so the
       // converged round skips the jump join entirely
@@ -435,12 +446,11 @@ object Dedup {
           // (labels only decrease, so the lookup can only improve the label);
           // stepped is checkpointed above so the self-join reads it twice
           // instead of recomputing the neighbor join twice
-          stepped
+          cut(stepped
             .join(stepped.select(col("id").as("comp"), col("comp").as("__jump")),
               Seq("comp"), "left")
             .select(col("id"),
-              least(col("comp"), coalesce(col("__jump"), col("comp"))).as("comp"))
-            .localCheckpoint()
+              least(col("comp"), coalesce(col("__jump"), col("comp"))).as("comp")))
         }
       iter += 1
     }
@@ -475,13 +485,15 @@ object Dedup {
   def nearDedup(docs: DataFrame, idCol: String, textCol: String,
                 minJaccard: Double = 0.8, shingleN: Int = 3,
                 bands: Int = 4, rowsPerBand: Int = 4,
-                maxBucketSize: Int = 1000): DataFrame = {
+                maxBucketSize: Int = 1000,
+                checkpointDir: Option[String] = None): DataFrame = {
     val candidates = minhashCandidatePairs(docs, idCol, textCol,
       shingleN, bands, rowsPerBand, maxBucketSize)
     val confirmed = rescoreJaccard(docs, candidates, idCol, textCol,
       shingleN, minJaccard)
     if (confirmed.isEmpty) docs
-    else representatives(docs, connectedComponents(confirmed), idCol)
+    else representatives(docs,
+      connectedComponents(confirmed, checkpointDir = checkpointDir), idCol)
   }
 
   /** [[nearDedup]] for the embedding modality: sign-LSH candidate pairs at
@@ -492,11 +504,13 @@ object Dedup {
     */
   def nearDedupEmbeddings(docs: DataFrame, idCol: String, vecCol: String,
                           dim: Int, threshold: Double = 0.99,
-                          bitsPerTable: Int = 16, tables: Int = 4): DataFrame = {
+                          bitsPerTable: Int = 16, tables: Int = 4,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val pairs = embeddingDupPairs(docs, idCol, vecCol, dim, threshold,
       bitsPerTable, tables)
     if (pairs.isEmpty) docs
-    else representatives(docs, connectedComponents(pairs), idCol)
+    else representatives(docs,
+      connectedComponents(pairs, checkpointDir = checkpointDir), idCol)
   }
 
   /** Embedding-cosine near-dup pairs: banded (multi-table) sign-LSH to bound

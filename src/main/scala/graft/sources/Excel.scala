@@ -104,10 +104,18 @@ object Excel {
 
   /** Write a DataFrame as one xlsx workbook (header row + inline-string
     * cells). Driver-side collect by design: a workbook is a small-export
-    * format (~1M row hard limit); big data goes to parquet/csv.
+    * format; big data goes to parquet/csv. The documented bound is
+    * ENFORCED, not advisory — the collect itself is capped at
+    * `maxRows + 1` rows (`limit`, not `count`: no extra job, and the
+    * driver can never be handed more than the cap even when the input is
+    * a 1 TB DataFrame), and exceeding the cap fails fast with a clear
+    * message. `maxRows` defaults to the xlsx sheet limit minus the header
+    * row (1,048,575).
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, maxRows: Int = 1048575): Unit = {
     import java.util.zip.{ZipEntry, ZipOutputStream}
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"maxRows must be in (0, Int.MaxValue), got $maxRows")
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     def colRef(c: Int, row: Int): String = {
@@ -116,7 +124,12 @@ object Excel {
       sb.toString + row
     }
     val header = df.columns.toSeq
-    val rows: Seq[Seq[String]] = header +: df.collect().toSeq
+    val collected = df.limit(maxRows + 1).collect().toSeq
+    require(collected.length <= maxRows,
+      s"Excel.write is a small-export sink capped at $maxRows rows and the " +
+        "input exceeds it — write parquet/csv instead, or raise maxRows " +
+        "explicitly if the workbook is genuinely meant to hold more")
+    val rows: Seq[Seq[String]] = header +: collected
       .map(r => header.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("")))
     val body = rows.zipWithIndex.map { case (cells, r) =>
       val cs = cells.zipWithIndex.map { case (v, c) =>

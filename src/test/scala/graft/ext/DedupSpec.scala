@@ -33,6 +33,22 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L) && comp.size == 200)
   }
 
+  test("connectedComponents reliable-checkpoint mode matches the local default") {
+    // cluster fault-tolerance path: rounds checkpoint to a real dir instead
+    // of executor block managers; labels must be identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // the reliable path really wrote round snapshots to the dir
+    def anyFile(p: java.io.File): Boolean =
+      p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), "reliable checkpoint wrote nothing")
+  }
+
   test("connectedComponents throws instead of returning split components") {
     val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {

@@ -72,6 +72,18 @@ class ExcelSpec extends SparkSpec {
     assert(got == Set(("alpha", "3", "ok"), ("beta", "2.5", "x"), ("gamma", null, null)))
   }
 
+  test("write fails fast past the enforced row cap, and the cap bounds the collect") {
+    val dir = Files.createTempDirectory("graft_xlsx_cap_").toString
+    val big = spark.range(0, 100).selectExpr("id", "id * 2 as v")
+    val ex = intercept[IllegalArgumentException] {
+      Excel.write(big, s"$dir/too_big.xlsx", maxRows = 10)
+    }
+    assert(ex.getMessage.contains("capped at 10 rows"))
+    // at exactly the cap it writes and round-trips
+    Excel.write(big.limit(10), s"$dir/ok.xlsx", maxRows = 10)
+    assert(Excel.read(spark, s"$dir/ok.xlsx").count() == 10)
+  }
+
   test("readDir parses a directory of workbooks distributed") {
     val dir = Files.createTempDirectory("graft_xlsx_d_").toString
     val a = ExcelSpec.makeXlsx(Seq(Seq("k", "v"), Seq("a", 1)))
