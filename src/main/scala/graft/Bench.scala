@@ -40,15 +40,58 @@ object Bench {
 
   private def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
 
+  /** One streaming run: rows/sec of the STEADY-STATE batches only. The
+    * clock is Spark's own per-batch `triggerExecution` duration from the
+    * query's progress events, summed over batches ≥ 1 — batch 0 carries the
+    * one-time bootstrap (source listing, checkpoint creation, state-store
+    * setup) and is excluded, so the figure measures streaming read →
+    * window agg → noop sink, not setup. Returns (steadySec, steadyRows).
+    */
+  private def streamOnce(spark: SparkSession, inDir: String, ckptDir: String,
+                         schema: org.apache.spark.sql.types.StructType): (Double, Long) = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4").parquet(inDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    val steady = progs.filter(_.batchId > 0)
+    // a single-batch run has no steady state — fall back to batch 0 rather
+    // than divide by zero (never hits at the default 16-file/4-per-trigger
+    // layout, which yields 4 data batches)
+    val use = if (steady.nonEmpty) steady else progs
+    val sec = use.map(_.durationMs.get("triggerExecution").toDouble).sum / 1000.0
+    val nRows = use.map(_.numInputRows).sum
+    (sec, nRows)
+  }
+
+  /** Streaming-throughput results: `runs` are the per-run steady-state
+    * rows/sec of the three measured runs (warm-up excluded); `rps` is the
+    * best of them, `spread` = max/min so in-round instability is visible in
+    * the artifact itself.
+    */
+  private final case class StreamResult(sec: Double, rps: Double,
+                                        runs: Seq[Double], spread: Double,
+                                        measuredRows: Long)
+
   /** Sustained streaming throughput: a fixed row budget through a
     * watermarked tumbling-window aggregation, split over several
     * micro-batches so per-batch fixed overhead amortizes (the registered
     * `stream_*` queries at sf0.1 are nearly ALL fixed overhead — this is
     * the number that moves when state handling or shuffle in the streaming
-    * tier regresses). Input parquet is generated before the clock starts;
-    * rows/sec covers the streaming read → window agg → noop sink only.
+    * tier regresses). Protocol (BASELINE.md §streaming): input parquet is
+    * generated before any clock starts; ONE warm-up run is discarded (JIT +
+    * noop-sink codegen); THREE measured runs each use a fresh checkpoint;
+    * per-run rows/sec counts steady-state batches only ([[streamOnce]]);
+    * best-of-3 is the headline and the artifact carries all three runs +
+    * their max/min spread. Replay with `tools/bench_replay.sh --stream`.
     */
-  private def streamThroughput(spark: SparkSession, rows: Long): (Double, Double) = {
+  private def streamThroughput(spark: SparkSession, rows: Long): StreamResult = {
     val tmp = Files.createTempDirectory("graft_stream_bench_").toString
     spark.range(rows).select(
         col("id"),
@@ -63,19 +106,15 @@ object Bench {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val t0 = System.nanoTime()
-      val q = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "4").parquet(s"$tmp/in")
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 minute"), col("key"))
-        .agg(count(lit(1)).as("cnt"))
-        .writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
-      (sec, rows / sec)
+      streamOnce(spark, s"$tmp/in", s"$tmp/ckpt_warmup", schema)
+      val runs = (1 to 3).map { i =>
+        System.gc()
+        streamOnce(spark, s"$tmp/in", s"$tmp/ckpt_run$i", schema)
+      }
+      val rpss = runs.map { case (sec, n) => n / sec }
+      val bestIdx = rpss.indexOf(rpss.max)
+      StreamResult(runs(bestIdx)._1, rpss.max, rpss, rpss.max / rpss.min,
+        runs(bestIdx)._2)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -121,11 +160,11 @@ object Bench {
 
     System.gc()
     val streamRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "2000000").toLong
-    val (streamSec, streamRps) =
+    val sr =
       try streamThroughput(spark, streamRows)
       catch { case e: Throwable =>
         System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
-        (-1.0, -1.0)
+        StreamResult(-1.0, -1.0, Nil, -1.0, -1L)
       }
 
     // env fingerprint: lets the next round's reader separate host drift
@@ -136,8 +175,14 @@ object Bench {
       s""""load":${f"${os.getSystemLoadAverage}%.2f"},""" +
       s""""jvm":${jsonStr(System.getProperty("java.version"))},""" +
       s""""spark":${jsonStr(spark.version)}}"""
-    val stream = s"""{"rows":$streamRows,"sec":${r3(streamSec)},""" +
-      s""""rows_per_sec":${if (streamRps < 0) "-1" else f"$streamRps%.0f"}}"""
+    // `rows` is the generated input; `measured_rows`/`sec` cover only the
+    // steady-state batches the best run was scored on (protocol above)
+    val runsJson = sr.runs.map(r => if (r < 0) "-1" else f"$r%.0f")
+      .mkString("[", ",", "]")
+    val stream = s"""{"rows":$streamRows,"sec":${r3(sr.sec)},""" +
+      s""""rows_per_sec":${if (sr.rps < 0) "-1" else f"${sr.rps}%.0f"},""" +
+      s""""measured_rows":${sr.measuredRows},"runs":$runsJson,""" +
+      s""""spread":${r3(sr.spread)}}"""
 
     val fullQs = results.map { case (k, v) => jsonStr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")

@@ -3,15 +3,24 @@
 # per-query ratios — the mechanical form of the round-6 manual replay that
 # separated host drift (~1.4x slower machine) from code regression.
 #
-# Usage: tools/bench_replay.sh [BASE_REF] [SF_DIR]
+# Usage: tools/bench_replay.sh [--stream] [BASE_REF] [SF_DIR]
+#   --stream  streaming-throughput-only replay: skips every registered query
+#             (SPARK_GRAFT_BENCH_FILTER set to a prefix nothing matches) and
+#             compares only the best-of-3 steady-state stream figure + its
+#             spread. Works against any base commit since r7 (BENCH_FILTER
+#             is honored from 46ed3ed onward).
 #   BASE_REF  commit to compare against (default HEAD~1)
 #   SF_DIR    testdata scale dir (default /root/testdata/sf0.01 — small on
 #             purpose: a replay wants many cheap queries, not one slow run)
 #
-# Output: per-query base/head seconds + ratio, geometric-mean ratio, and a
-# verdict line. Writes base/head bench_full.json to /tmp/bench_replay/.
+# Output: per-query base/head seconds + ratio, geometric-mean ratio, stream
+# rows/sec (+ runs/spread where the commit records them), and a verdict
+# line. Writes base/head bench_full.json to /tmp/bench_replay/.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+STREAM_ONLY=0
+if [[ "${1:-}" == "--stream" ]]; then STREAM_ONLY=1; shift; fi
 
 BASE_REF=${1:-HEAD~1}
 SF_DIR=${2:-/root/testdata/sf0.01}
@@ -19,20 +28,29 @@ OUT=/tmp/bench_replay
 WT=/tmp/bench_replay_worktree
 mkdir -p "$OUT"
 
+FILTER_ENV=()
+if [[ "$STREAM_ONLY" == 1 ]]; then
+  # a prefix no registered query starts with -> zero timed queries, the
+  # stream measurement (which BENCH_FILTER does not gate) still runs
+  FILTER_ENV=(SPARK_GRAFT_BENCH_FILTER="__stream_only__")
+fi
+
 BASE_SHA=$(git rev-parse --short "$BASE_REF")
 HEAD_SHA=$(git rev-parse --short HEAD)
-echo "replaying base=$BASE_SHA vs head=$HEAD_SHA on $SF_DIR"
+echo "replaying base=$BASE_SHA vs head=$HEAD_SHA on $SF_DIR (stream_only=$STREAM_ONLY)"
 
 git worktree remove --force "$WT" 2>/dev/null || true
 git worktree add --detach "$WT" "$BASE_REF" >/dev/null
 
 # base first, head second: if background load decays over the run it biases
 # AGAINST head, so a head win is conservative
-(cd "$WT" && SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-4}" \
+(cd "$WT" && env "${FILTER_ENV[@]}" SPARK_GRAFT_SF_DIR="$SF_DIR" \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-4}" \
   SPARK_GRAFT_BENCH_OUT="$OUT/base.json" \
   sbt -batch "runMain graft.Bench" >"$OUT/base.log" 2>&1) || {
     echo "base bench failed — tail of log:"; tail -5 "$OUT/base.log"; exit 1; }
-SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-4}" \
+env "${FILTER_ENV[@]}" SPARK_GRAFT_SF_DIR="$SF_DIR" \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-4}" \
   SPARK_GRAFT_BENCH_OUT="$OUT/head.json" \
   sbt -batch "runMain graft.Bench" >"$OUT/head.log" 2>&1 || {
     echo "head bench failed — tail of log:"; tail -5 "$OUT/head.log"; exit 1; }
@@ -56,21 +74,43 @@ base, head = load(sys.argv[1]), load(sys.argv[2])
 bq, hq = base["queries"], head["queries"]
 common = sorted(k for k in bq if k in hq and bq[k] > 0 and hq[k] > 0)
 ratios = {k: hq[k] / bq[k] for k in common}
-worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
-print(f"\n{'query':36s} {'base':>8s} {'head':>8s} {'ratio':>6s}")
-for k, r in worst:
-    print(f"{k:36s} {bq[k]:8.3f} {hq[k]:8.3f} {r:6.2f}")
-gm = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
-only_b = set(bq) - set(hq); only_h = set(hq) - set(bq)
-print(f"\nn_common={len(common)}  base_total={base['value']:.1f}s  "
-      f"head_total={head['value']:.1f}s  geomean_ratio={gm:.3f}")
-if only_b: print(f"only in base: {sorted(only_b)}")
-if only_h: print(f"only in head: {sorted(only_h)}")
-print(f"stream rows/sec: base={base['stream']['rows_per_sec']:.0f} "
-      f"head={head['stream']['rows_per_sec']:.0f}"
-      if base.get("stream", {}).get("rows_per_sec", -1) > 0
-      and head.get("stream", {}).get("rows_per_sec", -1) > 0 else "")
-verdict = ("HEAD FASTER" if gm < 0.95 else
-           "HEAD SLOWER" if gm > 1.05 else "NO MATERIAL CHANGE")
-print(f"verdict ({sys.argv[3]} -> {sys.argv[4]}): {verdict} (geomean {gm:.3f})")
+
+if ratios:
+    worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
+    print(f"\n{'query':36s} {'base':>8s} {'head':>8s} {'ratio':>6s}")
+    for k, r in worst:
+        print(f"{k:36s} {bq[k]:8.3f} {hq[k]:8.3f} {r:6.2f}")
+    gm = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    only_b = set(bq) - set(hq); only_h = set(hq) - set(bq)
+    print(f"\nn_common={len(common)}  base_total={base['value']:.1f}s  "
+          f"head_total={head['value']:.1f}s  geomean_ratio={gm:.3f}")
+    if only_b: print(f"only in base: {sorted(only_b)}")
+    if only_h: print(f"only in head: {sorted(only_h)}")
+
+def show_stream(tag, a):
+    s = a.get("stream", {})
+    if s.get("rows_per_sec", -1) <= 0:
+        print(f"stream {tag}: unavailable"); return None
+    extra = ""
+    if s.get("runs"):
+        extra = f"  runs={s['runs']}  spread={s.get('spread')}"
+    print(f"stream {tag}: {s['rows_per_sec']:.0f} rows/sec{extra}")
+    return s["rows_per_sec"]
+
+print()
+b_rps = show_stream(f"base({sys.argv[3]})", base)
+h_rps = show_stream(f"head({sys.argv[4]})", head)
+if b_rps and h_rps:
+    print(f"stream ratio head/base: {h_rps / b_rps:.2f}x "
+          "(note: pre-protocol commits report a single unwarmed run "
+          "including bootstrap — expect base to read low)")
+
+if ratios:
+    gm = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    verdict = ("HEAD FASTER" if gm < 0.95 else
+               "HEAD SLOWER" if gm > 1.05 else "NO MATERIAL CHANGE")
+    print(f"verdict ({sys.argv[3]} -> {sys.argv[4]}): {verdict} (geomean {gm:.3f})")
+else:
+    print(f"verdict ({sys.argv[3]} -> {sys.argv[4]}): stream-only replay, "
+          "no query geomean")
 PY
