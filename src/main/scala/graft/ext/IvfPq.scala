@@ -96,10 +96,18 @@ object IvfPq {
     Index(encoded, ivf.centroids, cb)
   }
 
+  /** On-disk format id: codes are RESIDUAL-encoded (`y − centroid(cell)`).
+    * Bump when the persisted meaning of `code` changes again.
+    */
+  val FormatId = "ivfpq-residual-v1"
+
   /** Layout: `path/codes/list_id=*` (the partition-pruned scan target),
-    * `path/centroids`, `path/codebooks`.
+    * `path/centroids`, `path/codebooks`, `path/_meta` (format stamp —
+    * see [[IndexFormat]]: a raw-code index read as residual silently
+    * mis-ranks, so the stamp is load-bearing, not bookkeeping).
     */
   def writeIndex(index: Index, path: String): Unit = {
+    IndexFormat.stamp(index.codes.sparkSession, path, FormatId)
     index.codes.write.mode(SaveMode.Overwrite)
       .partitionBy("list_id").parquet(s"$path/codes")
     val spark = index.codes.sparkSession
@@ -115,9 +123,13 @@ object IvfPq {
   }
 
   /** Reload: codes stay a lazy partition-pruned scan; only the two tiny
-    * tables collect to the driver.
+    * tables collect to the driver. Fails fast unless `path/_meta` carries
+    * [[FormatId]] — an unstamped (pre-versioning) or [[Pq]]-format
+    * directory would otherwise score raw codes against residual ADC
+    * tables and return wrong rankings with no error.
     */
   def readIndex(spark: SparkSession, path: String): Index = {
+    IndexFormat.check(spark, path, FormatId)
     val codes = spark.read.parquet(s"$path/codes")
     val centroids = spark.read.parquet(s"$path/centroids")
       .select("list_id", "centroid").collect()

@@ -33,6 +33,12 @@ import org.apache.spark.sql.types._
   */
 object Pq {
 
+  /** On-disk format id: codes quantize the RAW vector (no residual).
+    * Distinct from [[IvfPq.FormatId]] so the two index layouts — otherwise
+    * byte-compatible — can never be cross-loaded.
+    */
+  val FormatId = "pq-raw-v1"
+
   /** Executor-side memo for [[adcTopKMany]]'s expanded distance tables,
     * keyed by a per-call NONCE minted on the driver — not the broadcast id:
     * broadcast ids restart from 0 per SparkContext, so a JVM that hosts a
@@ -44,27 +50,50 @@ object Pq {
     * bounds the map itself.
     */
   private[ext] object TableCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
-      String, java.lang.ref.SoftReference[AnyRef]]()
+    private final case class Entry(seq: Long,
+                                   ref: java.lang.ref.SoftReference[AnyRef])
+    private val tick = new java.util.concurrent.atomic.AtomicLong()
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+    private val MaxEntries = 8
     /** Atomic get-or-compute: `computeIfAbsent` guarantees concurrent tasks
       * asking for the same key materialize the tables ONCE (no transient
       * Q×m×codes duplicates); a GC-cleared SoftReference is replaced via
-      * `remove(key, ref)` + retry so only the cleared entry churns. The
-      * size cap evicts every entry EXCEPT the requested key — an in-flight
-      * key must never be evicted mid-scan (it would be recomputed per
-      * partition thereafter).
+      * `remove(key, ref)` + retry so only the cleared entry churns.
+      * Eviction over the cap drops GC-cleared entries first, then the
+      * OLDEST-inserted keys — never the requested key (an in-flight key
+      * evicted mid-scan would be recomputed per partition) and never
+      * everyone else's: with more concurrent searchMany calls than the cap,
+      * the old evict-all-but-mine policy made the calls mutually evict each
+      * other's in-flight tables every lookup — a recompute storm. Memory
+      * pressure beyond the cap is the SoftReferences' job.
       */
     def get[T <: AnyRef](key: String, compute: => T): T = {
-      if (cache.size > 4) {
-        val it = cache.keySet.iterator
-        while (it.hasNext) if (it.next() != key) it.remove()
+      if (cache.size > MaxEntries) {
+        val it = cache.entrySet.iterator
+        while (it.hasNext) if (it.next().getValue.ref.get() == null) it.remove()
+        var evicting = cache.size > MaxEntries
+        while (evicting) {
+          var victim: String = null
+          var victimSeq = Long.MaxValue
+          val scan = cache.entrySet.iterator
+          while (scan.hasNext) {
+            val e = scan.next()
+            if (e.getKey != key && e.getValue.seq < victimSeq) {
+              victimSeq = e.getValue.seq; victim = e.getKey
+            }
+          }
+          if (victim == null) evicting = false
+          else { cache.remove(victim); evicting = cache.size > MaxEntries }
+        }
       }
       var out: AnyRef = null
       while (out == null) {
-        val ref = cache.computeIfAbsent(key,
-          _ => new java.lang.ref.SoftReference[AnyRef](compute))
-        out = ref.get()
-        if (out == null) cache.remove(key, ref)
+        val e = cache.computeIfAbsent(key, _ =>
+          Entry(tick.incrementAndGet(),
+            new java.lang.ref.SoftReference[AnyRef](compute)))
+        out = e.ref.get()
+        if (out == null) cache.remove(key, e)
       }
       out.asInstanceOf[T]
     }
@@ -198,9 +227,12 @@ object Pq {
     * scan ([[readIndex]]); without the codebooks on disk, each job would
     * retrain k-means and re-encode the corpus. Layout: `path/codes`,
     * `path/codebooks` (m×codes tiny rows of (subspace, code, centroid) —
-    * same shape as [[Ivf.writeIndex]]'s centroid table).
+    * same shape as [[Ivf.writeIndex]]'s centroid table), `path/_meta`
+    * (format stamp — keeps a raw-code [[Pq]] index and a residual-code
+    * [[IvfPq]] index from ever being cross-loaded; see [[IndexFormat]]).
     */
   def writeIndex(codes: DataFrame, cb: Codebooks, path: String): Unit = {
+    IndexFormat.stamp(codes.sparkSession, path, FormatId)
     writeCodes(codes, s"$path/codes")
     val spark = codes.sparkSession
     import spark.implicits._
@@ -216,6 +248,7 @@ object Pq {
     */
   def readIndex(spark: org.apache.spark.sql.SparkSession,
                 path: String): (DataFrame, Codebooks) = {
+    IndexFormat.check(spark, path, FormatId)
     val codes = spark.read.parquet(s"$path/codes")
     val rows = spark.read.parquet(s"$path/codebooks")
       .select("subspace", "code", "centroid").collect()

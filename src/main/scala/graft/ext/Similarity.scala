@@ -213,6 +213,14 @@ object Similarity {
     * caller-chosen id space unrelated to the corpus, so an id collision
     * must not silently drop a legitimate corpus row; flip it on only when
     * the float queries really are re-reads of corpus rows.
+    *
+    * MIGRATION (round 8): the default used to be `excludeSelf = true`. The
+    * signature change is source-compatible, so a pre-round-8 caller whose
+    * float queries ARE corpus rows now gets each query's own row back at
+    * rank 1 (consuming a top-k slot) unless it passes
+    * `excludeSelf = true` explicitly. Callers whose query ids are a
+    * separate id space — the documented contract of this method — are
+    * unaffected and no longer lose colliding corpus rows.
     */
   def int8TopKManyVecs(codes: DataFrame, idCol: String, queries: DataFrame,
                        queryIdCol: String, queryVecCol: String, k: Int,

@@ -67,6 +67,81 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("readIndex fails fast on an unstamped (pre-versioning) directory") {
+    val dir = Files.createTempDirectory("graft_ivfpq_old_").toString
+    val idx = IvfPq.build(corpus, "vec_id", "embedding", dim = 16, m = 4,
+      nLists = 3, codes = 16)
+    IvfPq.writeIndex(idx, dir)
+    // simulate a pre-round-8 index: same layout, no _meta stamp — its codes
+    // could be raw-vector encoded, which the residual search path mis-ranks
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$dir/_meta")).deleteRecursively()
+    val ex = intercept[IllegalStateException] { IvfPq.readIndex(spark, dir) }
+    assert(ex.getMessage.contains("no _meta format stamp"), ex.getMessage)
+  }
+
+  test("readIndex rejects a Pq-format (raw-code) directory, not mis-ranks it") {
+    val dir = Files.createTempDirectory("graft_ivfpq_cross_").toString
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+    Pq.writeIndex(codes, cb, dir)
+    val ex = intercept[IllegalStateException] { IvfPq.readIndex(spark, dir) }
+    assert(ex.getMessage.contains(Pq.FormatId) &&
+      ex.getMessage.contains(IvfPq.FormatId), ex.getMessage)
+  }
+
+  test("residual encoding matches-or-beats raw-code IVF-PQ recall at nLists=64") {
+    // the round-8 residual rewrite claimed better recall at large nLists —
+    // this pins the claim with a measured number. Corpus: 640 random
+    // 16-dim vectors (no cluster structure, so the coarse cells carry most
+    // of the variance and raw codes must cover the full spread while
+    // residual codes only cover within-cell spread — Jégou §IV.A's case).
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 640).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 20f - 10f))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val nQ = 32; val k = 10; val nProbe = 8
+    def sqDist(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val truth: Map[Long, Set[Long]] = data.take(nQ).map { case (qid, qv) =>
+      qid -> data.map { case (id, v) => (sqDist(qv, v), id) }
+        .sorted.take(k).map(_._2).toSet
+    }.toMap
+
+    val queries = df.filter($"vec_id" < nQ)
+    val residualIdx = IvfPq.build(df, "vec_id", "embedding", dim = 16, m = 4,
+      nLists = 64, codes = 16)
+    val resHits = IvfPq.searchMany(residualIdx, queries, "vec_id", "embedding",
+        k, nProbe).as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // raw-code baseline: same architecture hand-composed from Ivf + Pq —
+    // identical coarse quantizer geometry (same seed/params), but the PQ
+    // codebooks quantize the raw vectors and the ADC table is built from
+    // the raw query, exactly what IvfPq did before the residual rewrite
+    val ivf = Ivf.build(df, "vec_id", "embedding", nLists = 64)
+    val rawCb = Pq.train(ivf.assigned, "embedding", dim = 16, m = 4, codes = 16)
+    val rawCodes = Pq.encode(ivf.assigned, "vec_id", "embedding", rawCb,
+      keep = Seq("list_id")).cache()
+    val rawHits: Map[Long, Set[Long]] = data.take(nQ).map { case (qid, qv) =>
+      val qd = qv.map(_.toDouble)
+      val cells = Ivf.probeCells(ivf.centroids, qd, nProbe)
+      qid -> Pq.adcTopK(rawCodes.filter($"list_id".isin(cells: _*)),
+          rawCb, "vec_id", qd, k)
+        .as[(Long, Double)].collect().map(_._1).toSet
+    }.toMap
+
+    def recall(hits: Map[Long, Set[Long]]): Double =
+      truth.map { case (qid, t) =>
+        hits.getOrElse(qid, Set.empty).count(t).toDouble / k
+      }.sum / nQ
+    val (rRes, rRaw) = (recall(resHits), recall(rawHits))
+    info(f"recall@$k nLists=64 nProbe=$nProbe: residual=$rRes%.3f raw=$rRaw%.3f")
+    assert(rRes >= rRaw,
+      f"residual recall $rRes%.3f below raw-code recall $rRaw%.3f")
+  }
+
   test("planted duplicates retrieved from the persisted index at nProbe=1") {
     val dir = Files.createTempDirectory("graft_ivfpq_rec_").toString
     val doubled = corpus.unionByName(

@@ -117,6 +117,40 @@ class PqSpec extends SparkSpec {
     assert(batchFresh == batchPersisted)
   }
 
+  test("TableCache keeps concurrent keys: oldest evicted, requested never") {
+    var computes = 0
+    def touch(k: String): String =
+      Pq.TableCache.get(k, { computes += 1; s"v-$k" })
+    val ks = (0 until 12).map(i => s"tc-$i-${java.util.UUID.randomUUID()}")
+    ks.foreach(touch)
+    assert(computes == 12)
+    // the cap is 8: the newest keys must still be resident (the old
+    // evict-all-but-requested policy would have dropped all but the last)
+    touch(ks(11)); touch(ks(10)); touch(ks(9))
+    assert(computes == 12, "recently-inserted keys were evicted")
+    // the oldest of the 12 fell out (it is older than every survivor)
+    touch(ks(0))
+    assert(computes == 13, "oldest key unexpectedly still cached")
+  }
+
+  test("readIndex rejects an unstamped or IvfPq-format directory") {
+    val dir = Files.createTempDirectory("graft_pq_unstamped_").toString
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+    Pq.writeIndex(codes, cb, dir)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$dir/_meta")).deleteRecursively()
+    val ex = intercept[IllegalStateException] { Pq.readIndex(spark, dir) }
+    assert(ex.getMessage.contains("no _meta format stamp"), ex.getMessage)
+    // reverse cross-load: residual-encoded IvfPq layout must not read as Pq
+    val dir2 = Files.createTempDirectory("graft_pq_cross_").toString
+    val ividx = IvfPq.build(corpus, "vec_id", "embedding", dim = 16, m = 4,
+      nLists = 3, codes = 16)
+    IvfPq.writeIndex(ividx, dir2)
+    val ex2 = intercept[IllegalStateException] { Pq.readIndex(spark, dir2) }
+    assert(ex2.getMessage.contains(IvfPq.FormatId), ex2.getMessage)
+  }
+
   test("train rejects a dim that does not divide into m") {
     intercept[IllegalArgumentException] {
       Pq.train(corpus, "embedding", dim = 16, m = 5)
