@@ -411,14 +411,49 @@ object Dedup {
     * For cluster runs pass `checkpointDir` (HDFS/S3 path): rounds then use
     * RELIABLE `checkpoint()`, surviving executor loss at the cost of one
     * distributed write per round. Local/test runs keep the fast default.
+    *
+    * The SparkContext checkpoint dir is GLOBAL state; this sets it to a
+    * per-call subdirectory of `checkpointDir` and restores any previously
+    * configured dir on exit, so concurrent application checkpoints are
+    * never redirected here. Snapshots accumulate one full label table per
+    * round, so after convergence every round's snapshot except the final
+    * labels' (which the returned lazy DataFrame still reads) is deleted;
+    * on non-convergence the whole subdirectory goes, since the throw
+    * discards every result. Nothing leaks per invocation beyond the one
+    * live snapshot backing the returned frame.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    val priorDir = sc.getCheckpointDir
+    val callDir = checkpointDir.map(d =>
+      s"$d/cc-${java.util.UUID.randomUUID()}")
+    callDir.foreach(sc.setCheckpointDir)
     // one knob for every lineage cut below: reliable when a dir is given
     def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (callDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    /** Hadoop-FS ops keep cleanup filesystem-agnostic (HDFS/S3/local). */
+    def fs(path: String) = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sc.hadoopConfiguration)
+    def deleteCallDir(): Unit = callDir.foreach { d =>
+      fs(d).delete(new org.apache.hadoop.fs.Path(d), true)
+    }
+    /** Drop every round snapshot except the newest `rdd-N` (largest N =
+      * the final labels' checkpoint — RDD ids are monotonic). Reliable
+      * checkpoints otherwise leak one label-table snapshot per round.
+      */
+    def pruneStaleRounds(): Unit = callDir.foreach { d =>
+      val f = fs(d)
+      val rddDirs = f.globStatus(new org.apache.hadoop.fs.Path(s"$d/*/rdd-*"))
+      if (rddDirs != null && rddDirs.length > 1) {
+        val keep = rddDirs.maxBy(_.getPath.getName.stripPrefix("rdd-").toLong)
+        rddDirs.foreach { s =>
+          if (s.getPath != keep.getPath) f.delete(s.getPath, true)
+        }
+      }
+    }
+    try {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     val edges = cut(fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -454,12 +489,20 @@ object Dedup {
         }
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      deleteCallDir() // every snapshot is garbage once we throw
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — the " +
           "pair graph has a component of diameter > ~2^" + maxIter +
           "; raise maxIter (results would otherwise be silently split)")
+    }
+    pruneStaleRounds()
     labels
+    } finally {
+      // restore the application's configured dir (or leave ours if none
+      // was set — SparkContext has no public unset)
+      priorDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   /** One representative per duplicate cluster: drops every document whose

@@ -39,14 +39,29 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L))
       .toDF("id_a", "id_b")
-    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
-      .as[(Long, Long)].collect().toMap
+    // an application-configured checkpoint dir must survive the call (the
+    // SparkContext dir is global state; clobbering it would redirect every
+    // later checkpoint in the app into our per-call subdir)
+    val appDir = java.nio.file.Files.createTempDirectory("graft_app_ckpt_")
+      .toString
+    spark.sparkContext.setCheckpointDir(appDir)
+    val reliableDf = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(appDir)),
+      s"checkpoint dir not restored: ${spark.sparkContext.getCheckpointDir}")
+    val reliable = reliableDf.as[(Long, Long)].collect().toMap
     val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
     assert(reliable == local)
-    // the reliable path really wrote round snapshots to the dir
-    def anyFile(p: java.io.File): Boolean =
-      p.isFile || Option(p.listFiles).exists(_.exists(anyFile))
-    assert(anyFile(new java.io.File(dir)), "reliable checkpoint wrote nothing")
+    // the reliable path wrote round snapshots, and all but the final labels'
+    // were pruned (each round would otherwise leak a full label-table copy)
+    def rddDirs(p: java.io.File): Seq[java.io.File] =
+      if (p.isDirectory) {
+        val kids = Option(p.listFiles).map(_.toSeq).getOrElse(Nil)
+        kids.filter(f => f.isDirectory && f.getName.startsWith("rdd-")) ++
+          kids.flatMap(rddDirs)
+      } else Nil
+    val left = rddDirs(new java.io.File(dir))
+    assert(left.size == 1,
+      s"expected exactly the final round snapshot, found: $left")
   }
 
   test("connectedComponents throws instead of returning split components") {
