@@ -332,7 +332,9 @@ object Config {
           budgets = strPairs(n, "budgets")
             .map { case (k, v) => k -> v.toLong }.toMap,
           defaultBudget = Option(n.get("default")).map(_.asLong).getOrElse(0L),
-          salt = strOpt(n, "salt").getOrElse("graft"))
+          salt = strOpt(n, "salt").getOrElse("graft"),
+          checkUniqueKeys = Option(n.get("checkUniqueKeys"))
+            .exists(_.asBoolean))
       // per-stratum token statistics (the mixture-planning report)
       case "tokenStats" =>
         graft.ext.Curation.tokenStats(df, str(n, "strata"), str(n, "tokens"))

@@ -205,14 +205,29 @@ object Curation {
     * null nulled the filter and was dropped. Keys must be unique: duplicate
     * keys share a hash prefix position, making which duplicate survives the
     * budget cut nondeterministic (same contract as every hash-keyed op
-    * here — document ids are unique by construction).
+    * here — document ids are unique by construction). That precondition is
+    * ENFORCED when `checkUniqueKeys` is set: one cheap aggregate finds any
+    * duplicated key and fails fast naming it, instead of silently returning
+    * a run-dependent sample. Off by default because the extra pass over the
+    * input is real money at corpus scale and ids are usually unique by
+    * construction — turn it on when the key column's provenance is unknown.
     */
   def sampleToTokenBudget(df: DataFrame, keyCol: String, strataCol: String,
                           tokensCol: String, budgets: Map[String, Long],
                           defaultBudget: Long = 0L,
-                          salt: String = "graft"): DataFrame = {
+                          salt: String = "graft",
+                          checkUniqueKeys: Boolean = false): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "token budgets must be non-negative")
+    if (checkUniqueKeys) {
+      val dup = df.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"sampleToTokenBudget keys must be unique, but '$keyCol' value " +
+          s"'${dup.head.get(0)}' appears ${dup.head.getLong(1)} times — " +
+          "which duplicate survives the budget cut would be " +
+          "nondeterministic; dedup first (e.g. Dedup.exactByKey)")
+    }
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashBucket(col(keyCol), 65536, salt), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -217,6 +217,27 @@ class CurationSpec extends SparkSpec {
     assert(only.filter($"lang" === "code").count() == 0)
   }
 
+  test("sampleToTokenBudget with checkUniqueKeys fails fast on duplicate keys") {
+    val dup = Seq((1L, "en", 10L), (2L, "en", 10L), (2L, "en", 7L))
+      .toDF("id", "lang", "toks")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.sampleToTokenBudget(dup, "id", "lang", "toks",
+        budgets = Map("en" -> 100L), checkUniqueKeys = true)
+    }
+    assert(ex.getMessage.contains("'2'") &&
+      ex.getMessage.contains("nondeterministic"), ex.getMessage)
+    // unique keys pass the guard and produce the same result as unguarded
+    val uniq = Seq((1L, "en", 10L), (2L, "en", 10L), (3L, "en", 7L))
+      .toDF("id", "lang", "toks")
+    val guarded = Curation.sampleToTokenBudget(uniq, "id", "lang", "toks",
+      budgets = Map("en" -> 20L), checkUniqueKeys = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    val plain = Curation.sampleToTokenBudget(uniq, "id", "lang", "toks",
+      budgets = Map("en" -> 20L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(guarded == plain)
+  }
+
   test("packExamples concatenates each bin's docs in offset order") {
     // one shard → deterministic: docs pack by id order, 10 tokens each,
     // 25-token bins → bins hold starts at cum 0,10,20 | 30,40 | 50...
