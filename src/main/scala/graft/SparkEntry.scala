@@ -619,6 +619,18 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     }),
 
+    // the composite nearDedup pipeline END-TO-END (LSH candidates → exact
+    // rescore → connected components → one representative per cluster):
+    // its stages are oracle-green individually above; this key pins their
+    // COMPOSITION against DuckDB all-pairs Jaccard + recursive-CTE closure
+    // + min-id representative filter. Equality holds iff candidate recall
+    // is total — the same measured corpus property the pair oracles pin.
+    "dedup_near_e2e" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.nearDedup(withCopies, "doc_id", "text", minJaccard = 0.5)
+    }),
+
     // sign-LSH candidates + exact-cosine filter; scores rounded so the
     // all-pairs DuckDB cosine oracle hash-matches (identical vectors always
     // collide in every table → recall is total at this threshold)
@@ -1676,6 +1688,28 @@ object SparkEntry {
         |  walk AS (SELECT s AS id, s AS comp FROM edges
         |    UNION SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id)
         |SELECT id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin,
+
+    "dedup_near_e2e" ->
+      """WITH RECURSIVE u AS (SELECT doc_id AS id, text FROM documents
+        |    UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |  tok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM u),
+        |  sh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM tok),
+        |  sz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM sh),
+        |  inv AS (SELECT id, unnest(s) AS sng FROM sh),
+        |  pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |    FROM inv a JOIN inv b ON a.sng = b.sng AND a.id < b.id GROUP BY 1, 2),
+        |  p AS (SELECT pr.id_a, pr.id_b FROM pr
+        |    JOIN sz sa ON pr.id_a = sa.id JOIN sz sb ON pr.id_b = sb.id
+        |    WHERE CAST(pr.inter AS DOUBLE) / (sa.n + sb.n - pr.inter) >= 0.5),
+        |  edges AS (SELECT id_a AS s, id_b AS d FROM p
+        |    UNION SELECT id_b, id_a FROM p),
+        |  walk AS (SELECT s AS id, s AS comp FROM edges
+        |    UNION SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id),
+        |  dupes AS (SELECT id FROM walk GROUP BY id HAVING min(comp) <> id)
+        |SELECT u.id AS doc_id, u.text FROM u
+        |WHERE NOT EXISTS (SELECT 1 FROM dupes dd WHERE dd.id = u.id)""".stripMargin,
 
     // identical-text pairs (plain = excludes NULL text on both engines —
     // NULL simhash never enters a band bucket in Spark either)
