@@ -72,12 +72,38 @@ object Dedup {
     * so they only collide with identical text.
     */
   def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 16): Column =
+    minhashFromShingles(T.wordShingles(text, shingleN), text, numHashes)
+
+  /** [[minhashSignature]] over an already-computed string-shingle column
+    * (`fallback` = the raw text, hashed when the shingle array is empty).
+    * Lets [[nearDedup]] materialize the shingle pipeline once and feed it
+    * to both the candidate and rescore stages. Identical expression tree —
+    * and therefore identical signatures — to the text-column overload.
+    */
+  private[ext] def minhashFromShingles(shingles: Column, fallback: Column,
+                                       numHashes: Int): Column =
     // let-bound shingles: the shingle pipeline runs once per row, not once
     // per hash function (numHashes× speedup at equal semantics)
-    graft.functions.ExprOps.let(T.wordShingles(text, shingleN)) { sh =>
+    graft.functions.ExprOps.let(shingles) { sh =>
       transform(sequence(lit(0), lit(numHashes - 1)), h =>
-        coalesce(array_min(transform(sh, s => xxhash64(s, h))), xxhash64(text, h)))
+        coalesce(array_min(transform(sh, s => xxhash64(s, h))), xxhash64(fallback, h)))
     }
+
+  /** One-scan shingle preparation shared by [[nearDedup]]'s candidate and
+    * rescore stages. The two stages need DIFFERENT shingle representations —
+    * the MinHash signature seeds hash shingle STRINGS ([[T.wordShingles]]),
+    * while the exact-Jaccard rescore counts combined word-hash shingles
+    * ([[T.wordShingleHashes]]) — so both are computed in ONE projection over
+    * the corpus; a caller that persists the result turns what used to be
+    * two-to-three full-corpus tokenize+shingle scans into one. Standalone
+    * (unpersisted) use stays free: Catalyst prunes whichever column the
+    * consumer doesn't read, collapsing to exactly the old per-stage plan.
+    */
+  private[ext] def shingledFrame(df: DataFrame, idCol: String, textCol: String,
+                                 shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("__text"),
+      T.wordShingles(col(textCol), shingleN).as("__shingles"),
+      array_distinct(T.wordShingleHashes(col(textCol), shingleN)).as("__sh"))
 
   /** MinHash + LSH banding: near-duplicate candidate pairs (idA < idB) whose
     * signatures collide in at least one band, with the estimated Jaccard
@@ -113,11 +139,21 @@ object Dedup {
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-                            maxBucketSize: Int = 1000): DataFrame = {
+                            maxBucketSize: Int = 1000): DataFrame =
+    minhashCandidatePairsShingled(shingledFrame(df, idCol, textCol, shingleN),
+      bands, rowsPerBand, maxBucketSize)
+
+  /** [[minhashCandidatePairs]] over a [[shingledFrame]] (persisted or not).
+    * Same plan, same results — the signature is [[minhashFromShingles]] of
+    * the precomputed string-shingle column.
+    */
+  private[ext] def minhashCandidatePairsShingled(shingled: DataFrame,
+                                                 bands: Int = 4, rowsPerBand: Int = 4,
+                                                 maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     def bandedOf(in: DataFrame): DataFrame =
-      in.select(col(idCol).as("id"),
-          minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      in.select(col("id"),
+          minhashFromShingles(col("__shingles"), col("__text"), numHashes).as("sig"))
         .select(col("id"), col("sig"),
           explode(transform(sequence(lit(0), lit(bands - 1)), b =>
             struct(b.as("band"),
@@ -129,12 +165,12 @@ object Dedup {
 
     val sampleP = 0.01
     val minSampled = math.max(3.0 * maxBucketSize * sampleP, 10.0)
-    val estHot = bandedOf(df.sample(withReplacement = false, sampleP, 42L))
+    val estHot = bandedOf(shingled.sample(withReplacement = false, sampleP, 42L))
       .groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minSampled)
       .select("band", "bucket")
 
-    val banded = bandedOf(df)
+    val banded = bandedOf(shingled)
       .join(broadcast(estHot), Seq("band", "bucket"), "left_anti")
       .repartition(col("band"), col("bucket"))
 
@@ -231,9 +267,17 @@ object Dedup {
     * are dropped (their Jaccard is 0, below any useful threshold).
     */
   def rescoreJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
-                     shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(T.wordShingleHashes(col(textCol), shingleN)).as("sh"))
+                     shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame =
+    rescoreJaccardShingled(shingledFrame(docs, idCol, textCol, shingleN),
+      pairs, minJaccard)
+
+  /** [[rescoreJaccard]] over a [[shingledFrame]] (persisted or not). Same
+    * plan, same results — `__sh` IS the `array_distinct(wordShingleHashes)`
+    * column the text overload computed inline.
+    */
+  private[ext] def rescoreJaccardShingled(shingled: DataFrame, pairs: DataFrame,
+                                          minJaccard: Double = 0.0): DataFrame = {
+    val sh = shingled.select(col("id"), col("__sh").as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).cast("bigint").as("n"))
     val inv = sh.select(col("id"), explode(col("sh")).as("sh_h"))
     // public API over arbitrary pair sets: duplicate (id_a,id_b) rows would
@@ -524,19 +568,36 @@ object Dedup {
     * rescore linear in candidate posting lists, O(log D) label rounds —
     * so this composition is 100 TB-safe end to end. Returns the KEPT
     * documents with their original schema.
+    *
+    * Cost shape: the corpus is tokenized+shingled exactly ONCE — a
+    * persisted [[shingledFrame]] carries both the string shingles the
+    * MinHash signature hashes and the word-hash shingles the rescore
+    * counts — and the confirmed pair set is local-checkpointed before the
+    * `isEmpty` gate, so neither that action nor connectedComponents'
+    * first cut re-executes the candidates→rescore plan. Without both, the
+    * pipeline paid two-to-three redundant full-corpus shingle scans — a
+    * constant factor that is real money at 100 TB.
     */
   def nearDedup(docs: DataFrame, idCol: String, textCol: String,
                 minJaccard: Double = 0.8, shingleN: Int = 3,
                 bands: Int = 4, rowsPerBand: Int = 4,
                 maxBucketSize: Int = 1000,
                 checkpointDir: Option[String] = None): DataFrame = {
-    val candidates = minhashCandidatePairs(docs, idCol, textCol,
-      shingleN, bands, rowsPerBand, maxBucketSize)
-    val confirmed = rescoreJaccard(docs, candidates, idCol, textCol,
-      shingleN, minJaccard)
-    if (confirmed.isEmpty) docs
-    else representatives(docs,
-      connectedComponents(confirmed, checkpointDir = checkpointDir), idCol)
+    val shingled = shingledFrame(docs, idCol, textCol, shingleN).persist()
+    try {
+      val candidates = minhashCandidatePairsShingled(shingled,
+        bands, rowsPerBand, maxBucketSize)
+      // eager localCheckpoint: materialize the pair pipeline once; the
+      // confirmed set (id pairs + score) is tiny next to the corpus
+      val confirmed = rescoreJaccardShingled(shingled, candidates, minJaccard)
+        .localCheckpoint(true)
+      if (confirmed.isEmpty) docs
+      else representatives(docs,
+        connectedComponents(confirmed, checkpointDir = checkpointDir), idCol)
+    } finally {
+      shingled.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** [[nearDedup]] for the embedding modality: sign-LSH candidate pairs at
@@ -549,8 +610,10 @@ object Dedup {
                           dim: Int, threshold: Double = 0.99,
                           bitsPerTable: Int = 16, tables: Int = 4,
                           checkpointDir: Option[String] = None): DataFrame = {
+    // eager localCheckpoint: `isEmpty` is an action, and connectedComponents'
+    // first cut would otherwise re-run the whole LSH pair plan from scratch
     val pairs = embeddingDupPairs(docs, idCol, vecCol, dim, threshold,
-      bitsPerTable, tables)
+      bitsPerTable, tables).localCheckpoint(true)
     if (pairs.isEmpty) docs
     else representatives(docs,
       connectedComponents(pairs, checkpointDir = checkpointDir), idCol)
