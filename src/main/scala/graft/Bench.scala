@@ -130,6 +130,30 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query shuffle-bytes tracker (SCALING.md's scaling-curve column):
+    // task-end shuffle WRITE bytes — what would cross the network on a real
+    // cluster, the budget that matters at 100 TB. Listener events are
+    // delivered async, so each snapshot polls until the counter stops
+    // moving (bounded); the wait happens OUTSIDE the timing window.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    def settledShuffleBytes(): Long = {
+      var prev = shuffleBytes.get
+      var tries = 0
+      while (tries < 20) {
+        Thread.sleep(25)
+        val cur = shuffleBytes.get
+        if (cur == prev) return cur
+        prev = cur; tries += 1
+      }
+      prev
+    }
     // JIT/codegen warmup so the first timed query doesn't absorb session
     // startup (a scan + a tiny shuffle + a write through the noop sink)
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count()
@@ -141,18 +165,22 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       prefixes.isEmpty || prefixes.exists(n.startsWith)
     }
-    val results = selected.map { case (name, fn) =>
+    val resultsFull = selected.map { case (name, fn) =>
       // pay accumulated GC debt outside the next query's timing window —
       // without this one random query per run absorbs a multi-second pause
       System.gc()
+      val sh0 = settledShuffleBytes()
       val t0 = System.nanoTime()
-      val ok =
+      val okQ =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (okQ) (System.nanoTime() - t0) / 1e9 else -1.0
+      val shMb = if (okQ) (settledShuffleBytes() - sh0) / 1e6 else -1.0
+      (name, sec, shMb)
     }
+    val results = resultsFull.map { case (n, sec, _) => (n, sec) }
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val nFailed = results.count(_._2 < 0)
     val total = ok.sum
@@ -186,10 +214,12 @@ object Bench {
 
     val fullQs = results.map { case (k, v) => jsonStr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
+    val fullSh = resultsFull.map { case (k, _, mb) => jsonStr(k) + ":" + r3(mb) }
+      .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${ok.size},"n_failed":$nFailed,""" +
       s""""mean_per_query":${r3(mean)},"env":$env,"stream":$stream,""" +
-      s""""queries":$fullQs}"""
+      s""""queries":$fullQs,"queries_shuffle_mb":$fullSh}"""
     Files.write(Paths.get(outFile), full.getBytes("UTF-8"))
 
     // the slowest queries are the only per-query data that fits the tail

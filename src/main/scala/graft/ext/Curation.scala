@@ -220,13 +220,25 @@ object Curation {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "token budgets must be non-negative")
     if (checkUniqueKeys) {
+      // NULL keys count as duplicates of each other ON PURPOSE: hashBucket
+      // of a null key is null, so every null-key row ties at the same
+      // NULLS-FIRST position in the stratum order — a single null row is
+      // admitted deterministically at the stratum head, but which of
+      // SEVERAL nulls survives a mid-null budget cut is arbitrary, the
+      // exact hazard this guard exists for (verified by CurationSpec)
       val dup = df.groupBy(col(keyCol)).count()
         .filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"sampleToTokenBudget keys must be unique, but '$keyCol' value " +
-          s"'${dup.head.get(0)}' appears ${dup.head.getLong(1)} times — " +
-          "which duplicate survives the budget cut would be " +
-          "nondeterministic; dedup first (e.g. Dedup.exactByKey)")
+      if (dup.nonEmpty) {
+        val v = dup.head.get(0)
+        val shown = if (v == null)
+          "NULL (all null keys tie at the same null hash position)"
+        else s"'$v'"
+        throw new IllegalArgumentException(
+          s"sampleToTokenBudget keys must be unique, but '$keyCol' value " +
+            s"$shown appears ${dup.head.getLong(1)} times — which " +
+            "duplicate survives the budget cut would be nondeterministic; " +
+            "dedup first (e.g. Dedup.exactByKey)")
+      }
     }
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashBucket(col(keyCol), 65536, salt), col(keyCol))

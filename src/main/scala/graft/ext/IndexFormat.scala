@@ -20,11 +20,32 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object IndexFormat {
 
-  /** Stamp `path/_meta` with this index's format id (overwrite-safe). */
+  /** Stamp `path/_meta` with this index's format id (overwrite-safe).
+    *
+    * Ordering contract: the stamp is a COMMIT MARKER, not a label —
+    * writers must [[invalidate]] first, write every data dir, and stamp
+    * LAST. A stamp written before the data would validate a partially
+    * (re)written index: a failure after the stamp but before the data
+    * dirs finish leaves a current-format `_meta` over stale or
+    * mixed-generation data, and [[check]] would wave the exact mis-ranking
+    * through that it exists to stop.
+    */
   def stamp(spark: SparkSession, path: String, format: String): Unit = {
     import spark.implicits._
     Seq(format).toDF("format")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_meta")
+  }
+
+  /** Remove `path/_meta` (no-op if absent) — the first step of every index
+    * (re)write, so an in-place rewrite that dies mid-data leaves an
+    * UNSTAMPED index that [[check]] rejects, never a validly-stamped mix
+    * of old and new generations.
+    */
+  def invalidate(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
   }
 
   /** Require `path/_meta` to carry exactly `expected`; a missing stamp is

@@ -107,10 +107,13 @@ object IvfPq {
     * mis-ranks, so the stamp is load-bearing, not bookkeeping).
     */
   def writeIndex(index: Index, path: String): Unit = {
-    IndexFormat.stamp(index.codes.sparkSession, path, FormatId)
+    val spark = index.codes.sparkSession
+    // invalidate → data → stamp: the stamp is a commit marker (see
+    // IndexFormat.stamp's ordering contract), so a rewrite that dies
+    // mid-data leaves an index check() rejects, never a stamped mix
+    IndexFormat.invalidate(spark, path)
     index.codes.write.mode(SaveMode.Overwrite)
       .partitionBy("list_id").parquet(s"$path/codes")
-    val spark = index.codes.sparkSession
     import spark.implicits._
     index.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -120,6 +123,7 @@ object IvfPq {
       book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    IndexFormat.stamp(spark, path, FormatId)
   }
 
   /** Reload: codes stay a lazy partition-pruned scan; only the two tiny

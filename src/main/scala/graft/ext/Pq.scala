@@ -60,12 +60,12 @@ object Pq {
       * asking for the same key materialize the tables ONCE (no transient
       * Q×m×codes duplicates); a GC-cleared SoftReference is replaced via
       * `remove(key, ref)` + retry so only the cleared entry churns.
-      * Eviction over the cap drops GC-cleared entries first, then the
-      * OLDEST-inserted keys — never the requested key (an in-flight key
-      * evicted mid-scan would be recomputed per partition) and never
-      * everyone else's: with more concurrent searchMany calls than the cap,
-      * the old evict-all-but-mine policy made the calls mutually evict each
-      * other's in-flight tables every lookup — a recompute storm. Memory
+      * Eviction over the cap drops GC-cleared entries first, then LRU —
+      * `seq` is refreshed on every hit, so a long-running scan's key stays
+      * recent for as long as its partitions keep reading it (insertion-order
+      * FIFO would make exactly that in-flight key the "oldest" victim once
+      * concurrent searchMany calls exceed the cap — a milder recompute
+      * storm). The requested key is additionally never the victim. Memory
       * pressure beyond the cap is the SoftReferences' job.
       */
     def get[T <: AnyRef](key: String, compute: => T): T = {
@@ -94,6 +94,9 @@ object Pq {
             new java.lang.ref.SoftReference[AnyRef](compute)))
         out = e.ref.get()
         if (out == null) cache.remove(key, e)
+        // LRU touch (best-effort: a lost race means another task just
+        // refreshed the same key, which serves the same purpose)
+        else cache.replace(key, e, e.copy(seq = tick.incrementAndGet()))
       }
       out.asInstanceOf[T]
     }
@@ -232,14 +235,18 @@ object Pq {
     * [[IvfPq]] index from ever being cross-loaded; see [[IndexFormat]]).
     */
   def writeIndex(codes: DataFrame, cb: Codebooks, path: String): Unit = {
-    IndexFormat.stamp(codes.sparkSession, path, FormatId)
-    writeCodes(codes, s"$path/codes")
     val spark = codes.sparkSession
+    // invalidate → data → stamp: the stamp is a commit marker (see
+    // IndexFormat.stamp's ordering contract), so a rewrite that dies
+    // mid-data leaves an index check() rejects, never a stamped mix
+    IndexFormat.invalidate(spark, path)
+    writeCodes(codes, s"$path/codes")
     import spark.implicits._
     cb.books.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    IndexFormat.stamp(spark, path, FormatId)
   }
 
   /** Reload a [[writeIndex]]-persisted index: the code table stays a lazy

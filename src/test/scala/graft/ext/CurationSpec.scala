@@ -238,6 +238,27 @@ class CurationSpec extends SparkSpec {
     assert(guarded == plain)
   }
 
+  test("null keys: a single null is deterministic (stratum head); duplicates rejected") {
+    // hashBucket(NULL) is null → NULLS FIRST: one null-key row is admitted
+    // deterministically at the head of its stratum's prefix
+    val oneNull = Seq((Some(1L), "en", 10L), (None, "en", 10L), (Some(2L), "en", 7L))
+      .toDF("id", "lang", "toks")
+    val out = Curation.sampleToTokenBudget(oneNull, "id", "lang", "toks",
+      budgets = Map("en" -> 100L), checkUniqueKeys = true)
+      .select("id").as[Option[Long]].collect().toSet
+    assert(out == Set(None, Some(1L), Some(2L)))
+    // several nulls TIE at that position, so which survives a mid-null
+    // budget cut is arbitrary — the guard must flag them as duplicates
+    val twoNulls = Seq((Some(1L), "en", 10L), (None, "en", 10L), (None, "en", 7L))
+      .toDF("id", "lang", "toks")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.sampleToTokenBudget(twoNulls, "id", "lang", "toks",
+        budgets = Map("en" -> 100L), checkUniqueKeys = true)
+    }
+    assert(ex.getMessage.contains("NULL") &&
+      ex.getMessage.contains("nondeterministic"), ex.getMessage)
+  }
+
   test("packExamples concatenates each bin's docs in offset order") {
     // one shard → deterministic: docs pack by id order, 10 tokens each,
     // 25-token bins → bins hold starts at cum 0,10,20 | 30,40 | 50...

@@ -133,6 +133,43 @@ class PqSpec extends SparkSpec {
     assert(computes == 13, "oldest key unexpectedly still cached")
   }
 
+  test("TableCache eviction is LRU, not FIFO: a hit keeps an in-use key resident") {
+    var computes = 0
+    def touch(k: String): String =
+      Pq.TableCache.get(k, { computes += 1; s"v-$k" })
+    val as = (0 until 8).map(i => s"lru-a$i-${java.util.UUID.randomUUID()}")
+    val bs = (0 until 6).map(i => s"lru-b$i-${java.util.UUID.randomUUID()}")
+    as.foreach(touch)
+    val before = computes
+    // a hit refreshes recency: a0 is now newer than a1..a7, so the six
+    // inserts below evict from a1..a7 first
+    touch(as.head)
+    assert(computes == before)
+    bs.foreach(touch)
+    touch(as.head)
+    assert(computes == before + bs.size,
+      "a cache hit did not refresh recency — insertion-order FIFO evicted " +
+        "the in-use key (the long-running-scan recompute storm)")
+  }
+
+  test("a failed index rewrite leaves no valid stamp (commit-marker ordering)") {
+    val dir = Files.createTempDirectory("graft_pq_torn_").toString
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    val codes = Pq.encode(corpus, "vec_id", "embedding", cb)
+    Pq.writeIndex(codes, cb, dir)
+    Pq.readIndex(spark, dir) // healthy index: stamp valid
+    // rewrite in place with a plan that dies mid-data-write: the previous
+    // stamp must be invalidated FIRST, so the torn index reads as
+    // unstamped instead of validly stamping stale/mixed generations
+    val boom = udf((_: Long) => {
+      throw new RuntimeException("torn write"); 0L
+    })
+    val poisoned = codes.withColumn("vec_id", boom($"vec_id"))
+    intercept[Exception] { Pq.writeIndex(poisoned, cb, dir) }
+    val ex = intercept[IllegalStateException] { Pq.readIndex(spark, dir) }
+    assert(ex.getMessage.contains("no _meta format stamp"), ex.getMessage)
+  }
+
   test("readIndex rejects an unstamped or IvfPq-format directory") {
     val dir = Files.createTempDirectory("graft_pq_unstamped_").toString
     val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
