@@ -55,6 +55,20 @@ object MessageQueues {
   }
 
   def clear(name: String): Unit = { val b = buf(name); b.synchronized(b.clear()) }
+
+  /** Per-queue commit hook: [[QueueMicroBatchStream.commit]] fires it with
+    * the committed end offset AFTER Spark has durably checkpointed the
+    * batch — the hook is where a broker-backed feeder acks (see
+    * [[AmqpIngest]], which registers itself here so `basic.ack` happens at
+    * exactly the ack-on-commit point of the AMQP contract). No hook (the
+    * plain in-JVM queue) = commit stays a no-op.
+    */
+  private val commitHooks = new ConcurrentHashMap[String, Long => Unit]()
+  def onCommitHook(name: String, hook: Long => Unit): Unit = {
+    commitHooks.put(name, hook); ()
+  }
+  private[streaming] def fireCommit(name: String, end: Long): Unit =
+    Option(commitHooks.get(name)).foreach(_(end))
 }
 
 case class QueueOffset(value: Long) extends Offset {
@@ -123,7 +137,12 @@ final class QueueMicroBatchStream(queue: String, maxPerBatch: Long,
 
   override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory
 
-  override def commit(end: Offset): Unit = ()   // broker ack would go here
+  // Spark calls commit(end) after the batch offset is durably in the
+  // checkpoint log — the one safe point for a destructive-consume broker
+  // ack (ack earlier loses messages on driver failure; never, re-delivers
+  // forever). The hook dispatches to whatever feeds this spool.
+  override def commit(end: Offset): Unit =
+    MessageQueues.fireCommit(queue, end.asInstanceOf[QueueOffset].value)
   override def stop(): Unit = ()
 }
 

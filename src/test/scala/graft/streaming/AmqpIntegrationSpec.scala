@@ -1,76 +1,143 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
-/** PENDING integration contract for a real AMQP broker behind
-  * [[QueueSourceProvider]] — every test is `ignore`d because this image has
-  * no AMQP client jars and no network; the day a `com.rabbitmq:amqp-client`
-  * jar exists on the classpath, these tests ARE the spec: replace the
-  * [[MessageQueues]] registry with the spool described below, un-ignore,
-  * and run against a broker.
+/** EXECUTING contract for the AMQP transport seam ([[AmqpChannelApi]] /
+  * [[AmqpIngest]]) against [[InProcessAmqpBroker]] — a wire-semantics fake
+  * at the same interface a real `com.rabbitmq.client.Channel` adapter
+  * implements (see the binding table in Amqp.scala; the real binding is
+  * that one class, nothing here changes). Reference behavior under test:
+  * the blocking manual-ack consume loop of
+  * `/root/reference/src/Sources/Amqp.php:89-103`.
   *
-  * The offset/ack mapping the implementation must honor (reference
-  * behavior: `/root/reference/src/Sources/Amqp.php:89-103` — blocking
-  * consume, manual ack after the DAG walk, at-most-once):
-  *
-  *  1. **Spool before read.** AMQP consumption is destructive — a consumed,
-  *     unacked message cannot be re-read by offset. Spark's contract is the
-  *     opposite: `planInputPartitions(start, end)` may be re-executed (task
-  *     retry, speculative attempt), so every delivery must first land in an
-  *     offset-addressed spool (disk or memory): spool index = AMQP delivery
-  *     tag − 1 per channel (tags are 1-based per-channel monotone longs).
-  *     `QueueOffset(n)` = "n messages spooled"; [[MessageQueues]] models
-  *     exactly this log, which is why only IT gets replaced.
-  *  2. **Admission = prefetch.** `maxPerBatch` maps to `basic.qos(prefetch)`
-  *     — the broker-side in-flight window (the NSQ `rdy` analogue,
-  *     `Nsq.php:75-77`); `latestOffset` reports the spooled high-water mark,
-  *     never the broker's queue depth (unknowable under AMQP).
-  *  3. **Ack on commit, after the checkpoint.** `MicroBatchStream.commit
-  *     (end)` is called by Spark AFTER the batch's offset is durably in the
-  *     checkpoint log: that is where `basic.ack(deliveryTag = end,
-  *     multiple = true)` belongs, and where the spool may truncate below
-  *     `end`. Ack-before-checkpoint loses messages on driver failure;
-  *     ack-never re-delivers forever. Between broker and spool the link is
-  *     at-least-once; end-to-end it is exactly-once into idempotent sinks
-  *     (the same claim the oracle-checked `stream_queue_source` pins for
-  *     the in-JVM broker).
-  *  4. **Reconnect = new channel = new tag sequence.** On channel recovery,
-  *     unacked messages are re-delivered with NEW tags; the spool must
-  *     dedup re-deliveries by message id (or accept at-least-once into the
-  *     spool — admissible, by 3's idempotent-sink argument) and must never
-  *     reuse spool indices below the committed watermark.
+  * The four wire rules the fake enforces and these tests pin:
+  * 1-based per-channel monotone delivery tags; destructive consume
+  * bounded by the `qos` prefetch window; `ack(tag, multiple = true)`
+  * acks the tag-prefix; channel failure re-delivers unacked messages
+  * under NEW tags with `redelivered = true`.
   */
 class AmqpIntegrationSpec extends SparkSpec {
 
-  ignore("delivery-tag → offset: spooled deliveries are replayable until commit") {
-    // against a broker: publish 5 bodies to an exchange, consume into the
-    // spool, then plan the SAME (start=0, end=5) range twice and assert both
-    // reads return identical rows — i.e. consumption happened at spool time,
-    // not read time, and a task retry re-reads instead of losing messages.
-    val stream = new QueueMicroBatchStream("amqp_it", maxPerBatch = 100L)
-    val parts1 = stream.planInputPartitions(QueueOffset(0L), QueueOffset(5L))
-    val parts2 = stream.planInputPartitions(QueueOffset(0L), QueueOffset(5L))
-    assert(parts1.toSeq == parts2.toSeq)
+  private def freshQueue(tag: String) =
+    s"amqp_it_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  test("delivery-tag → offset: spooled deliveries are replayable until commit") {
+    val broker = new InProcessAmqpBroker
+    val q = freshQueue("replay")
+    val ingest = new AmqpIngest(broker, q, prefetch = 100)
+    broker.publish((1 to 5).map(i => s"body-$i"): _*)
+    assert(ingest.pump() == 5L)
+    // consumption was destructive at SPOOL time (broker ready queue empty,
+    // 5 in flight unacked)…
+    assert(broker.readyDepth == 0 && broker.unackedDepth == 5)
+    // …but Spark's reads hit the spool: planning the SAME range twice
+    // returns identical rows — a task retry re-reads, never re-consumes
+    val stream = new QueueMicroBatchStream(q, maxPerBatch = 100L)
+    assert(stream.latestOffset() == QueueOffset(5L))
+    def readAll(): Seq[(Long, String)] =
+      stream.planInputPartitions(QueueOffset(0L), QueueOffset(5L)).toSeq
+        .flatMap { p =>
+          val r = QueueReaderFactory.createReader(p)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+          while (r.next()) out += ((r.get().getLong(0), r.get().getUTF8String(1).toString))
+          out.toSeq
+        }
+    val first = readAll()
+    assert(first == readAll())
+    assert(first.map(_._2) == (1 to 5).map(i => s"body-$i"))
   }
 
-  ignore("ack-on-commit: commit(end) acks tags ≤ end only after the checkpoint write") {
-    // against a broker: run one micro-batch to a checkpointed sink, kill the
-    // query between sink write and commit, restart from the checkpoint, and
-    // assert (a) the broker re-delivered nothing below the committed offset,
-    // (b) the restarted batch admitted zero new rows (idempotent replay) —
-    // the exactly-once composition stream_ingest_dedup pins in-JVM.
-    val stream = new QueueMicroBatchStream("amqp_it", maxPerBatch = 100L)
-    stream.commit(QueueOffset(5L)) // in-JVM broker: no-op; AMQP: basic.ack(5, multiple=true)
-    succeed
+  test("ack-on-commit: commit(end) acks tags ≤ end; nothing re-delivers after") {
+    val broker = new InProcessAmqpBroker
+    val q = freshQueue("ack")
+    val ingest = new AmqpIngest(broker, q, prefetch = 100)
+    broker.publish((1 to 5).map(i => s"b$i"): _*)
+    ingest.pump()
+    // before commit: everything in flight, nothing acked
+    assert(broker.unackedDepth == 5)
+    // the stream's commit (what Spark calls after the checkpoint write)
+    // dispatches to the ingest's hook → basic.ack(tagOf(5), multiple=true)
+    val stream = new QueueMicroBatchStream(q, maxPerBatch = 100L)
+    stream.commit(QueueOffset(5L))
+    assert(broker.unackedDepth == 0 && broker.readyDepth == 0)
+    // a reconnect after the commit re-delivers NOTHING below the committed
+    // offset, and replay admits zero new rows (idempotent restart)
+    ingest.recover()
+    assert(ingest.pump() == 5L)
+    assert(broker.readyDepth == 0 && broker.unackedDepth == 0)
   }
 
-  ignore("prefetch window: maxPerBatch bounds admission like basic.qos") {
-    // against a broker: publish 250, set maxPerBatch=100, and assert three
-    // successive batches admit 100/100/50 — the broker never holds more
-    // than the prefetch window unacked.
-    val stream = new QueueMicroBatchStream("amqp_it", maxPerBatch = 100L)
-    val parts = stream.planInputPartitions(QueueOffset(0L), QueueOffset(250L))
-    assert(parts.map(_.asInstanceOf[QueueInputPartition])
-      .map(p => p.until - p.from).sum == 100L)
+  test("prefetch window: maxPerBatch admission maps to basic.qos (100/100/50)") {
+    val broker = new InProcessAmqpBroker
+    val q = freshQueue("qos")
+    val ingest = new AmqpIngest(broker, q, prefetch = 100)
+    broker.publish((1 to 250).map(i => s"m$i"): _*)
+    // batch 1: the broker never holds more than the prefetch window unacked
+    assert(ingest.pump() == 100L)
+    assert(broker.unackedDepth == 100 && broker.readyDepth == 150)
+    // pumping again without an ack admits nothing — the window is full
+    assert(ingest.pump() == 100L)
+    // commit frees the window: batches drain 100/100/50
+    ingest.commitUpTo(100L)
+    assert(ingest.pump() == 200L)
+    ingest.commitUpTo(200L)
+    assert(ingest.pump() == 250L)
+    ingest.commitUpTo(250L)
+    assert(broker.unackedDepth == 0 && broker.readyDepth == 0)
+  }
+
+  test("channel recovery: re-deliveries carry new tags and dedup into the same spool slots") {
+    val broker = new InProcessAmqpBroker
+    val q = freshQueue("redeliver")
+    val ingest = new AmqpIngest(broker, q, prefetch = 100)
+    broker.publish("x", "y", "z")
+    ingest.pump()
+    val spooled = MessageQueues.slice(q, 0L, 3L)
+    // connection drops before any commit: the broker re-queues all three
+    ingest.recover()
+    assert(broker.readyDepth == 3)
+    // re-deliveries (new channel, new tags, redelivered=true) dedup by
+    // message id: spool indices and bodies are unchanged, no growth
+    assert(ingest.pump() == 3L)
+    assert(MessageQueues.slice(q, 0L, 3L) == spooled)
+    // and the refreshed tags are the ones the commit acks — acking the
+    // dead channel's tags would be a wire error the fake rejects
+    ingest.commitUpTo(3L)
+    assert(broker.unackedDepth == 0 && broker.readyDepth == 0)
+  }
+
+  test("end-to-end: Spark micro-batch commit drives the broker ack") {
+    val broker = new InProcessAmqpBroker
+    val q = freshQueue("e2e")
+    val ingest = new AmqpIngest(broker, q, prefetch = 1000)
+    broker.publish((1 to 40).map(i => s"payload-$i"): _*)
+    ingest.pump()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_amqp_e2e_").toString
+    def runOnce(name: String): Unit = {
+      val out = spark.readStream.format("graft.streaming.QueueSourceProvider")
+        .option("queue", q).option("maxPerBatch", "1000").load()
+        .groupBy().agg(count(lit(1)).as("n"))
+      val query = out.writeStream.outputMode("complete").format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    runOnce(s"${q}_run1")
+    assert(spark.table(s"${q}_run1").head().getLong(0) == 40L)
+    // Spark delivers MicroBatchStream.commit(N) while CONSTRUCTING batch
+    // N+1 (cleanUpLastExecutedMicroBatch), so the most recent batch's ack
+    // rides the next batch that has data — until then those messages are
+    // exactly the at-least-once window the spool's id-dedup absorbs
+    assert(broker.readyDepth == 0 && broker.unackedDepth == 40)
+    broker.publish((41 to 50).map(i => s"payload-$i"): _*)
+    ingest.pump()
+    runOnce(s"${q}_run2")
+    assert(spark.table(s"${q}_run2").head().getLong(0) == 50L)
+    // batch 1's construction delivered batch 0's commit → the first 40
+    // acked through the Spark path; only the newest batch stays pending
+    assert(broker.unackedDepth == 10 && broker.readyDepth == 0)
+    assert(MessageQueues.size(q) == 50L)
   }
 }
