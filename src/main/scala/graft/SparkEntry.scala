@@ -675,6 +675,10 @@ object SparkEntry {
 
     // lshBits sized to the test corpus (~500 vecs): 2^6 buckets keeps them
     // populated; the 16-bit default is the 100 TB setting (see Similarity).
+    // FULL hash oracle since r10: the deterministic hyperplanes are inlined
+    // into the DuckDB SQL, which replicates bucketing + multi-probe +
+    // rescore (lshTopkOracleSql) — the parameters here must stay in sync
+    // with that oracle entry.
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(Tables(s, dir).embeddings, "vec_id", "embedding", dim = 64,
         queryId = 1L, k = 10, lshBits = 6, probes = 4)),
@@ -1401,9 +1405,49 @@ object SparkEntry {
   def rowsOnlyGates: Map[String, String] = Map(
     "ann_ivf"             -> "ann_ivf_recall",
     "ann_knn_bucket"      -> "ann_knn_recall",
-    "ann_lsh_topk"        -> "ann_lsh_recall",
     "ann_pq"              -> "ann_pq_recall",
     "xf_idkey_snowflake"  -> "xf_idkey_snowflake_gate")
+
+  /** Full-pipeline oracle for `ann_lsh_topk`: the sign-LSH hyperplanes are
+    * deterministic plan-time constants ([[graft.functions.SignLshBucketExpr
+    * .planesFor]]), so the SQL can REPLICATE the whole pipeline — per-bit
+    * plane projections (planes inlined as literals), the bucket assembly,
+    * the multi-probe set (query bucket + the first `probes-1` single-bit
+    * flips), and the exact-cosine rescore — in an independent engine.
+    * That is a strictly stronger check than the previous rows-only +
+    * recall-gate pairing: it pins the bucketing itself, with NO
+    * total-recall assumption (measured recall at these parameters is far
+    * from total on this near-random corpus — single-table sign-LSH cannot
+    * hash-match brute force here, which is exactly why the oracle must
+    * model the index, not the exhaustive ranking).
+    *
+    * Sign-boundary caveat: both engines sum the projection in doubles; a
+    * projection within float-rounding distance of 0 could in principle
+    * flip a bit between engines (same order of magnitude of risk as the
+    * round(score,4) tie convention every float oracle here accepts).
+    */
+  private def lshTopkOracleSql(lshBits: Int, dim: Int, seed: Int,
+                               probes: Int, queryId: Long, k: Int): String = {
+    val planes = graft.functions.SignLshBucketExpr.planesFor(lshBits, dim, seed)
+    val bitTerms = planes.zipWithIndex.map { case (p, b) =>
+      val lst = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> v[i] * ($lst)[i])) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n   + ")
+    val probeList = (Seq("q.qb") ++
+      (0 until math.max(probes - 1, 0)).map(b => s"xor(q.qb, ${1L << b})"))
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |   $bitTerms AS bkt FROM e),
+       |q AS (SELECT v AS qv, bkt AS qb FROM b WHERE vec_id = $queryId),
+       |cand AS (SELECT b.vec_id, b.v, q.qv FROM b, q
+       |  WHERE b.vec_id <> $queryId AND b.bkt IN ($probeList))
+       |SELECT vec_id, round(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * qv[i]))
+       |  / sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> v[i] * v[i]))
+       |       * list_sum(list_transform(range(1, ${dim + 1}), i -> qv[i] * qv[i]))), 4) AS score
+       |FROM cand ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
+  }
 
   /** DuckDB oracle SQL per query (same parquet tables, bare table names).
     * Omitted keys (xxhash64/sign-LSH-based ops) get a rows-only check.
@@ -1732,6 +1776,12 @@ object SparkEntry {
     "ann_lsh_recall" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id, 1.0 AS score
         |FROM embeddings WHERE vec_id BETWEEN 1 AND 5""".stripMargin,
+
+    // full-pipeline LSH oracle: planes inlined as literals, DuckDB
+    // recomputes buckets + probes + rescore (see lshTopkOracleSql)
+    "ann_lsh_topk" ->
+      lshTopkOracleSql(lshBits = 6, dim = 64, seed = 42, probes = 4,
+        queryId = 1L, k = 10),
 
     "ann_knn_recall" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id, 1.0 AS score

@@ -100,11 +100,12 @@ object Sinks {
   * 0 forever, N seconds). Spark-native: `persist` + a timestamp; reads
   * after expiry unpersist and rebuild lazily.
   */
-final class TtlCache(ttlSeconds: Long) {
+final class TtlCache(ttlSeconds: Long,
+                     clock: () => Long = () => System.currentTimeMillis() / 1000) {
   private var cached: Option[(DataFrame, Long)] = None
 
   def get(build: => DataFrame): DataFrame = synchronized {
-    val now = System.currentTimeMillis() / 1000
+    val now = clock()
     cached match {
       case Some((df, at)) if ttlSeconds == 0 || now - at < ttlSeconds => df
       case other =>

@@ -170,6 +170,40 @@ class ConfigSpec extends SparkSpec {
     assert(out.select("v").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("the same task as YAML and as JSON builds the identical plan and result") {
+    val dir = Files.createTempDirectory("graft_cfg_parity_").toString
+    Seq((1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, "z")).toDF("id", "v", "s")
+      .write.parquet(s"$dir/in")
+    val yaml =
+      s"""name: parity
+         |source: {type: parquet, path: $dir/in}
+         |transforms:
+         |  - op: filter
+         |    expr: id >= 2
+         |  - op: addField
+         |    fields: {dbl: "v * 2"}
+         |  - op: map
+         |    columns: {s: tag}
+         |""".stripMargin
+    val json =
+      s"""{"name": "parity",
+         | "source": {"type": "parquet", "path": "$dir/in"},
+         | "transforms": [
+         |   {"op": "filter", "expr": "id >= 2"},
+         |   {"op": "addField", "fields": {"dbl": "v * 2"}},
+         |   {"op": "map", "columns": {"s": "tag"}}]}""".stripMargin
+    val fromYaml = Config.run(spark, yaml)
+    val fromJson = Config.run(spark, json)
+    // identical OPTIMIZED plan (canonicalized normalizes expr ids), not
+    // just identical rows — the two texts must be one task, not two
+    // tasks that happen to agree on this input
+    assert(fromYaml.queryExecution.optimizedPlan.canonicalized ==
+      fromJson.queryExecution.optimizedPlan.canonicalized)
+    val rows = fromYaml.orderBy("id").collect().toSeq
+    assert(rows == fromJson.orderBy("id").collect().toSeq)
+    assert(fromYaml.columns.toSeq == Seq("id", "v", "tag", "dbl"))
+  }
+
   test("sinks: fan-out delivers the same result to every target") {
     val dir = Files.createTempDirectory("graft_cfg_fan_").toString
     Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$dir/in")

@@ -91,6 +91,25 @@ class SinksSpec extends SparkSpec {
     assert(builds.get() == 2)
   }
 
+  test("TtlCache duration semantics: N expires, 0 forever, -1 off (clock-injected)") {
+    // the reference's `duration` cache contract (Pdo.php:100, doc/Pdo.md:53)
+    val builds = new AtomicInteger(0)
+    var now = 1000L
+    def build = { builds.incrementAndGet(); Seq((1, "x")).toDF("id", "v") }
+    val ttl = new TtlCache(ttlSeconds = 10, clock = () => now)
+    ttl.get(build); now += 9; ttl.get(build)
+    assert(builds.get() == 1, "within-TTL read must not rebuild")
+    now += 2 // 11s since build: past the TTL — the read must re-read
+    ttl.get(build)
+    assert(builds.get() == 2, "post-expiry read must rebuild")
+    val forever = new TtlCache(ttlSeconds = 0, clock = () => now)
+    forever.get(build); now += 1000000L; forever.get(build)
+    assert(builds.get() == 3, "duration 0 caches forever")
+    val off = new TtlCache(ttlSeconds = -1, clock = () => now)
+    off.get(build); off.get(build)
+    assert(builds.get() == 5, "duration -1 disables caching (every read rebuilds)")
+  }
+
   test("overwritePartitions replaces only the partitions present in the frame") {
     val dir = Files.createTempDirectory("graft_dpo_").toString + "/t"
     Seq((1, "d1"), (2, "d1"), (3, "d2")).toDF("id", "day")

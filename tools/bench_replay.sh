@@ -105,12 +105,42 @@ if b_rps and h_rps:
           "(note: pre-protocol commits report a single unwarmed run "
           "including bootstrap — expect base to read low)")
 
+gm = (math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+      if ratios else None)
+
+# THE GATE (round-9 advice: a human had to read the ratios): any query
+# whose BASE time clears the noise floor and regresses past the ratio gate
+# fails the replay. Sub-floor queries swing 2-3x on host noise alone —
+# they never gate, only the geomean speaks for them.
+NOISE_FLOOR_S = float(os.environ.get("REPLAY_NOISE_FLOOR_S", "0.5"))
+RATIO_GATE = float(os.environ.get("REPLAY_RATIO_GATE", "1.5"))
+regressions = sorted((k for k, r in ratios.items()
+                      if bq[k] >= NOISE_FLOOR_S and r > RATIO_GATE),
+                     key=lambda k: -ratios[k])
+
+artifact = os.environ.get("BENCH_REPLAY_ARTIFACT", "/tmp/bench_replay/replay.json")
+summary = {"base": sys.argv[3], "head": sys.argv[4], "n_common": len(common),
+           "geomean_ratio": gm, "noise_floor_s": NOISE_FLOOR_S,
+           "ratio_gate": RATIO_GATE, "regressions": regressions,
+           "base_s": bq, "head_s": hq,
+           "stream_rps": {"base": b_rps, "head": h_rps}}
+with open(artifact, "w") as f:
+    json.dump(summary, f, indent=1)
+print(f"replay artifact: {artifact}")
+
 if ratios:
-    gm = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
     verdict = ("HEAD FASTER" if gm < 0.95 else
                "HEAD SLOWER" if gm > 1.05 else "NO MATERIAL CHANGE")
     print(f"verdict ({sys.argv[3]} -> {sys.argv[4]}): {verdict} (geomean {gm:.3f})")
 else:
     print(f"verdict ({sys.argv[3]} -> {sys.argv[4]}): stream-only replay, "
           "no query geomean")
+
+if regressions:
+    print(f"\nREGRESSION GATE FAILED: {len(regressions)} quer"
+          f"{'y' if len(regressions) == 1 else 'ies'} above {NOISE_FLOOR_S}s "
+          f"base regressed past {RATIO_GATE}x:")
+    for k in regressions:
+        print(f"  {k}: {bq[k]:.3f}s -> {hq[k]:.3f}s ({ratios[k]:.2f}x)")
+    sys.exit(2)
 PY
