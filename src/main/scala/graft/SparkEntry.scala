@@ -512,6 +512,33 @@ object SparkEntry {
         StructField("r_regionkey", IntegerType), StructField("r_name", StringType))))
     }),
 
+    // Sinks\Amqp/Nsq delivery contract, oracle-checked end to end: every
+    // documents row publishes through a per-partition seam channel
+    // (Sinks.amqpPublish → AmqpPublishApi) into the in-process broker, an
+    // AmqpIngest spools the deliveries, and the committed spool content is
+    // the result — DuckDB checks it equals the source column exactly (no
+    // loss, no duplication across 8 publisher partitions). Fresh broker/
+    // spool names per invocation keep re-runs in one JVM independent. The
+    // driver-side lift of the spool into a frame is the in-JVM test
+    // double's shape, not the scale path (a real broker's spool is read
+    // back through the streaming source).
+    "sink_queue_publish" -> ((s, dir) => {
+      import s.implicits._
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val bname = s"sinkpub_$tag"
+      val qname = s"sinkpub_spool_$tag"
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id").cast("string").as("body")).repartition(8)
+      graft.sources.Sinks.amqpPublish(docs, "body")(
+        () => graft.streaming.InProcessAmqpBroker.named(bname).publisher())
+      val broker = graft.streaming.InProcessAmqpBroker.named(bname)
+      val ingest = new graft.streaming.AmqpIngest(broker, qname,
+        prefetch = Int.MaxValue)
+      val n = ingest.pump()
+      ingest.commitUpTo(n)
+      graft.streaming.MessageQueues.slice(qname, 0L, n).map(_._2).toDF("body")
+    }),
+
     "sink_file_xml" -> ((s, dir) => {
       val out = tmpDir(dir, "sink_file_xml")
       FileSink.xml(Tables(s, dir).region, out, rowTag = "rec")
@@ -1049,6 +1076,17 @@ object SparkEntry {
         Tables(s, dir).documents.select("doc_id", "lang", "n_chars"),
         "doc_id", "lang", "n_chars",
         budgets = Map("en" -> 60000L), defaultBudget = 25000L, salt = "tb")),
+
+    // same cut with the unique-key precondition ENFORCED — doc ids are
+    // unique, so the result (and oracle) is identical; the key's purpose
+    // is measuring what the extra fail-fast aggregate costs (the number
+    // behind Curation's off-by-default rationale, tracked in SCALING.md)
+    "curate_token_budget_checked" -> ((s, dir) =>
+      Curation.sampleToTokenBudget(
+        Tables(s, dir).documents.select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", "n_chars",
+        budgets = Map("en" -> 60000L), defaultBudget = 25000L, salt = "tb",
+        checkUniqueKeys = true)),
 
     // the mixture-planning report: what each stratum holds, before setting
     // rates/budgets — one partial-agg'd groupBy, integer-exact
@@ -1612,6 +1650,9 @@ object SparkEntry {
     "sink_batch_insert" -> "SELECT * FROM orders",
 
     "sink_file_csv" -> "SELECT * FROM region",
+
+    "sink_queue_publish" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS body FROM documents",
 
     "sink_file_xml" -> "SELECT * FROM region",
 
@@ -2314,6 +2355,15 @@ object SparkEntry {
     // the cum column stays internal (window sum over BIGINT would surface
     // as HUGEINT otherwise); comparison against the CASE budget is typeless
     "curate_token_budget" ->
+      s"""SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, n_chars,
+         |  sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
+         |    ORDER BY ${duckBucket("CAST(doc_id AS VARCHAR)", 65536, "tb")}, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |WHERE cum <= CASE WHEN lang = 'en' THEN 60000 ELSE 25000 END""".stripMargin,
+
+    // identical cut — the enforced precondition must not change the result
+    "curate_token_budget_checked" ->
       s"""SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, n_chars,
          |  sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
          |    ORDER BY ${duckBucket("CAST(doc_id AS VARCHAR)", 65536, "tb")}, doc_id

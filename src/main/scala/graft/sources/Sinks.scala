@@ -93,6 +93,20 @@ object Sinks {
         try rows.foreach(r => publish(p, r)) finally close(p)
       }
     }
+
+  /** AMQP/NSQ delivery through the transport seam: one
+    * [[graft.streaming.AmqpPublishApi]] channel per partition, every row's
+    * `bodyCol` string published, close on completion — the reference's
+    * `basic_publish` / `publishMulti` loop, distributed (one producer per
+    * partition is the NSQ `publishMulti` batching shape). `mkPublisher`
+    * must be a serializable factory (capture names/addresses, not
+    * clients); the real binding is the one-class adapter described at
+    * [[graft.streaming.AmqpPublishApi]].
+    */
+  def amqpPublish(df: DataFrame, bodyCol: String)
+                 (mkPublisher: () => graft.streaming.AmqpPublishApi): Unit =
+    foreachPublisher(df.select(col(bodyCol)))(mkPublisher)(
+      (p, r) => p.publish(r.getString(0)))(_.close())
 }
 
 /** TTL result cache — the reference's `duration` source cache

@@ -51,6 +51,20 @@ trait AmqpChannelApi {
   def ack(deliveryTag: Long, multiple: Boolean): Unit
 }
 
+/** Publish side of the seam — the reference's sink loop
+  * (`/root/reference/src/Sinks/Amqp.php:89-95`: `basic_publish` with
+  * persistent delivery mode; `Nsq.php:60-69`: `publish`/`publishMulti`).
+  * The real binding is one class over `com.rabbitmq.client.Channel`:
+  * `publish(body)` → `basicPublish(exchange, routingKey,
+  * MessageProperties.PERSISTENT_TEXT_PLAIN, body.getBytes(UTF_8))`,
+  * `close()` → channel/connection close. [[graft.sources.Sinks.amqpPublish]]
+  * opens one of these per partition.
+  */
+trait AmqpPublishApi {
+  def publish(body: String): Unit
+  def close(): Unit
+}
+
 private[streaming] final case class AmqpMessage(id: String, body: String,
                                                 redelivered: Boolean)
 
@@ -59,10 +73,35 @@ private[streaming] final case class AmqpMessage(id: String, body: String,
   * re-delivery of a failed channel's unacked messages — at the FRONT of
   * the ready queue, flagged `redelivered`, re-consumed under NEW tags.
   */
+object InProcessAmqpBroker {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, InProcessAmqpBroker]()
+
+  /** Shared-by-name lookup: Spark serializes task closures even in local
+    * mode, and a broker holds unserializable state — executor-side code
+    * (per-partition publishers) captures the NAME and resolves the broker
+    * here, the same way [[MessageQueues]] names its spools. Single-JVM by
+    * design: this is the test double; a real deployment's "registry" is
+    * the broker's own address.
+    */
+  def named(name: String): InProcessAmqpBroker =
+    registry.computeIfAbsent(name, _ => new InProcessAmqpBroker)
+}
+
 final class InProcessAmqpBroker {
   private var nextId = 0L
   private val ready = mutable.Queue[AmqpMessage]()
   private val channels = mutable.ArrayBuffer[InProcessAmqpChannel]()
+
+  /** A publish channel at the sink seam ([[AmqpPublishApi]]): every
+    * `publish` enqueues one ready message, exactly as `basic_publish`
+    * into a bound queue would.
+    */
+  def publisher(): AmqpPublishApi = new AmqpPublishApi {
+    override def publish(body: String): Unit =
+      InProcessAmqpBroker.this.publish(body)
+    override def close(): Unit = ()
+  }
 
   def publish(bodies: String*): Unit = synchronized {
     bodies.foreach { b => ready += AmqpMessage(s"m$nextId", b, redelivered = false); nextId += 1 }

@@ -107,6 +107,27 @@ class AmqpIntegrationSpec extends SparkSpec {
     assert(broker.unackedDepth == 0 && broker.readyDepth == 0)
   }
 
+  test("sink seam: per-partition publishers deliver every row; the source round-trips them") {
+    import spark.implicits._
+    val bname = s"sinkpub-${java.util.UUID.randomUUID()}"
+    val broker = InProcessAmqpBroker.named(bname)
+    val q = freshQueue("sinkpub")
+    // 8 partitions → 8 independent publisher channels, the reference's
+    // one-producer-per-worker shape; the factory captures only the NAME
+    // (closures serialize even in local mode)
+    val df = (1 to 100).map(i => s"row-$i").toDF("body").repartition(8)
+    graft.sources.Sinks.amqpPublish(df, "body")(
+      () => InProcessAmqpBroker.named(bname).publisher())
+    assert(broker.readyDepth == 100)
+    // round-trip: what the sink published, the source's spool serves back
+    val ingest = new AmqpIngest(broker, q, prefetch = 1000)
+    assert(ingest.pump() == 100L)
+    assert(MessageQueues.slice(q, 0L, 100L).map(_._2).toSet ==
+      (1 to 100).map(i => s"row-$i").toSet)
+    ingest.commitUpTo(100L)
+    assert(broker.unackedDepth == 0 && broker.readyDepth == 0)
+  }
+
   test("end-to-end: Spark micro-batch commit drives the broker ack") {
     val broker = new InProcessAmqpBroker
     val q = freshQueue("e2e")
