@@ -107,6 +107,27 @@ object Sinks {
                  (mkPublisher: () => graft.streaming.AmqpPublishApi): Unit =
     foreachPublisher(df.select(col(bodyCol)))(mkPublisher)(
       (p, r) => p.publish(r.getString(0)))(_.close())
+
+  /** NSQ delivery through the transport seam: one
+    * [[graft.streaming.NsqPublishApi]] connection per partition, rows
+    * batched into `MPUB` frames of `mpubBatch` bodies — the reference's
+    * `publishMulti` (`/root/reference/src/Sinks/Nsq.php:60-69`),
+    * distributed. One wire frame per batch instead of one per row is the
+    * point of MPUB; the batch bound keeps a frame under nsqd's default
+    * max-msg-size even with wide rows.
+    */
+  def nsqPublish(df: DataFrame, bodyCol: String, mpubBatch: Int = 200)
+                (mkPublisher: () => graft.streaming.NsqPublishApi): Unit = {
+    require(mpubBatch > 0, "mpubBatch must be positive")
+    df.select(col(bodyCol)).foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val p = mkPublisher()
+        try rows.grouped(mpubBatch).foreach { g =>
+          p.mpublish(g.map(_.getString(0)).toSeq)
+        } finally p.close()
+      }
+    }
+  }
 }
 
 /** TTL result cache — the reference's `duration` source cache
