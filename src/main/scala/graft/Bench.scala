@@ -216,8 +216,11 @@ object Bench {
       .mkString("{", ",", "}")
     val fullSh = resultsFull.map { case (k, _, mb) => jsonStr(k) + ":" + r3(mb) }
       .mkString("{", ",", "}")
+    // n_queries = ATTEMPTED (stable denominator across artifacts even when
+    // failures differ — round-10 lesson); n_ok/n_failed break it down.
+    // mean_per_query stays mean over the ok set (a -1 would poison it).
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""sf":${jsonStr(sfDir)},"n_queries":${ok.size},"n_failed":$nFailed,""" +
+      s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,""" +
       s""""mean_per_query":${r3(mean)},"env":$env,"stream":$stream,""" +
       s""""queries":$fullQs,"queries_shuffle_mb":$fullSh}"""
     Files.write(Paths.get(outFile), full.getBytes("UTF-8"))
@@ -227,7 +230,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => jsonStr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""sf":${jsonStr(sfDir)},"n_queries":${ok.size},"n_failed":$nFailed,""" +
+      s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,""" +
       s""""mean_per_query":${r3(mean)},"env":$env,"stream":$stream,""" +
       s""""queries":$slowest,"queries_truncated":true,""" +
       s""""queries_file":${jsonStr(outFile)}}""")

@@ -25,9 +25,12 @@ import graft.streaming.Streams
   * Cross-engine determinism rules used throughout (see SURVEY.md §7.4):
   *  - money aggregates go through DECIMAL(18,2) (exact) and cast the final
   *    result to DOUBLE — bit-identical in both engines;
-  *  - `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as nanos-long
-  *    (`nanosAsLong`), DuckDB truncates to µs — so every query exposes
-  *    `ts_us` = µs-truncated BIGINT on both sides;
+  *  - `events.ts` has drifted across fixture generations: parquet
+  *    TIMESTAMP(NANOS) (Spark reads it as nanos-long under `nanosAsLong`,
+  *    DuckDB truncates to µs) vs plain timestamp[us] (Spark reads
+  *    TIMESTAMP/TIMESTAMP_NTZ). Every query derives `ts_us` = µs BIGINT
+  *    from whichever type arrived ([[tsUsCol]]) — DuckDB's `epoch_us(ts)`
+  *    agrees with both under a UTC session;
   *  - integer per-mille text stats use floor(x+0.5), identical half-up in
   *    both engines; floating scores are rounded and tie-broken by id.
   */
@@ -59,11 +62,30 @@ object SparkEntry {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** µs-BIGINT event time from `ts`, whatever its fixture-era type:
+    * nanos BIGINT → `div 1000`; TIMESTAMP / TIMESTAMP_NTZ → `unix_micros`
+    * (NTZ is cast through the UTC session, matching DuckDB's naive
+    * `epoch_us`). Fails loudly on anything else rather than mis-scaling. */
+  private def tsUsCol(dt: DataType): Column = dt match {
+    case LongType                             => expr("ts div 1000")
+    case TimestampType | TimestampNTZType     => unix_micros(col("ts").cast("timestamp"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other (expected nanos BIGINT or timestamp)")
+  }
+
+  /** TIMESTAMP event time from `ts` for streaming plans, same dispatch. */
+  private def tsTCol(dt: DataType): Column = dt match {
+    case LongType                         => timestamp_micros(expr("ts div 1000"))
+    case TimestampType | TimestampNTZType => col("ts").cast("timestamp")
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other (expected nanos BIGINT or timestamp)")
+  }
+
   /** events with `ts_us` (µs-truncated BIGINT event time) prepended. */
   private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
     withNanosAsLong(spark)
-    Tables(spark, dir).events
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = Tables(spark, dir).events
+    ev.withColumn("ts_us", tsUsCol(ev.schema("ts").dataType))
       .drop("ts")
   }
 
@@ -1256,7 +1278,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_t", tsTCol(schema("ts").dataType))
       val counts = Streams.windowedCounts(ev, "ts_t", "1 hour", None, "1 hour",
         Seq("event_type"))
       Streams.runToMemoryComplete(s, counts, outputMode = "complete")
@@ -1269,7 +1291,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_t", tsTCol(schema("ts").dataType))
       val counts = Streams.windowedCounts(ev, "ts_t", "1 hour", Some("30 minutes"),
         "1 hour", Seq("event_type"))
       Streams.runToMemoryComplete(s, counts, outputMode = "complete")
@@ -1282,7 +1304,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_t", tsTCol(schema("ts").dataType))
       val counts = Streams.sessionCounts(ev, "ts_t", "30 minutes", "1 hour",
         Seq("user_id"))
       Streams.runToMemoryComplete(s, counts, outputMode = "complete")
@@ -1327,7 +1349,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_t", tsTCol(schema("ts").dataType))
       val dd = Streams.dedupWithinWatermark(ev, "ts_t", "1 hour",
         Seq("user_id", "event_type"))
       // distinct: state-bounded dedup guarantees no dupes only within the
@@ -1374,7 +1396,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_t", tsTCol(schema("ts").dataType))
         .withColumn("ival", (col("event_id") % 1000L).cast("double"))
       val totals = Streams.runningTotalsExpiring(ev, "user_id", "ival",
         "ts_t", watermarkDelay = "1 hour", idleTimeout = "30 days")
@@ -1391,7 +1413,7 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts_t", tsTCol(schema("ts").dataType))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           col("ts_t").as("click_ts"))

@@ -2,7 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure policy (round-10 postmortem): a query that throws must NOT
+  * silently vanish from the artifact — that made 14 broken queries read
+  * as an all-green round. Instead we (a) write a one-row parquet with a
+  * single `__graft_error` column so the driver's oracle compare records a
+  * loud schema/hash FAIL for that name, (b) aggregate every failure into
+  * `outDir/errors.json`, and (c) print an attempted/ok/failed summary.
+  * `GRAFT_VERIFY_STRICT=1` additionally exits nonzero on any failure
+  * (used by local pre-commit smoke, not by the driver). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -12,19 +21,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS), which Spark's reader rejects;
-      // read as nanos-long (queries expose µs-truncated ts_us, see SparkEntry)
+      // older fixtures store events.ts as TIMESTAMP(NANOS), which Spark's
+      // reader rejects; read those as nanos-long (queries adapt per actual
+      // column type — see SparkEntry.tsUsCol)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,9 +40,34 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        // still emit an artifact so the driver's compare fails LOUDLY for
+        // this name instead of dropping it from the round's query set
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("__graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
+      }
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val n = SparkEntry.queries.size
+    println(s"[verify] attempted=$n ok=${n - failures.size} failed=${failures.size}" +
+      (if (failures.nonEmpty) s" -> ${failures.keys.mkString(",")}" else ""))
     spark.stop()
+    if (failures.nonEmpty && sys.env.get("GRAFT_VERIFY_STRICT").contains("1"))
+      sys.exit(1)
   }
 }

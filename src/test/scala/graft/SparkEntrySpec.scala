@@ -25,6 +25,47 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("registry size is pinned (dropped coverage must fail loudly)") {
+    // round-10 lesson: 14 queries silently vanished from the correctness
+    // artifact when a fixture type drift made them throw. The count below
+    // is updated DELIBERATELY when queries are added/removed — any other
+    // change to it is lost coverage.
+    assert(SparkEntry.queries.size == 130,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 130); " +
+        "if intentional, update this pin")
+  }
+
+  test("events.ts type drift: nanos-BIGINT and timestamp[us] fixtures agree") {
+    // the fixtures' events.ts has flipped physical type between rounds
+    // (TIMESTAMP(NANOS)-as-long vs timestamp[us]); every events query
+    // derives ts_us adaptively. Pin both paths to the same answer through
+    // a registered query that surfaces ts_us and needs only events.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsdrift_").toString
+    val base = spark.range(6).select(
+      col("id").as("event_id"),
+      // 2 users × 2 event types, distinct µs timestamps
+      (col("id") % 2).as("user_id"),
+      concat(lit("t"), col("id") % 2).as("event_type"),
+      (lit(1700000000000000L) + col("id") * 1000000L).as("us"),
+      lit(0.5).as("value"),
+      lit("""{"k":1}""").as("props"))
+    base.select(col("event_id"), (col("us") * 1000L).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/nanos/events.parquet")
+    base.select(col("event_id"), timestamp_micros(col("us")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/tsus/events.parquet")
+    def run(dir: String) =
+      SparkEntry.queries("sink_flag_dedup")(spark, dir)
+        .select("event_id", "ts_us", "user_id", "event_type")
+        .collect().map(_.toSeq).sortBy(_.toString)
+    val a = run(s"$tmp/nanos")
+    val b = run(s"$tmp/tsus")
+    assert(a.nonEmpty && a.sameElements(b),
+      s"ts-derivation disagrees across fixture types:\n${a.toSeq}\nvs\n${b.toSeq}")
+  }
+
   test("the flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
