@@ -1002,6 +1002,45 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    // ingest-time layout: events land hive-partitioned by day, so the
+    // day-range scan below reads ONLY the matching directories
+    // (PartitionFilters — PlanShapeSpec pins it). At 100 TB this is the
+    // difference between scanning three days and scanning the history.
+    "layout_partition_prune" -> ((s, dir) => {
+      val out = tmpDir(dir, "events_by_day")
+      val ev = eventsUs(s, dir)
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.sources.Layout.writePartitioned(ev, out, "day")
+      // bounded driver scalar (one min over a partition column), same class
+      // as the index-training collects
+      val lo = ev.agg(min("day")).head.getLong(0)
+      s.read.parquet(out)
+        .filter(col("day").between(lo, lo + 2))
+        // partition-value directories type-infer as INT at this scale; the
+        // oracle's epoch arithmetic is BIGINT — normalize
+        .groupBy(col("day").cast("bigint").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // co-located join: both sides written bucketed on their join key with
+    // the same bucket count, so the recurring join runs with zero Exchange
+    // below it (PlanShapeSpec pins the shuffle-free SortMergeJoin). The
+    // ingest pays the shuffle once; every nightly join after that is free.
+    "layout_bucketed_join" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val evT = s"g_ev_bkt$tag"
+      val custT = s"g_cust_bkt$tag"
+      graft.sources.Layout.writeBucketed(
+        eventsUs(s, dir).select("user_id", "event_type"),
+        evT, tmpDir(dir, "bkt_events"), buckets = 8, bucketCol = "user_id")
+      graft.sources.Layout.writeBucketed(
+        Tables(s, dir).customer.select("c_custkey", "c_mktsegment"),
+        custT, tmpDir(dir, "bkt_customer"), buckets = 8, bucketCol = "c_custkey")
+      s.table(evT).join(s.table(custT), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+    }),
+
     // single-pass numeric column profiling (one scan for all stats; exact
     // decimal means so the doubles are engine-stable)
     "dq_profile" -> ((s, dir) =>
@@ -2254,6 +2293,20 @@ object SparkEntry {
     "sink_file_sized" -> "SELECT * FROM orders",
 
     "layout_zorder" -> "SELECT * FROM orders",
+
+    "layout_partition_prune" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, user_id
+        |           FROM events),
+        |  b AS (SELECT min(day) AS lo FROM e)
+        |SELECT e.day, e.event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e, b WHERE e.day BETWEEN b.lo AND b.lo + 2
+        |GROUP BY 1, 2""".stripMargin,
+
+    "layout_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "curate_chunk" ->
       """WITH tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []

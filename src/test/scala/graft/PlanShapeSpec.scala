@@ -51,6 +51,36 @@ class PlanShapeSpec extends SparkSpec {
       s"probe filter not a partition filter:\n$scan")
   }
 
+  test("day-partitioned events layout prunes the day-range scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_partplan_").toString
+    val ev = spark.range(100).select(
+      ($"id" % 7).as("day"), ($"id" % 3).cast("string").as("event_type"))
+    graft.sources.Layout.writePartitioned(ev, s"$dir/by_day", "day")
+    val pruned = spark.read.parquet(s"$dir/by_day").filter($"day".between(0, 2))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"),
+      s"day-range filter not a partition filter:\n$scan")
+  }
+
+  test("same-bucket-count tables join with zero Exchange below the join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bktplan_").toString
+    val a = spark.range(100).select($"id".as("k"), ($"id" * 2).as("va"))
+    val b = spark.range(50).select($"id".as("j"), ($"id" * 3).as("vb"))
+    graft.sources.Layout.writeBucketed(a, "g_bkt_plan_a", s"$dir/a", 4, "k")
+    graft.sources.Layout.writeBucketed(b, "g_bkt_plan_b", s"$dir/b", 4, "j")
+    // broadcast would mask the property under test — force the merge join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("g_bkt_plan_a")
+        .join(spark.table("g_bkt_plan_b"), $"k" === $"j")
+      val plan = physical(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("df-capped dedup plans contain no Window over the postings relation") {
     // the cap must be a partial-agg + broadcast anti-join (Dedup.dropHotKeys):
     // a count window partitioned by the shingle/bucket key funnels a hot
