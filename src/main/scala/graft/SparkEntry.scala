@@ -477,6 +477,27 @@ object SparkEntry {
       Tables(s, dir).nation.select(col("n_nationkey"),
         regexp_extract(input_file_name(), "[^/]+$", 0).as("src_file"))),
 
+    // schema evolution across ingest generations: a corpus written over
+    // years gains columns; old files must stay readable in the same scan.
+    // Two generations (gen2 adds `value`), one mergeSchema read — missing
+    // columns surface as NULL, counted per type. At 100 TB re-writing
+    // history for every added column is not an option; this is the
+    // fixture-drift lesson (round 10) turned into a first-class operator.
+    "src_schema_evolution" -> ((s, dir) => {
+      val out = tmpDir(dir, "events_generations")
+      val ev = eventsUs(s, dir).select("event_id", "user_id", "event_type", "value")
+      ev.filter(col("event_id") % 2 === 0).drop("value")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      ev.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          count(col("value")).as("n_val"),
+          min(col("value")).as("min_val"),
+          max(col("value")).as("max_val"))
+    }),
+
     // data-quality expectations: all rules over lineitem in one agg pass
     // (one intentionally-violated rule so both branches are exercised)
     "dq_expectations" -> ((s, dir) =>
@@ -1612,6 +1633,15 @@ object SparkEntry {
         |SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 10 = 0""".stripMargin,
 
     "src_file_scan" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    // gen1 = even event_ids WITHOUT value, gen2 = odd WITH value; the
+    // merged scan sees value as NULL for gen1 rows
+    "src_schema_evolution" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(CASE WHEN event_id % 2 = 1 THEN value END) AS BIGINT) AS n_val,
+        |  min(CASE WHEN event_id % 2 = 1 THEN value END) AS min_val,
+        |  max(CASE WHEN event_id % 2 = 1 THEN value END) AS max_val
+        |FROM events GROUP BY 1""".stripMargin,
 
     "src_jdbc_scan" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
