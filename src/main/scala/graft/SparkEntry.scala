@@ -701,6 +701,28 @@ object SparkEntry {
       Dedup.nearDedup(withCopies, "doc_id", "text", minJaccard = 0.5)
     }),
 
+    // daily-ingest near-dedup against a persisted signature index: corpus
+    // indexed once (band postings + shingle hashes, no text), then a batch
+    // of [even-doc verbatim copies | fresh unique-token docs | a second
+    // copy of each fresh doc] classifies as dup_corpus / admitted /
+    // dup_batch respectively — the corpus is never re-tokenized. Exact
+    // Jaccard rescoring makes the verdicts oracle-checkable.
+    "dedup_near_incremental" -> ((s, dir) => {
+      val idx = tmpDir(dir, "near_index")
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      Dedup.buildNearIndex(d, "doc_id", "text", idx)
+      val cid = col("doc_id").cast("string")
+      val fresh = concat(lit("qz"), cid, lit("a qz"), cid, lit("b qz"), cid,
+        lit("c qz"), cid, lit("d qz"), cid, lit("e"))
+      val batch = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .unionByName(d.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), fresh.as("text")))
+        .unionByName(d.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"), fresh.as("text")))
+      Dedup.nearDedupIncremental(batch, "doc_id", "text", idx, minJaccard = 0.5)
+    }),
+
     // sign-LSH candidates + exact-cosine filter; scores rounded so the
     // all-pairs DuckDB cosine oracle hash-matches (identical vectors always
     // collide in every table → recall is total at this threshold)
@@ -1886,6 +1908,58 @@ object SparkEntry {
         |  dupes AS (SELECT id FROM walk GROUP BY id HAVING min(comp) <> id)
         |SELECT u.id AS doc_id, u.text FROM u
         |WHERE NOT EXISTS (SELECT 1 FROM dupes dd WHERE dd.id = u.id)""".stripMargin,
+
+    // same exact-Jaccard semantics as the Spark pipeline: within-batch
+    // min-label components (dup_batch for non-min members), then corpus
+    // match >= 0.5 (dup_corpus), else admitted
+    "dedup_near_incremental" ->
+      """WITH RECURSIVE corpus AS (SELECT doc_id AS id, text FROM documents),
+        |  batch AS (
+        |    SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 2 = 0
+        |    UNION ALL
+        |    SELECT doc_id + 2000000 AS id,
+        |      'qz'||CAST(doc_id AS VARCHAR)||'a qz'||CAST(doc_id AS VARCHAR)||'b qz'||
+        |      CAST(doc_id AS VARCHAR)||'c qz'||CAST(doc_id AS VARCHAR)||'d qz'||
+        |      CAST(doc_id AS VARCHAR)||'e' AS text
+        |    FROM documents WHERE doc_id % 2 = 1
+        |    UNION ALL
+        |    SELECT doc_id + 3000000 AS id,
+        |      'qz'||CAST(doc_id AS VARCHAR)||'a qz'||CAST(doc_id AS VARCHAR)||'b qz'||
+        |      CAST(doc_id AS VARCHAR)||'c qz'||CAST(doc_id AS VARCHAR)||'d qz'||
+        |      CAST(doc_id AS VARCHAR)||'e' AS text
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |  btok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM batch),
+        |  bsh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM btok),
+        |  bsz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM bsh),
+        |  binv AS (SELECT id, unnest(s) AS sng FROM bsh),
+        |  ctok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM corpus),
+        |  csh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM ctok),
+        |  csz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM csh),
+        |  cinv AS (SELECT id, unnest(s) AS sng FROM csh),
+        |  bpr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |    FROM binv a JOIN binv b ON a.sng = b.sng AND a.id < b.id GROUP BY 1, 2),
+        |  bp AS (SELECT bpr.id_a, bpr.id_b FROM bpr
+        |    JOIN bsz sa ON bpr.id_a = sa.id JOIN bsz sb ON bpr.id_b = sb.id
+        |    WHERE CAST(bpr.inter AS DOUBLE) / (sa.n + sb.n - bpr.inter) >= 0.5),
+        |  edges AS (SELECT id_a AS s, id_b AS d FROM bp
+        |    UNION SELECT id_b, id_a FROM bp),
+        |  walk AS (SELECT s AS id, s AS comp FROM edges
+        |    UNION SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id),
+        |  comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+        |  xpr AS (SELECT b.id AS bid, c.id AS cid, count(*) AS inter
+        |    FROM binv b JOIN cinv c ON b.sng = c.sng GROUP BY 1, 2),
+        |  xdup AS (SELECT DISTINCT xpr.bid FROM xpr
+        |    JOIN bsz ON xpr.bid = bsz.id JOIN csz ON xpr.cid = csz.id
+        |    WHERE CAST(xpr.inter AS DOUBLE) / (bsz.n + csz.n - xpr.inter) >= 0.5)
+        |SELECT b.id,
+        |  CASE WHEN comp.comp IS NOT NULL AND comp.comp <> b.id THEN 'dup_batch'
+        |       WHEN EXISTS (SELECT 1 FROM xdup x WHERE x.bid = b.id) THEN 'dup_corpus'
+        |       ELSE 'admitted' END AS verdict
+        |FROM batch b LEFT JOIN comp ON b.id = comp.id""".stripMargin,
 
     // identical-text pairs (plain = excludes NULL text on both engines —
     // NULL simhash never enters a band bucket in Spark either)

@@ -3,7 +3,7 @@ package graft.ext
 import scala.jdk.CollectionConverters._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,21 +147,33 @@ object Dedup {
     * Same plan, same results — the signature is [[minhashFromShingles]] of
     * the precomputed string-shingle column.
     */
+  /** (id, sig, band, bucket) LSH band postings of a [[shingledFrame]] —
+    * the shape [[buildNearIndex]] persists for the corpus and
+    * [[nearDedupIncremental]] recomputes for each query batch. Extracted
+    * from [[minhashCandidatePairsShingled]] verbatim so stored and
+    * recomputed postings are definitionally the same expression tree
+    * (identical text → identical bucket, across builds and queries).
+    */
+  private[ext] def bandedSignatures(shingled: DataFrame, bands: Int,
+                                    rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    shingled.select(col("id"),
+        minhashFromShingles(col("__shingles"), col("__text"), numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            xxhash64(array_join(transform(
+              slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+              _.cast("string")), ","))
+              .as("bucket")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
   private[ext] def minhashCandidatePairsShingled(shingled: DataFrame,
                                                  bands: Int = 4, rowsPerBand: Int = 4,
                                                  maxBucketSize: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    def bandedOf(in: DataFrame): DataFrame =
-      in.select(col("id"),
-          minhashFromShingles(col("__shingles"), col("__text"), numHashes).as("sig"))
-        .select(col("id"), col("sig"),
-          explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-            struct(b.as("band"),
-              xxhash64(array_join(transform(
-                slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
-                _.cast("string")), ","))
-                .as("bucket")))).as("bb"))
-        .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    def bandedOf(in: DataFrame): DataFrame = bandedSignatures(in, bands, rowsPerBand)
 
     val sampleP = 0.01
     val minSampled = math.max(3.0 * maxBucketSize * sampleP, 10.0)
@@ -646,5 +658,159 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+
+  // ---- incremental near-dedup against a persisted signature index ------
+
+  /** Format stamp for [[buildNearIndex]] layouts. The LSH parameters are
+    * part of the format: postings built at one (shingleN, bands,
+    * rowsPerBand) joined against a batch banded at another silently
+    * collapse recall to ~zero — a parameter drift IS an incompatible
+    * encoding, caught the same way as the raw-vs-residual PQ codes.
+    */
+  private def nearIndexFormat(shingleN: Int, bands: Int, rowsPerBand: Int) =
+    s"near-lsh:v1:n=$shingleN,b=$bands,r=$rowsPerBand"
+
+  /** Persist the corpus side of incremental near-dedup at `dir`:
+    * `buckets/` = (band, bucket, id) LSH band postings, `shingles/` =
+    * (id, sh) distinct word-shingle hashes (what the exact rescore
+    * consumes). What is deliberately NOT stored is the corpus text — at
+    * 100 TB the entire point is that daily ingest never re-tokenizes the
+    * corpus: the batch joins against stored postings and rescores against
+    * stored shingle hashes (~a few hundred longs per document).
+    * [[IndexFormat]] commit-marker ordering: invalidate → data → stamp.
+    */
+  def buildNearIndex(docs: DataFrame, idCol: String, textCol: String,
+                     dir: String, shingleN: Int = 3,
+                     bands: Int = 4, rowsPerBand: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    IndexFormat.invalidate(spark, dir)
+    val shingled = shingledFrame(docs, idCol, textCol, shingleN).persist()
+    try {
+      bandedSignatures(shingled, bands, rowsPerBand)
+        .select("band", "bucket", "id")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/buckets")
+      shingled.select(col("id"), col("__sh").as("sh"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/shingles")
+      IndexFormat.stamp(spark, dir, nearIndexFormat(shingleN, bands, rowsPerBand))
+    } finally {
+      shingled.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Append `docs` (typically a batch's admitted survivors) to a
+    * [[buildNearIndex]] layout, so tomorrow's batch dedups against today's
+    * admissions too. Same commit-marker discipline: the stamp comes off
+    * before the appends and back on after both, so a failure in between
+    * leaves an unstamped index that readers reject, never a half-appended
+    * one they trust.
+    */
+  def appendNearIndex(docs: DataFrame, idCol: String, textCol: String,
+                      dir: String, shingleN: Int = 3,
+                      bands: Int = 4, rowsPerBand: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    IndexFormat.check(spark, dir, nearIndexFormat(shingleN, bands, rowsPerBand))
+    IndexFormat.invalidate(spark, dir)
+    val shingled = shingledFrame(docs, idCol, textCol, shingleN).persist()
+    try {
+      bandedSignatures(shingled, bands, rowsPerBand)
+        .select("band", "bucket", "id")
+        .write.mode(SaveMode.Append).parquet(s"$dir/buckets")
+      shingled.select(col("id"), col("__sh").as("sh"))
+        .write.mode(SaveMode.Append).parquet(s"$dir/shingles")
+      IndexFormat.stamp(spark, dir, nearIndexFormat(shingleN, bands, rowsPerBand))
+    } finally {
+      shingled.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Two-sided exact-Jaccard rescore: `shA`/`shB` are (id, sh) shingle-hash
+    * frames for the pair's A side (batch, recomputed) and B side (corpus,
+    * read from the index); `pairs` is (id_a ∈ A, id_b ∈ B). Both inverted
+    * postings are semi-join-pruned to the ids that actually appear in
+    * `pairs` BEFORE exploding — on a 100 TB corpus the B side is point
+    * lookups over candidate ids, never a corpus scan.
+    */
+  private[ext] def rescoreJaccardTwoSided(shA: DataFrame, shB: DataFrame,
+                                          pairs: DataFrame,
+                                          minJaccard: Double): DataFrame = {
+    val p = pairs.select("id_a", "id_b").distinct()
+    val aSel = shA.join(p.select(col("id_a").as("id")).distinct(), Seq("id"), "left_semi")
+    val bSel = shB.join(p.select(col("id_b").as("id")).distinct(), Seq("id"), "left_semi")
+    val szA = aSel.select(col("id").as("id_a"), size(col("sh")).cast("bigint").as("n_a"))
+    val szB = bSel.select(col("id").as("id_b"), size(col("sh")).cast("bigint").as("n_b"))
+    val invA = aSel.select(col("id").as("id_a"), explode(col("sh")).as("sh_h"))
+    val invB = bSel.select(col("id").as("id_b"), explode(col("sh")).as("sh_h"))
+    p.join(invA, "id_a").join(invB, Seq("id_b", "sh_h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(szA, "id_a").join(szB, "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Incremental near-dedup: classify every document of a daily `batch`
+    * against a [[buildNearIndex]] corpus WITHOUT touching the corpus text.
+    * Returns (id, verdict) with verdict ∈ {dup_batch, dup_corpus,
+    * admitted}: within-batch near-dup components keep their min id
+    * (everything else in the component is `dup_batch` — mirroring
+    * [[nearDedup]]'s representative rule), and a kept id with an exact
+    * Jaccard ≥ `minJaccard` against some indexed document is `dup_corpus`.
+    * Callers admit the `admitted` rows and [[appendNearIndex]] them.
+    *
+    * Scale shape (the reason this operator exists): the batch side is the
+    * only side that tokenizes — its banded signatures BROADCAST against
+    * the corpus postings (a daily batch is bounded; the corpus is not), so
+    * the stored postings stream through a broadcast join with zero
+    * corpus-side shuffle, and the rescore reads only the candidate ids'
+    * stored shingle rows. Batch-internal pairs reuse the full
+    * [[minhashCandidatePairsShingled]] machinery (df caps and all) over
+    * the persisted-once batch shingle frame.
+    */
+  def nearDedupIncremental(batch: DataFrame, idCol: String, textCol: String,
+                           indexDir: String, minJaccard: Double = 0.8,
+                           shingleN: Int = 3, bands: Int = 4,
+                           rowsPerBand: Int = 4, maxBucketSize: Int = 1000,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    IndexFormat.check(spark, indexDir, nearIndexFormat(shingleN, bands, rowsPerBand))
+    val shingled = shingledFrame(batch, idCol, textCol, shingleN).persist()
+    try {
+      // within-batch: candidates → exact rescore → min-label components
+      val confirmed = rescoreJaccardShingled(shingled,
+        minhashCandidatePairsShingled(shingled, bands, rowsPerBand, maxBucketSize),
+        minJaccard).localCheckpoint(true)
+      val ids = shingled.select("id")
+      val comp =
+        if (confirmed.isEmpty) ids.select(col("id"), col("id").as("comp"))
+        else ids.join(connectedComponents(confirmed, checkpointDir = checkpointDir),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      // batch vs corpus: broadcast the batch's band postings over the
+      // stored corpus postings, then exact-rescore the candidate pairs
+      val batchBanded = bandedSignatures(shingled, bands, rowsPerBand)
+        .select(col("band"), col("bucket"), col("id").as("id_a"))
+      val crossCand = spark.read.parquet(s"$indexDir/buckets")
+        .withColumnRenamed("id", "id_b")
+        .join(broadcast(batchBanded), Seq("band", "bucket"))
+        .select("id_a", "id_b")
+      val crossDup = rescoreJaccardTwoSided(
+          shingled.select(col("id"), col("__sh").as("sh")),
+          spark.read.parquet(s"$indexDir/shingles"),
+          crossCand, minJaccard)
+        .select(col("id_a").as("id")).distinct()
+        .withColumn("__x", lit(true))
+      comp.join(crossDup, Seq("id"), "left")
+        .select(col("id"),
+          when(col("comp") =!= col("id"), lit("dup_batch"))
+            .when(col("__x"), lit("dup_corpus"))
+            .otherwise(lit("admitted")).as("verdict"))
+    } finally {
+      shingled.unpersist(blocking = false)
+      ()
+    }
   }
 }

@@ -30,8 +30,8 @@ class SparkEntrySpec extends SparkSpec {
     // artifact when a fixture type drift made them throw. The count below
     // is updated DELIBERATELY when queries are added/removed — any other
     // change to it is lost coverage.
-    assert(SparkEntry.queries.size == 133,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 133); " +
+    assert(SparkEntry.queries.size == 134,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 134); " +
         "if intentional, update this pin")
   }
 

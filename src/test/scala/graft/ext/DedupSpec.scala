@@ -213,6 +213,49 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 10L, 20L))
   }
 
+  test("nearDedupIncremental classifies dup_corpus / dup_batch / admitted against a persisted index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nearidx_").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, a),
+      (2L, "one two three four five six seven eight nine ten")).toDF("id", "text")
+    Dedup.buildNearIndex(corpus, "id", "text", dir)
+    val fresh = "qq1 qq2 qq3 qq4 qq5 qq6"
+    val batch = Seq(
+      (10L, a),                 // verbatim corpus copy → dup_corpus
+      (11L, a + " lambda"),     // near-dup of BOTH corpus doc 1 AND batch
+                                // doc 10 — the within-batch component rule
+                                // wins (10 is its min-id rep) → dup_batch
+      (20L, fresh),             // novel → admitted
+      (21L, fresh),             // in-batch copy of 20 → dup_batch
+      (30L, "")).toDF("id", "text")  // empty shingle set matches nothing
+    val out = Dedup.nearDedupIncremental(batch, "id", "text", dir, minJaccard = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(10L -> "dup_corpus", 11L -> "dup_batch",
+      20L -> "admitted", 21L -> "dup_batch", 30L -> "admitted"))
+    // append today's admissions; tomorrow's identical batch is all dups
+    val admitted = batch.join(
+      Dedup.nearDedupIncremental(batch, "id", "text", dir, minJaccard = 0.5)
+        .filter($"verdict" === "admitted").select("id"), Seq("id"), "left_semi")
+      .filter($"id" === 20L)  // the empty doc can't be near-dup-matched; index the real one
+    Dedup.appendNearIndex(admitted, "id", "text", dir)
+    val day2 = Seq((40L, fresh)).toDF("id", "text")
+    val v2 = Dedup.nearDedupIncremental(day2, "id", "text", dir, minJaccard = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(v2 == Map(40L -> "dup_corpus"))
+  }
+
+  test("nearDedupIncremental rejects an index built with different LSH parameters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nearidx_drift_").toString
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    Dedup.buildNearIndex(corpus, "id", "text", dir, bands = 2, rowsPerBand = 8)
+    val batch = Seq((10L, "alpha beta gamma delta epsilon")).toDF("id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.nearDedupIncremental(batch, "id", "text", dir, minJaccard = 0.5)
+    }
+    assert(e.getMessage.contains("format"))
+  }
+
   test("embedding dup pairs find identical vectors across LSH tables") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),
