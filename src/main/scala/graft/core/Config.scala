@@ -379,6 +379,34 @@ object Config {
         val corpus = df.sparkSession.read.parquet(str(n, "target"))
         graft.ext.Dedup.incrementalExact(df, corpus,
           strSeq(n, "columns"), str(n, "key"))
+      // near-dup twin of dedupIncremental: build the corpus signature
+      // index once (pass-through like ivfBuild, so a sink can follow),
+      // then classify each day's batch against it by index alone
+      case "dedupNearIndexBuild" =>
+        graft.ext.Dedup.buildNearIndex(df, str(n, "key"), str(n, "column"),
+          str(n, "path"),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3),
+          bands = Option(n.get("bands")).map(_.asInt).getOrElse(4),
+          rowsPerBand = Option(n.get("rowsPerBand")).map(_.asInt).getOrElse(4))
+        df
+      case "dedupNearIncremental" =>
+        graft.ext.Dedup.nearDedupIncremental(df, str(n, "key"), str(n, "column"),
+          str(n, "path"),
+          minJaccard = Option(n.get("minJaccard")).map(_.asDouble).getOrElse(0.8),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3),
+          bands = Option(n.get("bands")).map(_.asInt).getOrElse(4),
+          rowsPerBand = Option(n.get("rowsPerBand")).map(_.asInt).getOrElse(4),
+          checkpointDir = strOpt(n, "checkpointDir"))
+      // ingest-time layout ops (sources/Layout): pass-through writers so
+      // the task can keep transforming/sinking the same relation
+      case "writePartitioned" =>
+        graft.sources.Layout.writePartitioned(df, str(n, "path"),
+          strSeq(n, "columns"): _*)
+        df
+      case "writeBucketed" =>
+        graft.sources.Layout.writeBucketed(df, str(n, "table"), str(n, "path"),
+          n.get("buckets").asInt, str(n, "bucketCol"))
+        df
       // ---- retrieval tier (ext/Ivf, ext/Pq, ext/Similarity): declare
       // index-build and batch-search steps in a task file, so the
       // encode-once/search-many deployment shape is config, not code.

@@ -253,6 +253,55 @@ object Streams {
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
     }
 
+  /** Streaming corpus ingest with NEAR-duplicate dedup — [[ingestDedup]]'s
+    * fuzzy sibling, built on the persisted signature index
+    * ([[graft.ext.Dedup.buildNearIndex]]): each micro-batch classifies
+    * against the index ([[graft.ext.Dedup.nearDedupIncremental]] — the
+    * corpus is never re-tokenized), appends only `admitted` rows to
+    * `corpusPath`, and appends their signatures to the index so the NEXT
+    * batch dedups against them too. The first batch bootstraps: in-batch
+    * near-dedup picks representatives, which seed both corpus and index.
+    *
+    * Replay safety: an admitted row's signatures enter the index in the
+    * same batch, so a replayed batch re-classifies its own rows as
+    * `dup_corpus` and appends nothing — content-level idempotency, same
+    * contract as [[ingestDedup]]. If a crash lands between the corpus
+    * append and the index append, the index is left UNSTAMPED
+    * ([[graft.ext.IndexFormat]] commit-marker ordering) and the next batch
+    * fails loudly instead of silently re-admitting near-dups.
+    */
+  def ingestNearDedup(stream: DataFrame, corpusPath: String, indexDir: String,
+                      idCol: String, textCol: String, checkpoint: String,
+                      minJaccard: Double = 0.8, shingleN: Int = 3,
+                      bands: Int = 4, rowsPerBand: Int = 4,
+                      trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
+      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(metaPath)) {
+        val kept = graft.ext.Dedup.nearDedup(batch, idCol, textCol,
+            minJaccard, shingleN, bands, rowsPerBand)
+          .localCheckpoint(true)
+        kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+        graft.ext.Dedup.buildNearIndex(kept, idCol, textCol, indexDir,
+          shingleN, bands, rowsPerBand)
+      } else {
+        val admitted = batch.join(
+            graft.ext.Dedup.nearDedupIncremental(batch, idCol, textCol, indexDir,
+                minJaccard, shingleN, bands, rowsPerBand)
+              .filter(col("verdict") === "admitted")
+              .select(col("id").as(idCol)),
+            Seq(idCol), "left_semi")
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          admitted.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+          graft.ext.Dedup.appendNearIndex(admitted, idCol, textCol, indexDir,
+            shingleN, bands, rowsPerBand)
+        }
+      }
+    }
+
   /** Stream → JDBC upsert: each micro-batch goes through the batched,
     * retrying [[graft.sources.JdbcSink.upsert]] writer. Idempotent template
     * (MERGE / ON DUPLICATE KEY) + checkpointed offsets = exactly-once.

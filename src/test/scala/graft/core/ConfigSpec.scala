@@ -472,6 +472,48 @@ class ConfigSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("dedupNearIndexBuild + dedupNearIncremental classify a batch from config") {
+    val dir = Files.createTempDirectory("graft_cfg_nearinc_").toString
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((1L, text), (2L, "entirely different corpus content with no overlap at all"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    Seq((10L, text), (20L, "zz1 zz2 zz3 zz4 zz5 novel"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch")
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/corpus}
+         |transforms:
+         |  - {op: dedupNearIndexBuild, key: doc_id, column: text, path: $dir/idx}
+         |""".stripMargin).count()
+    val out = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/batch}
+         |transforms:
+         |  - {op: dedupNearIncremental, key: doc_id, column: text, path: $dir/idx, minJaccard: 0.5}
+         |""".stripMargin)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(10L -> "dup_corpus", 20L -> "admitted"))
+  }
+
+  test("layout ops from config: writePartitioned prunes, writeBucketed joins shuffle-free") {
+    val dir = Files.createTempDirectory("graft_cfg_layout_").toString
+    (0L until 40L).map(i => (i, i % 4, s"v$i")).toDF("id", "day", "v")
+      .write.parquet(s"$dir/in")
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms:
+         |  - {op: writePartitioned, path: $dir/by_day, columns: [day]}
+         |""".stripMargin).count()
+    val pruned = spark.read.parquet(s"$dir/by_day").filter($"day" === 1)
+    assert(pruned.count() == 10)
+    assert(pruned.queryExecution.executedPlan.collectLeaves().head.toString
+      .contains("PartitionFilters"))
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms:
+         |  - {op: writeBucketed, table: g_cfg_bkt, path: $dir/bkt, buckets: 4, bucketCol: id}
+         |""".stripMargin).count()
+    assert(spark.table("g_cfg_bkt").count() == 40)
+  }
+
   test("retrieval tier from config: IVF build task + batch-search task find the planted copy") {
     val dir = Files.createTempDirectory("graft_cfg_ivf_").toString
     // 60 well-separated 8-dim vectors + an exact copy of each (+1000 ids)

@@ -194,6 +194,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestNearDedup admits one representative per near-dup group across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_near_").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestNearDedup(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/idx", idCol = "doc_id", textCol = "text",
+      checkpoint = s"$dir/ckpt", minJaccard = 0.5,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps: in-batch near-pair (1 ≈ 2) → min id 1 kept
+      mem.addData((1L, a), (2L, a + " lambda"),
+        (3L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      // batch 2: near-dup of an INDEXED doc (no corpus re-tokenize) + novel
+      mem.addData((4L, a + " mu"), (5L, "qq1 qq2 qq3 qq4 qq5 qq6"))
+      q.processAllAvailable()
+      // batch 3: replay of admitted content → classifies dup_corpus, no-op
+      mem.addData((6L, a), (7L, "qq1 qq2 qq3 qq4 qq5 qq6"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L, 5L))
+      // index grew with the admissions: day-2 novel doc is indexed too
+      val v = graft.ext.Dedup.nearDedupIncremental(
+          Seq((90L, "qq1 qq2 qq3 qq4 qq5 qq6")).toDF("doc_id", "text"),
+          "doc_id", "text", s"$dir/idx", minJaccard = 0.5)
+        .as[(Long, String)].collect().toMap
+      assert(v == Map(90L -> "dup_corpus"))
+    } finally q.stop()
+  }
+
   test("ingestDedup stays compatible with a pre-hash-format corpus") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_leg_").toString
