@@ -21,5 +21,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = table("lineitem")
   def events: DataFrame     = table("events")
   def documents: DataFrame  = table("documents")
-  def embeddings: DataFrame = table("embeddings")
+
+  /** `embedding` normalized to `array<float>` whatever the fixture wrote
+    * (float32 today; a float64 regeneration would otherwise break the
+    * whole ANN/vector tier the way the `events.ts` nanos→µs drift broke
+    * the event queries in round 10). The cast is a no-op node when the
+    * type already matches — Catalyst's SimplifyCasts removes it — so the
+    * insurance costs nothing on the current fixtures.
+    */
+  def embeddings: DataFrame = {
+    import org.apache.spark.sql.functions.col
+    table("embeddings")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
 }

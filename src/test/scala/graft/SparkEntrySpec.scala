@@ -66,6 +66,19 @@ class SparkEntrySpec extends SparkSpec {
       s"ts-derivation disagrees across fixture types:\n${a.toSeq}\nvs\n${b.toSeq}")
   }
 
+  test("embeddings type drift: a float64 fixture still drives the ANN tier") {
+    // same insurance class as the events.ts dispatch: the vector tier
+    // assumes array<float>; Tables.embeddings normalizes a float64
+    // regeneration back to float32 instead of every query breaking
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_embdrift_").toString
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("ann_cosine_topk")(spark, tmp)
+    assert(out.count() > 0)
+  }
+
   test("the flagship entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
