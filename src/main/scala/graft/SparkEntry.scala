@@ -680,13 +680,13 @@ object SparkEntry {
     // pairs → duplicate clusters: min-label connected components over the
     // (oracle-equal) rescored MinHash pair graph; DuckDB verifies via a
     // recursive-CTE transitive closure of the same all-pairs graph
+    // single shared shingle scan for candidates + rescore (composing the
+    // two public stages would tokenize the corpus twice — Dedup
+    // .nearDupComponents holds the one-scan plan)
     "dedup_components" -> ((s, dir) => {
       val d = Tables(s, dir).documents.select("doc_id", "text")
       val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
-      val cands = Dedup.minhashCandidatePairs(withCopies, "doc_id", "text")
-      val pairs = Dedup.rescoreJaccard(withCopies, cands, "doc_id", "text",
-        shingleN = 3, minJaccard = 0.5)
-      Dedup.connectedComponents(pairs)
+      Dedup.nearDupComponents(withCopies, "doc_id", "text", minJaccard = 0.5)
     }),
 
     // the composite nearDedup pipeline END-TO-END (LSH candidates → exact

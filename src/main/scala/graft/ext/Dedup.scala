@@ -590,6 +590,32 @@ object Dedup {
     * pipeline paid two-to-three redundant full-corpus shingle scans — a
     * constant factor that is real money at 100 TB.
     */
+  /** Candidates → exact-Jaccard rescore → connected components over ONE
+    * shared shingle scan — the composition [[nearDedup]] runs before
+    * choosing representatives, exposed for callers that want the cluster
+    * labels themselves. Composing the public `minhashCandidatePairs` +
+    * `rescoreJaccard` instead tokenizes+shingles the corpus twice (each
+    * computes its own [[shingledFrame]]) — a full redundant corpus scan
+    * at 100 TB. Returns (id, comp), non-singletons only (same contract as
+    * [[connectedComponents]]).
+    */
+  def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double = 0.8, shingleN: Int = 3,
+                        bands: Int = 4, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 1000,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val shingled = shingledFrame(docs, idCol, textCol, shingleN).persist()
+    try {
+      val confirmed = rescoreJaccardShingled(shingled,
+        minhashCandidatePairsShingled(shingled, bands, rowsPerBand, maxBucketSize),
+        minJaccard).localCheckpoint(true)
+      connectedComponents(confirmed, checkpointDir = checkpointDir)
+    } finally {
+      shingled.unpersist(blocking = false)
+      ()
+    }
+  }
+
   def nearDedup(docs: DataFrame, idCol: String, textCol: String,
                 minJaccard: Double = 0.8, shingleN: Int = 3,
                 bands: Int = 4, rowsPerBand: Int = 4,

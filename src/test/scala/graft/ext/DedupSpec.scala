@@ -213,6 +213,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 10L, 20L))
   }
 
+  test("nearDupComponents matches the composed candidates→rescore→components pipeline") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, a), (11L, a), (12L, a + " lambda"),
+      (20L, "one two three four five six seven eight nine ten"),
+      (30L, "")).toDF("id", "text")
+    val shared = Dedup.nearDupComponents(docs, "id", "text", minJaccard = 0.5)
+      .as[(Long, Long)].collect().toMap
+    val composed = Dedup.connectedComponents(
+        Dedup.rescoreJaccard(docs,
+          Dedup.minhashCandidatePairs(docs, "id", "text"),
+          "id", "text", shingleN = 3, minJaccard = 0.5))
+      .as[(Long, Long)].collect().toMap
+    assert(shared == composed && shared == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
   test("nearDedupIncremental classifies dup_corpus / dup_batch / admitted against a persisted index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nearidx_").toString
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
