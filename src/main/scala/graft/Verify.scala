@@ -49,11 +49,16 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: $msg")
         failures(name) = msg
         // still emit an artifact so the driver's compare fails LOUDLY for
-        // this name instead of dropping it from the round's query set
+        // this name instead of dropping it from the round's query set.
+        // Oracled queries get a 1-row error marker (schema+hash mismatch);
+        // rows-only queries get an EMPTY frame — a 1-row marker would PASS
+        // their rows>0 check and hide the failure
         try {
           import spark.implicits._
-          Seq(msg).toDF("__graft_error").coalesce(1)
-            .write.mode("overwrite").parquet(s"$outDir/$name")
+          val marker =
+            if (SparkEntry.oracleSql.contains(name)) Seq(msg).toDF("__graft_error")
+            else Seq.empty[String].toDF("__graft_error")
+          marker.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
       }
     }
