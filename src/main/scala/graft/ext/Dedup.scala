@@ -738,6 +738,20 @@ object Dedup {
     val spark = docs.sparkSession
     IndexFormat.check(spark, dir, nearIndexFormat(shingleN, bands, rowsPerBand))
     IndexFormat.invalidate(spark, dir)
+    appendNearIndexData(docs, idCol, textCol, dir, shingleN, bands, rowsPerBand)
+  }
+
+  /** The append-and-restamp half of [[appendNearIndex]]: writes the postings
+    * and shingle rows, then stamps. Callers MUST have validated and removed
+    * the stamp first — this exists so [[appendCorpusAndNearIndex]] can pull
+    * the invalidate earlier and stretch the commit marker over the corpus
+    * append too.
+    */
+  private[graft] def appendNearIndexData(docs: DataFrame, idCol: String,
+                                         textCol: String, dir: String,
+                                         shingleN: Int, bands: Int,
+                                         rowsPerBand: Int): Unit = {
+    val spark = docs.sparkSession
     val shingled = shingledFrame(docs, idCol, textCol, shingleN).persist()
     try {
       bandedSignatures(shingled, bands, rowsPerBand)
@@ -750,6 +764,84 @@ object Dedup {
       shingled.unpersist(blocking = false)
       ()
     }
+  }
+
+  /** Append admitted `docs` to BOTH the corpus parquet and the signature
+    * index under ONE commit marker: check → invalidate → corpus append →
+    * index append → stamp. The ingest loop's correctness depends on this
+    * ordering: if the corpus append landed while the index was still
+    * stamped, a crash before the index append would leave a valid-looking
+    * index that lacks the batch's signatures, and the replayed batch would
+    * re-classify its own rows as `admitted` and append them to the corpus a
+    * second time — silent duplication. With the stamp off first, a crash
+    * anywhere in the window leaves an unstamped index that every reader
+    * rejects loudly ([[IndexFormat.check]]) until the operator repairs it.
+    */
+  def appendCorpusAndNearIndex(docs: DataFrame, corpusPath: String,
+                               idCol: String, textCol: String, dir: String,
+                               shingleN: Int = 3, bands: Int = 4,
+                               rowsPerBand: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    IndexFormat.check(spark, dir, nearIndexFormat(shingleN, bands, rowsPerBand))
+    IndexFormat.invalidate(spark, dir)
+    docs.write.mode(SaveMode.Append).parquet(corpusPath)
+    appendNearIndexData(docs, idCol, textCol, dir, shingleN, bands, rowsPerBand)
+  }
+
+  /** Whether `dir` holds ANY near-index state (data dirs, stamp, or
+    * leftover maintenance temp dirs). Branch dispatch for ingest must key
+    * off this, not the `_meta` stamp: the stamp is legitimately absent
+    * mid-append (commit-marker window), and treating that state as "no
+    * index" would route a replay into the bootstrap branch, where
+    * [[buildNearIndex]] OVERWRITES the whole index with just that batch —
+    * silent index destruction. The check is deliberately any-content, not
+    * `buckets/`-specific: a crash inside [[compactNearIndex]]'s swap can
+    * leave a moment with no `buckets/` dir but renamed remnants, and that
+    * state too must reach [[IndexFormat.check]]'s loud failure, never a
+    * fresh bootstrap.
+    */
+  def nearIndexDataExists(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** Compact a [[buildNearIndex]] layout after many [[appendNearIndex]]
+    * batches: every daily append adds a few parquet files to `buckets/` and
+    * `shingles/`, and after a year of ingest the classify path's scan is
+    * listing-bound (thousands of KB-sized files), not data-bound. Rewrites
+    * both dirs into ceil(rows/targetRowsPerFile) evenly-sized files with
+    * identical contents — classify results are unchanged by construction
+    * (same rows, different file boundaries; see the spec).
+    *
+    * Crash safety: the expensive rewrites land in hidden `.compact_*` temp
+    * dirs while the index stays stamped and readable; only the swap itself
+    * runs inside the commit-marker window (invalidate → rename old out,
+    * new in, delete old → stamp). A crash mid-swap leaves an unstamped dir
+    * with remnants that [[nearIndexDataExists]] still reports as present,
+    * so ingest fails loudly instead of bootstrapping over the corpus.
+    */
+  def compactNearIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                       targetRowsPerFile: Long = 4000000L): Unit = {
+    IndexFormat.check(spark, dir, nearIndexFormat(shingleN, bands, rowsPerBand))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    Seq("buckets", "shingles").foreach { d =>
+      fs.delete(p(s".compact_$d"), true)
+      graft.sources.FileSink.compactTo(spark, s"$dir/$d", s"$dir/.compact_$d",
+        targetRowsPerFile)
+    }
+    IndexFormat.invalidate(spark, dir)
+    Seq("buckets", "shingles").foreach { d =>
+      fs.delete(p(s".old_$d"), true)
+      require(fs.rename(p(d), p(s".old_$d")), s"rename $d -> .old_$d failed")
+      require(fs.rename(p(s".compact_$d"), p(d)), s"rename .compact_$d -> $d failed")
+      fs.delete(p(s".old_$d"), true)
+    }
+    IndexFormat.stamp(spark, dir, nearIndexFormat(shingleN, bands, rowsPerBand))
   }
 
   /** Two-sided exact-Jaccard rescore: `shA`/`shB` are (id, sh) shingle-hash
@@ -794,7 +886,9 @@ object Dedup {
     * corpus-side shuffle, and the rescore reads only the candidate ids'
     * stored shingle rows. Batch-internal pairs reuse the full
     * [[minhashCandidatePairsShingled]] machinery (df caps and all) over
-    * the persisted-once batch shingle frame.
+    * the persisted-once batch shingle frame, and `maxBucketSize` caps the
+    * CORPUS postings side of the cross join too — a degenerate stored
+    * bucket is dropped whole rather than fanned out against the batch.
     */
   def nearDedupIncremental(batch: DataFrame, idCol: String, textCol: String,
                            indexDir: String, minJaccard: Double = 0.8,
@@ -816,10 +910,20 @@ object Dedup {
             Seq("id"), "left")
           .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
       // batch vs corpus: broadcast the batch's band postings over the
-      // stored corpus postings, then exact-rescore the candidate pairs
+      // stored corpus postings, then exact-rescore the candidate pairs.
+      // The corpus side gets the SAME (band,bucket) df-cap as the
+      // within-batch pairs: one degenerate stored bucket (boilerplate docs
+      // sharing a signature) would otherwise fan out against every batch
+      // posting in it — the cap drops such buckets whole, the documented
+      // price of boundedness. Semi-join first so the cap's count aggregate
+      // touches only buckets the batch actually probes, keeping the
+      // corpus-side work proportional to the batch, not the corpus.
       val batchBanded = bandedSignatures(shingled, bands, rowsPerBand)
         .select(col("band"), col("bucket"), col("id").as("id_a"))
-      val crossCand = spark.read.parquet(s"$indexDir/buckets")
+      val probed = spark.read.parquet(s"$indexDir/buckets")
+        .join(broadcast(batchBanded.select("band", "bucket").distinct()),
+          Seq("band", "bucket"), "left_semi")
+      val crossCand = dropHotKeys(probed, Seq("band", "bucket"), maxBucketSize)
         .withColumnRenamed("id", "id_b")
         .join(broadcast(batchBanded), Seq("band", "bucket"))
         .select("id_a", "id_b")

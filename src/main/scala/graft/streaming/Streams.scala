@@ -265,10 +265,22 @@ object Streams {
     * Replay safety: an admitted row's signatures enter the index in the
     * same batch, so a replayed batch re-classifies its own rows as
     * `dup_corpus` and appends nothing — content-level idempotency, same
-    * contract as [[ingestDedup]]. If a crash lands between the corpus
-    * append and the index append, the index is left UNSTAMPED
-    * ([[graft.ext.IndexFormat]] commit-marker ordering) and the next batch
-    * fails loudly instead of silently re-admitting near-dups.
+    * contract as [[ingestDedup]]. Crash windows are covered end to end:
+    *   - Branch dispatch keys off index DATA presence
+    *     ([[graft.ext.Dedup.nearIndexDataExists]]), never the `_meta`
+    *     stamp — the stamp is legitimately off mid-append, and dispatching
+    *     on it would send a replay into the bootstrap branch, whose
+    *     `buildNearIndex` would overwrite the whole index with one batch.
+    *   - The bootstrap batch is by definition the entire corpus, so it
+    *     writes `corpusPath` with Overwrite: a crash between the corpus
+    *     write and the index build replays into an identical rewrite, not
+    *     a double-append. (Corollary: `corpusPath` belongs to this ingest —
+    *     a pre-existing foreign corpus there would be replaced.)
+    *   - Incremental appends go through
+    *     [[graft.ext.Dedup.appendCorpusAndNearIndex]], whose commit marker
+    *     covers corpus + index together: any crash in the window leaves an
+    *     unstamped index and the next batch fails loudly instead of
+    *     silently re-admitting near-dups.
     */
   def ingestNearDedup(stream: DataFrame, corpusPath: String, indexDir: String,
                       idCol: String, textCol: String, checkpoint: String,
@@ -277,13 +289,11 @@ object Streams {
                       trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
       val spark = batch.sparkSession
-      val metaPath = new org.apache.hadoop.fs.Path(s"$indexDir/_meta")
-      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(metaPath)) {
+      if (!graft.ext.Dedup.nearIndexDataExists(spark, indexDir)) {
         val kept = graft.ext.Dedup.nearDedup(batch, idCol, textCol,
             minJaccard, shingleN, bands, rowsPerBand)
           .localCheckpoint(true)
-        kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+        kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpusPath)
         graft.ext.Dedup.buildNearIndex(kept, idCol, textCol, indexDir,
           shingleN, bands, rowsPerBand)
       } else {
@@ -294,11 +304,9 @@ object Streams {
               .select(col("id").as(idCol)),
             Seq(idCol), "left_semi")
           .localCheckpoint(true)
-        if (!admitted.isEmpty) {
-          admitted.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
-          graft.ext.Dedup.appendNearIndex(admitted, idCol, textCol, indexDir,
-            shingleN, bands, rowsPerBand)
-        }
+        if (!admitted.isEmpty)
+          graft.ext.Dedup.appendCorpusAndNearIndex(admitted, corpusPath,
+            idCol, textCol, indexDir, shingleN, bands, rowsPerBand)
       }
     }
 

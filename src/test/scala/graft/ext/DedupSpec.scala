@@ -261,6 +261,69 @@ class DedupSpec extends SparkSpec {
     assert(v2 == Map(40L -> "dup_corpus"))
   }
 
+  test("compactNearIndex shrinks files and leaves classify results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nearidx_cmp_").toString
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    def doc(i: Long) = (0 until 8).map(j => words(((i + j) % 10).toInt) + (i % 7)).mkString(" ")
+    Dedup.buildNearIndex((1L to 40L).map(i => (i, doc(i))).toDF("id", "text"),
+      "id", "text", dir)
+    // simulate many daily appends → many small files
+    (1 to 8).foreach { day =>
+      Dedup.appendNearIndex(
+        (1L to 5L).map(i => (1000L * day + i, doc(100L * day + i))).toDF("id", "text"),
+        "id", "text", dir)
+    }
+    val batch = ((1L to 40L) ++ (5001L to 5005L)).map(i => (100000L + i, doc(i)))
+      .toDF("id", "text")
+    val before = Dedup.nearDedupIncremental(batch, "id", "text", dir, minJaccard = 0.5)
+      .as[(Long, String)].collect().toMap
+    def files(sub: String) =
+      new java.io.File(s"$dir/$sub").listFiles().count(_.getName.endsWith(".parquet"))
+    val nBefore = files("buckets")
+    assert(nBefore >= 9)  // initial build + 8 appends
+    Dedup.compactNearIndex(spark, dir)
+    assert(files("buckets") < nBefore && files("shingles") < nBefore)
+    // no temp/old remnants survive a clean compaction
+    assert(!new java.io.File(s"$dir/.compact_buckets").exists())
+    assert(!new java.io.File(s"$dir/.old_buckets").exists())
+    val after = Dedup.nearDedupIncremental(batch, "id", "text", dir, minJaccard = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(after == before)
+    // and the classified verdicts are non-trivial: corpus dups detected
+    assert(before.values.toSet.contains("dup_corpus"))
+    // a crash mid-swap (no buckets/, remnants present, stamp off) must
+    // still read as "index state present" so ingest never bootstraps over it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ext.IndexFormat.invalidate(spark, dir)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/buckets"),
+      new org.apache.hadoop.fs.Path(s"$dir/.old_buckets"))
+    assert(Dedup.nearIndexDataExists(spark, dir))
+    intercept[IllegalStateException] {
+      Dedup.nearDedupIncremental(batch, "id", "text", dir, minJaccard = 0.5)
+    }
+  }
+
+  test("nearDedupIncremental caps degenerate corpus buckets like the batch side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nearidx_hot_").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 10 identical corpus docs share every (band,bucket) → a degenerate
+    // stored bucket of 10 postings
+    val corpus = (1L to 10L).map(i => (i, a)).toDF("id", "text")
+    Dedup.buildNearIndex(corpus, "id", "text", dir)
+    val batch = Seq((99L, a)).toDF("id", "text")
+    // default cap (1000): the bucket survives → dup_corpus
+    val uncapped = Dedup.nearDedupIncremental(batch, "id", "text", dir,
+      minJaccard = 0.5).as[(Long, String)].collect().toMap
+    assert(uncapped == Map(99L -> "dup_corpus"))
+    // cap below the bucket size: the CORPUS side is dropped whole, no
+    // cross-candidates survive — boundedness wins over recall, the same
+    // convention as the within-batch df-cap
+    val capped = Dedup.nearDedupIncremental(batch, "id", "text", dir,
+      minJaccard = 0.5, maxBucketSize = 5).as[(Long, String)].collect().toMap
+    assert(capped == Map(99L -> "admitted"))
+  }
+
   test("nearDedupIncremental rejects an index built with different LSH parameters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nearidx_drift_").toString
     val corpus = Seq((1L, "alpha beta gamma delta epsilon")).toDF("id", "text")

@@ -226,6 +226,91 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestNearDedup bootstrap crash-replay does not duplicate the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_boot_").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // Simulate a bootstrap that crashed AFTER the corpus write but BEFORE
+    // buildNearIndex started: corpus rows on disk, no index dir at all.
+    val kept = graft.ext.Dedup.nearDedup(
+      Seq((1L, a), (2L, a + " lambda"), (3L, "one two three four five six"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", minJaccard = 0.5)
+    kept.write.parquet(s"$dir/corpus")
+    // The checkpoint never committed, so the SAME micro-batch replays.
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestNearDedup(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/idx", idCol = "doc_id", textCol = "text",
+      checkpoint = s"$dir/ckpt", minJaccard = 0.5,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, a), (2L, a + " lambda"),
+        (3L, "one two three four five six"))
+      q.processAllAvailable()
+      // bootstrap Overwrite: the replay REWRITES the corpus instead of
+      // appending the same representatives a second time
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("ingestNearDedup fails loudly when index data exists without a stamp") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_nostamp_").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    graft.ext.Dedup.buildNearIndex(
+      Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text", s"$dir/idx",
+      bands = 4, rowsPerBand = 4)
+    Seq((1L, a)).toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    // Simulate a crash inside an index append: data present, stamp gone.
+    graft.ext.IndexFormat.invalidate(spark, s"$dir/idx")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestNearDedup(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/idx", idCol = "doc_id", textCol = "text",
+      checkpoint = s"$dir/ckpt", minJaccard = 0.5,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((9L, "qq1 qq2 qq3 qq4 qq5"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // must reach IndexFormat.check (incremental branch), NOT the
+      // bootstrap branch — bootstrapping here would overwrite the index
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+      assert(messages(e).exists(_.contains("_meta format stamp")))
+      // and the crashed state is untouched: corpus still has exactly row 1
+      assert(spark.read.parquet(s"$dir/corpus").count() == 1L)
+    } finally q.stop()
+  }
+
+  test("appendCorpusAndNearIndex keeps corpus+index under one commit marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_append_both_").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    graft.ext.Dedup.buildNearIndex(
+      Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text", s"$dir/idx")
+    Seq((1L, a)).toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    // A batch whose text column has a non-string struct type fails the
+    // shingle step AFTER the corpus append — exactly the crash window the
+    // single commit marker must cover.
+    val bad = Seq((7L, 42)).toDF("doc_id", "n")
+      .select(col("doc_id"), struct(col("n")).as("text"))
+    intercept[Exception] {
+      graft.ext.Dedup.appendCorpusAndNearIndex(bad, s"$dir/corpus2",
+        "doc_id", "text", s"$dir/idx")
+    }
+    // the failure landed inside the marker window → stamp must be OFF and
+    // every reader must reject the index until it is repaired
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/idx/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(metaPath))
+    intercept[IllegalStateException] {
+      graft.ext.Dedup.nearDedupIncremental(
+        Seq((8L, a)).toDF("doc_id", "text"), "doc_id", "text", s"$dir/idx")
+    }
+  }
+
   test("ingestDedup stays compatible with a pre-hash-format corpus") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_leg_").toString
