@@ -169,6 +169,15 @@ object Bench {
       // pay accumulated GC debt outside the next query's timing window —
       // without this one random query per run absorbs a multi-second pause
       System.gc()
+      // untimed fixture priming (e.g. the pre-built index a classify-only
+      // key measures against): a primer failure surfaces through the timed
+      // query itself failing, so it is logged but not fatal here
+      SparkEntry.benchPrimers.get(name).foreach { p =>
+        try p(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name primer failed: ${e.getMessage}")
+        }
+      }
       val sh0 = settledShuffleBytes()
       val t0 = System.nanoTime()
       val okQ =
@@ -219,7 +228,9 @@ object Bench {
     // n_queries = ATTEMPTED (stable denominator across artifacts even when
     // failures differ — round-10 lesson); n_ok/n_failed break it down.
     // mean_per_query stays mean over the ok set (a -1 would poison it).
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+    // schema=2 marks the attempted-count semantics: artifacts without the
+    // field predate the change and their n_queries means ok-count.
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","schema":2,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,""" +
       s""""mean_per_query":${r3(mean)},"env":$env,"stream":$stream,""" +
       s""""queries":$fullQs,"queries_shuffle_mb":$fullSh}"""
@@ -229,7 +240,7 @@ object Bench {
     // window; everything is in `queries_file`
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => jsonStr(k) + ":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","schema":2,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,""" +
       s""""mean_per_query":${r3(mean)},"env":$env,"stream":$stream,""" +
       s""""queries":$slowest,"queries_truncated":true,""" +

@@ -42,6 +42,29 @@ object SparkEntry {
     s"/tmp/graft_q/$tag/$name"
   }
 
+  /** Build-once-per-JVM near-dedup signature index over `documents` —
+    * the persisted-corpus fixture `dedup_near_classify` classifies against.
+    * Memoized so repeated calls (primer + query, or Verify + smoke specs)
+    * pay the build exactly once per scale factor.
+    */
+  private val nearIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedNearIndexDir(s: SparkSession, sfDir: String): String =
+    nearIndexMemo.computeIfAbsent(sfDir, _ => {
+      val idx = tmpDir(sfDir, "near_index_cached")
+      val d = Tables(s, sfDir).documents.select("doc_id", "text")
+      Dedup.buildNearIndex(d, "doc_id", "text", idx)
+      idx
+    })
+
+  /** Untimed setup per bench key: Bench runs these BEFORE starting the
+    * query's clock, so a key that exists to time the INCREMENTAL cost of an
+    * operation (classify against an existing index) isn't billed for the
+    * pay-once build its fixture needs. Verify ignores this map — the query
+    * closures are self-sufficient (they prime lazily on first call).
+    */
+  def benchPrimers: Map[String, (SparkSession, String) => Unit] = Map(
+    "dedup_near_classify" -> ((s, dir) => { cachedNearIndexDir(s, dir); () }))
+
   private def withNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -723,6 +746,27 @@ object SparkEntry {
       Dedup.nearDedupIncremental(batch, "doc_id", "text", idx, minJaccard = 0.5)
     }),
 
+    // classify-only sibling of dedup_near_incremental: the SAME batch
+    // classified against a memoized PRE-BUILT index ([[cachedNearIndexDir]]
+    // — Bench primes it outside the timing window via benchPrimers), so the
+    // bench line measures the per-batch classify alone — the operator's
+    // actual daily cost — while dedup_near_incremental keeps timing the
+    // pay-once build + classify together. Same output, same oracle.
+    "dedup_near_classify" -> ((s, dir) => {
+      val idx = cachedNearIndexDir(s, dir)
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val cid = col("doc_id").cast("string")
+      val fresh = concat(lit("qz"), cid, lit("a qz"), cid, lit("b qz"), cid,
+        lit("c qz"), cid, lit("d qz"), cid, lit("e"))
+      val batch = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .unionByName(d.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), fresh.as("text")))
+        .unionByName(d.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"), fresh.as("text")))
+      Dedup.nearDedupIncremental(batch, "doc_id", "text", idx, minJaccard = 0.5)
+    }),
+
     // sign-LSH candidates + exact-cosine filter; scores rounded so the
     // all-pairs DuckDB cosine oracle hash-matches (identical vectors always
     // collide in every table → recall is total at this threshold)
@@ -788,6 +832,10 @@ object SparkEntry {
         queryVec = Seq.fill(64)(0.1), k = 10, nProbe = 2)
     }),
 
+    // batch k-NN via bucket join + per-query window rank. FULL hash oracle
+    // since r12: knnBucketOracleSql replicates bucketing + join + windowed
+    // rescore with the planes inlined — parameters here must stay in sync
+    // with that oracle entry.
     "ann_knn_bucket" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       Similarity.bucketJoinKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -887,27 +935,25 @@ object SparkEntry {
     // PQ planted-duplicate gate: a copy encodes to the query's own code, so
     // its ADC distance is the sum of per-subspace minima — the global
     // minimum — and MUST appear in the top-k (k=4 absorbs the query's own
-    // corpus row and incidental code collisions)
+    // corpus row and incidental code collisions). One adcTopKMany plan for
+    // all 5 queries — the same batch shape as every other ANN gate (the
+    // old form built 5 per-query plans in a driver loop and unioned them).
     "ann_pq_recall" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
       val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
       val cb = graft.ext.Pq.train(withCopies, "embedding", dim = 64, m = 8)
       val codes = graft.ext.Pq.encode(withCopies, "vec_id", "embedding", cb)
-      val queries = e.filter(col("vec_id").between(1L, 5L))
-        .select("vec_id", "embedding").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
-      queries.map { case (qid, qv) =>
-        graft.ext.Pq.adcTopK(codes, cb, "vec_id", qv, k = 4)
-          .filter(col("vec_id") === qid + 1000000L)
-          .select(lit(qid).as("query_id"), col("vec_id").as("hit_id"))
-      }.reduce(_ unionByName _)
+      graft.ext.Pq.adcTopKMany(codes, cb, "vec_id",
+        e.filter(col("vec_id").between(1L, 5L)), "vec_id", "embedding", k = 4)
+        .filter(col("corpus_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("corpus_id").as("hit_id"))
     }),
 
     // persisted-index PQ, batch form: the corpus is encoded ONCE, the full
     // index (codes + codebooks) round-trips through parquet, and the
     // planted-duplicate batch search runs from the REREAD index — the
     // encode-once/search-many shape a 100 TB deployment actually uses
-    // (per-query adcTopK from fresh codes is ann_pq/ann_pq_recall)
+    // (per-query adcTopK from fresh codes is ann_pq)
     "ann_pq_persisted_recall" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
       val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
@@ -1546,9 +1592,23 @@ object SparkEntry {
     */
   def rowsOnlyGates: Map[String, String] = Map(
     "ann_ivf"             -> "ann_ivf_recall",
-    "ann_knn_bucket"      -> "ann_knn_recall",
     "ann_pq"              -> "ann_pq_recall",
     "xf_idkey_snowflake"  -> "xf_idkey_snowflake_gate")
+
+  /** The per-bit sign-LSH bucket assembly as DuckDB SQL over a column `v`
+    * (list of DOUBLE): each hyperplane is inlined as a literal list and
+    * contributes its bit iff the projection is positive — the exact
+    * semantics of [[graft.functions.SignLshBucketExpr]]. Shared by every
+    * oracle that models a sign-LSH index instead of assuming recall.
+    */
+  private def lshBitTermsSql(lshBits: Int, dim: Int, seed: Int): String = {
+    val planes = graft.functions.SignLshBucketExpr.planesFor(lshBits, dim, seed)
+    planes.zipWithIndex.map { case (p, b) =>
+      val lst = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> v[i] * ($lst)[i])) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n   + ")
+  }
 
   /** Full-pipeline oracle for `ann_lsh_topk`: the sign-LSH hyperplanes are
     * deterministic plan-time constants ([[graft.functions.SignLshBucketExpr
@@ -1570,12 +1630,7 @@ object SparkEntry {
     */
   private def lshTopkOracleSql(lshBits: Int, dim: Int, seed: Int,
                                probes: Int, queryId: Long, k: Int): String = {
-    val planes = graft.functions.SignLshBucketExpr.planesFor(lshBits, dim, seed)
-    val bitTerms = planes.zipWithIndex.map { case (p, b) =>
-      val lst = p.map(_.toString).mkString("[", ",", "]")
-      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
-        s"i -> v[i] * ($lst)[i])) > 0 THEN ${1L << b} ELSE 0 END)"
-    }.mkString("\n   + ")
+    val bitTerms = lshBitTermsSql(lshBits, dim, seed)
     val probeList = (Seq("q.qb") ++
       (0 until math.max(probes - 1, 0)).map(b => s"xor(q.qb, ${1L << b})"))
       .mkString(", ")
@@ -1590,6 +1645,87 @@ object SparkEntry {
        |       * list_sum(list_transform(range(1, ${dim + 1}), i -> qv[i] * qv[i]))), 4) AS score
        |FROM cand ORDER BY score DESC, vec_id LIMIT $k""".stripMargin
   }
+
+  /** Full-pipeline oracle for `ann_knn_bucket` — the same model-the-index
+    * promotion `ann_lsh_topk` got in r10, for the BATCH k-NN path: DuckDB
+    * recomputes every vector's sign-LSH bucket (planes inlined via
+    * [[lshBitTermsSql]]), self-joins corpus×queries on the bucket, rescores
+    * with exact cosine rounded to 4, and keeps each query's top `k` by
+    * (score desc, corpus_id asc) — replicating [[graft.ext.Similarity
+    * .bucketJoinKnn]]'s window rank exactly, with no recall assumption.
+    * Rounding comes BEFORE ranking on both sides, so rounded ties break on
+    * corpus_id identically in both engines.
+    */
+  private def knnBucketOracleSql(lshBits: Int, dim: Int, seed: Int,
+                                 maxQueryId: Long, k: Int): String = {
+    val bitTerms = lshBitTermsSql(lshBits, dim, seed)
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |   $bitTerms AS bkt FROM e),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |  round(list_sum(list_transform(range(1, ${dim + 1}), i -> c.v[i] * q.v[i]))
+       |    / sqrt(list_sum(list_transform(range(1, ${dim + 1}), i -> c.v[i] * c.v[i]))
+       |         * list_sum(list_transform(range(1, ${dim + 1}), i -> q.v[i] * q.v[i]))), 4) AS score
+       |  FROM b c JOIN b q ON c.bkt = q.bkt
+       |  WHERE q.vec_id < $maxQueryId AND c.vec_id <> q.vec_id)
+       |SELECT query_id, corpus_id, score FROM (
+       |  SELECT query_id, corpus_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rk
+       |  FROM scored) WHERE rk <= $k""".stripMargin
+  }
+
+  /** Shared oracle for `dedup_near_incremental` AND `dedup_near_classify`
+    * (identical pipeline output; the keys differ only in what their bench
+    * timing covers — build+classify vs classify against a primed index).
+    */
+  private val nearIncrementalOracleSql: String =
+    """WITH RECURSIVE corpus AS (SELECT doc_id AS id, text FROM documents),
+      |  batch AS (
+      |    SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 2 = 0
+      |    UNION ALL
+      |    SELECT doc_id + 2000000 AS id,
+      |      'qz'||CAST(doc_id AS VARCHAR)||'a qz'||CAST(doc_id AS VARCHAR)||'b qz'||
+      |      CAST(doc_id AS VARCHAR)||'c qz'||CAST(doc_id AS VARCHAR)||'d qz'||
+      |      CAST(doc_id AS VARCHAR)||'e' AS text
+      |    FROM documents WHERE doc_id % 2 = 1
+      |    UNION ALL
+      |    SELECT doc_id + 3000000 AS id,
+      |      'qz'||CAST(doc_id AS VARCHAR)||'a qz'||CAST(doc_id AS VARCHAR)||'b qz'||
+      |      CAST(doc_id AS VARCHAR)||'c qz'||CAST(doc_id AS VARCHAR)||'d qz'||
+      |      CAST(doc_id AS VARCHAR)||'e' AS text
+      |    FROM documents WHERE doc_id % 2 = 1),
+      |  btok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM batch),
+      |  bsh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+      |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM btok),
+      |  bsz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM bsh),
+      |  binv AS (SELECT id, unnest(s) AS sng FROM bsh),
+      |  ctok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM corpus),
+      |  csh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+      |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM ctok),
+      |  csz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM csh),
+      |  cinv AS (SELECT id, unnest(s) AS sng FROM csh),
+      |  bpr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      |    FROM binv a JOIN binv b ON a.sng = b.sng AND a.id < b.id GROUP BY 1, 2),
+      |  bp AS (SELECT bpr.id_a, bpr.id_b FROM bpr
+      |    JOIN bsz sa ON bpr.id_a = sa.id JOIN bsz sb ON bpr.id_b = sb.id
+      |    WHERE CAST(bpr.inter AS DOUBLE) / (sa.n + sb.n - bpr.inter) >= 0.5),
+      |  edges AS (SELECT id_a AS s, id_b AS d FROM bp
+      |    UNION SELECT id_b, id_a FROM bp),
+      |  walk AS (SELECT s AS id, s AS comp FROM edges
+      |    UNION SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id),
+      |  comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+      |  xpr AS (SELECT b.id AS bid, c.id AS cid, count(*) AS inter
+      |    FROM binv b JOIN cinv c ON b.sng = c.sng GROUP BY 1, 2),
+      |  xdup AS (SELECT DISTINCT xpr.bid FROM xpr
+      |    JOIN bsz ON xpr.bid = bsz.id JOIN csz ON xpr.cid = csz.id
+      |    WHERE CAST(xpr.inter AS DOUBLE) / (bsz.n + csz.n - xpr.inter) >= 0.5)
+      |SELECT b.id,
+      |  CASE WHEN comp.comp IS NOT NULL AND comp.comp <> b.id THEN 'dup_batch'
+      |       WHEN EXISTS (SELECT 1 FROM xdup x WHERE x.bid = b.id) THEN 'dup_corpus'
+      |       ELSE 'admitted' END AS verdict
+      |FROM batch b LEFT JOIN comp ON b.id = comp.id""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, bare table names).
     * Omitted keys (xxhash64/sign-LSH-based ops) get a rows-only check.
@@ -1912,54 +2048,10 @@ object SparkEntry {
     // same exact-Jaccard semantics as the Spark pipeline: within-batch
     // min-label components (dup_batch for non-min members), then corpus
     // match >= 0.5 (dup_corpus), else admitted
-    "dedup_near_incremental" ->
-      """WITH RECURSIVE corpus AS (SELECT doc_id AS id, text FROM documents),
-        |  batch AS (
-        |    SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 2 = 0
-        |    UNION ALL
-        |    SELECT doc_id + 2000000 AS id,
-        |      'qz'||CAST(doc_id AS VARCHAR)||'a qz'||CAST(doc_id AS VARCHAR)||'b qz'||
-        |      CAST(doc_id AS VARCHAR)||'c qz'||CAST(doc_id AS VARCHAR)||'d qz'||
-        |      CAST(doc_id AS VARCHAR)||'e' AS text
-        |    FROM documents WHERE doc_id % 2 = 1
-        |    UNION ALL
-        |    SELECT doc_id + 3000000 AS id,
-        |      'qz'||CAST(doc_id AS VARCHAR)||'a qz'||CAST(doc_id AS VARCHAR)||'b qz'||
-        |      CAST(doc_id AS VARCHAR)||'c qz'||CAST(doc_id AS VARCHAR)||'d qz'||
-        |      CAST(doc_id AS VARCHAR)||'e' AS text
-        |    FROM documents WHERE doc_id % 2 = 1),
-        |  btok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
-        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM batch),
-        |  bsh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
-        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM btok),
-        |  bsz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM bsh),
-        |  binv AS (SELECT id, unnest(s) AS sng FROM bsh),
-        |  ctok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
-        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM corpus),
-        |  csh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
-        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM ctok),
-        |  csz AS (SELECT id, CAST(len(s) AS BIGINT) AS n FROM csh),
-        |  cinv AS (SELECT id, unnest(s) AS sng FROM csh),
-        |  bpr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-        |    FROM binv a JOIN binv b ON a.sng = b.sng AND a.id < b.id GROUP BY 1, 2),
-        |  bp AS (SELECT bpr.id_a, bpr.id_b FROM bpr
-        |    JOIN bsz sa ON bpr.id_a = sa.id JOIN bsz sb ON bpr.id_b = sb.id
-        |    WHERE CAST(bpr.inter AS DOUBLE) / (sa.n + sb.n - bpr.inter) >= 0.5),
-        |  edges AS (SELECT id_a AS s, id_b AS d FROM bp
-        |    UNION SELECT id_b, id_a FROM bp),
-        |  walk AS (SELECT s AS id, s AS comp FROM edges
-        |    UNION SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id),
-        |  comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
-        |  xpr AS (SELECT b.id AS bid, c.id AS cid, count(*) AS inter
-        |    FROM binv b JOIN cinv c ON b.sng = c.sng GROUP BY 1, 2),
-        |  xdup AS (SELECT DISTINCT xpr.bid FROM xpr
-        |    JOIN bsz ON xpr.bid = bsz.id JOIN csz ON xpr.cid = csz.id
-        |    WHERE CAST(xpr.inter AS DOUBLE) / (bsz.n + csz.n - xpr.inter) >= 0.5)
-        |SELECT b.id,
-        |  CASE WHEN comp.comp IS NOT NULL AND comp.comp <> b.id THEN 'dup_batch'
-        |       WHEN EXISTS (SELECT 1 FROM xdup x WHERE x.bid = b.id) THEN 'dup_corpus'
-        |       ELSE 'admitted' END AS verdict
-        |FROM batch b LEFT JOIN comp ON b.id = comp.id""".stripMargin,
+    "dedup_near_incremental" -> nearIncrementalOracleSql,
+
+    // identical pipeline output, classify-only timing — same oracle
+    "dedup_near_classify" -> nearIncrementalOracleSql,
 
     // identical-text pairs (plain = excludes NULL text on both engines —
     // NULL simhash never enters a band bucket in Spark either)
@@ -1992,6 +2084,13 @@ object SparkEntry {
     "ann_knn_recall" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id, 1.0 AS score
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    // full-pipeline batch-kNN oracle: buckets + bucket join + windowed
+    // rescore all replicated in DuckDB (see knnBucketOracleSql) — the
+    // parameters must stay in sync with the ann_knn_bucket query entry
+    "ann_knn_bucket" ->
+      knnBucketOracleSql(lshBits = 6, dim = 64, seed = 42,
+        maxQueryId = 10L, k = 5),
 
     "ann_ivf_recall" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 1.0),

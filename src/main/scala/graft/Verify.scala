@@ -59,7 +59,17 @@ object Verify {
             if (SparkEntry.oracleSql.contains(name)) Seq(msg).toDF("__graft_error")
             else Seq.empty[String].toDF("__graft_error")
           marker.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case _: Throwable => () }
+        } catch { case e2: Throwable =>
+          // a failed marker write re-opens the round-10 hole (the name
+          // vanishes from the driver's compare set) — say so LOUDLY and
+          // record it so strict mode still fails the run
+          System.err.println(s"[verify] $name error-marker write ALSO " +
+            s"failed (${e2.getClass.getSimpleName}: " +
+            s"${String.valueOf(e2.getMessage).take(200)}) — this query " +
+            "will be MISSING from the oracle compare, not failed")
+          failures(name) = s"$msg; marker write failed: " +
+            s"${e2.getClass.getSimpleName}"
+        }
       }
     }
     val json = SparkEntry.oracleSql
