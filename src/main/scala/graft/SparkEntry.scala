@@ -932,6 +932,29 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id").as("hit_id"), col("score"))
     }),
 
+    // IVF daily-append gate: the corpus is indexed+persisted ONCE, then a
+    // batch of planted copies is appended by nearest-EXISTING-centroid
+    // assignment (Ivf.appendIndex — no k-means refit), and the batch search
+    // runs from the RE-READ index. Every appended copy shares its
+    // original's cell, so nProbe=1 must surface it at cosine 1.0 — the gate
+    // that certifies append-then-search, the daily ANN-ingest shape
+    "ann_ivf_append_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val idx = graft.ext.Ivf.build(e, "vec_id", "embedding",
+        nLists = 8, maxIter = 2)
+      val path = tmpDir(dir, "ivf_append_index")
+      graft.ext.Ivf.writeIndex(idx, path)
+      graft.ext.Ivf.appendIndex(s, path,
+        e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      val loaded = graft.ext.Ivf.readIndex(s, path)
+      graft.ext.Ivf.searchMany(loaded.assigned, loaded,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3, nProbe = 1)
+        .filter(col("corpus_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("corpus_id").as("hit_id"), col("score"))
+    }),
+
     // PQ planted-duplicate gate: a copy encodes to the query's own code, so
     // its ADC distance is the sum of per-subspace minima — the global
     // minimum — and MUST appear in the top-k (k=4 absorbs the query's own
@@ -2097,6 +2120,10 @@ object SparkEntry {
         |  (CAST(1000001 AS BIGINT), 1.0)) AS t(vec_id, score)""".stripMargin,
 
     "ann_ivf_batch_recall" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id, 1.0 AS score
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "ann_ivf_append_recall" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id, 1.0 AS score
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 

@@ -178,6 +178,12 @@ object Config {
       case "queue" =>
         spark.readStream.format("graft.streaming.QueueSourceProvider")
           .option("queue", str(n, "name")).load()
+      // Kafka consumer (jar-guarded: fails fast naming the connector jar
+      // when spark-sql-kafka isn't on the classpath — see Sinks.kafkaSource)
+      case "kafka" =>
+        graft.sources.Sinks.kafkaSource(spark, str(n, "servers"),
+          str(n, "topic"),
+          strOpt(n, "startingOffsets").getOrElse("earliest"))
       // Sources\Pdo: table or raw-SQL scan, optionally range-partitioned
       case "jdbc" =>
         val part = Option(n.get("partitionColumn")).map(c =>
@@ -427,6 +433,12 @@ object Config {
           str(n, "id"), str(n, "vec"),
           k = n.get("k").asInt,
           nProbe = Option(n.get("nProbe")).map(_.asInt).getOrElse(1))
+      // daily ingest into a persisted IVF index: assign upstream rows to
+      // their nearest existing centroid and append (no refit)
+      case "ivfAppend" =>
+        graft.ext.Ivf.appendIndex(df.sparkSession, str(n, "path"), df,
+          str(n, "id"), str(n, "vec"))
+        df
       case "pqBuild" =>
         val cb = graft.ext.Pq.train(df, str(n, "vec"),
           dim = n.get("dim").asInt, m = n.get("m").asInt,
@@ -478,6 +490,14 @@ object Config {
         graft.sources.JdbcSink.append(df, str(n, "url"), str(n, "table"),
           mode = if (mode == SaveMode.Overwrite && !streaming) SaveMode.Overwrite
                  else SaveMode.Append)
+      // Sinks\RdKafka producer (jar-guarded both ways; streaming tasks get
+      // the checkpointed writeStream form)
+      case "kafka" =>
+        if (streaming) {
+          graft.sources.Sinks.kafkaStream(df, str(n, "servers"),
+            str(n, "topic"), str(n, "checkpoint"))
+          ()
+        } else graft.sources.Sinks.kafka(df, str(n, "servers"), str(n, "topic"))
       case other => throw new IllegalArgumentException(s"unknown sink type: $other")
     }
   }

@@ -21,6 +21,13 @@ import graft.functions.{VectorFunctions => V}
   */
 object Ivf {
 
+  /** Layout stamp (see [[IndexFormat]]): `assigned/` stores RAW vectors
+    * cell-partitioned next to tiny driver-side centroids. Stamped since the
+    * append path landed — an append torn between the assignment write and
+    * the stamp must read as invalid, same discipline as PQ/IVF-PQ/near-LSH.
+    */
+  val FormatId = "ivf-raw-v1"
+
   final case class Index(assigned: DataFrame, centroids: Array[Array[Double]])
 
   /** Cap the k-means fit input at `cap` rows (uniform sample, deterministic
@@ -72,14 +79,16 @@ object Ivf {
     * `path/centroids`.
     */
   def writeIndex(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    IndexFormat.invalidate(spark, path)
     index.assigned.write.mode(SaveMode.Overwrite)
       .partitionBy("list_id").parquet(s"$path/assigned")
-    val spark = index.assigned.sparkSession
     import spark.implicits._
     index.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    IndexFormat.stamp(spark, path, FormatId)
   }
 
   /** Reload a [[writeIndex]]-persisted index. The assignment stays a lazy
@@ -87,12 +96,62 @@ object Ivf {
     * collect to the driver, same as after [[build]].
     */
   def readIndex(spark: SparkSession, path: String): Index = {
+    IndexFormat.check(spark, path, FormatId)
     val assigned = spark.read.parquet(s"$path/assigned")
     val centroids = spark.read.parquet(s"$path/centroids")
       .select("list_id", "centroid").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     Index(assigned, centroids)
+  }
+
+  /** Tag every row of `df` with the id of its nearest centroid (squared-L2,
+    * the k-means metric) — the assignment half of [[build]] against FIXED
+    * centroids. One broadcast of the nLists-row centroid table + a
+    * batch-side `min_by` aggregation; the corpus is never touched. Ties
+    * break to the lowest cell id, so assignment is deterministic and
+    * matches [[searchMany]]'s probe ranking `(distance, list_id)`.
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("__list", "__cent")
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d", aggregate(zip_with(col(vecCol), col("__cent"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0d), (acc, v) => acc + v))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        min_by(col("__list"), struct(col("__d"), col("__list"))).as("list_id"))
+  }
+
+  /** Append new vectors to a [[writeIndex]]-persisted index WITHOUT
+    * refitting the quantizer: each vector is assigned to its nearest
+    * EXISTING centroid and appended to that cell's partition — the daily
+    * ANN-ingest mirror of [[Dedup.appendNearIndex]]. Centroids move only
+    * when the data distribution does, which is a rebuild decision, not an
+    * append one (same trade as FAISS's add-after-train).
+    *
+    * Commit-marker ordering ([[IndexFormat]]): the stamp comes off before
+    * the assignment append and back on after, so a torn append leaves an
+    * unstamped index every reader rejects, never a silently partial cell.
+    */
+  def appendIndex(spark: SparkSession, path: String, newVecs: DataFrame,
+                  idCol: String, vecCol: String): Unit = {
+    IndexFormat.check(spark, path, FormatId)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select("list_id", "centroid").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val assigned = assignCells(newVecs, idCol, vecCol, centroids)
+    IndexFormat.invalidate(spark, path)
+    assigned.write.mode(SaveMode.Append)
+      .partitionBy("list_id").parquet(s"$path/assigned")
+    IndexFormat.stamp(spark, path, FormatId)
   }
 
   /** The `nProbe` cell ids nearest to the query (driver-side math over the

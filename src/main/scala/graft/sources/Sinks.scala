@@ -58,9 +58,13 @@ object Sinks {
     try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
     catch { case _: ClassNotFoundException => false }
 
+  private val kafkaJarHint =
+    "requires the spark-sql-kafka-0-10_2.13 connector jar (plus " +
+      "kafka-clients) on the classpath — drop them in the Spark jars dir " +
+      "and this wiring works unchanged"
+
   def kafka(df: DataFrame, bootstrapServers: String, topic: String): Unit = {
-    require(kafkaAvailable,
-      "Kafka sink requires the spark-sql-kafka connector jar on the classpath")
+    require(kafkaAvailable, s"Kafka sink $kafkaJarHint")
     df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -70,13 +74,29 @@ object Sinks {
 
   def kafkaStream(df: DataFrame, bootstrapServers: String, topic: String,
                   checkpoint: String): StreamingQuery = {
-    require(kafkaAvailable,
-      "Kafka sink requires the spark-sql-kafka connector jar on the classpath")
+    require(kafkaAvailable, s"Kafka sink $kafkaJarHint")
     df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** Kafka consumer source, the readStream mirror of [[kafkaStream]]
+    * (reference consumes real brokers the same way its RdKafka sink
+    * produces to them). Jar-guarded like the sink: the wiring is complete
+    * and fails fast naming the missing connector, so binding a real
+    * cluster is a classpath change, not a code change.
+    */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession,
+                  bootstrapServers: String, topic: String,
+                  startingOffsets: String = "earliest"): DataFrame = {
+    require(kafkaAvailable, s"Kafka source $kafkaJarHint")
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
   }
 
   /** Generic per-partition publisher — the shape of the AMQP/NSQ sinks

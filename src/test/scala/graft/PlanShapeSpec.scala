@@ -106,6 +106,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dedup classify plan is window-free and broadcast-capped") {
+    // the batch-vs-corpus path must keep its scale shape: batch postings
+    // BROADCAST over stored corpus postings, and the r12 corpus-side
+    // hot-bucket cap must plan like every other df-cap (partial agg +
+    // broadcast anti-join), never a count window over the postings
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_nearidx_").toString
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    graft.ext.Dedup.buildNearIndex(d.limit(50), "doc_id", "text", dir)
+    val out = graft.ext.Dedup.nearDedupIncremental(
+      d.limit(20).withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + 900000L),
+      "doc_id", "text", dir, minJaccard = 0.5)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"nearDedupIncremental plans a Window:\n$windows")
+    assert(physical(out).contains("BroadcastHashJoin"),
+      "nearDedupIncremental lost its broadcast joins")
+  }
+
   test("no registered query plans a partition-less window (global-order funnel)") {
     // row_number().over(Window.orderBy(...)) with no partition spec routes
     // the WHOLE relation through one task — the single worst operator shape

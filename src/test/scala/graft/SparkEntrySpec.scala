@@ -30,8 +30,9 @@ class SparkEntrySpec extends SparkSpec {
     // artifact when a fixture type drift made them throw. The count below
     // is updated DELIBERATELY when queries are added/removed — any other
     // change to it is lost coverage.
-    assert(SparkEntry.queries.size == 134,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 134); " +
+    // 136 since round 12 (+dedup_near_classify, +ann_ivf_append_recall)
+    assert(SparkEntry.queries.size == 136,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 136); " +
         "if intentional, update this pin")
   }
 

@@ -671,4 +671,27 @@ class ConfigSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown transform op"))
   }
+
+  test("kafka source and sink configs fail fast naming the missing connector jar") {
+    // this image ships no spark-sql-kafka connector — the guard must name
+    // the jar in BOTH directions so binding a real cluster is a classpath
+    // change, not an opaque ClassNotFound at runtime
+    assume(!graft.sources.Sinks.kafkaAvailable)
+    val eSrc = intercept[IllegalArgumentException] {
+      Config.run(spark,
+        """source: {type: kafka, servers: "localhost:9092", topic: t}
+          |sink: {type: console}
+          |""".stripMargin)
+    }
+    assert(eSrc.getMessage.contains("spark-sql-kafka"))
+    val dir = Files.createTempDirectory("graft_cfg_kafka_").toString
+    Seq((1, "a")).toDF("key", "value").write.parquet(s"$dir/in")
+    val eSink = intercept[IllegalArgumentException] {
+      Config.run(spark,
+        s"""source: {type: parquet, path: $dir/in}
+           |sink: {type: kafka, servers: "localhost:9092", topic: t}
+           |""".stripMargin)
+    }
+    assert(eSink.getMessage.contains("spark-sql-kafka"))
+  }
 }

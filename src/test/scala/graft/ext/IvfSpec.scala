@@ -92,6 +92,49 @@ class IvfSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("appendIndex adds daily vectors to existing cells; search finds them, no refit") {
+    val dir = Files.createTempDirectory("graft_ivf_app_").toString
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
+    Ivf.writeIndex(idx, dir)
+    // daily batch: verbatim copies of an x-cluster and a y-cluster member
+    val newVecs = corpus.filter($"vec_id".isin(0L, 1L))
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    Ivf.appendIndex(spark, dir, newVecs, "vec_id", "embedding")
+    val loaded = Ivf.readIndex(spark, dir)
+    // a copy lands in its original's cell (assignment against FIXED centroids)
+    val origCell = idx.assigned.filter($"vec_id" === 0L)
+      .select("list_id").as[Int].head()
+    val newCell = loaded.assigned.filter($"vec_id" === 1000L)
+      .select("list_id").as[Int].head()
+    assert(newCell == origCell)
+    // nProbe=1 search from the reloaded index surfaces the appended copy at ~1.0
+    val hits = Ivf.search(loaded.assigned, loaded, "vec_id", "embedding",
+      queryVec = Seq(10.0, 0.1, 0.1), k = 31, nProbe = 1)
+      .as[(Long, Double)].collect()
+    assert(hits.exists { case (id, s) => id == 1000L && s > 0.99 })
+    // original rows are untouched: the cell grew by exactly the append
+    assert(loaded.assigned.count() == 92)
+  }
+
+  test("a torn appendIndex leaves the index unstamped and readers reject it") {
+    val dir = Files.createTempDirectory("graft_ivf_torn_").toString
+    val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
+    Ivf.writeIndex(idx, dir)
+    // a malformed batch fails ANALYSIS inside assignCells — before the
+    // marker comes off — so a bad append request leaves the index stamped
+    // and fully readable (validation precedes the commit-marker window)
+    intercept[Exception] {
+      Ivf.appendIndex(spark, dir,
+        Seq((5000L, "oops")).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    assert(Ivf.readIndex(spark, dir).centroids.length == 3)
+    // a crash INSIDE the window (marker off, append possibly partial) must
+    // make every reader refuse rather than serve a silently partial cell
+    IndexFormat.invalidate(spark, dir)
+    val e = intercept[IllegalStateException] { Ivf.readIndex(spark, dir) }
+    assert(e.getMessage.contains("stamp"))
+  }
+
   test("searchMany returns each query's cluster-mates, k per query") {
     val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
     // one query per cluster, drawn from the corpus itself
