@@ -997,6 +997,29 @@ object SparkEntry {
     // Planted-duplicate gate: a copy shares its original's cell and code →
     // globally minimal ADC distance at nProbe=1 (k=3 absorbs the query's
     // own corpus row + incidental code collisions)
+    // IVF-PQ daily-append gate: the index is built WITHOUT the copies,
+    // which then arrive as a daily batch through IvfPq.appendIndex —
+    // nearest-existing-centroid assignment + residual encode with the
+    // EXISTING codebooks, no refit. A verbatim copy gets its original's
+    // cell and identical code, so the batch search from the re-read index
+    // must surface it (k=3 absorbs the tied original row + collisions)
+    "ann_ivfpq_append_recall" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val idx = graft.ext.IvfPq.build(e, "vec_id", "embedding",
+        dim = 64, m = 8, nLists = 8, maxIter = 2)
+      val path = tmpDir(dir, "ivfpq_append_index")
+      graft.ext.IvfPq.writeIndex(idx, path)
+      graft.ext.IvfPq.appendIndex(s, path,
+        e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+      val idx2 = graft.ext.IvfPq.readIndex(s, path)
+      graft.ext.IvfPq.searchMany(idx2, e.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, nProbe = 1)
+        .filter(col("corpus_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("corpus_id").as("hit_id"))
+    }),
+
     "ann_ivfpq_recall" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
       val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
@@ -2136,6 +2159,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id BETWEEN 1 AND 5""".stripMargin,
 
     "ann_ivfpq_recall" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "ann_ivfpq_append_recall" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 

@@ -463,6 +463,11 @@ object Config {
         graft.ext.IvfPq.searchMany(idx, df, str(n, "queryId"), str(n, "vec"),
           k = n.get("k").asInt,
           nProbe = Option(n.get("nProbe")).map(_.asInt).getOrElse(1))
+      // daily ingest into a persisted IVF-PQ index (no quantizer refit)
+      case "ivfpqAppend" =>
+        graft.ext.IvfPq.appendIndex(df.sparkSession, str(n, "path"), df,
+          str(n, "id"), str(n, "vec"))
+        df
       // data-quality gate: fail the task if any rule has violations
       // (minRows guards empty upstreams that row-level rules cannot see)
       case "expect" =>

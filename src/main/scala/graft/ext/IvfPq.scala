@@ -151,6 +151,37 @@ object IvfPq {
     Index(codes, centroids, Pq.Codebooks(books))
   }
 
+  /** Append new vectors to a [[writeIndex]]-persisted index without
+    * refitting EITHER quantizer: each vector is assigned to its nearest
+    * existing centroid ([[Ivf.assignCells]]), residual-encoded with the
+    * existing codebooks, and appended to that cell's codes partition — the
+    * daily-ingest shape for the composed index, mirroring
+    * [[Ivf.appendIndex]] and [[Dedup.appendNearIndex]]. A verbatim copy of
+    * an indexed vector lands in the same cell with the identical code, so
+    * append-then-search ranks it exactly like its original (the
+    * `ann_ivfpq_append_recall` gate). Quantizer drift under a shifting
+    * data distribution is a REBUILD decision (same trade as FAISS
+    * add-after-train), not an append one.
+    *
+    * Commit-marker ordering ([[IndexFormat]]): stamp off → codes append →
+    * stamp on; a torn append leaves an unstamped index every reader
+    * rejects. Assignment + encode are planned (and eagerly analyzed)
+    * BEFORE the marker comes off, so a malformed batch fails with the
+    * index still stamped and readable.
+    */
+  def appendIndex(spark: SparkSession, path: String, newVecs: DataFrame,
+                  idCol: String, vecCol: String): Unit = {
+    val idx = readIndex(spark, path)
+    val assigned = Ivf.assignCells(newVecs, idCol, vecCol, idx.centroids)
+    val withRes = withResidual(assigned, vecCol, idx.centroids)
+    val encoded = Pq.encode(withRes, idCol, "__residual", idx.cb,
+      keep = Seq("list_id"))
+    IndexFormat.invalidate(spark, path)
+    encoded.write.mode(SaveMode.Append)
+      .partitionBy("list_id").parquet(s"$path/codes")
+    IndexFormat.stamp(spark, path, FormatId)
+  }
+
   /** Single-query IVF-PQ: probe the `nProbe` nearest cells (driver math
     * over the centroid table → `isin` filter → partition pruning on a
     * persisted index) and ADC-scan only those codes. The ADC table is

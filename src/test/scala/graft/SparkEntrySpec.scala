@@ -30,9 +30,10 @@ class SparkEntrySpec extends SparkSpec {
     // artifact when a fixture type drift made them throw. The count below
     // is updated DELIBERATELY when queries are added/removed — any other
     // change to it is lost coverage.
-    // 136 since round 12 (+dedup_near_classify, +ann_ivf_append_recall)
-    assert(SparkEntry.queries.size == 136,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 136); " +
+    // 137 since round 12 (+dedup_near_classify, +ann_ivf_append_recall,
+    // +ann_ivfpq_append_recall)
+    assert(SparkEntry.queries.size == 137,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 137); " +
         "if intentional, update this pin")
   }
 

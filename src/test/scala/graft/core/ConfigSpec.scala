@@ -546,6 +546,41 @@ class ConfigSpec extends SparkSpec {
     assert(planted.filter($"score" < 1.0).count() == 0)
   }
 
+  test("daily-append task extends a persisted IVF index from config") {
+    val dir = Files.createTempDirectory("graft_cfg_ivfapp_").toString
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => if (d == (i % 4).toInt * 2) 10.0f else rnd.nextFloat() * 0.3f).toSeq)
+    }
+    // the copies are NOT in the built corpus — they arrive as a daily batch
+    base.toDF("vec_id", "vec").write.parquet(s"$dir/corpus")
+    base.take(10).map { case (i, v) => (i + 1000L, v) }
+      .toDF("vec_id", "vec").write.parquet(s"$dir/batch")
+    base.take(10).toDF("vec_id", "vec").write.parquet(s"$dir/queries")
+    Config.runAll(spark,
+      s"""tasks:
+         |  - name: build
+         |    source: {type: parquet, path: $dir/corpus}
+         |    transforms:
+         |      - {op: ivfBuild, id: vec_id, vec: vec, nLists: 4, maxIter: 2,
+         |         path: $dir/ivf}
+         |  - name: ingest
+         |    source: {type: parquet, path: $dir/batch}
+         |    transforms:
+         |      - {op: ivfAppend, id: vec_id, vec: vec, path: $dir/ivf}
+         |  - name: search
+         |    source: {type: parquet, path: $dir/queries}
+         |    transforms:
+         |      - {op: ivfSearchMany, path: $dir/ivf, id: vec_id, vec: vec,
+         |         k: 3, nProbe: 1}
+         |    sink: {type: parquet, path: $dir/hits}
+         |""".stripMargin)
+    val planted = spark.read.parquet(s"$dir/hits")
+      .filter($"corpus_id" === $"query_id" + 1000L)
+    assert(planted.count() == 10)
+    assert(planted.filter($"score" < 1.0).count() == 0)
+  }
+
   test("retrieval tier from config: IVF-PQ build + probe-pruned batch ADC search") {
     val dir = Files.createTempDirectory("graft_cfg_ivfpq_").toString
     val rnd = new scala.util.Random(13)

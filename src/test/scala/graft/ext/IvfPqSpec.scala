@@ -67,6 +67,51 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("appendIndex encodes a daily batch with the existing quantizers; search finds it") {
+    val dir = Files.createTempDirectory("graft_ivfpq_app_").toString
+    val idx = IvfPq.build(corpus, "vec_id", "embedding", dim = 16, m = 4,
+      nLists = 3, codes = 16)
+    IvfPq.writeIndex(idx, dir)
+    val newVecs = corpus.filter($"vec_id" < 6)
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding")
+    IvfPq.appendIndex(spark, dir, newVecs, "vec_id", "embedding")
+    val idx2 = IvfPq.readIndex(spark, dir)
+    assert(idx2.codes.count() == 126)
+    // a verbatim copy lands in its original's cell with the IDENTICAL
+    // residual code — append used the same centroids and codebooks
+    val orig = idx2.codes.filter($"vec_id" === 3L)
+      .select("list_id", "code").head()
+    val copy = idx2.codes.filter($"vec_id" === 5003L)
+      .select("list_id", "code").head()
+    assert(copy.getAs[Int]("list_id") == orig.getAs[Int]("list_id"))
+    assert(copy.getSeq[Byte](1) == orig.getSeq[Byte](1))
+    // batch search from the re-read index surfaces every appended copy
+    val hits = IvfPq.searchMany(idx2, corpus.filter($"vec_id" < 6),
+      "vec_id", "embedding", k = 3, nProbe = 1)
+      .as[(Long, Long, Double)].collect()
+    (0L until 6L).foreach { q =>
+      assert(hits.exists(h => h._1 == q && h._2 == q + 5000L),
+        s"query $q did not retrieve its appended copy")
+    }
+  }
+
+  test("a torn appendIndex leaves IVF-PQ unstamped; a bad batch leaves it readable") {
+    val dir = Files.createTempDirectory("graft_ivfpq_torn_").toString
+    val idx = IvfPq.build(corpus, "vec_id", "embedding", dim = 16, m = 4,
+      nLists = 3, codes = 16)
+    IvfPq.writeIndex(idx, dir)
+    // malformed batch fails eager analysis BEFORE the marker comes off
+    intercept[Exception] {
+      IvfPq.appendIndex(spark, dir,
+        Seq((9000L, "oops")).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    assert(IvfPq.readIndex(spark, dir).centroids.length == 3)
+    // a crash INSIDE the window must make readers refuse
+    IndexFormat.invalidate(spark, dir)
+    val e = intercept[IllegalStateException] { IvfPq.readIndex(spark, dir) }
+    assert(e.getMessage.contains("stamp"))
+  }
+
   test("readIndex fails fast on an unstamped (pre-versioning) directory") {
     val dir = Files.createTempDirectory("graft_ivfpq_old_").toString
     val idx = IvfPq.build(corpus, "vec_id", "embedding", dim = 16, m = 4,
