@@ -450,6 +450,12 @@ object Config {
         val (codes, cb) = graft.ext.Pq.readIndex(df.sparkSession, str(n, "path"))
         graft.ext.Pq.adcTopKMany(codes, cb, str(n, "id"),
           df, str(n, "queryId"), str(n, "vec"), k = n.get("k").asInt)
+      // daily ingest into a persisted PQ index (encode with existing
+      // codebooks, no retrain)
+      case "pqAppend" =>
+        graft.ext.Pq.appendIndex(df.sparkSession, str(n, "path"), df,
+          str(n, "id"), str(n, "vec"))
+        df
       case "ivfpqBuild" =>
         val idx = graft.ext.IvfPq.build(df, str(n, "id"), str(n, "vec"),
           dim = n.get("dim").asInt, m = n.get("m").asInt,

@@ -249,6 +249,25 @@ object Pq {
     IndexFormat.stamp(spark, path, FormatId)
   }
 
+  /** Append new vectors to a [[writeIndex]]-persisted index: encode with
+    * the EXISTING codebooks (no retrain — the trade every add-after-train
+    * index makes; re-fit is a rebuild decision) and append to the code
+    * table under the [[IndexFormat]] commit marker. Encoding is planned
+    * (eagerly analyzed) before the stamp comes off, so a malformed batch
+    * fails with the index still readable; a torn append leaves it
+    * unstamped and rejected by every reader. A verbatim copy of an
+    * indexed vector encodes to the identical code, so append-then-search
+    * ranks it exactly like its original.
+    */
+  def appendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (_, cb) = readIndex(spark, path)
+    val encoded = encode(newVecs, idCol, vecCol, cb)
+    IndexFormat.invalidate(spark, path)
+    encoded.write.mode(SaveMode.Append).parquet(s"$path/codes")
+    IndexFormat.stamp(spark, path, FormatId)
+  }
+
   /** Reload a [[writeIndex]]-persisted index: the code table stays a lazy
     * scan; only the codebooks (m × codes × subDim doubles, ~128 KiB at the
     * defaults) collect to the driver, same as after [[train]].

@@ -117,6 +117,32 @@ class PqSpec extends SparkSpec {
     assert(batchFresh == batchPersisted)
   }
 
+  test("appendIndex encodes a daily batch with the existing codebooks; search finds it") {
+    val dir = Files.createTempDirectory("graft_pq_app_").toString
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    Pq.writeIndex(Pq.encode(corpus, "vec_id", "embedding", cb), cb, dir)
+    val newVecs = corpus.filter($"vec_id" < 5)
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding")
+    Pq.appendIndex(spark, dir, newVecs, "vec_id", "embedding")
+    val (codes2, cb2) = Pq.readIndex(spark, dir)
+    assert(codes2.count() == 125)
+    // a verbatim copy got the identical code (same codebooks, no retrain)
+    val byId = codes2.filter($"vec_id".isin(3L, 5003L))
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(byId(5003L) == byId(3L))
+    // batch search from the re-read index surfaces every appended copy
+    val hits = Pq.adcTopKMany(codes2, cb2, "vec_id",
+      corpus.filter($"vec_id" < 5), "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double)].collect()
+    (0L until 5L).foreach { q =>
+      assert(hits.exists(h => h._1 == q && h._2 == q + 5000L),
+        s"query $q did not retrieve its appended copy")
+    }
+    // torn append (crash inside the marker window) → readers refuse
+    IndexFormat.invalidate(spark, dir)
+    intercept[IllegalStateException] { Pq.readIndex(spark, dir) }
+  }
+
   test("TableCache keeps concurrent keys: oldest evicted, requested never") {
     var computes = 0
     def touch(k: String): String =
