@@ -439,6 +439,20 @@ object Config {
         graft.ext.Ivf.appendIndex(df.sparkSession, str(n, "path"), df,
           str(n, "id"), str(n, "vec"))
         df
+      // maintenance: roll up append-accreted small files (results
+      // unchanged; partition pruning preserved on cell-partitioned layouts)
+      case "ivfCompact" =>
+        graft.ext.Ivf.compactIndex(df.sparkSession, str(n, "path")); df
+      case "pqCompact" =>
+        graft.ext.Pq.compactIndex(df.sparkSession, str(n, "path")); df
+      case "ivfpqCompact" =>
+        graft.ext.IvfPq.compactIndex(df.sparkSession, str(n, "path")); df
+      case "dedupNearCompact" =>
+        graft.ext.Dedup.compactNearIndex(df.sparkSession, str(n, "path"),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3),
+          bands = Option(n.get("bands")).map(_.asInt).getOrElse(4),
+          rowsPerBand = Option(n.get("rowsPerBand")).map(_.asInt).getOrElse(4))
+        df
       case "pqBuild" =>
         val cb = graft.ext.Pq.train(df, str(n, "vec"),
           dim = n.get("dim").asInt, m = n.get("m").asInt,

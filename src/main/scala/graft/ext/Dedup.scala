@@ -824,25 +824,10 @@ object Dedup {
     */
   def compactNearIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-                       targetRowsPerFile: Long = 4000000L): Unit = {
-    IndexFormat.check(spark, dir, nearIndexFormat(shingleN, bands, rowsPerBand))
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
-    Seq("buckets", "shingles").foreach { d =>
-      fs.delete(p(s".compact_$d"), true)
-      graft.sources.FileSink.compactTo(spark, s"$dir/$d", s"$dir/.compact_$d",
-        targetRowsPerFile)
-    }
-    IndexFormat.invalidate(spark, dir)
-    Seq("buckets", "shingles").foreach { d =>
-      fs.delete(p(s".old_$d"), true)
-      require(fs.rename(p(d), p(s".old_$d")), s"rename $d -> .old_$d failed")
-      require(fs.rename(p(s".compact_$d"), p(d)), s"rename .compact_$d -> $d failed")
-      fs.delete(p(s".old_$d"), true)
-    }
-    IndexFormat.stamp(spark, dir, nearIndexFormat(shingleN, bands, rowsPerBand))
-  }
+                       targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.compactStamped(spark, dir,
+      nearIndexFormat(shingleN, bands, rowsPerBand),
+      Seq("buckets" -> Nil, "shingles" -> Nil), targetRowsPerFile)
 
   /** Two-sided exact-Jaccard rescore: `shA`/`shB` are (id, sh) shingle-hash
     * frames for the pair's A side (batch, recomputed) and B side (corpus,

@@ -154,6 +154,17 @@ object Ivf {
     IndexFormat.stamp(spark, path, FormatId)
   }
 
+  /** Rewrite the appended `assigned/` layout into one evenly-rolled file
+    * set per cell ([[IndexMaintenance.compactStamped]] — partition pruning
+    * preserved, search results unchanged, swap inside the commit marker).
+    * Run it when daily [[appendIndex]] batches have accreted enough small
+    * files that cell scans go listing-bound.
+    */
+  def compactIndex(spark: SparkSession, path: String,
+                   targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.compactStamped(spark, path, FormatId,
+      Seq("assigned" -> Seq("list_id")), targetRowsPerFile)
+
   /** The `nProbe` cell ids nearest to the query (driver-side math over the
     * tiny centroid table).
     */

@@ -169,6 +169,15 @@ object IvfPq {
     * BEFORE the marker comes off, so a malformed batch fails with the
     * index still stamped and readable.
     */
+  /** Rewrite the appended `codes/` layout into one evenly-rolled file set
+    * per cell (partition pruning preserved, search results unchanged; see
+    * [[IndexMaintenance.compactStamped]]).
+    */
+  def compactIndex(spark: SparkSession, path: String,
+                   targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.compactStamped(spark, path, FormatId,
+      Seq("codes" -> Seq("list_id")), targetRowsPerFile)
+
   def appendIndex(spark: SparkSession, path: String, newVecs: DataFrame,
                   idCol: String, vecCol: String): Unit = {
     val idx = readIndex(spark, path)

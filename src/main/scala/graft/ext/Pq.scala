@@ -268,6 +268,14 @@ object Pq {
     IndexFormat.stamp(spark, path, FormatId)
   }
 
+  /** Rewrite the appended code table into evenly-rolled files (search
+    * results unchanged; see [[IndexMaintenance.compactStamped]]).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.compactStamped(spark, path, FormatId,
+      Seq("codes" -> Nil), targetRowsPerFile)
+
   /** Reload a [[writeIndex]]-persisted index: the code table stays a lazy
     * scan; only the codebooks (m × codes × subDim doubles, ~128 KiB at the
     * defaults) collect to the driver, same as after [[train]].

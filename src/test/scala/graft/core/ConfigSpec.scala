@@ -568,6 +568,7 @@ class ConfigSpec extends SparkSpec {
          |    source: {type: parquet, path: $dir/batch}
          |    transforms:
          |      - {op: ivfAppend, id: vec_id, vec: vec, path: $dir/ivf}
+         |      - {op: ivfCompact, path: $dir/ivf}
          |  - name: search
          |    source: {type: parquet, path: $dir/queries}
          |    transforms:

@@ -93,6 +93,28 @@ class IvfPqSpec extends SparkSpec {
       assert(hits.exists(h => h._1 == q && h._2 == q + 5000L),
         s"query $q did not retrieve its appended copy")
     }
+    // accreted append files roll up under compaction; search results and
+    // partition pruning are unchanged
+    (1 to 3).foreach { d =>
+      IvfPq.appendIndex(spark, dir,
+        corpus.filter($"vec_id" === 1L)
+          .select(($"vec_id" + 7000L + d).as("vec_id"), $"embedding"),
+        "vec_id", "embedding")
+    }
+    val cell = copy.getAs[Int]("list_id")
+    def cellFiles = new java.io.File(s"$dir/codes/list_id=$cell")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val idxB = IvfPq.readIndex(spark, dir)
+    val qv = corpus.filter($"vec_id" === 3L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val before = IvfPq.search(idxB, "vec_id", qv, k = 10, nProbe = 1)
+      .as[(Long, Double)].collect().toSeq
+    val nFilesBefore = cellFiles
+    IvfPq.compactIndex(spark, dir)
+    val after = IvfPq.search(IvfPq.readIndex(spark, dir), "vec_id", qv,
+      k = 10, nProbe = 1).as[(Long, Double)].collect().toSeq
+    assert(after == before)
+    assert(cellFiles < nFilesBefore)
   }
 
   test("a torn appendIndex leaves IVF-PQ unstamped; a bad batch leaves it readable") {

@@ -114,6 +114,26 @@ class IvfSpec extends SparkSpec {
     assert(hits.exists { case (id, s) => id == 1000L && s > 0.99 })
     // original rows are untouched: the cell grew by exactly the append
     assert(loaded.assigned.count() == 92)
+    // more daily appends accrete small files in the cell dir; compaction
+    // rolls them up with byte-identical search results and pruning intact
+    (1 to 4).foreach { d =>
+      Ivf.appendIndex(spark, dir,
+        corpus.filter($"vec_id" === 0L)
+          .select(($"vec_id" + 2000L + d).as("vec_id"), $"embedding"),
+        "vec_id", "embedding")
+    }
+    def cellFiles = new java.io.File(s"$dir/assigned/list_id=$origCell")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val idxB = Ivf.readIndex(spark, dir)
+    val before = Ivf.search(idxB.assigned, idxB, "vec_id", "embedding",
+      Seq(10.0, 0.1, 0.1), k = 50, nProbe = 1).as[(Long, Double)].collect().toSeq
+    val nFilesBefore = cellFiles
+    Ivf.compactIndex(spark, dir)
+    val idxC = Ivf.readIndex(spark, dir)
+    val after = Ivf.search(idxC.assigned, idxC, "vec_id", "embedding",
+      Seq(10.0, 0.1, 0.1), k = 50, nProbe = 1).as[(Long, Double)].collect().toSeq
+    assert(after == before)
+    assert(cellFiles < nFilesBefore, s"compaction did not shrink $nFilesBefore files")
   }
 
   test("a torn appendIndex leaves the index unstamped and readers reject it") {
