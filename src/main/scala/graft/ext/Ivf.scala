@@ -154,6 +154,45 @@ object Ivf {
     IndexFormat.stamp(spark, path, FormatId)
   }
 
+  /** Append admitted vectors to BOTH a corpus parquet and the persisted
+    * index under ONE commit marker: check → assign → invalidate → corpus
+    * append → assignment append → stamp — the same marker-covers-both
+    * ordering as [[Dedup.appendCorpusAndNearIndex]], and for the same
+    * reason: if the corpus append landed while the index was still
+    * stamped, a crash before the index append would leave a valid-looking
+    * index missing the batch, and an id-anti-join ingest loop would
+    * re-admit nothing (ids are in the corpus) while searches silently miss
+    * the batch forever. With the stamp off first, any crash in the window
+    * fails every reader loudly until repaired.
+    */
+  def appendCorpusAndIndex(docs: DataFrame, corpusPath: String,
+                           idCol: String, vecCol: String,
+                           dir: String): Unit = {
+    val spark = docs.sparkSession
+    IndexFormat.check(spark, dir, FormatId)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select("list_id", "centroid").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val assigned = assignCells(docs, idCol, vecCol, centroids)
+    IndexFormat.invalidate(spark, dir)
+    docs.write.mode(SaveMode.Append).parquet(corpusPath)
+    assigned.write.mode(SaveMode.Append)
+      .partitionBy("list_id").parquet(s"$dir/assigned")
+    IndexFormat.stamp(spark, dir, FormatId)
+  }
+
+  /** Whether `dir` holds ANY IVF index state — same any-content dispatch
+    * contract as [[Dedup.nearIndexDataExists]], for the same reason: a
+    * mid-maintenance crash can leave remnants without `assigned/`, and
+    * that state must fail loudly, never re-bootstrap over a corpus.
+    */
+  def indexDataExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
   /** Rewrite the appended `assigned/` layout into one evenly-rolled file
     * set per cell ([[IndexMaintenance.compactStamped]] — partition pruning
     * preserved, search results unchanged, swap inside the commit marker).

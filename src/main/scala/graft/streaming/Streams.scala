@@ -310,6 +310,54 @@ object Streams {
       }
     }
 
+  /** Streaming embedding ingest into a persisted IVF index — the vector
+    * sibling of [[ingestDedup]]: each micro-batch keeps one row per id
+    * (min arrival wins within the batch), anti-joins the corpus on the
+    * stored id column (column-pruned scan — vectors are never re-read),
+    * and appends the genuinely-new rows to BOTH the corpus parquet and
+    * the index via [[graft.ext.Ivf.appendCorpusAndIndex]], so the next
+    * batch's searches see them. The first batch bootstraps: it trains the
+    * coarse quantizer ([[graft.ext.Ivf.build]] — the standard
+    * train-on-initial-sample bootstrap) and seeds corpus + index.
+    *
+    * Crash windows mirror [[ingestNearDedup]]'s hardened shape:
+    * data-presence dispatch ([[graft.ext.Ivf.indexDataExists]]), Overwrite
+    * bootstrap (a replayed bootstrap rewrites identical content — the
+    * corpus path belongs to this ingest), and one commit marker over
+    * corpus + index appends (a torn append fails the next batch loudly).
+    * Replay idempotency is BY CONSTRUCTION: a replayed batch's ids are
+    * already in the corpus, its anti-join admits nothing, and nothing is
+    * appended twice.
+    */
+  def ingestVectors(stream: DataFrame, corpusPath: String, indexDir: String,
+                    idCol: String, vecCol: String, checkpoint: String,
+                    nLists: Int = 64,
+                    trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      val perId = batch.select(col(idCol), col(vecCol))
+        .groupBy(col(idCol)).agg(org.apache.spark.sql.functions.first(col(vecCol)).as(vecCol))
+      if (!graft.ext.Ivf.indexDataExists(spark, indexDir)) {
+        val seed = perId.localCheckpoint(true)
+        // a coarse quantizer cannot have more cells than training points —
+        // clamp to the bootstrap batch size (rebuild when the corpus has
+        // outgrown the day-1 placement; appends never refit)
+        val k = math.max(1, math.min(nLists.toLong, seed.count()).toInt)
+        seed.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpusPath)
+        graft.ext.Ivf.writeIndex(
+          graft.ext.Ivf.build(seed, idCol, vecCol, nLists = k, maxIter = 3),
+          indexDir)
+      } else {
+        val fresh = perId.join(
+            spark.read.parquet(corpusPath).select(col(idCol)),
+            Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (!fresh.isEmpty)
+          graft.ext.Ivf.appendCorpusAndIndex(fresh, corpusPath, idCol, vecCol,
+            indexDir)
+      }
+    }
+
   /** Stream → JDBC upsert: each micro-batch goes through the batched,
     * retrying [[graft.sources.JdbcSink.upsert]] writer. Idempotent template
     * (MERGE / ON DUPLICATE KEY) + checkpointed offsets = exactly-once.

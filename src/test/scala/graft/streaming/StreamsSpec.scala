@@ -311,6 +311,45 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("ingestVectors admits only new ids and keeps the IVF index searchable") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_vec_").toString
+    def v(x: Double, y: Double, z: Double) = Seq(x.toFloat, y.toFloat, z.toFloat)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ingestVectors(mem.toDF().toDF("vec_id", "embedding"),
+      s"$dir/corpus", s"$dir/idx", idCol = "vec_id", vecCol = "embedding",
+      checkpoint = s"$dir/ckpt", nLists = 2,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps: trains the quantizer, seeds corpus + index
+      mem.addData((1L, v(10, 0, 0)), (2L, v(0, 10, 0)), (3L, v(10, 0.4, 0)))
+      q.processAllAvailable()
+      // batch 2: a duplicate id (stale re-delivery) + a genuinely new vector
+      mem.addData((1L, v(9, 1, 1)), (4L, v(0, 9.5, 0.2)))
+      q.processAllAvailable()
+      // batch 3: pure replay of known ids → appends nothing
+      mem.addData((4L, v(0, 9.5, 0.2)), (2L, v(0, 10, 0)))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L))
+      // the batch-2 admission is searchable from the persisted index, in
+      // the same cell as its near neighbor (id 2)
+      val idx = graft.ext.Ivf.readIndex(spark, s"$dir/idx")
+      assert(idx.assigned.count() == 4)
+      val hits = graft.ext.Ivf.search(idx.assigned, idx, "vec_id", "embedding",
+        queryVec = Seq(0.0, 10.0, 0.0), k = 2, nProbe = 1)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      assert(hits == Set(2L, 4L))
+      // the id-1 vector kept is the FIRST arrival (batch-2's stale
+      // re-delivery of id 1 was dropped by the anti-join)
+      val v1 = spark.read.parquet(s"$dir/corpus")
+        .filter($"vec_id" === 1L).select("embedding")
+        .as[Seq[Float]].head()
+      assert(v1 == v(10, 0, 0))
+    } finally q.stop()
+  }
+
   test("ingestDedup stays compatible with a pre-hash-format corpus") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_leg_").toString
