@@ -453,6 +453,26 @@ object Config {
           bands = Option(n.get("bands")).map(_.asInt).getOrElse(4),
           rowsPerBand = Option(n.get("rowsPerBand")).map(_.asInt).getOrElse(4))
         df
+      // full-text relevance: scan form over the upstream frame
+      case "bm25" =>
+        graft.ext.Search.bm25TopK(df, str(n, "id"), str(n, "column"),
+          strSeq(n, "terms"), k = n.get("k").asInt)
+      // persisted BM25 inverted index: tokenize once, query from postings
+      case "searchIndexBuild" =>
+        graft.ext.SearchIndex.build(df, str(n, "id"), str(n, "column"),
+          str(n, "path"),
+          nBuckets = Option(n.get("nBuckets")).map(_.asInt).getOrElse(64))
+        df
+      case "searchIndexAppend" =>
+        graft.ext.SearchIndex.append(df, str(n, "id"), str(n, "column"),
+          str(n, "path"))
+        df
+      case "bm25Indexed" =>
+        graft.ext.SearchIndex.bm25TopKIndexed(df.sparkSession, str(n, "path"),
+          strSeq(n, "terms"), k = n.get("k").asInt,
+          idColName = strOpt(n, "id").getOrElse("id"))
+      case "searchIndexCompact" =>
+        graft.ext.SearchIndex.compact(df.sparkSession, str(n, "path")); df
       case "pqBuild" =>
         val cb = graft.ext.Pq.train(df, str(n, "vec"),
           dim = n.get("dim").asInt, m = n.get("m").asInt,

@@ -358,6 +358,41 @@ object Streams {
       }
     }
 
+  /** Streaming document ingest into a persisted BM25 inverted index
+    * ([[graft.ext.SearchIndex]]) — the search sibling of [[ingestVectors]]:
+    * each micro-batch keeps one row per id, anti-joins the index's own
+    * `docs/` dir on the stored id column (a two-column frame — document
+    * text is never re-read), and appends the genuinely-new rows' postings
+    * so the next query sees them. The first batch bootstraps the index.
+    *
+    * Crash windows mirror the other ingests: data-presence dispatch
+    * ([[graft.ext.SearchIndex.indexDataExists]]), Overwrite bootstrap (a
+    * replayed bootstrap rewrites identical content — the index dir belongs
+    * to this ingest), and [[graft.ext.SearchIndex.append]]'s single commit
+    * marker over postings + docs + stats (a torn append fails the next
+    * batch loudly). Replay idempotency is by construction: a replayed
+    * batch's ids are already in `docs/`, its anti-join admits nothing.
+    */
+  def ingestSearchDocs(stream: DataFrame, indexDir: String,
+                       idCol: String, textCol: String, checkpoint: String,
+                       nBuckets: Int = 64,
+                       trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      val perId = batch.select(col(idCol).cast("long").as(idCol), col(textCol))
+        .groupBy(col(idCol))
+        .agg(org.apache.spark.sql.functions.first(col(textCol)).as(textCol))
+      if (!graft.ext.SearchIndex.indexDataExists(spark, indexDir))
+        graft.ext.SearchIndex.build(perId, idCol, textCol, indexDir, nBuckets)
+      else {
+        val indexed = spark.read.parquet(s"$indexDir/docs")
+          .select(col("id").as(idCol))
+        val fresh = perId.join(indexed, Seq(idCol), "left_anti")
+        if (!fresh.isEmpty)
+          graft.ext.SearchIndex.append(fresh, idCol, textCol, indexDir)
+      }
+    }
+
   /** Stream → JDBC upsert: each micro-batch goes through the batched,
     * retrying [[graft.sources.JdbcSink.upsert]] writer. Idempotent template
     * (MERGE / ON DUPLICATE KEY) + checkpointed offsets = exactly-once.

@@ -493,6 +493,36 @@ class ConfigSpec extends SparkSpec {
     assert(out == Map(10L -> "dup_corpus", 20L -> "admitted"))
   }
 
+  test("search index lifecycle from config: build, append, query, compact") {
+    val dir = Files.createTempDirectory("graft_cfg_sidx_").toString
+    Seq((1L, "spark hash join beats sort merge"),
+        (2L, "vector similarity search index"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day1")
+    Seq((3L, "hash join order at scale"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/day2")
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/day1}
+         |transforms:
+         |  - {op: searchIndexBuild, id: doc_id, column: text, path: $dir/idx, nBuckets: 4}
+         |""".stripMargin).count()
+    val hits = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/day2}
+         |transforms:
+         |  - {op: searchIndexAppend, id: doc_id, column: text, path: $dir/idx}
+         |  - {op: searchIndexCompact, path: $dir/idx}
+         |  - {op: bm25Indexed, path: $dir/idx, terms: [hash, join], k: 5, id: doc_id}
+         |""".stripMargin)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+    // scan form agrees on the union corpus
+    val scan = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/day1}
+         |transforms:
+         |  - {op: bm25, id: doc_id, column: text, terms: [hash, join], k: 5}
+         |""".stripMargin)
+    assert(scan.select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("layout ops from config: writePartitioned prunes, writeBucketed joins shuffle-free") {
     val dir = Files.createTempDirectory("graft_cfg_layout_").toString
     (0L until 40L).map(i => (i, i % 4, s"v$i")).toDF("id", "day", "v")

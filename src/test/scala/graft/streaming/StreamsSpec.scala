@@ -350,6 +350,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestSearchDocs admits only new ids and keeps BM25 queryable") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_srch_").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestSearchDocs(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/idx", idCol = "doc_id", textCol = "text",
+      checkpoint = s"$dir/ckpt", nBuckets = 4,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps the index
+      mem.addData((1L, "spark hash join"), (2L, "vector search index"))
+      q.processAllAvailable()
+      // batch 2: stale re-delivery of id 1 + a genuinely new doc
+      mem.addData((1L, "changed text ignored"), (3L, "hash join order"))
+      q.processAllAvailable()
+      // batch 3: pure replay → appends nothing
+      mem.addData((3L, "hash join order"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/idx/docs")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+      // day-2 admission is searchable; id-1 postings are the FIRST arrival
+      val hits = graft.ext.SearchIndex.bm25TopKIndexed(spark, s"$dir/idx",
+          Seq("hash", "join"), k = 10)
+        .select("id").as[Long].collect().toSet
+      assert(hits == Set(1L, 3L))
+      val w1 = spark.read.parquet(s"$dir/idx/postings")
+        .filter($"id" === 1L).select("w").as[String].collect().toSet
+      assert(w1 == Set("spark", "hash", "join"))
+    } finally q.stop()
+  }
+
   test("ingestDedup stays compatible with a pre-hash-format corpus") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_leg_").toString
