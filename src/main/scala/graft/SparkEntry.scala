@@ -77,7 +77,9 @@ object SparkEntry {
     */
   def benchPrimers: Map[String, (SparkSession, String) => Unit] = Map(
     "dedup_near_classify" -> ((s, dir) => { cachedNearIndexDir(s, dir); () }),
-    "search_bm25_indexed" -> ((s, dir) => { cachedSearchIndexDir(s, dir); () }))
+    "search_bm25_indexed" -> ((s, dir) => { cachedSearchIndexDir(s, dir); () }),
+    "search_bm25_batch" -> ((s, dir) => { cachedSearchIndexDir(s, dir); () }),
+    "search_hybrid_rrf" -> ((s, dir) => { cachedSearchIndexDir(s, dir); () }))
 
   private def withNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1167,6 +1169,47 @@ object SparkEntry {
         Seq("hash", "join", "vector"), k = 20, idColName = "doc_id")
     }),
 
+    // batch BM25 from the persisted index: one bkt-pruned postings scan
+    // serves a frame of queries with per-query term sets; contributions
+    // sum as micro-unit BIGINTs, so the per-(query, doc) aggregate is
+    // integer math and the DuckDB oracle replicates it exactly
+    "search_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, Seq("hash", "join")),
+        (2L, Seq("vector", "scan")),
+        (3L, Seq("stream", "window", "dup"))).toDF("query_id", "terms")
+      graft.ext.SearchIndex.bm25TopKIndexedMany(s, cachedSearchIndexDir(s, dir),
+        queries, "query_id", "terms", k = 10, idColName = "doc_id")
+    }),
+
+    // hybrid retrieval: RRF-fuse the lexical (batch BM25 from the index)
+    // and semantic (int8 batch cosine) rankings per query — rank-only
+    // fusion, fixed-order float assembly, full DuckDB oracle replicating
+    // quantization, both rankings, and the fusion arithmetic
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+      val path = tmpDir(dir, "int8_codes_hybrid")
+      Similarity.writeCodes(e, "vec_id", "embedding", path)
+      val codes = s.read.parquet(path)
+      val semW = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("iscore"), col("corpus_id"))
+      val sem = Similarity.int8TopKMany(codes, "vec_id",
+          codes.filter(col("vec_id").between(1L, 3L)), "vec_id", k = 20)
+        .withColumn("rank", row_number().over(semW).cast("bigint"))
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+      val queries = Seq(
+        (1L, Seq("hash", "join")),
+        (2L, Seq("vector", "scan")),
+        (3L, Seq("stream", "window", "dup"))).toDF("query_id", "terms")
+      val lex = graft.ext.SearchIndex.bm25TopKIndexedMany(s,
+        cachedSearchIndexDir(s, dir), queries, "query_id", "terms",
+        k = 20, idColName = "doc_id")
+      graft.ext.Search.rrfFuse(Seq(lex, sem), "query_id", "doc_id",
+        kRrf = 60, topK = 10)
+    }),
+
     // z-order clustered write → read-back: content equality is the oracle
     // (ZOrderSpec asserts the per-file min/max narrowing that makes the
     // layout skip files on multi-dimension filters)
@@ -1761,6 +1804,33 @@ object SparkEntry {
       |SELECT id AS doc_id,
       |  round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 4) AS score
       |FROM pt ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Shared CTE block for the batch-BM25 oracles: the (query, term) frame,
+    * corpus stats, term frequencies, and the MICRO-UNIT integer per-term
+    * contributions summed per (query, doc) — replicating
+    * [[graft.ext.SearchIndex.bm25TopKIndexedMany]]'s quantized aggregation
+    * exactly (integer sums are immune to float addition order, so the
+    * whole batch path is hash-exact cross-engine).
+    */
+  private val bm25BatchCtesSql: String =
+    """qt(query_id, w) AS (
+      |    VALUES (1, 'hash'), (1, 'join'), (2, 'vector'), (2, 'scan'),
+      |           (3, 'stream'), (3, 'window'), (3, 'dup')),
+      |  dl AS (SELECT doc_id AS id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS dl
+      |    FROM documents),
+      |  c AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |  tf AS (SELECT id, w, count(*) AS tf FROM (
+      |      SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      |      FROM documents WHERE length(trim(text)) > 0)
+      |    WHERE w IN (SELECT w FROM qt) GROUP BY 1, 2),
+      |  dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |  ctr AS (SELECT qt.query_id, tf.id,
+      |      CAST(round(ln((c.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+      |        * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+      |        * 1000000) AS BIGINT) AS cu
+      |    FROM tf JOIN dft USING (w) JOIN qt USING (w) JOIN dl ON tf.id = dl.id CROSS JOIN c),
+      |  scg AS (SELECT query_id, id, CAST(sum(cu) AS BIGINT) AS score_u FROM ctr GROUP BY 1, 2)""".stripMargin
 
   /** Full-pipeline oracle for `ann_knn_bucket` — the same model-the-index
     * promotion `ann_lsh_topk` got in r10, for the BATCH k-NN path: DuckDB
@@ -2647,6 +2717,45 @@ object SparkEntry {
     // scores the scan form produces — one oracle, three code paths
     "search_bm25_indexed" -> bm25OracleSql,
     "search_bm25_index_append" -> bm25OracleSql,
+
+    "search_bm25_batch" ->
+      s"""WITH $bm25BatchCtesSql,
+         |  lexrk AS (SELECT query_id, id, score_u,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, id) AS rnk FROM scg)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id,
+         |  round(score_u / 1000000.0, 4) AS score, CAST(rnk AS BIGINT) AS rank
+         |FROM lexrk WHERE rnk <= 10""".stripMargin,
+
+    // hybrid RRF: the lexical CTEs above + the int8 quantization CTEs from
+    // the ann_int8_batch oracle + rank-only fusion with the fixed
+    // lexical-then-semantic addition order rrfFuse uses
+    "search_hybrid_rrf" ->
+      s"""WITH $bm25BatchCtesSql,
+         |  lex AS (SELECT query_id, id, rnk FROM (
+         |      SELECT query_id, id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, id) AS rnk
+         |      FROM scg) WHERE rnk <= 20),
+         |  sc8 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         |      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+         |    FROM embeddings),
+         |  q8 AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+         |      ELSE list_transform(v, x -> CAST(round(x / s) AS INT)) END AS qa FROM sc8),
+         |  qq AS (SELECT vec_id AS query_id, qa AS qv FROM q8 WHERE vec_id BETWEEN 1 AND 3),
+         |  scored AS (SELECT query_id, q8.vec_id AS corpus_id,
+         |      CAST(list_sum(list_transform(range(1, 65), i -> CAST(qa[i] AS BIGINT) * qv[i])) AS BIGINT) AS iscore
+         |    FROM q8, qq WHERE q8.vec_id <> query_id),
+         |  sem AS (SELECT query_id, id, rnk FROM (
+         |      SELECT query_id, corpus_id AS id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, corpus_id) AS rnk
+         |      FROM scored) WHERE rnk <= 20),
+         |  fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+         |      coalesce(lex.id, sem.id) AS id,
+         |      round(coalesce(1.0 / (60 + lex.rnk), 0) + coalesce(1.0 / (60 + sem.rnk), 0), 6) AS rrf
+         |    FROM lex FULL OUTER JOIN sem ON lex.query_id = sem.query_id AND lex.id = sem.id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id, rrf, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT query_id, id, rrf,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin,
 
     "curate_quality_topk" ->
       """SELECT doc_id, source, quality_pm FROM (

@@ -140,4 +140,45 @@ object Search {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * per-query ranked lists from heterogeneous retrievers — the hybrid
+    * lexical + semantic retrieval step of a RAG-style curation pipeline,
+    * where BM25 and embedding ranks live on incomparable score scales and
+    * only the RANKS are fused: rrf(d) = Σᵣ 1/(kRrf + rankᵣ(d)).
+    *
+    * Each input frame carries (queryCol, idCol, `rank`) — a 1-based BIGINT
+    * rank within its query, as [[SearchIndex.bm25TopKIndexedMany]] emits
+    * (rank a semantic list with a query-partitioned `row_number` over its
+    * integer scores). Taking ranks rather than scores keeps fusion
+    * deterministic by construction: the per-retriever contributions are
+    * assembled LEFT-TO-RIGHT through a chain of full-outer joins (fixed
+    * float addition order — never an unordered sum aggregate), so the
+    * result is hash-reproducible cross-engine.
+    *
+    * Scale shape: every input is already a top-k list, so all frames are
+    * |queries| × k rows — the joins and the final per-query window are
+    * bounded by the fused candidate set, never by the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+              kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(kRrf > 0 && topK > 0, "kRrf and topK must be positive")
+    val prepped = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(queryCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("id"),
+        (lit(1.0) / (lit(kRrf.toDouble) + col("rank").cast("double")))
+          .as(s"__rrf_$i"))
+    }
+    val joined = prepped.reduceLeft((a, b) =>
+      a.join(b, Seq("query_id", "id"), "full_outer"))
+    val fused = joined.withColumn("rrf",
+      round(rankings.indices.map(i => coalesce(col(s"__rrf_$i"), lit(0.0)))
+        .reduce(_ + _), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("rrf"), col("id"))
+    fused.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
+      .select(col("query_id").as(queryCol), col("id").as(idCol),
+        col("rrf"), col("__rn").cast("bigint").as("rank"))
+  }
 }

@@ -193,4 +193,69 @@ object SearchIndex {
       .orderBy(desc("score"), col(idColName))
       .limit(k)
   }
+
+  /** Batch BM25: top-k per query for a FRAME of queries — `queries` is
+    * (queryCol, termsCol: array<string>), output is (query_id, <id>,
+    * score, rank). The retrieval shape of a curation pipeline scoring
+    * thousands of probe queries against one corpus: the batch's distinct
+    * terms are collected driver-side (bounded: |queries| × terms-per-query
+    * — the same bounded-small-side contract as the single-query bucket
+    * hash), so ONE postings scan — bkt-pruned, `w IN` pushed — serves
+    * every query; per-query fan-out is a broadcast join of the tiny
+    * (query, term) frame against the pruned postings.
+    *
+    * Determinism across engines: per-term contributions are converted to
+    * MICRO-UNIT BIGINTs (round(c·1e6)) before the per-(query, doc) sum, so
+    * the aggregation is integer math — immune to float summation order —
+    * and the rank orders by the integer score with id tiebreak. The
+    * surfaced `score` is the micro-unit sum scaled back (4-decimal
+    * rounding, same display contract as the single-query form; the two
+    * forms can differ in the last decimal — pivot-sum vs quantized-sum —
+    * which is why each carries its own oracle).
+    */
+  def bm25TopKIndexedMany(spark: SparkSession, dir: String,
+                          queries: DataFrame, queryCol: String,
+                          termsCol: String, k: Int,
+                          idColName: String = "id",
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nBuckets = readNBuckets(spark, dir)
+    import spark.implicits._
+    val qt = queries.select(col(queryCol).cast("long").as("query_id"),
+        explode(array_distinct(transform(col(termsCol), lower(_)))).as("w"))
+      .localCheckpoint(true)
+    val terms = qt.select("w").distinct().as[String].collect().toSeq.sorted
+    require(terms.nonEmpty, "query batch has no terms")
+    val bkts = terms.toDF("w")
+      .select(pmod(xxhash64(col("w")), lit(nBuckets.toLong)).cast("int"))
+      .as[Int].collect().toSeq.distinct
+
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("bkt").isin(bkts: _*) && col("w").isin(terms: _*))
+      .select("id", "w", "tf", "dl")
+    val corpus = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    // df is a property of the corpus term, shared by every query asking it
+    val dft = post.groupBy("w").agg(count(lit(1)).as("df"))
+
+    val contrib = post
+      .join(broadcast(dft), "w")
+      .join(broadcast(qt), "w")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("c_u", round(col("c") * 1e6).cast("bigint"))
+
+    val scored = contrib.groupBy("query_id", "id")
+      .agg(sum(col("c_u")).as("score_u"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score_u"), col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as(idColName),
+        round(col("score_u") / 1e6, 4).as("score"),
+        col("rank").cast("bigint").as("rank"))
+  }
 }

