@@ -794,6 +794,31 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
+    // SemDeDup-shape clustered semantic dedup: hash-ordered deterministic
+    // anchors partition the embedding space into k hard cells (zero-shuffle
+    // argmax-cosine assignment), pairs compared within cells only. The
+    // DuckDB oracle re-derives the same anchors, assignment, and pairs —
+    // the whole pipeline is replicated, like ann_lsh_topk's
+    "dedup_semantic_pairs" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      Dedup.semanticDupPairs(withCopies, "vec_id", "embedding", k = 16,
+        threshold = 0.999)
+        .select(col("cell"), col("id_a"), col("id_b"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
+    // the SemDeDup pipeline end-to-end (cells → within-cell pairs →
+    // components → min-id representative): oracle = the same partition +
+    // recursive-CTE closure + representative filter in DuckDB
+    "dedup_semantic" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      val withCopies = e.unionByName(e.withColumn("vec_id", col("vec_id") + 1000000L))
+      Dedup.semanticDedup(withCopies, "vec_id", "embedding", k = 16,
+        threshold = 0.999)
+        .select("vec_id")
+    }),
+
     // ---- ext: similarity search ----
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
@@ -1860,6 +1885,34 @@ object SparkEntry {
        |  FROM scored) WHERE rk <= $k""".stripMargin
   }
 
+  /** Shared DuckDB CTE prefix for the SemDeDup oracles
+    * (`dedup_semantic_pairs`, `dedup_semantic`): the copies fixture, the
+    * k=16 hash-ordered anchors, the argmax-cosine cell assignment (ties →
+    * lowest cell, matching the Spark side's greatest-struct on
+    * (cos, -cell)), and the within-cell exact-cosine pairs. Parameters
+    * (k, dim=64, +1000000 copies) must stay in sync with the query
+    * entries. Yields CTEs `u`, `anch`, `sc`, `asg`, `pr`; consumers append
+    * the threshold filter so pair keys and closure keys share one prefix.
+    */
+  private val semanticOraclePrefix: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))" +
+        s" / sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))" +
+        s" * list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))"
+    s"""u AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+       |    UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+       |  anch AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, v FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn, v
+       |    FROM u) WHERE rn <= 16),
+       |  sc AS (SELECT u.id, u.v, a.cell, ${cos("u.v", "a.v")} AS cos
+       |    FROM u CROSS JOIN anch a),
+       |  asg AS (SELECT id, v, cell FROM (SELECT id, v, cell,
+       |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, cell ASC) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |  pr AS (SELECT a.cell, a.id AS id_a, b.id AS id_b, ${cos("a.v", "b.v")} AS cos
+       |    FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id)""".stripMargin
+  }
+
   /** Shared oracle for `dedup_near_incremental` AND `dedup_near_classify`
     * (identical pipeline output; the keys differ only in what their bench
     * timing covers — build+classify vs classify against a primed index).
@@ -2256,6 +2309,25 @@ object SparkEntry {
         |         * list_sum(list_transform(range(1, 65), i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))) AS cos
         |  FROM u a JOIN u b ON a.id < b.id)
         |SELECT id_a, id_b, round(cos, 4) AS cos FROM c WHERE cos >= 0.999""".stripMargin,
+
+    // full-pipeline SemDeDup oracle: DuckDB re-derives the hash-ordered
+    // anchors, the argmax-cosine cell assignment, and the within-cell
+    // pairs (see semanticOraclePrefix — parameters must stay in sync with
+    // the dedup_semantic_pairs / dedup_semantic query entries)
+    "dedup_semantic_pairs" ->
+      (s"WITH $semanticOraclePrefix\n" +
+        "SELECT cell, id_a, id_b, round(cos, 4) AS cos FROM pr WHERE cos >= 0.999"),
+
+    "dedup_semantic" ->
+      (s"WITH RECURSIVE $semanticOraclePrefix,\n" +
+        """  p AS (SELECT id_a, id_b FROM pr WHERE cos >= 0.999),
+          |  edges AS (SELECT id_a AS s, id_b AS d FROM p
+          |    UNION SELECT id_b, id_a FROM p),
+          |  walk AS (SELECT s AS id, s AS comp FROM edges
+          |    UNION SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id),
+          |  dupes AS (SELECT id FROM walk GROUP BY id HAVING min(comp) <> id)
+          |SELECT u.id AS vec_id FROM u
+          |WHERE NOT EXISTS (SELECT 1 FROM dupes dd WHERE dd.id = u.id)""".stripMargin),
 
     "ann_lsh_recall" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id, 1.0 AS score

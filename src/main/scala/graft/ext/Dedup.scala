@@ -686,6 +686,114 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
   }
 
+  // ---- clustered semantic dedup (SemDeDup shape) -----------------------
+
+  /** Deterministic anchors for [[semanticDedup]]'s space partition: the `k`
+    * corpus vectors whose ids sort first by (md5(id), id) — the repo's
+    * standard hash-order sample (same idiom as `Curation`'s reproducible
+    * sampling), so the partition is identical across runs, partitionings,
+    * and engines (the DuckDB oracle re-derives the very same anchors with
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT k`). Cells are numbered
+    * 0..k-1 in that hash order. The collect is k vectors — the same bounded
+    * driver-side footprint class as an IVF coarse-centroid table, and the
+    * `orderBy.limit(k)` plans as a distributed TakeOrdered (per-partition
+    * top-k merged on the driver), never a global sort.
+    *
+    * Hash-order anchors, not k-means: trained centroids would partition the
+    * space marginally better, but their iterative fit is
+    * seed/order-sensitive — not replicable bit-for-bit by an external
+    * oracle, and not stable across corpus repartitionings. SemDeDup's
+    * guarantees only need SOME fixed partition with small cells; k scales
+    * it (the paper's own clustering is an efficiency device, not a
+    * semantics carrier).
+    */
+  private[graft] def semanticAnchors(df: DataFrame, idCol: String,
+                                   vecCol: String, k: Int): Array[Array[Double]] = {
+    require(k > 0, s"anchor count must be positive, got $k")
+    df.select(col(idCol).as("__rawid"),
+        md5(col(idCol).cast("string")).as("__h"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(col("__h"), col("__rawid"))
+      .limit(k)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Assign every row its anchor cell: argmax cosine over the anchor
+    * literals, ties to the LOWEST cell index. A pure per-row projection —
+    * k codegen'd [[graft.functions.VectorFunctions.cosine]] calls compared
+    * via struct ordering (`greatest` on (cos, -cell) structs), ZERO
+    * shuffle — which is what makes the SemDeDup shape viable at 100 TB:
+    * the only exchange in the whole pipeline is the within-cell pair
+    * join's hash partition on `cell`.
+    */
+  private[graft] def assignSemanticCells(df: DataFrame, vecCol: String,
+                                       anchors: Array[Array[Double]]): DataFrame = {
+    val scored = anchors.zipWithIndex.map { case (a, i) =>
+      struct(V.cosine(col(vecCol), typedLit(a.toSeq)).as("cos"),
+        lit(-i).as("negCell"))
+    }
+    val best =
+      if (scored.length == 1) scored.head
+      else greatest(scored: _*)
+    df.withColumn("cell", -best.getField("negCell"))
+  }
+
+  /** Within-cell duplicate pairs, SemDeDup-style (public technique: Abbas
+    * et al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): partition the embedding
+    * space into `k` cells around deterministic anchors
+    * ([[semanticAnchors]]), then compare pairs ONLY within a cell and keep
+    * those with cosine ≥ `threshold`. Returns (cell, id_a, id_b, cos).
+    *
+    * Scale shape vs [[embeddingDupPairs]]: LSH multiplies the corpus by
+    * `tables` and relies on 2^bits buckets staying small; the SemDeDup
+    * partition is HARD (each row lands in exactly one cell), so the pair
+    * space is Σ |cell|²/2 with no per-pair dedup aggregation afterwards,
+    * and `k` tunes cell size directly (the paper runs ~50k clusters at
+    * web scale — size k so N/k rows fit one task). The price is recall at
+    * cell boundaries: a near-dup pair straddling two cells is missed —
+    * exact copies are immune (identical vectors score identical anchor
+    * cosines and share a cell by construction), which is also why the
+    * oracle can gate this exactly. `maxCellSize` (off by default) drops
+    * whole oversized cells via the [[dropHotKeys]] broadcast anti-join —
+    * deterministic, so a capped run stays oracle-able.
+    */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int = 64, threshold: Double = 0.99,
+                       maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val anchors = semanticAnchors(df, idCol, vecCol, k)
+    val assigned0 = assignSemanticCells(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", anchors)
+    val assigned =
+      if (maxCellSize == Int.MaxValue) assigned0
+      else dropHotKeys(assigned0, Seq("cell"), maxCellSize)
+    val l = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("cell", "id_a", "id_b", "cos")
+  }
+
+  /** The full SemDeDup pipeline: [[semanticDupPairs]] → connected
+    * components → one representative (min id) per duplicate cluster.
+    * Returns the KEPT rows with their original schema, same contract as
+    * [[nearDedup]]/[[nearDedupEmbeddings]]. The pair frame is
+    * local-checkpointed before the `isEmpty` gate so neither that action
+    * nor the first label round re-runs the within-cell join.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 64, threshold: Double = 0.99,
+                    maxCellSize: Int = Int.MaxValue,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = semanticDupPairs(df, idCol, vecCol, k, threshold, maxCellSize)
+      .localCheckpoint(true)
+    if (pairs.isEmpty) df
+    else representatives(df,
+      connectedComponents(pairs, checkpointDir = checkpointDir), idCol)
+  }
+
   // ---- incremental near-dedup against a persisted signature index ------
 
   /** Format stamp for [[buildNearIndex]] layouts. The LSH parameters are

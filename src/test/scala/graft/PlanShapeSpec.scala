@@ -106,6 +106,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semantic cell assignment is a pure codegen projection — zero exchanges") {
+    // SemDeDup's scale contract: assigning 100 TB of embeddings to cells
+    // must be a per-row argmax over broadcast-literal anchors (k native
+    // cosine calls inside whole-stage codegen), never a join or shuffle —
+    // the within-cell pair join downstream is the pipeline's ONLY exchange
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val anchors = graft.ext.Dedup.semanticAnchors(e, "id", "v", 4)
+    val plan = physical(graft.ext.Dedup.assignSemanticCells(e, "v", anchors))
+    assert(!plan.contains("Exchange"), s"cell assignment shuffles:\n$plan")
+    // the `*(1)` prefix is executedPlan.toString's whole-stage-codegen
+    // marker: the argmax projection must not fall back to interpreted eval
+    assert(plan.contains("*(1) Project"),
+      s"cell assignment fell out of codegen:\n$plan")
+  }
+
   test("incremental near-dedup classify plan is window-free and broadcast-capped") {
     // the batch-vs-corpus path must keep its scale shape: batch postings
     // BROADCAST over stored corpus postings, and the r12 corpus-side

@@ -347,4 +347,61 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
     assert(out.head._3 > 0.999)
   }
+
+  private val semVecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),
+    (2L, Seq(1.0f, 0.0f, 0.5f, -0.25f)),       // identical to 1
+    (3L, Seq(1.0f, 0.01f, 0.5f, -0.25f)),      // near dup of 1
+    (4L, Seq(-1.0f, 2.0f, 0.0f, 1.0f)),
+    (5L, Seq(0.0f, -1.0f, 2.0f, 0.5f)))
+    .toDF("id", "v")
+
+  test("semanticDupPairs finds identical vectors inside one shared cell") {
+    // identical vectors score identical anchor cosines → always co-celled,
+    // whatever the anchors are; (1,3) is near enough to pass 0.99 too when
+    // co-celled, so assert on the guaranteed pair only
+    val out = Dedup.semanticDupPairs(semVecs, "id", "v", k = 2, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("semanticDedup keeps the min id per duplicate cluster") {
+    val kept = Dedup.semanticDedup(semVecs, "id", "v", k = 2, threshold = 0.99999)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("semantic cell assignment is identical across repartitionings") {
+    import org.apache.spark.sql.functions.col
+    // the partition must be a pure function of content (hash-ordered
+    // anchors + argmax), never of physical layout — the property the
+    // DuckDB oracle and any cross-run incremental use depend on
+    val a = Dedup.semanticAnchors(semVecs, "id", "v", k = 3)
+    val b = Dedup.semanticAnchors(semVecs.repartition(7), "id", "v", k = 3)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val asg = Dedup.assignSemanticCells(
+        semVecs.select(col("id"), col("v")), "v", a)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    val asg2 = Dedup.assignSemanticCells(
+        semVecs.repartition(5).select(col("id"), col("v")), "v", a)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(asg == asg2)
+    assert(asg(1L) == asg(2L)) // identical vectors always co-celled
+  }
+
+  test("semanticDupPairs maxCellSize drops oversized cells whole") {
+    // 4 copies of one vector funnel into one cell; cap 3 must drop that
+    // cell entirely (deterministic — a capped run stays oracle-able) while
+    // leaving small cells alone
+    val many = Seq.tabulate(4)(i => ((i + 1).toLong, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+      .unionByName(Seq((10L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+        (11L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("id", "v"))
+    val capped = Dedup.semanticDupPairs(many, "id", "v", k = 2,
+        threshold = 0.999, maxCellSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 <= 4L))
+    assert(capped.contains((10L, 11L)))
+  }
 }
