@@ -808,6 +808,30 @@ object SparkEntry {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // daily-ingest semantic dedup against a persisted cell index: corpus
+    // indexed once (frozen anchors + cell-assigned vectors), then a batch
+    // of [even-id verbatim copies | negated odd-id vectors | a second copy
+    // of each negation] classifies as dup_corpus / admitted / dup_batch.
+    // Negation keeps every float bit-exact across engines, lands far from
+    // the corpus at 0.999 cosine, and makes the +2M/+3M twins identical —
+    // the embedding modality's analogue of dedup_near_incremental's
+    // unique-token fresh docs. The oracle re-derives anchors, both
+    // assignments, the within-batch closure, and the cross match.
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val idx = tmpDir(dir, "sem_index")
+      val e = Tables(s, dir).embeddings.select("vec_id", "embedding")
+      Dedup.buildSemanticIndex(e, "vec_id", "embedding", idx, k = 16, dim = 64)
+      val neg = transform(col("embedding"), x => negate(x))
+      val batch = e.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        .unionByName(e.filter(col("vec_id") % 2 === 1)
+          .select((col("vec_id") + 2000000L).as("vec_id"), neg.as("embedding")))
+        .unionByName(e.filter(col("vec_id") % 2 === 1)
+          .select((col("vec_id") + 3000000L).as("vec_id"), neg.as("embedding")))
+      Dedup.semanticDedupIncremental(batch, "vec_id", "embedding", idx,
+        k = 16, dim = 64, threshold = 0.999)
+    }),
+
     // the SemDeDup pipeline end-to-end (cells → within-cell pairs →
     // components → min-id representative): oracle = the same partition +
     // recursive-CTE closure + representative filter in DuckDB
@@ -1913,6 +1937,53 @@ object SparkEntry {
        |    FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id)""".stripMargin
   }
 
+  /** Full-pipeline oracle for `dedup_semantic_incremental`: DuckDB
+    * re-derives the frozen corpus anchors (k=16, hash order), assigns BOTH
+    * corpus and batch to cells by argmax cosine, closes the within-batch
+    * within-cell pair graph recursively (dup_batch = non-min members), and
+    * matches survivors against same-cell corpus vectors (dup_corpus).
+    * Verdict precedence mirrors `Dedup.semanticDedupIncremental` exactly.
+    */
+  private val semanticIncrementalOracleSql: String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))" +
+        s" / sqrt(list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))" +
+        s" * list_sum(list_transform(range(1, 65), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))"
+    s"""WITH RECURSIVE corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |  anch AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, v FROM (
+       |    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn, v
+       |    FROM corpus) WHERE rn <= 16),
+       |  batch AS (
+       |    SELECT vec_id + 1000000 AS id, embedding AS v FROM embeddings WHERE vec_id % 2 = 0
+       |    UNION ALL SELECT vec_id + 2000000, list_transform(embedding, x -> -x)
+       |      FROM embeddings WHERE vec_id % 2 = 1
+       |    UNION ALL SELECT vec_id + 3000000, list_transform(embedding, x -> -x)
+       |      FROM embeddings WHERE vec_id % 2 = 1),
+       |  casg AS (SELECT id, v, cell FROM (SELECT c.id, c.v, a.cell,
+       |      row_number() OVER (PARTITION BY c.id
+       |        ORDER BY ${cos("c.v", "a.v")} DESC, a.cell ASC) AS rn
+       |    FROM corpus c CROSS JOIN anch a) WHERE rn = 1),
+       |  basg AS (SELECT id, v, cell FROM (SELECT b.id, b.v, a.cell,
+       |      row_number() OVER (PARTITION BY b.id
+       |        ORDER BY ${cos("b.v", "a.v")} DESC, a.cell ASC) AS rn
+       |    FROM batch b CROSS JOIN anch a) WHERE rn = 1),
+       |  bp AS (SELECT a.id AS id_a, b.id AS id_b FROM basg a
+       |    JOIN basg b ON a.cell = b.cell AND a.id < b.id
+       |    WHERE ${cos("a.v", "b.v")} >= 0.999),
+       |  edges AS (SELECT id_a AS s, id_b AS d FROM bp
+       |    UNION SELECT id_b, id_a FROM bp),
+       |  walk AS (SELECT s AS id, s AS comp FROM edges
+       |    UNION SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.id),
+       |  comp AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+       |  xdup AS (SELECT DISTINCT b.id FROM basg b JOIN casg c ON b.cell = c.cell
+       |    WHERE ${cos("b.v", "c.v")} >= 0.999)
+       |SELECT b.id,
+       |  CASE WHEN comp.comp IS NOT NULL AND comp.comp <> b.id THEN 'dup_batch'
+       |       WHEN EXISTS (SELECT 1 FROM xdup x WHERE x.id = b.id) THEN 'dup_corpus'
+       |       ELSE 'admitted' END AS verdict
+       |FROM batch b LEFT JOIN comp ON b.id = comp.id""".stripMargin
+  }
+
   /** Shared oracle for `dedup_near_incremental` AND `dedup_near_classify`
     * (identical pipeline output; the keys differ only in what their bench
     * timing covers — build+classify vs classify against a primed index).
@@ -2317,6 +2388,8 @@ object SparkEntry {
     "dedup_semantic_pairs" ->
       (s"WITH $semanticOraclePrefix\n" +
         "SELECT cell, id_a, id_b, round(cos, 4) AS cos FROM pr WHERE cos >= 0.999"),
+
+    "dedup_semantic_incremental" -> semanticIncrementalOracleSql,
 
     "dedup_semantic" ->
       (s"WITH RECURSIVE $semanticOraclePrefix,\n" +

@@ -738,6 +738,47 @@ object Dedup {
     df.withColumn("cell", -best.getField("negCell"))
   }
 
+  /** Above this anchor count, cell assignment switches from the
+    * literal-argmax projection ([[assignSemanticCells]] — k inlined cosine
+    * expressions; ideal plan, hostile to codegen in the thousands) to the
+    * broadcast-join + `max_by` reduction ([[assignSemanticCellsJoin]]).
+    * Both break ties identically (lowest cell), proven equivalent by spec.
+    */
+  private val LiteralAssignMaxK = 128
+
+  /** [[assignSemanticCells]] for LARGE k — the regime SemDeDup actually
+    * runs at web scale (the paper uses ~50k clusters): anchors become a
+    * broadcast FRAME, each row meets all k via a broadcast nested-loop
+    * join, and `max_by(cell, (cos, -cell))` reduces to the argmax with a
+    * partial (map-side) aggregate, so the shuffle carries ONE row per
+    * input row, never the k-expanded join. Requires unique `id`s (every
+    * caller's contract already). Returns (cell, id, v).
+    */
+  private[graft] def assignSemanticCellsJoin(df0: DataFrame,
+                                             anchors: Array[Array[Double]]): DataFrame = {
+    val spark = df0.sparkSession
+    import spark.implicits._
+    val aDf = broadcast(anchors.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toSeq) }.toDF("__cell", "__av"))
+    df0.crossJoin(aDf)
+      .groupBy("id")
+      .agg(
+        max_by(col("__cell"),
+          struct(V.cosine(col("v"), col("__av")).as("cos"),
+            (-col("__cell")).as("negCell"))).as("cell"),
+        first(col("v")).as("v"))
+      .select("cell", "id", "v")
+  }
+
+  /** Dispatch: literal argmax for small k, join+max_by beyond
+    * [[LiteralAssignMaxK]]. `df0` must be (id, v).
+    */
+  private def assignCells(df0: DataFrame,
+                          anchors: Array[Array[Double]]): DataFrame =
+    if (anchors.length <= LiteralAssignMaxK)
+      assignSemanticCells(df0, "v", anchors).select("cell", "id", "v")
+    else assignSemanticCellsJoin(df0, anchors)
+
   /** Within-cell duplicate pairs, SemDeDup-style (public technique: Abbas
     * et al., "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication", arXiv:2303.09540): partition the embedding
@@ -762,8 +803,17 @@ object Dedup {
                        k: Int = 64, threshold: Double = 0.99,
                        maxCellSize: Int = Int.MaxValue): DataFrame = {
     val anchors = semanticAnchors(df, idCol, vecCol, k)
-    val assigned0 = assignSemanticCells(
-      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", anchors)
+    val assigned = assignCells(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), anchors)
+    withinCellPairs(assigned, threshold, maxCellSize)
+  }
+
+  /** The pair half of [[semanticDupPairs]] over an already-assigned
+    * (cell, id, v) frame — shared with [[semanticDedupIncremental]]'s
+    * within-batch stage so both compute cells exactly once.
+    */
+  private def withinCellPairs(assigned0: DataFrame, threshold: Double,
+                              maxCellSize: Int): DataFrame = {
     val assigned =
       if (maxCellSize == Int.MaxValue) assigned0
       else dropHotKeys(assigned0, Seq("cell"), maxCellSize)
@@ -1036,4 +1086,171 @@ object Dedup {
       ()
     }
   }
+
+  // ---- incremental semantic dedup against a persisted cell index -------
+
+  /** Format stamp for [[buildSemanticIndex]] layouts. Anchor count and
+    * dimension are part of the format: a batch assigned with k' ≠ k
+    * anchors lands in different cells than the stored corpus (silent
+    * recall collapse), and [[graft.functions.CosineSimilarity]] scores
+    * mismatched dimensions over the common prefix without erroring — both
+    * drifts must fail loudly at [[IndexFormat.check]] instead.
+    */
+  private def semanticIndexFormat(k: Int, dim: Int) = s"sem-cells-v1:k=$k,dim=$dim"
+
+  /** Persist the corpus side of incremental semantic dedup at `dir`:
+    * `anchors/` = (cell, v) — the k deterministic hash-ordered anchors,
+    * FROZEN at build time (every later batch must be assigned with the
+    * same anchors or cells stop meaning the same thing) — and `vectors/`
+    * = (cell, id, v) corpus vectors with their cell, stored in the
+    * corpus's own element type (float stays float — half the bytes of
+    * double at 100 TB). [[IndexFormat]] commit-marker ordering:
+    * invalidate → data → stamp.
+    */
+  def buildSemanticIndex(docs: DataFrame, idCol: String, vecCol: String,
+                         dir: String, k: Int = 64, dim: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val anchors = semanticAnchors(docs, idCol, vecCol, k)
+    require(anchors.nonEmpty, "cannot build a semantic index over an empty corpus")
+    require(anchors.length == k,
+      s"corpus has only ${anchors.length} rows — pass k <= that (got k=$k)")
+    require(anchors.forall(_.length == dim),
+      s"anchor dimension ${anchors.head.length} != declared dim $dim")
+    IndexFormat.invalidate(spark, dir)
+    anchors.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }.toDF("cell", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/anchors")
+    assignCells(
+        docs.select(col(idCol).as("id"), col(vecCol).as("v")), anchors)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+    IndexFormat.stamp(spark, dir, semanticIndexFormat(k, dim))
+  }
+
+  /** The stored anchors, in cell order — k rows, the bounded driver-side
+    * collect every classify/append starts from.
+    */
+  private def readSemanticAnchors(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/anchors").orderBy("cell")
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+
+  /** Whether `dir` holds ANY semantic-index state — same any-content
+    * dispatch contract as [[nearIndexDataExists]] (the `_meta` stamp is
+    * legitimately absent mid-append; mid-compaction remnants must reach
+    * [[IndexFormat.check]]'s loud failure, never a fresh bootstrap).
+    */
+  def semanticIndexDataExists(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Boolean =
+    nearIndexDataExists(spark, dir)
+
+  /** Incremental semantic dedup: classify a daily `batch` of embeddings
+    * against a [[buildSemanticIndex]] corpus. Returns (id, verdict) with
+    * verdict ∈ {dup_batch, dup_corpus, admitted} — the same contract and
+    * precedence as [[nearDedupIncremental]]: within-batch within-cell
+    * components keep their min id (rest = `dup_batch`), and a kept id
+    * with cosine ≥ `threshold` against some stored vector in its cell is
+    * `dup_corpus`.
+    *
+    * Scale shape: the batch assigns to cells in a zero-shuffle projection
+    * over the stored anchors, then BROADCASTS over `vectors/` — the
+    * stored corpus streams through the join partition-local, never
+    * shuffles, and is touched only in the batch's cells (all k of them in
+    * the worst case; per-cell work is |batch ∩ cell| × |corpus ∩ cell|
+    * cosines, which `k` bounds — the SemDeDup paper's answer is simply a
+    * large k). `maxCellSize` (off by default) caps BOTH sides: oversized
+    * batch cells are dropped from the pair stage and oversized stored
+    * cells from the cross stage, each via the deterministic whole-cell
+    * [[dropHotKeys]] drop.
+    */
+  def semanticDedupIncremental(batch: DataFrame, idCol: String, vecCol: String,
+                               dir: String, k: Int = 64, dim: Int = 64,
+                               threshold: Double = 0.99,
+                               maxCellSize: Int = Int.MaxValue,
+                               checkpointDir: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    IndexFormat.check(spark, dir, semanticIndexFormat(k, dim))
+    val anchors = readSemanticAnchors(spark, dir)
+    val assigned = assignCells(
+      batch.select(col(idCol).as("id"), col(vecCol).as("v")), anchors)
+      .persist()
+    try {
+      val confirmed = withinCellPairs(assigned, threshold, maxCellSize)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val ids = assigned.select("id")
+      val comp =
+        if (confirmed.isEmpty) ids.select(col("id"), col("id").as("comp"))
+        else ids.join(connectedComponents(confirmed, checkpointDir = checkpointDir),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      val stored0 = spark.read.parquet(s"$dir/vectors")
+      val stored =
+        if (maxCellSize == Int.MaxValue) stored0
+        else dropHotKeys(stored0, Seq("cell"), maxCellSize)
+      val crossDup = stored
+        .join(broadcast(assigned.select(col("cell"), col("id").as("id_a"),
+          col("v").as("v_a"))), Seq("cell"))
+        .filter(V.cosine(col("v"), col("v_a")) >= threshold)
+        .select(col("id_a").as("id")).distinct()
+        .withColumn("__x", lit(true))
+      comp.join(crossDup, Seq("id"), "left")
+        .select(col("id"),
+          when(col("comp") =!= col("id"), lit("dup_batch"))
+            .when(col("__x"), lit("dup_corpus"))
+            .otherwise(lit("admitted")).as("verdict"))
+    } finally {
+      assigned.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Append `docs` (a batch's admitted survivors) to a
+    * [[buildSemanticIndex]] layout: assign with the STORED anchors (never
+    * re-derive — the partition is frozen at build) and append to
+    * `vectors/`. Same commit-marker discipline as [[appendNearIndex]].
+    */
+  def appendSemanticIndex(docs: DataFrame, idCol: String, vecCol: String,
+                          dir: String, k: Int = 64, dim: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    IndexFormat.check(spark, dir, semanticIndexFormat(k, dim))
+    val anchors = readSemanticAnchors(spark, dir)
+    IndexFormat.invalidate(spark, dir)
+    appendSemanticIndexData(docs, idCol, vecCol, dir, k, dim, anchors)
+  }
+
+  private def appendSemanticIndexData(docs: DataFrame, idCol: String,
+                                      vecCol: String, dir: String,
+                                      k: Int, dim: Int,
+                                      anchors: Array[Array[Double]]): Unit = {
+    assignCells(
+        docs.select(col(idCol).as("id"), col(vecCol).as("v")), anchors)
+      .write.mode(SaveMode.Append).parquet(s"$dir/vectors")
+    IndexFormat.stamp(docs.sparkSession, dir, semanticIndexFormat(k, dim))
+  }
+
+  /** Append admitted `docs` to BOTH the corpus parquet and the semantic
+    * index under ONE commit marker — same ordering rationale as
+    * [[appendCorpusAndNearIndex]]: check → read anchors → invalidate →
+    * corpus append → index append → stamp, so a crash anywhere in the
+    * window leaves an unstamped index every reader rejects loudly.
+    */
+  def appendCorpusAndSemanticIndex(docs: DataFrame, corpusPath: String,
+                                   idCol: String, vecCol: String, dir: String,
+                                   k: Int = 64, dim: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    IndexFormat.check(spark, dir, semanticIndexFormat(k, dim))
+    val anchors = readSemanticAnchors(spark, dir)
+    IndexFormat.invalidate(spark, dir)
+    docs.write.mode(SaveMode.Append).parquet(corpusPath)
+    appendSemanticIndexData(docs, idCol, vecCol, dir, k, dim, anchors)
+  }
+
+  /** Compact `vectors/` after many daily appends (anchors are written
+    * once and never appended). Same crash-safe swap as every family:
+    * [[IndexMaintenance.compactStamped]].
+    */
+  def compactSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, k: Int = 64, dim: Int = 64,
+                           targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.compactStamped(spark, dir, semanticIndexFormat(k, dim),
+      Seq("vectors" -> Nil), targetRowsPerFile)
 }

@@ -310,6 +310,66 @@ object Streams {
       }
     }
 
+  /** Streaming corpus ingest with SEMANTIC (embedding-cosine) dedup — the
+    * SemDeDup sibling of [[ingestNearDedup]], built on the persisted cell
+    * index ([[graft.ext.Dedup.buildSemanticIndex]]): each micro-batch
+    * classifies against the frozen anchors + stored cell vectors
+    * ([[graft.ext.Dedup.semanticDedupIncremental]]), appends only
+    * `admitted` rows to `corpusPath`, and appends their cell-assigned
+    * vectors to the index so the NEXT batch dedups against them too. The
+    * first batch bootstraps: in-batch [[graft.ext.Dedup.semanticDedup]]
+    * picks representatives, which seed corpus, anchors, and index — the
+    * anchors are frozen from that first batch (the SemDeDup incremental
+    * contract: cells must mean the same thing forever, so k should be
+    * sized for the EVENTUAL corpus, not the first batch).
+    *
+    * Crash windows carry the exact hardened shape of [[ingestNearDedup]]:
+    * data-presence dispatch ([[graft.ext.Dedup.semanticIndexDataExists]]),
+    * Overwrite bootstrap (a replayed bootstrap rewrites identical
+    * content — `corpusPath` belongs to this ingest), and one commit
+    * marker over corpus + index appends
+    * ([[graft.ext.Dedup.appendCorpusAndSemanticIndex]]) so a torn append
+    * fails the next batch loudly instead of silently re-admitting dups.
+    */
+  def ingestSemanticDedup(stream: DataFrame, corpusPath: String, indexDir: String,
+                          idCol: String, vecCol: String, checkpoint: String,
+                          k: Int = 64, dim: Int = 64, threshold: Double = 0.99,
+                          trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      if (!graft.ext.Dedup.semanticIndexDataExists(spark, indexDir)) {
+        val kept = graft.ext.Dedup.semanticDedup(batch, idCol, vecCol,
+            math.min(k, batch.count().toInt.max(1)), threshold)
+          .localCheckpoint(true)
+        kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpusPath)
+        graft.ext.Dedup.buildSemanticIndex(kept, idCol, vecCol, indexDir,
+          math.min(k, kept.count().toInt.max(1)), dim)
+      } else {
+        val admitted = batch.join(
+            graft.ext.Dedup.semanticDedupIncremental(batch, idCol, vecCol,
+                indexDir, kOfIndex(spark, indexDir, k), dim, threshold)
+              .filter(col("verdict") === "admitted")
+              .select(col("id").as(idCol)),
+            Seq(idCol), "left_semi")
+          .localCheckpoint(true)
+        if (!admitted.isEmpty)
+          graft.ext.Dedup.appendCorpusAndSemanticIndex(admitted, corpusPath,
+            idCol, vecCol, indexDir, kOfIndex(spark, indexDir, k), dim)
+      }
+    }
+
+  /** The effective anchor count of a bootstrapped semantic index: the
+    * bootstrap may have built with fewer anchors than the configured `k`
+    * (a first batch smaller than k), and every later classify/append must
+    * pass the k the STAMP carries or [[graft.ext.IndexFormat.check]]
+    * rejects it. Reads the stored anchor count (cheap: k rows).
+    */
+  private def kOfIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, configured: Int): Int = {
+    val n = spark.read.parquet(s"$indexDir/anchors").count().toInt
+    if (n > 0) n else configured
+  }
+
   /** Streaming embedding ingest into a persisted IVF index — the vector
     * sibling of [[ingestDedup]]: each micro-batch keeps one row per id
     * (min arrival wins within the batch), anti-joins the corpus on the

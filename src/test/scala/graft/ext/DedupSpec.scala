@@ -404,4 +404,87 @@ class DedupSpec extends SparkSpec {
     assert(!capped.exists(p => p._1 <= 4L))
     assert(capped.contains((10L, 11L)))
   }
+
+  test("join-based cell assignment matches the literal argmax exactly") {
+    import org.apache.spark.sql.functions.col
+    // the two assignment strategies (inlined cosine expressions vs
+    // broadcast-join + max_by) must be interchangeable — same argmax, same
+    // lowest-cell tie-break — or a large-k index would disagree with a
+    // small-k one on identical data
+    val a = Dedup.semanticAnchors(semVecs, "id", "v", 3)
+    val byLit = Dedup.assignSemanticCells(
+        semVecs.select(col("id"), col("v")), "v", a)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    val byJoin = Dedup.assignSemanticCellsJoin(
+        semVecs.select(col("id"), col("v")), a)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(byLit == byJoin)
+  }
+
+  private def sv(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("semanticDedupIncremental classifies dup_corpus / dup_batch / admitted against a cell index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semidx_").toString
+    val va = sv(1, 0, 0, 0); val vb = sv(0, 1, 0, 0); val vc = sv(0, 0, 1, 0)
+    Dedup.buildSemanticIndex(Seq((1L, va), (10L, vb)).toDF("id", "v"),
+      "id", "v", dir, k = 2, dim = 4)
+    val batch = Seq((100L, va), (200L, vc), (201L, vc)).toDF("id", "v")
+    val out = Dedup.semanticDedupIncremental(batch, "id", "v", dir,
+        k = 2, dim = 4, threshold = 0.999)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(100L -> "dup_corpus", 200L -> "admitted", 201L -> "dup_batch"))
+    // day 2: append the admitted vector, then a replay of its content must
+    // classify dup_corpus in the SAME session (freshness: no cached frame
+    // hides the appended files)
+    Dedup.appendSemanticIndex(Seq((200L, vc)).toDF("id", "v"),
+      "id", "v", dir, k = 2, dim = 4)
+    val v2 = Dedup.semanticDedupIncremental(
+        Seq((300L, vc)).toDF("id", "v"), "id", "v", dir,
+        k = 2, dim = 4, threshold = 0.999)
+      .as[(Long, String)].collect().toMap
+    assert(v2 == Map(300L -> "dup_corpus"))
+  }
+
+  test("semanticDedupIncremental rejects an index built with different k or dim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semfmt_").toString
+    Dedup.buildSemanticIndex(
+      Seq((1L, sv(1, 0, 0, 0)), (2L, sv(0, 1, 0, 0))).toDF("id", "v"),
+      "id", "v", dir, k = 2, dim = 4)
+    val batch = Seq((9L, sv(0, 0, 1, 0))).toDF("id", "v")
+    intercept[IllegalStateException] {
+      Dedup.semanticDedupIncremental(batch, "id", "v", dir, k = 1, dim = 4)
+    }
+    intercept[IllegalStateException] {
+      Dedup.semanticDedupIncremental(batch, "id", "v", dir, k = 2, dim = 8)
+    }
+  }
+
+  test("compactSemanticIndex shrinks vectors files and preserves classify results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semcompact_").toString
+    val va = sv(1, 0, 0, 0); val vb = sv(0, 1, 0, 0)
+    Dedup.buildSemanticIndex(Seq((1L, va), (2L, vb)).toDF("id", "v"),
+      "id", "v", dir, k = 2, dim = 4)
+    // simulate daily appends: several small files in vectors/
+    (1 to 5).foreach { d =>
+      Dedup.appendSemanticIndex(
+        Seq((100L * d, sv(0, 0, d.toDouble, 0))).toDF("id", "v"),
+        "id", "v", dir, k = 2, dim = 4)
+    }
+    val batch = Seq((900L, va), (901L, sv(0, 0, 3, 0)), (902L, sv(0, 0, 0, 1)))
+      .toDF("id", "v")
+    def classify() = Dedup.semanticDedupIncremental(batch, "id", "v", dir,
+        k = 2, dim = 4, threshold = 0.999)
+      .as[(Long, String)].collect().toMap
+    def nFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .globStatus(new org.apache.hadoop.fs.Path(s"$dir/vectors/*.parquet")).length
+    }
+    val before = classify()
+    val filesBefore = nFiles
+    Dedup.compactSemanticIndex(spark, dir, k = 2, dim = 4)
+    assert(nFiles < filesBefore)
+    assert(classify() == before)
+    assert(before == Map(900L -> "dup_corpus", 901L -> "dup_corpus", 902L -> "admitted"))
+  }
 }

@@ -350,6 +350,70 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestSemanticDedup admits one representative per cosine group across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_sem_").toString
+    def v(x: Double, y: Double, z: Double, w: Double) =
+      Seq(x.toFloat, y.toFloat, z.toFloat, w.toFloat)
+    val va = v(1, 0, 0, 0); val vb = v(0, 1, 0, 0); val vc = v(0, 0, 1, 0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ingestSemanticDedup(mem.toDF().toDF("vec_id", "embedding"),
+      s"$dir/corpus", s"$dir/idx", idCol = "vec_id", vecCol = "embedding",
+      checkpoint = s"$dir/ckpt", k = 2, dim = 4, threshold = 0.999,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps: in-batch cosine dup (1 ≡ 2) → min id 1 kept;
+      // anchors frozen from the kept representatives
+      mem.addData((1L, va), (2L, va), (3L, vb))
+      q.processAllAvailable()
+      // batch 2: dup of an INDEXED vector + a genuinely novel direction
+      mem.addData((4L, vb), (5L, vc))
+      q.processAllAvailable()
+      // batch 3: pure replay of admitted content → appends nothing
+      mem.addData((6L, va), (7L, vc))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("vec_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L, 5L))
+      // the day-2 admission is in the index: its content now classifies
+      // dup_corpus (and the stamp matches the BOOTSTRAP k, not the config)
+      val verdict = graft.ext.Dedup.semanticDedupIncremental(
+          Seq((90L, vc)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+          s"$dir/idx", k = 2, dim = 4, threshold = 0.999)
+        .as[(Long, String)].collect().toMap
+      assert(verdict == Map(90L -> "dup_corpus"))
+    } finally q.stop()
+  }
+
+  test("ingestSemanticDedup fails loudly when index data exists without a stamp") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_semnostamp_").toString
+    def v(x: Double, y: Double, z: Double, w: Double) =
+      Seq(x.toFloat, y.toFloat, z.toFloat, w.toFloat)
+    graft.ext.Dedup.buildSemanticIndex(
+      Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/idx", k = 2, dim = 4)
+    Seq((1L, v(1, 0, 0, 0))).toDF("vec_id", "embedding").write.parquet(s"$dir/corpus")
+    // crash inside an index append: data present, stamp gone — the next
+    // batch must reach IndexFormat.check, never the bootstrap branch
+    graft.ext.IndexFormat.invalidate(spark, s"$dir/idx")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ingestSemanticDedup(mem.toDF().toDF("vec_id", "embedding"),
+      s"$dir/corpus", s"$dir/idx", idCol = "vec_id", vecCol = "embedding",
+      checkpoint = s"$dir/ckpt", k = 2, dim = 4,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((9L, v(0, 0, 1, 0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+      assert(messages(e).exists(_.contains("_meta format stamp")))
+      assert(spark.read.parquet(s"$dir/corpus").count() == 1L)
+    } finally q.stop()
+  }
+
   test("ingestSearchDocs admits only new ids and keeps BM25 queryable") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_srch_").toString
