@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Pipeline, Tables}
-import graft.ext.{Curation, Dedup, Multimodal, Similarity}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, Spans}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.operators.{AsOf, ColumnOps, Enrich, Parse, Sync}
 import graft.sources.{FileSink, FileSource, JdbcSink, JdbcSource, LineParser, LineParserConfig}
@@ -126,6 +126,22 @@ object SparkEntry {
     val ev = Tables(spark, dir).events
     ev.withColumn("ts_us", tsUsCol(ev.schema("ts").dataType))
       .drop("ts")
+  }
+
+  /** Fixture for the span-dedup pair `dedup_dup_spans`/`dedup_strip_spans`:
+    * every third document gains a shared 8-token boilerplate suffix (a
+    * cross-document duplicated SPAN inside otherwise-unique text — exactly
+    * what whole-document dedup misses) and every seventh is duplicated
+    * verbatim under a shifted id (whole-document spans).
+    */
+  private def spanFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents.select("doc_id", "text")
+    val planted = d.withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" LICENSE HEADER COMMON TO MANY DOCUMENTS IN CORPUS")))
+        .otherwise(col("text")))
+    planted.unionByName(planted.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -668,6 +684,20 @@ object SparkEntry {
     "dedup_span_stats" -> ((s, dir) =>
       Dedup.spanStats(Tables(s, dir).documents.select("doc_id", "text"),
         "doc_id", "text", shingleN = 3, minDf = 2)),
+
+    // span-level exact substring dedup (Lee et al. arXiv:2107.06499 shape):
+    // locate the exact token ranges that repeat corpus-wide. Fixture plants
+    // an 8-token boilerplate suffix on every third doc (a cross-doc
+    // duplicated SPAN in docs that are otherwise unique) plus verbatim
+    // copies of every seventh (whole-doc spans)
+    "dedup_dup_spans" -> ((s, dir) =>
+      Spans.duplicateSpans(spanFixture(s, dir), "doc_id", "text",
+        shingleN = 3, minCount = 2)),
+
+    // the removal half: cut every duplicated span, keep everything else
+    "dedup_strip_spans" -> ((s, dir) =>
+      Spans.removeDuplicateSpans(spanFixture(s, dir), "doc_id", "text",
+        shingleN = 3, minCount = 2)),
 
     // incremental ingest dedup: corpus = 80% of docs, batch = the rest plus
     // re-submitted copies of corpus content under new ids; only novel
@@ -1740,6 +1770,31 @@ object SparkEntry {
     * same trick as the mm_decode_features oracle — 16.0**k keeps the math in
     * exact-double range so it matches Spark's conv(..,16,10) bit-for-bit).
     */
+  /** Shared oracle CTE chain for `dedup_dup_spans` / `dedup_strip_spans`:
+    * rebuilds the span fixture (boilerplate suffix on every third doc,
+    * verbatim copy of every seventh), the positional 3-gram postings, the
+    * corpus-wide occurrence filter (total occurrences, n >= 2), and the
+    * run merge (windows <= 3 apart chain into one island) — the DuckDB
+    * mirror of `Spans.duplicateSpans`.
+    */
+  private val spanOraclePrefix: String =
+    """base AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      |    THEN text || ' LICENSE HEADER COMMON TO MANY DOCUMENTS IN CORPUS'
+      |    ELSE text END AS text FROM documents),
+      |  corpus AS (SELECT doc_id, text FROM base
+      |    UNION ALL SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0),
+      |  tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM corpus),
+      |  pv0 AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []
+      |    ELSE list_transform(range(1, len(w) - 1), i ->
+      |      struct_pack(pos := i - 1, sng := array_to_string(w[i:i+2], ' '))) END) AS u FROM tok),
+      |  pv AS (SELECT doc_id, u.pos AS pos, u.sng AS sng FROM pv0),
+      |  hits AS (SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, count(*) OVER (PARTITION BY sng) AS n FROM pv) WHERE n >= 2),
+      |  runs AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM (
+      |    SELECT doc_id, pos, CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 3 THEN 1 ELSE 0 END AS brk FROM hits))""".stripMargin
+
   private def duckBucket(keyExpr: String, buckets: Int, salt: String): String =
     s"""CAST(list_sum(list_transform(range(1, 5),
        |    k -> (instr('0123456789abcdef', substr(md5($keyExpr || ':$salt'), CAST(k AS INT), 1)) - 1)
@@ -2267,6 +2322,27 @@ object SparkEntry {
         |  CAST(CASE WHEN coalesce(c.n_shingles, 0) = 0 THEN 0
         |    ELSE floor(c.dup_shingles * 1000.0 / c.n_shingles + 0.5) END AS BIGINT) AS dup_pm
         |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id""".stripMargin,
+
+    "dedup_dup_spans" ->
+      (s"WITH $spanOraclePrefix\n" +
+        """SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          |  CAST(max(pos) + 3 AS BIGINT) AS span_end
+          |FROM runs GROUP BY doc_id, isl""".stripMargin),
+
+    "dedup_strip_spans" ->
+      (s"WITH $spanOraclePrefix,\n" +
+        """  spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+          |    FROM runs GROUP BY doc_id, isl),
+          |  sl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+          |    FROM spans GROUP BY doc_id),
+          |  cleaned AS (SELECT t.doc_id, t.w,
+          |      list_filter(range(0, len(t.w)), i ->
+          |        len(list_filter(coalesce(sl.spans, []), sp -> i >= sp.s AND i < sp.e)) = 0) AS kept
+          |    FROM tok t LEFT JOIN sl ON t.doc_id = sl.doc_id)
+          |SELECT doc_id,
+          |  coalesce(array_to_string(list_transform(kept, i -> w[CAST(i + 1 AS INTEGER)]), ' '), '') AS clean_text,
+          |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed
+          |FROM cleaned""".stripMargin),
 
     "dedup_incremental" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),

@@ -770,14 +770,83 @@ object Dedup {
       .select("cell", "id", "v")
   }
 
-  /** Dispatch: literal argmax for small k, join+max_by beyond
-    * [[LiteralAssignMaxK]]. `df0` must be (id, v).
+  /** [[assignSemanticCellsJoin]] without the row expansion: the join path
+    * materializes rows × k joined rows before `max_by` reduces them — row
+    * overhead (~µs each), not arithmetic, dominates, which priced a
+    * 200k-row × k=6400 assignment in HOURS. Here the anchors broadcast as
+    * a plain array and each partition runs the argmax as a tight loop:
+    * rows × k × dim fused multiply-adds, zero intermediate rows, zero
+    * shuffle — the CPU shape of the SemDeDup paper's GPU k-means-assign
+    * step, and the genuine per-partition-imperative case `mapPartitions`
+    * exists for (no Expression can reduce over an unbounded anchor set
+    * without materializing the pairing). Arithmetic replicates
+    * [[graft.functions.CosineSimilarity]] exactly (left-to-right
+    * accumulation, per-element double widening, `dot/sqrt(na*nb)`,
+    * zero-norm → 0.0) and ties break to the lowest cell by
+    * strictly-greater comparison — bit-identical verdicts to both sibling
+    * paths, proven by spec. Null vector elements read as 0.0, same as the
+    * native expression.
+    */
+  private[graft] def assignSemanticCellsPartition(df0: DataFrame,
+                                                  anchors: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    require(anchors.nonEmpty, "anchor set must be non-empty")
+    val vIdx = df0.schema.fieldIndex("v")
+    df0.schema(vIdx).dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => ()
+      case t => throw new IllegalArgumentException(
+        s"v must be array<float> or array<double>, got $t")
+    }
+    val out = StructType(
+      StructField("cell", IntegerType, nullable = false) +: df0.schema.fields)
+    val bc = df0.sparkSession.sparkContext.broadcast(anchors)
+    df0.mapPartitions { rows =>
+      val as = bc.value
+      rows.map { r =>
+        val seq = if (r.isNullAt(vIdx)) Seq.empty[Any] else r.getSeq[Any](vIdx)
+        val v = new Array[Double](seq.length)
+        var j = 0
+        seq.foreach { x =>
+          v(j) = x match {
+            case null => 0.0
+            case f: Float => f.toDouble
+            case d: Double => d
+          }
+          j += 1
+        }
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < as.length) {
+          val a = as(c)
+          val n = math.min(v.length, a.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) {
+            val xi = v(i); val yi = a(i)
+            dot += xi * yi; na += xi * xi; nb += yi * yi
+            i += 1
+          }
+          val den = na * nb
+          val cos = if (den == 0.0) 0.0 else dot / math.sqrt(den)
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        Row.fromSeq(best +: r.toSeq)
+      }
+    }(Encoders.row(out))
+  }
+
+  /** Dispatch: literal argmax for small k (ideal codegen'd plan),
+    * partition-loop argmax beyond [[LiteralAssignMaxK]] (flat cost in k,
+    * no row expansion). [[assignSemanticCellsJoin]] stays as the
+    * declarative reference both are spec-checked against. `df0` must be
+    * (id, v).
     */
   private def assignCells(df0: DataFrame,
                           anchors: Array[Array[Double]]): DataFrame =
     if (anchors.length <= LiteralAssignMaxK)
       assignSemanticCells(df0, "v", anchors).select("cell", "id", "v")
-    else assignSemanticCellsJoin(df0, anchors)
+    else assignSemanticCellsPartition(df0, anchors).select("cell", "id", "v")
 
   /** Within-cell duplicate pairs, SemDeDup-style (public technique: Abbas
     * et al., "SemDeDup: Data-efficient learning at web-scale through

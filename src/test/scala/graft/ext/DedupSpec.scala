@@ -419,6 +419,25 @@ class DedupSpec extends SparkSpec {
         semVecs.select(col("id"), col("v")), a)
       .select("id", "cell").as[(Long, Int)].collect().toMap
     assert(byLit == byJoin)
+    val byPart = Dedup.assignSemanticCellsPartition(
+        semVecs.select(col("id"), col("v")), a)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(byLit == byPart)
+  }
+
+  test("partition-loop cell assignment ties break to the lowest cell like the argmax") {
+    import org.apache.spark.sql.functions.col
+    // two identical anchors force an exact cosine tie on every row; all
+    // three strategies must pick the lower cell
+    val docs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.5f, 0.5f)), (3L, Seq(0f, 0f)))
+      .toDF("id", "v")
+    val a = Array(Array(0.6, 0.8), Array(0.6, 0.8))
+    val byLit = Dedup.assignSemanticCells(docs, "v", a)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    val byPart = Dedup.assignSemanticCellsPartition(docs.select(col("id"), col("v")), a)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    assert(byLit == byPart)
+    assert(byPart.values.toSet == Set(0))
   }
 
   private def sv(xs: Double*): Seq[Float] = xs.map(_.toFloat)
