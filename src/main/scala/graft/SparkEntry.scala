@@ -1493,6 +1493,26 @@ object SparkEntry {
       Curation.contaminationReport(train, heldOut, "doc_id", "text", shingleN = 3)
     }),
 
+    // persisted decontamination index (daily-ingest shape): benchmarks are
+    // shingled ONCE into a stamped hash index — half at build, half via a
+    // later append — then a training batch (non-eval docs + planted copies
+    // of eval content under shifted ids) classifies against the stored
+    // hashes alone, broadcast over the batch postings. Planted leaks must
+    // drop; everything else survives. Oracle re-derives both sides.
+    "curate_decontam_indexed" -> ((s, dir) => {
+      val idx = tmpDir(dir, "decontam_index")
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val ev = d.filter(col("doc_id") % 10 === 0)
+      Curation.buildDecontamIndex(ev.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", idx, shingleN = 3)
+      Curation.appendDecontamIndex(ev.filter(col("doc_id") % 20 =!= 0),
+        "doc_id", "text", idx, shingleN = 3)
+      val batch = d.filter(col("doc_id") % 10 =!= 0)
+        .unionByName(ev.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Curation.decontaminateIncremental(batch, "doc_id", "text", idx, shingleN = 3)
+        .select("doc_id")
+    }),
+
     // deterministic 2.5× upsampling: every doc twice + half the keys a
     // third time (the >1× side of mixture weighting)
     "curate_upsample" -> ((s, dir) =>
@@ -3181,6 +3201,26 @@ object SparkEntry {
         |SELECT t.id AS train_id, e.id AS eval_id, count(*) AS shared_shingles
         |FROM trcap t JOIN evcap e ON t.sng = e.sng
         |GROUP BY 1, 2""".stripMargin,
+
+    "curate_decontam_indexed" ->
+      """WITH ev AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0),
+        |  tr AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0
+        |    UNION ALL SELECT id + 2000000, text FROM ev),
+        |  trtok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM tr),
+        |  trsh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM trtok),
+        |  trinv AS (SELECT id, unnest(s) AS sng FROM trsh),
+        |  evtok AS (SELECT id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM ev),
+        |  evsh AS (SELECT id, list_distinct(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s FROM evtok),
+        |  evsng AS (SELECT DISTINCT unnest(s) AS sng FROM evsh),
+        |  capped AS (SELECT id, sng FROM (
+        |    SELECT id, sng, count(*) OVER (PARTITION BY sng) AS df FROM trinv)
+        |    WHERE df <= 10000),
+        |  bad AS (SELECT DISTINCT c.id FROM capped c JOIN evsng e ON c.sng = e.sng)
+        |SELECT t.id AS doc_id FROM tr t WHERE t.id NOT IN (SELECT id FROM bad)""".stripMargin,
 
     "curate_pretrain_pipeline" ->
       s"""WITH f AS (SELECT doc_id, text,

@@ -420,6 +420,116 @@ object Curation {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  // ---- persisted decontamination index (daily-ingest shape) ------------
+
+  /** Format stamp for [[buildDecontamIndex]] layouts. The shingle width is
+    * part of the format: a batch shingled with n' ≠ n never matches the
+    * stored hashes (silent zero-contamination), so the drift must fail
+    * loudly at [[IndexFormat.check]] instead.
+    */
+  private def decontamFormat(shingleN: Int) = s"decontam-v1:n=$shingleN"
+
+  private def evalPostings(eval: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int): DataFrame =
+    eval.select(col(idCol).as("eval_id"),
+      explode(array_distinct(T.wordShingleHashes(col(textCol), shingleN)))
+        .as("sh"))
+
+  /** Persist the eval side of decontamination at `dir`: `shingles/` =
+    * distinct-per-doc (eval_id, sh) postings of every held-out document.
+    * Eval sets are the SMALL, slowly-changing side of decontamination
+    * (benchmarks are thousands of documents; the training corpus is the
+    * 100 TB side), so the index stores 8-byte hashes per posting — the
+    * eval text is shingled exactly once, at build/append time, and every
+    * later training batch classifies against hashes alone.
+    * [[IndexFormat]] commit-marker ordering: invalidate → data → stamp.
+    */
+  def buildDecontamIndex(eval: DataFrame, idCol: String, textCol: String,
+                         dir: String, shingleN: Int = 3): Unit = {
+    val spark = eval.sparkSession
+    IndexFormat.invalidate(spark, dir)
+    evalPostings(eval, idCol, textCol, shingleN)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/shingles")
+    IndexFormat.stamp(spark, dir, decontamFormat(shingleN))
+  }
+
+  /** Append a NEW eval set (a benchmark added after the index was built)
+    * under the same commit marker discipline as every index family:
+    * check → invalidate → append → stamp. The caller's contract is that
+    * each append carries eval ids not already stored (re-appending an id
+    * would double its postings and inflate [[contaminationReportIndexed]]
+    * counts; [[decontaminateIncremental]] is insensitive to duplicates).
+    */
+  def appendDecontamIndex(eval: DataFrame, idCol: String, textCol: String,
+                          dir: String, shingleN: Int = 3): Unit = {
+    val spark = eval.sparkSession
+    IndexFormat.check(spark, dir, decontamFormat(shingleN))
+    IndexFormat.invalidate(spark, dir)
+    evalPostings(eval, idCol, textCol, shingleN)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/shingles")
+    IndexFormat.stamp(spark, dir, decontamFormat(shingleN))
+  }
+
+  /** [[decontaminate]] against a [[buildDecontamIndex]] layout: drop every
+    * `batch` row sharing any (batch-side df-capped) shingle with the stored
+    * eval sets. Same semantics as the two-frame op, but the eval side is
+    * never re-shingled — and the join inverts the scale asymmetry: the
+    * stored DISTINCT shingle hashes (bounded by eval-set size) BROADCAST
+    * over the batch postings, so the training batch — the 100 TB side —
+    * never shuffles at all; contamination is decided map-side against a
+    * broadcast hash set, and the only exchanges left are the df-cap's
+    * partial agg and the final distinct of contaminated ids (both
+    * batch-id-sized).
+    */
+  def decontaminateIncremental(batch: DataFrame, idCol: String,
+                               textCol: String, dir: String,
+                               shingleN: Int = 3,
+                               maxDocFreq: Int = 10000): DataFrame = {
+    val spark = batch.sparkSession
+    IndexFormat.check(spark, dir, decontamFormat(shingleN))
+    val stored = spark.read.parquet(s"$dir/shingles").select("sh").distinct()
+    val inv = batch.select(col(idCol), explode(array_distinct(
+      T.wordShingleHashes(col(textCol), shingleN))).as("sh"))
+    val contaminated = Dedup.dropHotKeys(inv, Seq("sh"), maxDocFreq)
+      .join(broadcast(stored), Seq("sh"))
+      .select(idCol).distinct()
+    batch.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** [[contaminationReport]] against the stored postings: (train_id,
+    * eval_id, shared_shingles) for every batch×eval pair sharing at least
+    * `minShared` distinct shingles. Same broadcast shape as
+    * [[decontaminateIncremental]] — stored postings broadcast, batch never
+    * shuffles before the pair-count agg.
+    */
+  def contaminationReportIndexed(batch: DataFrame, idCol: String,
+                                 textCol: String, dir: String,
+                                 shingleN: Int = 3,
+                                 maxDocFreq: Int = 10000,
+                                 minShared: Long = 1L): DataFrame = {
+    val spark = batch.sparkSession
+    IndexFormat.check(spark, dir, decontamFormat(shingleN))
+    val stored = spark.read.parquet(s"$dir/shingles")
+    val inv = batch.select(col(idCol).as("train_id"), explode(array_distinct(
+      T.wordShingleHashes(col(textCol), shingleN))).as("sh"))
+    Dedup.dropHotKeys(inv, Seq("sh"), maxDocFreq)
+      .join(broadcast(stored), Seq("sh"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
+  /** Compact `shingles/` after many benchmark appends — same crash-safe
+    * swap as every stamped index family.
+    */
+  def compactDecontamIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, shingleN: Int = 3,
+                           targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.compactStamped(spark, dir, decontamFormat(shingleN),
+      Seq("shingles" -> Nil), targetRowsPerFile)
+
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3,
                     maxDocFreq: Int = 10000): DataFrame = {

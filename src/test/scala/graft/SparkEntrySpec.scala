@@ -34,9 +34,9 @@ class SparkEntrySpec extends SparkSpec {
     // +ann_ivfpq_append_recall, +search_bm25_indexed,
     // +search_bm25_index_append, +search_bm25_batch, +search_hybrid_rrf,
     // +dedup_semantic_pairs, +dedup_semantic, +dedup_semantic_incremental,
-    // +dedup_dup_spans, +dedup_strip_spans)
-    assert(SparkEntry.queries.size == 146,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 146); " +
+    // +dedup_dup_spans, +dedup_strip_spans, +curate_decontam_indexed)
+    assert(SparkEntry.queries.size == 147,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 147); " +
         "if intentional, update this pin")
   }
 

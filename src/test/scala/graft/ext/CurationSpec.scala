@@ -345,4 +345,71 @@ class CurationSpec extends SparkSpec {
       shingleN = 3, maxDocFreq = 100)
     assert(out2.count() == 0)
   }
+
+  test("decontam index: build, classify, append visibility, pair report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam_").toString
+    val evalA = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val evalB = Seq((200L, "epsilon zeta eta theta")).toDF("id", "text")
+    Curation.buildDecontamIndex(evalA, "id", "text", dir, shingleN = 3)
+    val batch = Seq(
+      (1L, "alpha beta gamma leaked from benchmark a"),
+      (2L, "epsilon zeta eta leaked from benchmark b"),
+      (3L, "totally clean original training document"))
+      .toDF("id", "text")
+    def surviving() = Curation.decontaminateIncremental(
+        batch, "id", "text", dir, shingleN = 3)
+      .select("id").as[Long].collect().toSet
+    // only benchmark A is indexed: doc 1 drops, doc 2 survives
+    assert(surviving() == Set(2L, 3L))
+    // append benchmark B: the next classify in the SAME session must see it
+    Curation.appendDecontamIndex(evalB, "id", "text", dir, shingleN = 3)
+    assert(surviving() == Set(3L))
+    // the audit names which benchmark leaked into which doc
+    val report = Curation.contaminationReportIndexed(
+        batch, "id", "text", dir, shingleN = 3)
+      .select("train_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(report == Set((1L, 100L), (2L, 200L)))
+  }
+
+  test("decontam index rejects shingle-width drift and missing stamp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontamfmt_").toString
+    val eval = Seq((1L, "a b c d e")).toDF("id", "text")
+    Curation.buildDecontamIndex(eval, "id", "text", dir, shingleN = 3)
+    val batch = Seq((9L, "a b c d e")).toDF("id", "text")
+    intercept[IllegalStateException] {
+      Curation.decontaminateIncremental(batch, "id", "text", dir, shingleN = 2)
+    }
+    IndexFormat.invalidate(spark, dir)
+    intercept[IllegalStateException] {
+      Curation.decontaminateIncremental(batch, "id", "text", dir, shingleN = 3)
+    }
+  }
+
+  test("compactDecontamIndex shrinks files and preserves classification") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontamcomp_").toString
+    Curation.buildDecontamIndex(
+      Seq((1L, "alpha beta gamma delta")).toDF("id", "text"),
+      "id", "text", dir, shingleN = 3)
+    (2 to 6).foreach { i =>
+      Curation.appendDecontamIndex(
+        Seq((i.toLong, s"bench$i term$i word$i extra$i")).toDF("id", "text"),
+        "id", "text", dir, shingleN = 3)
+    }
+    val batch = Seq((10L, "alpha beta gamma leaked"), (11L, "bench4 term4 word4 leaked"),
+      (12L, "clean doc entirely new")).toDF("id", "text")
+    def surviving() = Curation.decontaminateIncremental(
+        batch, "id", "text", dir, shingleN = 3)
+      .select("id").as[Long].collect().toSet
+    def nFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/shingles")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .globStatus(new org.apache.hadoop.fs.Path(s"$dir/shingles/*.parquet")).length
+    }
+    val before = surviving()
+    assert(before == Set(12L))
+    val filesBefore = nFiles
+    Curation.compactDecontamIndex(spark, dir, shingleN = 3)
+    assert(nFiles < filesBefore)
+    assert(surviving() == before)
+  }
 }
