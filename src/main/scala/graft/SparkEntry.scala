@@ -1404,6 +1404,24 @@ object SparkEntry {
         T.capsPerMille(col("text")).as("caps_pm"),
         T.digitPerMille(col("text")).as("digit_pm"))),
 
+    // Gopher repetition filters (Rae et al. arXiv:2112.11446 Table A1):
+    // line-level duplicate fractions + the top-3-gram character fraction.
+    // The fixture injects line structure (docs are single-line): even ids
+    // carry their text twice as two lines plus a unique tail line, odd ids
+    // once plus the tail — line signals fire on evens, stay 0 on odds.
+    "text_repetition" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val mtext = when(col("doc_id") % 2 === 0,
+        concat_ws("\n", col("text"), col("text"),
+          concat(lit("END "), col("doc_id"))))
+        .otherwise(concat_ws("\n", col("text"),
+          concat(lit("END "), col("doc_id"))))
+      d.select(col("doc_id"),
+        T.dupLinePerMille(mtext).as("dup_line_pm"),
+        T.dupLineCharPerMille(mtext).as("dup_line_char_pm"),
+        T.topNgramCharPerMille(col("text"), 3).as("top3gram_pm"))
+    }),
+
     // ---- ext: corpus curation (deterministic md5-keyed sampling/splits —
     // pure scan-side predicates, reproducible across engines/partitionings;
     // see Curation) ----
@@ -3062,6 +3080,34 @@ object SparkEntry {
         |  CAST(CASE WHEN length(text) = 0 THEN 0
         |    ELSE floor((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000.0 / length(text) + 0.5) END AS BIGINT) AS digit_pm
         |FROM sh""".stripMargin,
+
+    "text_repetition" ->
+      """WITH mt AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 2 = 0 THEN concat_ws(chr(10), text, text, 'END ' || doc_id)
+        |         ELSE concat_ws(chr(10), text, 'END ' || doc_id) END AS mtext FROM documents),
+        |  ln AS (SELECT doc_id, list_filter(list_transform(string_split(mtext, chr(10)),
+        |    l -> trim(l)), l -> length(l) > 0) AS ls FROM mt),
+        |  lstat AS (SELECT doc_id,
+        |    CAST(CASE WHEN len(ls) = 0 THEN 0
+        |      ELSE floor((len(ls) - len(list_distinct(ls))) * 1000.0 / len(ls) + 0.5) END AS BIGINT) AS dup_line_pm,
+        |    CAST(CASE WHEN coalesce(list_sum(list_transform(ls, l -> length(l))), 0) = 0 THEN 0
+        |      ELSE floor(coalesce(list_sum(list_transform(
+        |          list_filter(ls, l -> len(list_filter(ls, l2 -> l2 = l)) >= 2),
+        |          l -> length(l))), 0) * 1000.0
+        |        / list_sum(list_transform(ls, l -> length(l))) + 0.5) END AS BIGINT) AS dup_line_char_pm
+        |    FROM ln),
+        |  tok AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents),
+        |  sh AS (SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN []
+        |    ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS sng FROM tok),
+        |  cnt AS (SELECT doc_id, sng, count(*) AS c FROM sh GROUP BY 1, 2),
+        |  top AS (SELECT doc_id, sng, c FROM (SELECT doc_id, sng, c,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, sng ASC) AS rn FROM cnt)
+        |    WHERE rn = 1)
+        |SELECT l.doc_id, l.dup_line_pm, l.dup_line_char_pm,
+        |  CAST(coalesce(floor(t.c * length(t.sng) * 1000.0 / nullif(length(d.text), 0) + 0.5), 0) AS BIGINT) AS top3gram_pm
+        |FROM lstat l JOIN documents d ON l.doc_id = d.doc_id
+        |LEFT JOIN top t ON l.doc_id = t.doc_id""".stripMargin,
 
     "curate_sample_hash" ->
       s"""SELECT doc_id, lang FROM documents

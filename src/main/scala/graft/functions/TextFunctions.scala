@@ -202,4 +202,71 @@ object TextFunctions {
         floor((size(sh) - size(array_distinct(sh))).cast("double") * 1000 /
           size(sh) + 0.5).cast("bigint"))
     }
+
+  /** Non-empty trimmed lines of a document ('\n'-separated) — the unit the
+    * Gopher repetition filters (Rae et al., arXiv:2112.11446, Table A1)
+    * measure over.
+    */
+  def linesOf(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Duplicate-line fraction (per-mille): 1 − distinct/total over non-empty
+    * trimmed lines — the Gopher rule that catches chat logs, boilerplate
+    * navigation, and degenerate generations that repeat whole lines.
+    */
+  def dupLinePerMille(text: Column): Column =
+    ExprOps.let(linesOf(text)) { ls =>
+      when(size(ls) === 0, lit(0L)).otherwise(
+        floor((size(ls) - size(array_distinct(ls))).cast("double") * 1000 /
+          size(ls) + 0.5).cast("bigint"))
+    }
+
+  /** Duplicate-line CHARACTER fraction (per-mille): chars inside lines that
+    * occur ≥ 2 times ÷ chars across all lines — Gopher's char-weighted
+    * variant (a doc whose one repeated line is 90% of its bytes scores high
+    * even though the line COUNT fraction is low). O(lines²) per document,
+    * all inside codegen; line counts are small by construction.
+    */
+  def dupLineCharPerMille(text: Column): Column =
+    ExprOps.let(linesOf(text)) { ls =>
+      ExprOps.let(aggregate(ls, lit(0L), (a, x) => a + length(x))) { total =>
+        when(total === 0L, lit(0L)).otherwise(
+          floor(aggregate(
+              filter(ls, l => size(filter(ls, l2 => l2 === l)) >= 2),
+              lit(0L), (a, x) => a + length(x)).cast("double") * 1000 /
+            total + 0.5).cast("bigint"))
+      }
+    }
+
+  /** Fraction of document characters covered by the single most frequent
+    * word n-gram (per-mille): count(top n-gram) × chars(top n-gram) ÷
+    * chars(text) — the Gopher top-n-gram rule that catches documents
+    * dominated by one repeated phrase. Computed without a shuffle or a
+    * per-doc groupBy: sort the shingle array, scan runs with an `aggregate`
+    * accumulator (O(s log s) per document, independent of corpus size), and
+    * keep the longest run — ties break to the lexicographically smallest
+    * n-gram (the ascending scan keeps the first maximum), which the oracle
+    * mirrors with ORDER BY count DESC, ngram ASC.
+    */
+  def topNgramCharPerMille(text: Column, n: Int): Column =
+    ExprOps.let(array_sort(wordShingles(text, n))) { sh =>
+      when(size(sh) === 0 || length(text) === 0, lit(0L)).otherwise(
+        ExprOps.let(
+          aggregate(sh,
+            struct(lit("").as("prev"), lit(0L).as("run"),
+              lit(0L).as("bestCnt"), lit("").as("bestSng")),
+            (acc, x) =>
+              ExprOps.let(when(x === acc.getField("prev"),
+                  acc.getField("run") + 1L).otherwise(lit(1L))) { run =>
+                ExprOps.let(run > acc.getField("bestCnt")) { better =>
+                  struct(x.as("prev"), run.as("run"),
+                    when(better, run).otherwise(acc.getField("bestCnt")).as("bestCnt"),
+                    when(better, x).otherwise(acc.getField("bestSng")).as("bestSng"))
+                }
+              })) { st =>
+          floor(st.getField("bestCnt").cast("double") *
+            length(st.getField("bestSng")) * 1000 / length(text) + 0.5)
+            .cast("bigint")
+        })
+    }
 }

@@ -62,6 +62,44 @@ class FunctionsSpec extends SparkSpec {
     assert(dig == 500L)
   }
 
+  test("dupLinePerMille / dupLineCharPerMille measure line repetition") {
+    // 3 non-empty lines, 2 identical → (3-2)/3 = 333pm; duplicated lines
+    // carry 8 of 11 line chars → 727pm
+    val t = "same\nsame\nend"
+    val out = Seq(t).toDF("t").select(
+        TextFunctions.dupLinePerMille($"t").as("l"),
+        TextFunctions.dupLineCharPerMille($"t").as("c"))
+      .as[(Long, Long)].head()
+    assert(out == ((333L, 727L)))
+    // blank/whitespace lines are dropped before counting
+    val out2 = Seq("a\n\n  \na").toDF("t")
+      .select(TextFunctions.dupLinePerMille($"t")).as[Long].head()
+    assert(out2 == 500L)
+    assert(Seq("").toDF("t")
+      .select(TextFunctions.dupLinePerMille($"t")).as[Long].head() == 0L)
+    assert(Seq("one line only").toDF("t")
+      .select(TextFunctions.dupLineCharPerMille($"t")).as[Long].head() == 0L)
+  }
+
+  test("topNgramCharPerMille covers chars of the most frequent n-gram") {
+    // "go go" occurs 4x among the 5 bigrams; 4 × 5 chars / 14 chars = 1429
+    // capped by reality: the windows overlap, but Gopher's rule counts
+    // count × len(ngram) regardless — assert the exact formula
+    val t = "go go go go go"  // length 14
+    val v = Seq(t).toDF("t")
+      .select(TextFunctions.topNgramCharPerMille($"t", 2)).as[Long].head()
+    assert(v == math.floor(4.0 * 5 * 1000 / 14 + 0.5).toLong)
+    // tie on count → lexicographically smallest n-gram wins (here "a b"
+    // and "b c" both occur once; "a b" is chosen, 3 chars of 5)
+    val v2 = Seq("a b c").toDF("t")
+      .select(TextFunctions.topNgramCharPerMille($"t", 2)).as[Long].head()
+    assert(v2 == 600L)
+    assert(Seq("").toDF("t")
+      .select(TextFunctions.topNgramCharPerMille($"t", 2)).as[Long].head() == 0L)
+    assert(Seq("single").toDF("t")
+      .select(TextFunctions.topNgramCharPerMille($"t", 2)).as[Long].head() == 0L)
+  }
+
   test("langId picks the language with most stopword hits, und for none") {
     val out = Seq("the cat and dog", "der hund und die katze", "le chat et la mer", "xyzzy")
       .toDF("t").select(TextFunctions.langId($"t")).as[String].collect().toSeq
