@@ -39,14 +39,19 @@ object Spans {
     * Returns (idCol, span_start, span_end), one row per maximal span.
     * Documents with no duplicated window produce no rows.
     *
-    * Scale shape: one posexplode → ONE exchange on the 8-byte window hash,
-    * shared (ReusedExchange) by the occurrence count and the semi-join that
-    * keeps duplicated postings (the count is a partial agg — one counter
-    * per distinct hash, no posting list ever buffers); then one exchange on
-    * the document id whose partitioning serves BOTH the run-merge window
-    * and the span groupBy (HashPartitioning(id) satisfies the (id, island)
-    * clustering). Shuffles carry (id, pos, hash) — never text. The window
-    * is per-document, bounded by document length, and `maxShingleFreq`
+    * Scale shape: the occurrence count is a partial (map-side) aggregate
+    * over the exploded postings — its exchange carries (hash, count) pairs,
+    * one per distinct window per mapper, never a posting list — and the
+    * duplicated-window set semi-joins back against a second explode of the
+    * postings (AQE picks broadcast when the set is small, sort-merge at
+    * corpus scale where a minCount=2 set is far too common to broadcast —
+    * the same adaptive trade [[Dedup.spanStats]] documents; re-evaluating
+    * the explode per side is the accepted price of not funneling, exactly
+    * as in [[Dedup.dropHotKeys]]). Then ONE exchange on the document id
+    * whose partitioning serves BOTH the run-merge window and the span
+    * groupBy (HashPartitioning(id) satisfies the (id, island) clustering).
+    * Shuffles carry (id, pos, hash) — never text. The window is
+    * per-document, bounded by document length, and `maxShingleFreq`
     * (default off) drops degenerate ultra-hot windows via the broadcast
     * anti-join cap ([[Dedup.dropHotKeys]]) when a corpus-wide stopword run
     * would otherwise mark half the corpus duplicated.
@@ -58,12 +63,9 @@ object Spans {
     require(minCount >= 2, s"minCount < 2 would mark every window duplicated (got $minCount)")
     val sh = df.select(col(idCol).as("id"),
       posexplode(T.wordShingleHashes(col(textCol), shingleN)).as(Seq("pos", "sh_h")))
-    // one explicit repartition on the window hash; the occurrence count and
-    // the semi-join left side both consume the same exchange
-    val inv = sh.repartition(col("sh_h"))
     val inv2 =
-      if (maxShingleFreq == Int.MaxValue) inv
-      else Dedup.dropHotKeys(inv, Seq("sh_h"), maxShingleFreq)
+      if (maxShingleFreq == Int.MaxValue) sh
+      else Dedup.dropHotKeys(sh, Seq("sh_h"), maxShingleFreq)
     val dup = inv2.groupBy("sh_h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minCount).select("sh_h")
     val hits = inv2.join(dup, Seq("sh_h"), "left_semi").select("id", "pos")

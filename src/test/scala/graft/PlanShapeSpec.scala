@@ -177,6 +177,43 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly one exchange:\n$plan")
   }
 
+  test("duplicateSpans plans two data exchanges: a (hash,count) agg and one id shuffle") {
+    // the span pipeline's scale contract: the occurrence count must be a
+    // partial (map-side) aggregate — its exchange carries (hash, count)
+    // pairs, never raw postings — and everything per-document (run-merge
+    // window + span groupBy) must share ONE exchange on the id. A stray
+    // repartition or a count window over the postings fails here.
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.ext.Spans.duplicateSpans(d, "doc_id", "text")
+    val plan = physical(df)
+    val dataExchanges = plan.split("\\bExchange hashpartitioning", -1).length - 1
+    assert(dataExchanges == 2,
+      s"expected exactly two hash exchanges (agg + id), got $dataExchanges:\n$plan")
+    // string match (not a tree collect): AQE wraps the plan and hides
+    // children from collect() until execution
+    assert(plan.contains("partial_count"),
+      s"occurrence count lost map-side combine:\n$plan")
+  }
+
+  test("decontaminateIncremental broadcasts the stored hashes — batch never pre-shuffles") {
+    // the indexed decontam scale contract: the training batch (the 100 TB
+    // side) must meet the stored eval hashes through a broadcast join —
+    // contamination is decided map-side; only the df-cap agg and the
+    // contaminated-id distinct may shuffle, and both are id/hash sized
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_decontam_").toString
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    graft.ext.Curation.buildDecontamIndex(d.limit(20), "doc_id", "text", dir)
+    val out = graft.ext.Curation.decontaminateIncremental(
+      d.limit(50), "doc_id", "text", dir)
+    val plan = physical(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stored eval hashes are not broadcast:\n$plan")
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"decontaminateIncremental plans a Window:\n$windows")
+  }
+
   test("whole-stage codegen spans the text-analysis projection") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(graft.functions.TextFunctions.qualityPerMille($"text").as("q"))
