@@ -699,6 +699,20 @@ object SparkEntry {
       Spans.removeDuplicateSpans(spanFixture(s, dir), "doc_id", "text",
         shingleN = 3, minCount = 2)),
 
+    // C4/RefinedWeb-style corpus-wide duplicate-LINE removal over the same
+    // injected line structure as text_repetition (even ids carry their
+    // text twice): self-repeats and cross-doc repeated lines both go
+    "dedup_strip_lines" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val mtext = when(col("doc_id") % 2 === 0,
+        concat_ws("\n", col("text"), col("text"),
+          concat(lit("END "), col("doc_id"))))
+        .otherwise(concat_ws("\n", col("text"),
+          concat(lit("END "), col("doc_id"))))
+      Spans.stripDuplicateLines(d.select(col("doc_id"), mtext.as("text")),
+        "doc_id", "text", minCount = 2)
+    }),
+
     // incremental ingest dedup: corpus = 80% of docs, batch = the rest plus
     // re-submitted copies of corpus content under new ids; only novel
     // content may come back (first-in-batch wins on in-batch dups)
@@ -2381,6 +2395,26 @@ object SparkEntry {
           |  coalesce(array_to_string(list_transform(kept, i -> w[CAST(i + 1 AS INTEGER)]), ' '), '') AS clean_text,
           |  CAST(len(w) - len(kept) AS BIGINT) AS n_removed
           |FROM cleaned""".stripMargin),
+
+    "dedup_strip_lines" ->
+      """WITH mt AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |    THEN concat_ws(chr(10), text, text, 'END ' || doc_id)
+        |    ELSE concat_ws(chr(10), text, 'END ' || doc_id) END AS mtext FROM documents),
+        |  ln AS (SELECT doc_id, list_filter(list_transform(string_split(mtext, chr(10)),
+        |    l -> trim(l)), l -> length(l) > 0) AS ls FROM mt),
+        |  pv AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+        |    i -> struct_pack(no := i - 1, line := ls[i]))) AS u FROM ln),
+        |  inv AS (SELECT doc_id, u.no AS no, u.line AS line FROM pv),
+        |  dup AS (SELECT line FROM (SELECT line, count(*) AS n FROM inv GROUP BY 1) WHERE n >= 2),
+        |  rm AS (SELECT doc_id, list(no) AS rmno FROM inv
+        |    WHERE line IN (SELECT line FROM dup) GROUP BY doc_id),
+        |  je AS (SELECT l.doc_id, l.ls, coalesce(r.rmno, []) AS rmno
+        |    FROM ln l LEFT JOIN rm r ON l.doc_id = r.doc_id),
+        |  ke AS (SELECT doc_id, ls, list_filter(range(0, len(ls)),
+        |    i -> NOT list_contains(rmno, i)) AS kept FROM je)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(kept, i -> ls[CAST(i + 1 AS INTEGER)]), chr(10)), '') AS clean_text,
+        |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed_lines FROM ke""".stripMargin,
 
     "dedup_incremental" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),

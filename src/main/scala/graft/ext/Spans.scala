@@ -124,4 +124,52 @@ object Spans {
     joined.select(col("id").as(idCol), out.getField("clean_text").as("clean_text"),
       out.getField("n_removed").as("n_removed"))
   }
+
+  /** Corpus-wide duplicate-LINE removal (the C4/RefinedWeb line-dedup rule,
+    * public technique: Raffel et al. arXiv:1910.10683 §2.2 drops repeated
+    * three-sentence spans; Penedo et al. arXiv:2306.01116 drops repeated
+    * lines): delete every non-empty trimmed line whose exact content occurs
+    * at least `minCount` times corpus-wide (total occurrences — a doc
+    * repeating its own footer counts), then rejoin the surviving lines with
+    * single newlines. Returns (idCol, clean_text, n_removed_lines), every
+    * input document exactly once; whitespace is normalized the same way
+    * [[graft.functions.TextFunctions.linesOf]] normalizes it (lines
+    * trimmed, blank lines dropped).
+    *
+    * Same plan shape as [[removeDuplicateSpans]] minus the run-merge: the
+    * occurrence count partial-aggregates 8-byte line hashes, the
+    * duplicated-hash set semi-joins back against the positional postings
+    * (adaptive broadcast/sort-merge), removed line numbers collect per
+    * document on one id exchange, and the rebuild is a codegen'd
+    * higher-order filter. Shuffles carry (id, line_no, hash) — never line
+    * text.
+    */
+  def stripDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+                          minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount < 2 would drop every line (got $minCount)")
+    val ln = df.select(col(idCol).as("id"),
+      posexplode(T.linesOf(col(textCol))).as(Seq("ln_no", "line")))
+      .select(col("id"), col("ln_no"), xxhash64(col("line")).as("ln_h"))
+    val dup = ln.groupBy("ln_h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("ln_h")
+    val removed = ln.join(dup, Seq("ln_h"), "left_semi")
+      .groupBy("id").agg(collect_list(col("ln_no")).as("__rm"))
+    val joined = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(removed, Seq("id"), "left")
+      .withColumn("__rm", coalesce(col("__rm"), array().cast("array<int>")))
+    val out = graft.functions.ExprOps.let(T.linesOf(col("__text"))) { ls =>
+      graft.functions.ExprOps.let(
+        when(size(ls) === 0, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(0), size(ls) - 1),
+            i => !array_contains(col("__rm"), i)))) { kept =>
+        struct(
+          array_join(transform(kept, i => element_at(ls, i + 1)), "\n")
+            .as("clean_text"),
+          (size(ls) - size(kept)).cast("long").as("n_removed_lines"))
+      }
+    }
+    joined.select(col("id").as(idCol),
+      out.getField("clean_text").as("clean_text"),
+      out.getField("n_removed_lines").as("n_removed_lines"))
+  }
 }

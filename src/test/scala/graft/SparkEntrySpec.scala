@@ -30,14 +30,14 @@ class SparkEntrySpec extends SparkSpec {
     // artifact when a fixture type drift made them throw. The count below
     // is updated DELIBERATELY when queries are added/removed — any other
     // change to it is lost coverage.
-    // 148 since round 12 (+dedup_near_classify, +ann_ivf_append_recall,
+    // 149 since round 12 (+dedup_near_classify, +ann_ivf_append_recall,
     // +ann_ivfpq_append_recall, +search_bm25_indexed,
     // +search_bm25_index_append, +search_bm25_batch, +search_hybrid_rrf,
     // +dedup_semantic_pairs, +dedup_semantic, +dedup_semantic_incremental,
     // +dedup_dup_spans, +dedup_strip_spans, +curate_decontam_indexed,
-    // +text_repetition)
-    assert(SparkEntry.queries.size == 148,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 148); " +
+    // +text_repetition, +dedup_strip_lines)
+    assert(SparkEntry.queries.size == 149,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 149); " +
         "if intentional, update this pin")
   }
 

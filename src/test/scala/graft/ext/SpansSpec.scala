@@ -71,6 +71,26 @@ class SpansSpec extends SparkSpec {
     assert(m.size == 4)
   }
 
+  test("stripDuplicateLines removes corpus-duplicated and self-repeated lines") {
+    val docs = Seq(
+      (1L, "intro a\nSHARED FOOTER\nbody a"),
+      (2L, "intro b\nSHARED FOOTER"),
+      (3L, "solo\nsolo"),
+      (4L, ""))
+      .toDF("id", "text")
+    val m = Spans.stripDuplicateLines(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(m(1L) == (("intro a\nbody a", 1L)))
+    assert(m(2L) == (("intro b", 1L)))
+    assert(m(3L) == (("", 2L)))
+    assert(m(4L) == (("", 0L)))
+    assert(m.size == 4)
+    // at minCount=3 the twice-occurring footer survives
+    val m3 = Spans.stripDuplicateLines(docs, "id", "text", minCount = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m3 == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("removeDuplicateSpans empties a fully-duplicated document") {
     val docs = Seq((1L, "same exact text here"), (2L, "same exact text here"))
       .toDF("id", "text")
