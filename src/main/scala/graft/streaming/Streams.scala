@@ -216,6 +216,38 @@ object Streams {
                   idCol: String, checkpoint: String,
                   trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      ingestDedupBatch(batch, corpusPath, contentCols, idCol)
+    }
+
+  /** Streaming corpus ingest with eval-set DECONTAMINATION before the
+    * [[ingestDedup]] admission: each micro-batch first drops every row
+    * sharing a shingle with the persisted decontamination index at
+    * `indexDir` ([[graft.ext.Curation.decontaminateIncremental]] — stored
+    * benchmark hashes broadcast over the batch; the index must be BUILT
+    * before the stream starts and may be appended to between batches as
+    * new benchmarks land — later batches see the wider index immediately),
+    * then the survivors flow through the exact content-hash dedup
+    * admission. Replay safety composes: the decontam filter is a pure
+    * function of (batch, index) and the dedup anti-join re-admits nothing
+    * whose content the corpus already holds, so a replayed batch appends
+    * nothing even if the index grew in between (a row admitted before an
+    * index append stays admitted — decontamination governs ingest, not
+    * retroactive deletion; re-screen the corpus with
+    * [[graft.ext.Curation.decontaminateIncremental]] for that).
+    */
+  def ingestDecontam(stream: DataFrame, corpusPath: String, indexDir: String,
+                     contentCols: Seq[String], idCol: String, textCol: String,
+                     checkpoint: String, shingleN: Int = 3,
+                     trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      val clean = graft.ext.Curation.decontaminateIncremental(
+        batch, idCol, textCol, indexDir, shingleN)
+      ingestDedupBatch(clean, corpusPath, contentCols, idCol)
+    }
+
+  private def ingestDedupBatch(batch: org.apache.spark.sql.DataFrame,
+                               corpusPath: String, contentCols: Seq[String],
+                               idCol: String): Unit = {
       require(!batch.columns.exists(_.equalsIgnoreCase("__h")),
         "'__h' is the reserved corpus content-hash column — rename it upstream")
       val spark = batch.sparkSession
@@ -251,7 +283,7 @@ object Streams {
       // every corpus file carries the identical schema
       admitted.select(outCols.map(col): _*)
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
-    }
+  }
 
   /** Streaming corpus ingest with NEAR-duplicate dedup — [[ingestDedup]]'s
     * fuzzy sibling, built on the persisted signature index

@@ -194,6 +194,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestDecontam filters against the benchmark index, then dedups") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_dc_").toString
+    graft.ext.Curation.buildDecontamIndex(
+      Seq((100L, "benchmark alpha question one")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", shingleN = 3)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestDecontam(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/idx", contentCols = Seq("text"),
+      idCol = "doc_id", textCol = "text", checkpoint = s"$dir/ckpt",
+      shingleN = 3, trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: a contaminated row (shares "benchmark alpha question"),
+      // a clean row, and a duplicate of the clean row
+      mem.addData((1L, "contains benchmark alpha question one verbatim"),
+        (2L, "clean training document text"),
+        (3L, "clean training document text"))
+      q.processAllAvailable()
+      // a new benchmark lands mid-stream; the NEXT batch must honor it
+      graft.ext.Curation.appendDecontamIndex(
+        Seq((200L, "benchmark beta question two")).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", shingleN = 3)
+      mem.addData((4L, "quotes benchmark beta question two exactly"),
+        (5L, "another clean document entirely"))
+      q.processAllAvailable()
+      // replay of admitted content appends nothing
+      mem.addData((6L, "clean training document text"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(2L, 5L))
+    } finally q.stop()
+  }
+
   test("ingestNearDedup admits one representative per near-dup group across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_near_").toString
