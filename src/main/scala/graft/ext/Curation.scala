@@ -530,6 +530,19 @@ object Curation {
     IndexMaintenance.compactStamped(spark, dir, decontamFormat(shingleN),
       Seq("shingles" -> Nil), targetRowsPerFile)
 
+  /** Retire benchmarks from the index by eval id
+    * ([[IndexMaintenance.deleteStamped]]): their shingles stop
+    * contaminating future batches — the complement of
+    * [[appendDecontamIndex]] when an eval set is deprecated or was
+    * ingested by mistake.
+    */
+  def deleteFromDecontamIndex(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, evalIds: DataFrame,
+                              shingleN: Int = 3,
+                              targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.deleteStamped(spark, dir, decontamFormat(shingleN),
+      Seq(("shingles", Nil, "eval_id")), evalIds, targetRowsPerFile)
+
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3,
                     maxDocFreq: Int = 10000): DataFrame = {

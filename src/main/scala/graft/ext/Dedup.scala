@@ -1322,4 +1322,35 @@ object Dedup {
                            targetRowsPerFile: Long = 4000000L): Unit =
     IndexMaintenance.compactStamped(spark, dir, semanticIndexFormat(k, dim),
       Seq("vectors" -> Nil), targetRowsPerFile)
+
+  /** Erase documents from a [[buildNearIndex]] layout: both postings dirs
+    * are rewritten without the given ids ([[IndexMaintenance.deleteStamped]]
+    * — filtered compaction under the commit marker), so a later batch
+    * carrying the same content classifies `admitted` again. The erasure
+    * pass every retention/right-to-be-forgotten pipeline needs; the CORPUS
+    * parquet is the caller's to rewrite (it is not part of the index
+    * layout).
+    */
+  def deleteFromNearIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, ids: DataFrame, shingleN: Int = 3,
+                          bands: Int = 4, rowsPerBand: Int = 4,
+                          targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.deleteStamped(spark, dir,
+      nearIndexFormat(shingleN, bands, rowsPerBand),
+      Seq(("buckets", Nil, "id"), ("shingles", Nil, "id")), ids,
+      targetRowsPerFile)
+
+  /** Erase vectors from a [[buildSemanticIndex]] layout. Honesty note: the
+    * k FROZEN anchors are sample vectors chosen at build time — if an
+    * erased document seeded an anchor, that direction (but none of the
+    * document's rows) remains until the index is rebuilt; strict erasure
+    * of anchor donors requires [[buildSemanticIndex]] from the surviving
+    * corpus (which re-partitions every cell).
+    */
+  def deleteFromSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, ids: DataFrame,
+                              k: Int = 64, dim: Int = 64,
+                              targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.deleteStamped(spark, dir, semanticIndexFormat(k, dim),
+      Seq(("vectors", Nil, "id")), ids, targetRowsPerFile)
 }

@@ -37,22 +37,64 @@ object IndexMaintenance {
                      targetRowsPerFile: Long = 4000000L): Unit = {
     require(targetRowsPerFile > 0)
     IndexFormat.check(spark, root, formatId)
+    rewriteAndSwap(spark, root, formatId, subs, targetRowsPerFile, unchanged)
+  }
+
+  /** Delete every row whose id is in `ids` from the `subs` data dirs of the
+    * stamped index at `root` — the erasure ("right to be forgotten")
+    * maintenance pass. Each entry is (subdir, partitionCols, idColName);
+    * the rewrite is a filtered compaction: every subdir is re-read,
+    * broadcast-anti-joined against the id set (the delete list is the
+    * small side by nature — it broadcasts, the index streams), and
+    * rewritten into evenly-sized files with the expensive rewrite OUTSIDE
+    * the commit-marker window, exactly like [[compactStamped]] (same
+    * `.compact_*` staging, same invalidate → swap → stamp, same crash
+    * behavior). Partitioned layouts keep their partitioning, so IVF probe
+    * pruning survives a delete.
+    *
+    * `ids` must be a single-column frame; its values are compared against
+    * each subdir's id column with a cast to that column's type, so a
+    * bigint delete list matches an int-keyed subdir.
+    */
+  def deleteStamped(spark: SparkSession, root: String, formatId: String,
+                    subs: Seq[(String, Seq[String], String)],
+                    ids: org.apache.spark.sql.DataFrame,
+                    targetRowsPerFile: Long = 4000000L): Unit = {
+    require(targetRowsPerFile > 0)
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.toSeq}")
+    IndexFormat.check(spark, root, formatId)
+    val byName = subs.map { case (sub, _, idCol) => sub -> idCol }.toMap
+    rewriteAndSwap(spark, root, formatId,
+      subs.map { case (sub, parts, _) => (sub, parts) }, targetRowsPerFile,
+      (sub, df) => {
+        val idCol = byName(sub)
+        val key = ids.select(col(ids.columns.head)
+          .cast(df.schema(idCol).dataType).as("__del"))
+        df.join(org.apache.spark.sql.functions.broadcast(key),
+          df(idCol) === key("__del"), "left_anti")
+      })
+  }
+
+  private def rewriteAndSwap(spark: SparkSession, root: String,
+                             formatId: String, subs: Seq[(String, Seq[String])],
+                             targetRowsPerFile: Long,
+                             xform: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
     subs.foreach { case (sub, parts) =>
       fs.delete(p(s".compact_$sub"), true)
+      val df = xform(sub, spark.read.parquet(s"$root/$sub"))
       if (parts.isEmpty)
-        graft.sources.FileSink.compactTo(spark, s"$root/$sub",
-          s"$root/.compact_$sub", targetRowsPerFile)
-      else {
-        val df = spark.read.parquet(s"$root/$sub")
+        graft.sources.FileSink.compactFrame(df, s"$root/.compact_$sub",
+          targetRowsPerFile)
+      else
         df.repartition(parts.map(col): _*)
           .write.mode(SaveMode.Overwrite)
           .option("maxRecordsPerFile", targetRowsPerFile)
           .partitionBy(parts: _*)
           .parquet(s"$root/.compact_$sub")
-      }
     }
     IndexFormat.invalidate(spark, root)
     subs.foreach { case (sub, _) =>
@@ -63,4 +105,6 @@ object IndexMaintenance {
     }
     IndexFormat.stamp(spark, root, formatId)
   }
+
+  private def unchanged(sub: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
 }

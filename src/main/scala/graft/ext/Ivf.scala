@@ -204,6 +204,17 @@ object Ivf {
     IndexMaintenance.compactStamped(spark, path, FormatId,
       Seq("assigned" -> Seq("list_id")), targetRowsPerFile)
 
+  /** Erase vectors from a persisted index by id
+    * ([[IndexMaintenance.deleteStamped]] — filtered compaction, partition
+    * pruning preserved, centroids untouched: they are k-means cell centers,
+    * not stored documents). `idCol` names the id column the index was built
+    * with.
+    */
+  def deleteFromIndex(spark: SparkSession, path: String, idCol: String,
+                      ids: DataFrame, targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.deleteStamped(spark, path, FormatId,
+      Seq(("assigned", Seq("list_id"), idCol)), ids, targetRowsPerFile)
+
   /** The `nProbe` cell ids nearest to the query (driver-side math over the
     * tiny centroid table).
     */

@@ -60,9 +60,13 @@ object FileSink {
     * the target needs MORE files than exist).
     */
   def compactTo(spark: org.apache.spark.sql.SparkSession, inPath: String,
-                outPath: String, targetRowsPerFile: Long): Unit = {
+                outPath: String, targetRowsPerFile: Long): Unit =
+    compactFrame(spark.read.parquet(inPath), outPath, targetRowsPerFile)
+
+  /** [[compactTo]] over an already-built frame (e.g. a filtered rewrite). */
+  def compactFrame(df: org.apache.spark.sql.DataFrame, outPath: String,
+                   targetRowsPerFile: Long): Unit = {
     require(targetRowsPerFile > 0)
-    val df = spark.read.parquet(inPath)
     val nFiles = math.max(1L, math.ceil(
       df.count().toDouble / targetRowsPerFile).toLong).toInt
     val current = df.rdd.getNumPartitions

@@ -385,6 +385,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromDecontamIndex retires a benchmark's shingles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontamdel_").toString
+    Curation.buildDecontamIndex(
+      Seq((100L, "alpha beta gamma delta")).toDF("id", "text"),
+      "id", "text", dir, shingleN = 3)
+    Curation.appendDecontamIndex(
+      Seq((200L, "epsilon zeta eta theta")).toDF("id", "text"),
+      "id", "text", dir, shingleN = 3)
+    val batch = Seq((1L, "quotes alpha beta gamma here"),
+      (2L, "quotes epsilon zeta eta here")).toDF("id", "text")
+    def surviving() = Curation.decontaminateIncremental(
+        batch, "id", "text", dir, shingleN = 3)
+      .select("id").as[Long].collect().toSet
+    assert(surviving() == Set.empty)
+    // retire benchmark 100: only benchmark 200 still contaminates
+    Curation.deleteFromDecontamIndex(spark, dir, Seq(100L).toDF("eval_id"))
+    assert(surviving() == Set(1L))
+  }
+
   test("compactDecontamIndex shrinks files and preserves classification") {
     val dir = java.nio.file.Files.createTempDirectory("graft_decontamcomp_").toString
     Curation.buildDecontamIndex(

@@ -405,6 +405,37 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((10L, 11L)))
   }
 
+  test("deleteFromNearIndex erases a document so its content re-admits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardel_").toString
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "one two three four five six"
+    Dedup.buildNearIndex(Seq((1L, a), (2L, b)).toDF("id", "text"),
+      "id", "text", dir)
+    def verdict(id: Long, t: String) = Dedup.nearDedupIncremental(
+        Seq((id, t)).toDF("id", "text"), "id", "text", dir, minJaccard = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(verdict(10L, a) == Map(10L -> "dup_corpus"))
+    Dedup.deleteFromNearIndex(spark, dir, Seq(1L).toDF("id"))
+    // the erased content is novel again; the surviving document still dedups
+    assert(verdict(11L, a) == Map(11L -> "admitted"))
+    assert(verdict(12L, b) == Map(12L -> "dup_corpus"))
+  }
+
+  test("deleteFromSemanticIndex erases a vector so its direction re-admits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdel_").toString
+    val va = Seq(1f, 0f, 0f, 0f); val vb = Seq(0f, 1f, 0f, 0f)
+    Dedup.buildSemanticIndex(Seq((1L, va), (2L, vb)).toDF("id", "v"),
+      "id", "v", dir, k = 2, dim = 4)
+    def verdict(id: Long, v: Seq[Float]) = Dedup.semanticDedupIncremental(
+        Seq((id, v)).toDF("id", "v"), "id", "v", dir,
+        k = 2, dim = 4, threshold = 0.999)
+      .as[(Long, String)].collect().toMap
+    assert(verdict(10L, va) == Map(10L -> "dup_corpus"))
+    Dedup.deleteFromSemanticIndex(spark, dir, Seq(1L).toDF("id"), k = 2, dim = 4)
+    assert(verdict(11L, va) == Map(11L -> "admitted"))
+    assert(verdict(12L, vb) == Map(12L -> "dup_corpus"))
+  }
+
   test("join-based cell assignment matches the literal argmax exactly") {
     import org.apache.spark.sql.functions.col
     // the two assignment strategies (inlined cosine expressions vs

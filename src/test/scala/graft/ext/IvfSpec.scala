@@ -136,6 +136,24 @@ class IvfSpec extends SparkSpec {
     assert(cellFiles < nFilesBefore, s"compaction did not shrink $nFilesBefore files")
   }
 
+  test("deleteFromIndex erases vectors; search and pruning survive") {
+    val dir = Files.createTempDirectory("graft_ivf_del_").toString
+    Ivf.writeIndex(Ivf.build(corpus, "vec_id", "embedding", nLists = 3), dir)
+    // erase two x-cluster members; everything else must search identically
+    Ivf.deleteFromIndex(spark, dir, "vec_id", Seq(0L, 3L).toDF("vec_id"))
+    val idx = Ivf.readIndex(spark, dir)
+    assert(idx.assigned.count() == 88)
+    assert(idx.assigned.filter($"vec_id".isin(0L, 3L)).isEmpty)
+    val hits = Ivf.search(idx.assigned, idx, "vec_id", "embedding",
+      queryVec = Seq(10.0, 0.1, 0.1), k = 28, nProbe = 1)
+      .as[(Long, Double)].collect()
+    assert(hits.forall(h => h._1 != 0L && h._1 != 3L))
+    assert(hits.forall(_._1 % 3 == 0))
+    // the layout is still partitioned: probe pruning keeps working
+    assert(new java.io.File(s"$dir/assigned").listFiles()
+      .exists(_.getName.startsWith("list_id=")))
+  }
+
   test("a torn appendIndex leaves the index unstamped and readers reject it") {
     val dir = Files.createTempDirectory("graft_ivf_torn_").toString
     val idx = Ivf.build(corpus, "vec_id", "embedding", nLists = 3)
