@@ -76,6 +76,23 @@ object IndexMaintenance {
       })
   }
 
+  /** The generalized stamped rewrite both passes above share: stage each
+    * subdir's transformed frame in a hidden `.compact_*` sibling while the
+    * index stays stamped and readable, then invalidate → swap → stamp.
+    * `xform(sub, df)` maps a subdir's current content to its replacement —
+    * callers with cross-subdir derived state (e.g. [[SearchIndex.delete]]
+    * recomputing corpus stats from the filtered doc ledger) build their
+    * replacement from other dirs' PRE-swap content, which this pass never
+    * mutates until every rewrite has landed.
+    */
+  def rewriteStamped(spark: SparkSession, root: String, formatId: String,
+                     subs: Seq[(String, Seq[String])],
+                     targetRowsPerFile: Long,
+                     xform: (String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): Unit = {
+    IndexFormat.check(spark, root, formatId)
+    rewriteAndSwap(spark, root, formatId, subs, targetRowsPerFile, xform)
+  }
+
   private def rewriteAndSwap(spark: SparkSession, root: String,
                              formatId: String, subs: Seq[(String, Seq[String])],
                              targetRowsPerFile: Long,

@@ -178,6 +178,15 @@ object IvfPq {
     IndexMaintenance.compactStamped(spark, path, FormatId,
       Seq("codes" -> Seq("list_id")), targetRowsPerFile)
 
+  /** Erase vectors from the residual-code table by id
+    * ([[IndexMaintenance.deleteStamped]] — filtered compaction, cell
+    * partitioning preserved; centroids and codebooks untouched).
+    */
+  def deleteFromIndex(spark: SparkSession, path: String, idCol: String,
+                      ids: DataFrame, targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.deleteStamped(spark, path, FormatId,
+      Seq(("codes", Seq("list_id"), idCol)), ids, targetRowsPerFile)
+
   def appendIndex(spark: SparkSession, path: String, newVecs: DataFrame,
                   idCol: String, vecCol: String): Unit = {
     val idx = readIndex(spark, path)

@@ -276,6 +276,17 @@ object Pq {
     IndexMaintenance.compactStamped(spark, path, FormatId,
       Seq("codes" -> Nil), targetRowsPerFile)
 
+  /** Erase vectors from the code table by id ([[IndexMaintenance.deleteStamped]]
+    * — filtered compaction; codebooks untouched, they are trained
+    * sub-quantizer centers, not stored vectors). `idCol` names the id
+    * column the index was built with.
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, ids: DataFrame,
+                      targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.deleteStamped(spark, path, FormatId,
+      Seq(("codes", Nil, idCol)), ids, targetRowsPerFile)
+
   /** Reload a [[writeIndex]]-persisted index: the code table stays a lazy
     * scan; only the codebooks (m × codes × subDim doubles, ~128 KiB at the
     * defaults) collect to the driver, same as after [[train]].

@@ -145,6 +145,33 @@ object SearchIndex {
       targetRowsPerFile)
   }
 
+  /** Erase documents by id: `postings/` and the `docs/` ledger rewrite
+    * without them, and the segment stats COLLAPSE to one row recomputed
+    * from the surviving ledger — so BM25's idf, N, and avgdl reflect the
+    * post-delete corpus exactly (a deleted doc stops shading every other
+    * document's score, not just its own ranking). Same staged-rewrite +
+    * commit-marker swap as [[compact]]
+    * ([[IndexMaintenance.rewriteStamped]]); the stats recompute reads the
+    * PRE-swap `docs/` ledger, which the pass leaves untouched until every
+    * rewrite has landed. `ids` is a single-column frame of document ids.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+             targetRowsPerFile: Long = 4000000L): Unit = {
+    require(ids.columns.length == 1,
+      s"ids must be a single-column frame, got ${ids.columns.toSeq}")
+    val nBuckets = readNBuckets(spark, dir)
+    val key = broadcast(ids.select(col(ids.columns.head).cast("long").as("__del")))
+    def drop(df: DataFrame) =
+      df.join(key, df("id") === key("__del"), "left_anti")
+    IndexMaintenance.rewriteStamped(spark, dir, formatId(nBuckets),
+      Seq("postings" -> Seq("bkt"), "docs" -> Nil, "stats" -> Nil),
+      targetRowsPerFile,
+      (sub, df) => sub match {
+        case "stats" => statsOf(drop(spark.read.parquet(s"$dir/docs")))
+        case _ => drop(df)
+      })
+  }
+
   /** Top-k BM25 from the stored postings — same scores, ranking, and
     * output shape as [[Search.bm25TopK]] over the same corpus (the specs
     * and the DuckDB oracle hold the two forms equal), but the only

@@ -117,6 +117,22 @@ class IvfPqSpec extends SparkSpec {
     assert(cellFiles < nFilesBefore)
   }
 
+  test("deleteFromIndex erases residual codes; search and pruning survive") {
+    val dir = Files.createTempDirectory("graft_ivfpq_del_").toString
+    IvfPq.writeIndex(IvfPq.build(corpus, "vec_id", "embedding", dim = 16,
+      m = 4, nLists = 3, codes = 16), dir)
+    IvfPq.deleteFromIndex(spark, dir, "vec_id", Seq(3L).toDF("vec_id"))
+    val idx = IvfPq.readIndex(spark, dir)
+    assert(idx.codes.count() == 119)
+    assert(idx.codes.filter($"vec_id" === 3L).isEmpty)
+    val hits = IvfPq.searchMany(idx, corpus.filter($"vec_id" === 3L),
+      "vec_id", "embedding", k = 5, nProbe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(hits.nonEmpty && hits.forall(_._2 != 3L))
+    assert(new java.io.File(s"$dir/codes").listFiles()
+      .exists(_.getName.startsWith("list_id=")))
+  }
+
   test("a torn appendIndex leaves IVF-PQ unstamped; a bad batch leaves it readable") {
     val dir = Files.createTempDirectory("graft_ivfpq_torn_").toString
     val idx = IvfPq.build(corpus, "vec_id", "embedding", dim = 16, m = 4,

@@ -143,6 +143,21 @@ class PqSpec extends SparkSpec {
     intercept[IllegalStateException] { Pq.readIndex(spark, dir) }
   }
 
+  test("deleteFromIndex erases codes; the erased vector stops ranking") {
+    val dir = Files.createTempDirectory("graft_pq_del_").toString
+    val cb = Pq.train(corpus, "embedding", dim = 16, m = 4, codes = 16)
+    Pq.writeIndex(Pq.encode(corpus, "vec_id", "embedding", cb), cb, dir)
+    Pq.deleteFromIndex(spark, dir, "vec_id", Seq(3L).toDF("vec_id"))
+    val (codes2, cb2) = Pq.readIndex(spark, dir)
+    assert(codes2.count() == 119)
+    assert(codes2.filter($"vec_id" === 3L).isEmpty)
+    val hits = Pq.adcTopK(codes2, cb2, "vec_id",
+      corpus.filter($"vec_id" === 3L).select("embedding")
+        .as[Seq[Float]].head().map(_.toDouble), k = 10)
+      .as[(Long, Double)].collect()
+    assert(hits.nonEmpty && hits.forall(_._1 != 3L))
+  }
+
   test("TableCache keeps concurrent keys: oldest evicted, requested never") {
     var computes = 0
     def touch(k: String): String =

@@ -45,6 +45,21 @@ class SearchIndexSpec extends SparkSpec {
     assert(st == 7L)
   }
 
+  test("delete equals a from-scratch build over the survivors, score for score") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx_del_").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft_sidx_ref_").toString
+    SearchIndex.build(corpus, "doc_id", "text", dir, nBuckets = 8)
+    SearchIndex.delete(spark, dir, Seq(1L, 6L).toDF("doc_id"))
+    SearchIndex.build(corpus.filter(!$"doc_id".isin(1L, 6L)),
+      "doc_id", "text", ref, nBuckets = 8)
+    // the strong invariant: idf/N/avgdl all reflect the post-delete corpus,
+    // so every surviving document's score matches a fresh build exactly
+    val a = scores(SearchIndex.bm25TopKIndexed(spark, dir, terms, k = 10))
+    val b = scores(SearchIndex.bm25TopKIndexed(spark, ref, terms, k = 10))
+    assert(a == b && a.nonEmpty)
+    assert(!a.exists(_._1 == 1L))
+  }
+
   test("readers fail loudly on a torn write (no stamp) and a foreign format") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sidx_torn_").toString
     SearchIndex.build(corpus, "doc_id", "text", dir, nBuckets = 8)
