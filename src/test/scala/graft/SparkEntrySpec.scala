@@ -36,8 +36,10 @@ class SparkEntrySpec extends SparkSpec {
     // +dedup_semantic_pairs, +dedup_semantic, +dedup_semantic_incremental,
     // +dedup_dup_spans, +dedup_strip_spans, +curate_decontam_indexed,
     // +text_repetition, +dedup_strip_lines)
-    assert(SparkEntry.queries.size == 149,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 149); " +
+    // 154 late round 12 (+text_lm_score, +text_lm_persisted,
+    // +curate_ppl_buckets, +curate_dsir, +curate_nb_quality)
+    assert(SparkEntry.queries.size == 154,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 154); " +
         "if intentional, update this pin")
   }
 
