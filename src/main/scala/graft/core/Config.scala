@@ -403,6 +403,39 @@ object Config {
           bands = Option(n.get("bands")).map(_.asInt).getOrElse(4),
           rowsPerBand = Option(n.get("rowsPerBand")).map(_.asInt).getOrElse(4),
           checkpointDir = strOpt(n, "checkpointDir"))
+      // unigram LM lifecycle (ext/Lm): train+persist is a pass-through
+      // like dedupNearIndexBuild so a sink can follow; scoring reads the
+      // stamped model (train on one task's relation, score on another's)
+      case "lmTrain" =>
+        graft.ext.Lm.writeModel(df.sparkSession,
+          graft.ext.Lm.unigramModel(df, str(n, "column"),
+            Option(n.get("maxVocab")).map(_.asInt).getOrElse(65536)),
+          str(n, "path"))
+        df
+      case "lmScore" =>
+        graft.ext.Lm.scoreUnigram(df, str(n, "key"), str(n, "column"),
+          graft.ext.Lm.readModel(df.sparkSession, str(n, "path")),
+          extraCols = strSeq(n, "carry"))
+      case "pplBuckets" =>
+        graft.ext.Lm.pplBuckets(df, str(n, "key"), str(n, "column"),
+          str(n, "strata"),
+          graft.ext.Lm.readModel(df.sparkSession, str(n, "path")),
+          lo = Option(n.get("lo")).map(_.asDouble).getOrElse(0.25),
+          hi = Option(n.get("hi")).map(_.asDouble).getOrElse(0.75))
+      // DSIR selection: `target` is any boolean SQL expression over the
+      // row (e.g. "source = 'wiki'")
+      case "dsirSelect" =>
+        graft.ext.Lm.dsirTopK(df, str(n, "key"), str(n, "column"),
+          expr(str(n, "target")), k = n.get("k").asInt,
+          buckets = Option(n.get("buckets")).map(_.asInt).getOrElse(256),
+          salt = strOpt(n, "salt").getOrElse("graft"))
+      // NB quality classifier: `label` is a boolean SQL expression
+      case "nbQuality" =>
+        graft.ext.Lm.nbTrainScore(df, str(n, "key"), str(n, "column"),
+          expr(str(n, "label")),
+          trainPerMille = Option(n.get("trainPerMille")).map(_.asInt).getOrElse(600),
+          maxVocab = Option(n.get("maxVocab")).map(_.asInt).getOrElse(65536),
+          salt = strOpt(n, "salt").getOrElse("graft"))
       // ingest-time layout ops (sources/Layout): pass-through writers so
       // the task can keep transforming/sinking the same relation
       case "writePartitioned" =>

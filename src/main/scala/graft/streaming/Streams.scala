@@ -245,6 +245,40 @@ object Streams {
       ingestDedupBatch(clean, corpusPath, contentCols, idCol)
     }
 
+  /** Streaming corpus ingest with LM QUALITY GATING before the
+    * [[ingestDedup]] admission: each micro-batch is scored against the
+    * persisted unigram model at `modelDir` ([[graft.ext.Lm.readModel]] →
+    * broadcast token join, the batch never shuffles its text), rows whose
+    * mean token log-probability is below `minAvgLpMilli` milli-nats are
+    * dropped, and the survivors flow through the exact content-hash dedup
+    * admission. Zero-token rows never pass (their score of 0 is absence of
+    * evidence, not fluency), so the gate also sheds empty documents.
+    *
+    * The model must be trained ([[graft.ext.Lm.writeModel]]) before the
+    * stream starts and may be RETRAINED between batches — the next batch
+    * scores against the new model immediately (each batch re-reads the
+    * stamp; a torn retrain fails the batch loudly rather than scoring
+    * against half a model). Replay safety composes exactly as
+    * [[ingestDecontam]]: the gate is a pure function of (batch, model) and
+    * the dedup anti-join re-admits nothing the corpus already holds; a row
+    * admitted under an older model stays admitted — gating governs ingest,
+    * not retroactive deletion (re-screen the corpus with
+    * [[graft.ext.Lm.scoreUnigram]] for that).
+    */
+  def ingestQualityGated(stream: DataFrame, corpusPath: String, modelDir: String,
+                         contentCols: Seq[String], idCol: String, textCol: String,
+                         minAvgLpMilli: Long, checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      val model = graft.ext.Lm.readModel(batch.sparkSession, modelDir)
+      val scored = graft.ext.Lm.scoreUnigram(batch, idCol, textCol, model,
+        extraCols = batch.columns.filterNot(_ == idCol).toSeq)
+      val kept = scored
+        .filter(col("n_tokens") > 0 && col("avg_lp_milli") >= minAvgLpMilli)
+        .select(batch.columns.map(col): _*)
+      ingestDedupBatch(kept, corpusPath, contentCols, idCol)
+    }
+
   private def ingestDedupBatch(batch: org.apache.spark.sql.DataFrame,
                                corpusPath: String, contentCols: Seq[String],
                                idCol: String): Unit = {

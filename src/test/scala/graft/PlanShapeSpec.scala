@@ -214,6 +214,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows.isEmpty, s"decontaminateIncremental plans a Window:\n$windows")
   }
 
+  test("LM scoring joins are all broadcast — the corpus never shuffles its text") {
+    // the Lm tier's scale contract: the model (≤ maxVocab+1 rows) and the
+    // per-language threshold table are the ONLY join sides, and both must
+    // broadcast; a SortMergeJoin anywhere means a corpus-sized exchange on
+    // the token or the language — the shape that dies at 100 TB
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val model = graft.ext.Lm.unigramModel(
+      d.filter($"lang" === "en"), "text", maxVocab = 1024)
+    for (out <- Seq(
+        graft.ext.Lm.scoreUnigram(d, "doc_id", "text", model),
+        graft.ext.Lm.pplBuckets(d, "doc_id", "text", "lang", model),
+        graft.ext.Lm.nbTrainScore(d, "doc_id", "text", $"lang" === "en"))) {
+      val plan = physical(out)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"LM scoring lost its broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"LM scoring plans a sort-merge join (corpus-sized exchange):\n$plan")
+    }
+  }
+
   test("whole-stage codegen spans the text-analysis projection") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(graft.functions.TextFunctions.qualityPerMille($"text").as("q"))

@@ -493,6 +493,46 @@ class ConfigSpec extends SparkSpec {
     assert(out == Map(10L -> "dup_corpus", 20L -> "admitted"))
   }
 
+  test("LM lifecycle from config: train on one task, score/gate/select on another") {
+    val dir = Files.createTempDirectory("graft_cfg_lm_").toString
+    Seq((1L, "good clean text", "en"), (2L, "good clean prose", "en"),
+      (3L, "zq xv qq", "xx"), (4L, "good text here", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/docs")
+    // task 1: train + persist (pass-through)
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: query, sql: "SELECT * FROM __t WHERE lang = 'en'"}
+         |  - {op: lmTrain, column: text, path: $dir/model, maxVocab: 100}
+         |""".stripMargin).count()
+    // task 2: score everything against the stored model, carrying lang
+    val scored = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: lmScore, key: doc_id, column: text, path: $dir/model, carry: [lang]}
+         |""".stripMargin)
+    val byId = scored.select("doc_id", "avg_lp_milli")
+      .as[(Long, Long)].collect().toMap
+    assert(byId.size == 4)
+    // gibberish (pure OOV) scores strictly below the in-vocabulary docs
+    assert(byId(3L) < byId(1L) && byId(3L) < byId(2L) && byId(3L) < byId(4L))
+    // dsirSelect: expression-driven target slice, deterministic top-k
+    val picked = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: dsirSelect, key: doc_id, column: text, target: "lang = 'en'", k: 2}
+         |""".stripMargin).select("doc_id").as[Long].collect().toSet
+    assert(picked.size == 2 && !picked.contains(3L))
+    // nbQuality: expression-driven labels, held-out scoring runs
+    val nb = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: nbQuality, key: doc_id, column: text, label: "lang = 'en'"}
+         |""".stripMargin)
+    assert(nb.columns.toSeq ==
+      Seq("doc_id", "label", "n_tokens", "score_milli", "predicted"))
+  }
+
   test("search index lifecycle from config: build, append, query, compact") {
     val dir = Files.createTempDirectory("graft_cfg_sidx_").toString
     Seq((1L, "spark hash join beats sort merge"),

@@ -480,6 +480,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestQualityGated gates on the stored LM, honors retrains, dedups") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_qg_").toString
+    // model trained on fluent reference: good:2 clean:2 text:1 prose:1
+    // → in-vocab avg ≈ -1434 milli-nats, pure-OOV avg = -2398
+    val ref = Seq((100L, "good clean text"), (101L, "good clean prose"))
+      .toDF("doc_id", "text")
+    graft.ext.Lm.writeModel(spark,
+      graft.ext.Lm.unigramModel(ref, "text", maxVocab = 100), s"$dir/model")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestQualityGated(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/model", contentCols = Seq("text"),
+      idCol = "doc_id", textCol = "text", minAvgLpMilli = -2000L,
+      checkpoint = s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    try {
+      // fluent row admitted; gibberish gated; duplicate deduped; empty gated
+      mem.addData((1L, "good clean text"), (2L, "zx qw er"),
+        (3L, "good clean text"), (4L, ""))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L))
+      // retrain mid-stream on a different register: the NEXT batch scores
+      // against the new model immediately and now admits it
+      graft.ext.Lm.writeModel(spark,
+        graft.ext.Lm.unigramModel(
+          Seq((200L, "zx qw er"), (201L, "zx qw vb")).toDF("doc_id", "text"),
+          "text", maxVocab = 100), s"$dir/model")
+      mem.addData((5L, "zx qw er"))
+      q.processAllAvailable()
+      // replay of already-admitted content appends nothing
+      mem.addData((6L, "zx qw er"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    } finally q.stop()
+  }
+
   test("ingestDedup stays compatible with a pre-hash-format corpus") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_leg_").toString
