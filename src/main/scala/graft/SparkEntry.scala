@@ -83,6 +83,20 @@ object SparkEntry {
       dir
     })
 
+  /** Train-once-per-JVM persisted BPE merge table over `documents` — the
+    * tokenizer `text_bpe_counts` applies (same memoization contract as
+    * [[cachedNearIndexDir]]).
+    */
+  private val bpeMergesMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedBpeMergesDir(s: SparkSession, sfDir: String): String =
+    bpeMergesMemo.computeIfAbsent(sfDir, _ => {
+      val dir = tmpDir(sfDir, "bpe_merges_cached")
+      graft.ext.Bpe.writeMerges(s,
+        graft.ext.Bpe.trainMerges(Tables(s, sfDir).documents, "text",
+          maxMerges = 200), dir)
+      dir
+    })
+
   /** Untimed setup per bench key: Bench runs these BEFORE starting the
     * query's clock, so a key that exists to time the INCREMENTAL cost of an
     * operation (classify against an existing index) isn't billed for the
@@ -94,7 +108,9 @@ object SparkEntry {
     "search_bm25_indexed" -> ((s, dir) => { cachedSearchIndexDir(s, dir); () }),
     "search_bm25_batch" -> ((s, dir) => { cachedSearchIndexDir(s, dir); () }),
     "search_hybrid_rrf" -> ((s, dir) => { cachedSearchIndexDir(s, dir); () }),
-    "text_lm_persisted" -> ((s, dir) => { cachedLmModelDir(s, dir); () }))
+    "text_lm_persisted" -> ((s, dir) => { cachedLmModelDir(s, dir); () }),
+    "text_bpe_counts" -> ((s, dir) => { cachedBpeMergesDir(s, dir); () }),
+    "text_bpe_counts_gate" -> ((s, dir) => { cachedBpeMergesDir(s, dir); () }))
 
   private def withNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1424,6 +1440,33 @@ object SparkEntry {
       graft.ext.Search.tfidfTopTerms(Tables(s, dir).documents,
         "doc_id", "text", k = 3)),
 
+    // real-subword token counts: BPE merges trained ON this corpus
+    // (200 merges, stamped artifact), applied per DISTINCT word. Counts
+    // are exact under the trained tokenizer — not DuckDB-expressible
+    // (the merge loop), so rows-only with the value-tying gate below
+    "text_bpe_counts" -> ((s, dir) =>
+      graft.ext.Bpe.tokenCounts(Tables(s, dir).documents, "doc_id", "text",
+        graft.ext.Bpe.readMerges(s, cachedBpeMergesDir(s, dir)))),
+
+    // the gate ties text_bpe_counts to DuckDB-computable ground truth:
+    // row count and TOTAL WORD COUNT must match the documents table
+    // exactly, and the two tokenizer invariants (≥1 token per word,
+    // ≤ non-space characters per doc) must have zero violations
+    "text_bpe_counts_gate" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val counts = graft.ext.Bpe.tokenCounts(d, "doc_id", "text",
+        graft.ext.Bpe.readMerges(s, cachedBpeMergesDir(s, dir)))
+      counts.join(d.select(col("doc_id"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("bigint")
+            .as("__nsc")), "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("total_words"),
+          sum(when(col("n_bpe_tokens") < col("n_words"), 1L).otherwise(0L))
+            .as("viol_low"),
+          sum(when(col("n_bpe_tokens") > col("__nsc"), 1L).otherwise(0L))
+            .as("viol_high"))
+    }),
+
     // CCNet-style unigram LM scoring: train an add-one-smoothed LM on the
     // English slice, score EVERY document by mean milli-nat token
     // log-probability. The model is bounded (≤ maxVocab+1 rows) and
@@ -1968,7 +2011,8 @@ object SparkEntry {
   def rowsOnlyGates: Map[String, String] = Map(
     "ann_ivf"             -> "ann_ivf_recall",
     "ann_pq"              -> "ann_pq_recall",
-    "xf_idkey_snowflake"  -> "xf_idkey_snowflake_gate")
+    "xf_idkey_snowflake"  -> "xf_idkey_snowflake_gate",
+    "text_bpe_counts"     -> "text_bpe_counts_gate")
 
   /** The per-bit sign-LSH bucket assembly as DuckDB SQL over a column `v`
     * (list of DOUBLE): each hyperplane is inlined as a literal list and
@@ -2976,6 +3020,17 @@ object SparkEntry {
         |  CAST(CASE WHEN nt.n_tokens = 0 THEN 0
         |    ELSE floor(coalesce(rc.rare, 0) * 1000.0 / nt.n_tokens + 0.5) END AS BIGINT) AS rare_pm
         |FROM nt LEFT JOIN rc ON nt.doc_id = rc.id""".stripMargin,
+
+    // ground truth for the BPE gate: row count and exact total word count
+    // from the documents table; the invariant violation counters must be
+    // zero by the tokenizer's construction (≥1 token per word, tokens
+    // concatenate back to the word so ≤ non-space chars)
+    "text_bpe_counts_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 0) AS BIGINT) AS total_words,
+        |  CAST(0 AS BIGINT) AS viol_low, CAST(0 AS BIGINT) AS viol_high
+        |FROM documents""".stripMargin,
 
     // mirrors Lm.unigramModel + Lm.scoreUnigram: per-token milli-nat
     // log-probs rounded ONCE in the ≤4096-row model table, per-doc integer

@@ -436,6 +436,19 @@ object Config {
           trainPerMille = Option(n.get("trainPerMille")).map(_.asInt).getOrElse(600),
           maxVocab = Option(n.get("maxVocab")).map(_.asInt).getOrElse(65536),
           salt = strOpt(n, "salt").getOrElse("graft"))
+      // BPE tokenizer lifecycle (ext/Bpe): train+persist the merge table
+      // (pass-through), then count in real subword units downstream
+      case "bpeTrain" =>
+        graft.ext.Bpe.writeMerges(df.sparkSession,
+          graft.ext.Bpe.trainMerges(df, str(n, "column"),
+            maxMerges = n.get("maxMerges").asInt,
+            maxTrainWords = Option(n.get("maxTrainWords")).map(_.asInt)
+              .getOrElse(65536)),
+          str(n, "path"))
+        df
+      case "bpeCounts" =>
+        graft.ext.Bpe.tokenCounts(df, str(n, "key"), str(n, "column"),
+          graft.ext.Bpe.readMerges(df.sparkSession, str(n, "path")))
       // ingest-time layout ops (sources/Layout): pass-through writers so
       // the task can keep transforming/sinking the same relation
       case "writePartitioned" =>

@@ -37,9 +37,10 @@ class SparkEntrySpec extends SparkSpec {
     // +dedup_dup_spans, +dedup_strip_spans, +curate_decontam_indexed,
     // +text_repetition, +dedup_strip_lines)
     // 154 late round 12 (+text_lm_score, +text_lm_persisted,
-    // +curate_ppl_buckets, +curate_dsir, +curate_nb_quality)
-    assert(SparkEntry.queries.size == 154,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 154); " +
+    // +curate_ppl_buckets, +curate_dsir, +curate_nb_quality,
+    // +text_bpe_counts, +text_bpe_counts_gate)
+    assert(SparkEntry.queries.size == 156,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 156); " +
         "if intentional, update this pin")
   }
 

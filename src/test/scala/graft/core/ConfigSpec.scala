@@ -533,6 +533,25 @@ class ConfigSpec extends SparkSpec {
       Seq("doc_id", "label", "n_tokens", "score_milli", "predicted"))
   }
 
+  test("BPE lifecycle from config: train the merge table, count subword tokens") {
+    val dir = Files.createTempDirectory("graft_cfg_bpe_").toString
+    Seq((1L, "aa aa ab"), (2L, "aaab xyz"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: bpeTrain, column: text, path: $dir/bpe, maxMerges: 10}
+         |""".stripMargin).count()
+    val out = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: bpeCounts, key: doc_id, column: text, path: $dir/bpe}
+         |""".stripMargin)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 10 merges fuse this tiny corpus completely: every word → 1 token
+    assert(out == Seq((1L, 3L, 3L), (2L, 2L, 2L)))
+  }
+
   test("search index lifecycle from config: build, append, query, compact") {
     val dir = Files.createTempDirectory("graft_cfg_sidx_").toString
     Seq((1L, "spark hash join beats sort merge"),
