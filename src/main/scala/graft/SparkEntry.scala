@@ -1266,6 +1266,13 @@ object SparkEntry {
       graft.ext.Lm.dsirTopK(Tables(s, dir).documents, "doc_id", "text",
         col("source") === "src0", k = 100, buckets = 256)),
 
+    // DSIR's actual sampler: Gumbel-top-k resampling ∝ importance weight,
+    // noise derived from md5 of the id (never rand()) — deterministic,
+    // cross-engine reproducible selection
+    "curate_dsir_sample" -> ((s, dir) =>
+      graft.ext.Lm.dsirSampleK(Tables(s, dir).documents, "doc_id", "text",
+        col("source") === "src0", k = 100, buckets = 256)),
+
     // Naive-Bayes quality classifier (fastText-shaped): train on a 60%
     // hash split with "from a curated source" labels, score the held-out
     // docs with broadcast per-token log-odds + smoothed prior
@@ -3092,6 +3099,27 @@ object SparkEntry {
          |    FROM tb JOIN lw USING (b) GROUP BY 1)
          |SELECT doc_id, weight_milli, n_tokens FROM s
          |ORDER BY weight_milli DESC, doc_id LIMIT 100""".stripMargin,
+
+    // mirrors Lm.dsirSampleK: same weight CTEs as curate_dsir, then the
+    // Gumbel-max key (md5-uniform → −ln(−ln u)) rounded before ranking
+    "curate_dsir_sample" ->
+      s"""WITH dt AS (SELECT doc_id, source,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |  tb AS (SELECT doc_id, source, ${duckBucket("w", 256, "graft")} AS b FROM dt),
+         |  bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+         |      CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |    FROM tb GROUP BY 1),
+         |  tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM bc),
+         |  lw AS (SELECT b, CAST(floor((ln((ct + 1.0) / (nt + 256))
+         |      - ln((cr + 1.0) / (nr + 256))) * 1000 + 0.5) AS BIGINT) AS lw
+         |    FROM bc CROSS JOIN tot),
+         |  s AS (SELECT doc_id, CAST(sum(lw) AS BIGINT) AS weight_milli
+         |    FROM tb JOIN lw USING (b) GROUP BY 1)
+         |SELECT doc_id, weight_milli,
+         |  round(CAST(weight_milli AS DOUBLE) / 1000.0
+         |    + (-ln(-ln((${duckBucket("CAST(doc_id AS VARCHAR)", 65536, "graft-gumbel")} + 0.5) / 65536.0))), 6) AS sample_key
+         |FROM s ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
 
     // mirrors Lm.nbTrainScore: 60% md5 hash split, total-count-capped
     // vocabulary, per-token milli-nat log-odds + smoothed doc-count prior

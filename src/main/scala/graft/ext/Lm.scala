@@ -220,7 +220,21 @@ object Lm {
   def dsirTopK(docs: DataFrame, idCol: String, textCol: String,
                isTarget: Column, k: Int, buckets: Int = 256,
                salt: String = "graft"): DataFrame = {
-    require(k > 0 && buckets > 0)
+    require(k > 0)
+    dsirWeights(docs, idCol, textCol, isTarget, buckets, salt)
+      .orderBy(desc("weight_milli"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight_milli"), col("n_tokens"))
+  }
+
+  /** Unranked per-document importance weights — the shared core of
+    * [[dsirTopK]] and [[dsirSampleK]]: (idCol, n_tokens, weight_milli),
+    * tokenless documents absent.
+    */
+  private def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                          isTarget: Column, buckets: Int,
+                          salt: String): DataFrame = {
+    require(buckets > 0)
     val t = docs
       .select(col(idCol).as("id"), isTarget.as("__tgt"),
         explode(T.tokens(lower(col(textCol)))).as("w"))
@@ -238,9 +252,35 @@ object Lm {
     t.join(broadcast(lw), "b")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum("lw").as("weight_milli"))
-      .orderBy(desc("weight_milli"), col("id"))
+      .select(col("id").as(idCol), col("n_tokens"), col("weight_milli"))
+  }
+
+  /** DSIR's actual sampler: Gumbel-top-k resampling — keep the `k`
+    * documents maximizing `log-weight + Gumbel noise`, which samples
+    * WITHOUT replacement with probability ∝ exp(log-weight) = the
+    * importance weight (the Gumbel-max trick). The noise is derived from
+    * the row key (md5 → uniform in (0,1) → −ln(−ln(u))), NOT `rand()` —
+    * the same determinism contract as every sampler in [[Curation]]: the
+    * selected set is byte-identical across runs, partitionings and
+    * cluster sizes, and a new `salt` is a fresh draw. The sample key is
+    * rounded before ranking (ties then broken by id) so the cut is
+    * reproducible cross-engine. Same bounded shapes as [[dsirTopK]]:
+    * bucket tables broadcast, selection is TakeOrdered.
+    */
+  def dsirSampleK(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, k: Int, buckets: Int = 256,
+                  salt: String = "graft"): DataFrame = {
+    require(k > 0)
+    val weighted = dsirWeights(docs, idCol, textCol, isTarget, buckets, salt)
+    val u = (Curation.hashBucket(col(idCol), 65536, salt + "-gumbel")
+      .cast("double") + lit(0.5)) / lit(65536.0)
+    val gumbel = -log(-log(u))
+    weighted
+      .withColumn("sample_key",
+        round(col("weight_milli").cast("double") / 1000.0 + gumbel, 6))
+      .orderBy(desc("sample_key"), col(idCol))
       .limit(k)
-      .select(col("id").as(idCol), col("weight_milli"), col("n_tokens"))
+      .select(col(idCol), col("weight_milli"), col("sample_key"))
   }
 
   // ---------------------------------------------------------------------

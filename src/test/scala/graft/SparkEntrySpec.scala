@@ -38,9 +38,9 @@ class SparkEntrySpec extends SparkSpec {
     // +text_repetition, +dedup_strip_lines)
     // 154 late round 12 (+text_lm_score, +text_lm_persisted,
     // +curate_ppl_buckets, +curate_dsir, +curate_nb_quality,
-    // +text_bpe_counts, +text_bpe_counts_gate)
-    assert(SparkEntry.queries.size == 156,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 156); " +
+    // +text_bpe_counts, +text_bpe_counts_gate, +curate_dsir_sample)
+    assert(SparkEntry.queries.size == 157,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 157); " +
         "if intentional, update this pin")
   }
 

@@ -120,6 +120,26 @@ class LmSpec extends SparkSpec {
     assert(a == b && a.size == 10)
   }
 
+  test("dsirSampleK: deterministic Gumbel resampling, weight-dominated at margin") {
+    // 20× token repetition makes the weight gap dwarf the Gumbel noise
+    // (tens of nats vs noise σ≈1.28), so the sample = the target-like set
+    val docs = (
+      (1 to 4).map(i => (i.toLong, Seq.fill(20)("alpha beta").mkString(" "), true)) ++
+      (11 to 30).map(i => (i.toLong, Seq.fill(20)("noise junk").mkString(" "), false)) ++
+      Seq((40L, Seq.fill(20)("alpha beta").mkString(" "), false), (41L, "", false))
+    ).toDF("id", "text", "tgt")
+    val out = Lm.dsirSampleK(docs, "id", "text", col("tgt"), k = 5, buckets = 4096)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 4L, 40L))
+    val re = Lm.dsirSampleK(docs.repartition(9), "id", "text", col("tgt"),
+      k = 5, buckets = 4096).select("id").as[Long].collect().toSet
+    assert(re == out)
+    // different salt = a fresh draw, but weights still dominate here
+    val salted = Lm.dsirSampleK(docs, "id", "text", col("tgt"), k = 5,
+      buckets = 4096, salt = "epoch2").select("id").as[Long].collect().toSet
+    assert(salted == out)
+  }
+
   test("nbTrainScore: learns token-label association, scores held-out only") {
     // 200 docs, perfectly separable: label ⇔ text says 'good'
     val docs = (1L to 200L).map { i =>
