@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling measurement for the 1-bit Hamming ANN tier
+  * ([[graft.ext.Similarity.hammingTopKMany]]): the claim is that sign-bit
+  * signatures make the batch candidate scan the cheapest in the engine —
+  * 8 bytes/row at dim 64 (vs 64 B for int8 codes, 256 B for float32) and
+  * an xor+popcount kernel — so batch search time should track the 1-bit
+  * table's size, several times below the int8 tier on the identical
+  * corpus. Replicates the base embeddings table `multiplier`×, persists
+  * BOTH the sign-bit signature table and the int8 code table, and times
+  * the same 16-query batch top-k through each kernel, reporting on-disk
+  * table bytes alongside seconds.
+  *
+  * Usage: runMain graft.ScaleHamming <sfDir> <multiplier> <label>
+  * Prints one SCALE_HAMMING line.
+  */
+object ScaleHamming {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, multS, label) = args
+    val mult = multS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val corpus = (0 until mult).map(r =>
+        base.select((col("vec_id") + r.toLong * 10000000L).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    val nCorpus = corpus.count()
+
+    def dirBytes(p: String): Long = {
+      val f = new java.io.File(p)
+      Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+    }
+
+    // pay-once signature/code writes (the ingest-side cost, timed for the
+    // record but not the claim)
+    val sigDir = s"/tmp/graft_scale_hamm_sig_$label"
+    val codeDir = s"/tmp/graft_scale_hamm_int8_$label"
+    val tw0 = System.nanoTime()
+    graft.ext.Similarity.writeSignBits(corpus, "vec_id", "embedding", 64, sigDir)
+    val sigWriteSec = (System.nanoTime() - tw0) / 1e9
+    val tw1 = System.nanoTime()
+    graft.ext.Similarity.writeCodes(corpus, "vec_id", "embedding", codeDir)
+    val codeWriteSec = (System.nanoTime() - tw1) / 1e9
+
+    val sigs = spark.read.parquet(sigDir)
+    val codes = spark.read.parquet(codeDir)
+    val queriesSig = sigs.filter(col("vec_id").between(1L, 16L)).localCheckpoint(true)
+    val queriesCode = codes.filter(col("vec_id").between(1L, 16L))
+      .select("vec_id", "code").localCheckpoint(true)
+
+    // warm both inputs' file listings, then time the batch kernels
+    val t0 = System.nanoTime()
+    val nH = graft.ext.Similarity.hammingTopKMany(sigs, "vec_id", queriesSig,
+      "vec_id", k = 10).count()
+    val hammSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nI = graft.ext.Similarity.int8TopKMany(codes, "vec_id", queriesCode,
+      "vec_id", k = 10).count()
+    val int8Sec = (System.nanoTime() - t1) / 1e9
+
+    println(f"SCALE_HAMMING label=$label corpus_rows=$nCorpus " +
+      f"sig_bytes=${dirBytes(sigDir)} code_bytes=${dirBytes(codeDir)} " +
+      f"sig_write_sec=$sigWriteSec%.2f code_write_sec=$codeWriteSec%.2f " +
+      f"hamming_batch_sec=$hammSec%.2f int8_batch_sec=$int8Sec%.2f " +
+      f"hamming_rows=$nH int8_rows=$nI")
+    spark.stop()
+  }
+}

@@ -949,6 +949,33 @@ object SparkEntry {
         codes.filter(col("vec_id").between(1L, 5L)), "vec_id", k = 10)
     }),
 
+    // 1-bit sign quantization: Hamming ranking over packed sign bits (64
+    // dims = ONE 8-byte long/row — 32× less scan than float32). Integer
+    // distances ⇒ full hash oracle (oracle re-derives the sign bits and
+    // counts per-dim disagreements)
+    "ann_hamming_topk" -> ((s, dir) =>
+      Similarity.hammingTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
+        dim = 64, queryId = 1L, k = 20)),
+
+    // Hamming candidate scan + exact-cosine rescore of the top 4k: BOTH
+    // stages are deterministic, so the oracle replicates the candidate cut
+    // too — a full-pipeline oracle, no recall assumption
+    "ann_hamming_rescored" -> ((s, dir) =>
+      Similarity.hammingRescoredTopK(Tables(s, dir).embeddings, "vec_id",
+        "embedding", dim = 64, queryId = 1L, k = 10, rescoreFactor = 4)),
+
+    // batch Hamming search from the PERSISTED signature table: xor+popcount
+    // heap kernel, one pass over 8-byte signatures; integer distances ⇒ the
+    // whole batch ranking is hash-oracled like ann_int8_batch
+    "ann_hamming_batch" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val path = tmpDir(dir, "sign_sigs")
+      Similarity.writeSignBits(e, "vec_id", "embedding", dim = 64, path)
+      val sigs = s.read.parquet(path)
+      Similarity.hammingTopKMany(sigs, "vec_id",
+        sigs.filter(col("vec_id").between(1L, 5L)), "vec_id", k = 10)
+    }),
+
     // lshBits sized to the test corpus (~500 vecs): 2^6 buckets keeps them
     // populated; the 16-bit default is the 100 TB setting (see Similarity).
     // FULL hash oracle since r10: the deterministic hyperplanes are inlined
@@ -1233,6 +1260,20 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    // JSONL training export → read-back: the written lines are parsed with
+    // the JSON-path extractor, so the oracle (a plain projection) verifies
+    // the whole render→shard→stream round trip
+    "sink_file_jsonl" -> ((s, dir) => {
+      val out = tmpDir(dir, "jsonl_docs")
+      FileSink.jsonlSized(
+        Tables(s, dir).documents.select("doc_id", "lang", "source"),
+        out, maxRecordsPerFile = 100)
+      s.read.text(out).select(
+        get_json_object(col("value"), "$.doc_id").cast("bigint").as("doc_id"),
+        get_json_object(col("value"), "$.lang").as("lang"),
+        get_json_object(col("value"), "$.source").as("source"))
+    }),
+
     // per-source quality-percentile filter: keep each source's best half
     "curate_quality_topk" -> ((s, dir) => {
       val d = Tables(s, dir).documents.select(col("doc_id"), col("source"),
@@ -1486,6 +1527,17 @@ object SparkEntry {
           maxVocab = 4096))
     }),
 
+    // bigram LM with stupid backoff (Brants et al. EMNLP'07): one step
+    // closer to CCNet's KenLM than the unigram proxy. maxBigrams = 512
+    // BINDS on this fixture (907 distinct vocab-vocab bigrams), so the
+    // deterministic (count desc, pair) cut is exercised, not just declared
+    "text_lm_bigram" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      graft.ext.Lm.scoreBigram(d, "doc_id", "text",
+        graft.ext.Lm.bigramModel(d.filter(col("lang") === "en"), "text",
+          maxVocab = 4096, maxBigrams = 512))
+    }),
+
     // per-source corpus dashboard: counts/tokens/languages exactly, plus an
     // HLL sketch (approx_count_distinct — mergeable, constant memory, the
     // 100 TB path for distinct counts) tolerance-gated at ±5% vs the exact
@@ -1545,6 +1597,90 @@ object SparkEntry {
         T.dupLinePerMille(mtext).as("dup_line_pm"),
         T.dupLineCharPerMille(mtext).as("dup_line_char_pm"),
         T.topNgramCharPerMille(col("text"), 3).as("top3gram_pm"))
+    }),
+
+    // the composite Gopher quality rule (Rae et al. Table A1): all seven
+    // sub-signals as integer per-milles plus the keep bit. The fixture
+    // injects rule-triggering structure (docs are single-line, no bullets/
+    // ellipses/symbols): id%3=0 adds a bullet line, id%4=0 an
+    // ellipsis-ended line, id%5=0 a symbol-run line — so every rule fires
+    // on some docs and not others
+    "text_gopher_quality" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val mtext = concat_ws("\n",
+        when(col("doc_id") % 3 === 0, lit("- bullet item"))
+          .otherwise(concat(lit("intro "), col("doc_id"))),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("wait for it..."))
+          .otherwise(concat(lit("END "), col("doc_id"))),
+        when(col("doc_id") % 5 === 0, lit("### ## #")).otherwise(lit("tail")))
+      d.select(col("doc_id"),
+        T.tokenCount(mtext).as("n_words"),
+        T.avgWordLenMilli(mtext).as("mean_wlen_milli"),
+        T.symbolWordRatioPerMille(mtext).as("symbol_pm"),
+        T.bulletLinePerMille(mtext).as("bullet_line_pm"),
+        T.ellipsisLinePerMille(mtext).as("ellipsis_line_pm"),
+        T.alphaWordPerMille(mtext).as("alpha_word_pm"),
+        T.stopwordHits(regexp_replace(mtext, "\\s+", " "), T.GopherStopwords)
+          .cast("bigint").as("stop_hits"),
+        // minStopHits relaxed to 1 on the fixture (its SQL-word vocabulary
+        // carries only 'the' from the Gopher list; the production default
+        // of 2 would make keep constant-0 and gate nothing)
+        T.gopherKeep(mtext, minStopHits = 1).cast("bigint").as("keep"))
+    }),
+
+    // HTML → visible text: the fixture wraps each doc in a full page
+    // (head/title/style/script/comment/entities) and the extractor must
+    // recover exactly title + heading + body text + decoded tail — the
+    // oracle replicates the same construction AND extraction in DuckDB
+    "text_html_extract" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val html = concat(
+        lit("<html><head><title>T"), col("doc_id"),
+        lit("</title><style>p { color: red; }</style>"),
+        lit("<script>var x = 1 && s[0];</script></head>"),
+        lit("<body><h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
+        lit("</p><!-- hidden\ncomment --><div>tail &amp; &lt;q&gt; &quot;z&quot; &#39;y&#39;&nbsp;end</div></body></html>"))
+      d.select(col("doc_id"), T.htmlToText(html).as("extracted"))
+    }),
+
+    // URL canonicalization (the C4/RefinedWeb pre-content-dedup stage):
+    // the fixture forks each page id k = doc_id/2 into two messy variants
+    // (case-shuffled scheme/host, default port, trailing slash, tracking
+    // params, fragment, param order) that must normalize identically
+    "curate_url_normalize" -> ((s, dir) => {
+      val k = floor(col("doc_id") / 2).cast("long")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://Site"), (k % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(".Example.COM:443"))
+          .otherwise(lit(".example.com")),
+        lit("/docs/"), k.cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/?utm_source=feed&b=2&a=1#frag"))
+          .otherwise(lit("?a=1&b=2")))
+      Tables(s, dir).documents.select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          graft.ext.Urls.normalizeUrl(col("url")).as("url_norm"),
+          graft.ext.Urls.urlHost(col("url")).as("host"),
+          graft.ext.Urls.urlDomain(col("url")).as("domain"))
+    }),
+
+    // URL-level dedup: both variants of page k collapse to one canonical
+    // URL; keep the smallest doc_id (the even variant)
+    "curate_url_dedup" -> ((s, dir) => {
+      val k = floor(col("doc_id") / 2).cast("long")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://Site"), (k % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(".Example.COM:443"))
+          .otherwise(lit(".example.com")),
+        lit("/docs/"), k.cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/?utm_source=feed&b=2&a=1#frag"))
+          .otherwise(lit("?a=1&b=2")))
+      graft.ext.Urls.dedupByUrl(
+        Tables(s, dir).documents.select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+        .select("doc_id", "url_norm")
     }),
 
     // ---- ext: corpus curation (deterministic md5-keyed sampling/splits —
@@ -1700,6 +1836,16 @@ object SparkEntry {
           aggregate(col("qs.q"), lit(0L), (a, x) => a + x.cast("bigint")).as("sum_q"),
           array_min(col("qs.q")).cast("bigint").as("min_q"),
           array_max(col("qs.q")).cast("bigint").as("max_q"))),
+
+    // 1-bit sign packing verified directly: the packed BIGINT word and its
+    // popcount — both exact integers, so the oracle re-derives the word via
+    // HUGEINT shifted sums and wraps to signed 64-bit
+    "vec_sign_bits" -> ((s, dir) =>
+      Tables(s, dir).embeddings
+        .select(col("vec_id"),
+          element_at(V.packSignBits(col("embedding"), 64), 1).as("sig_word"))
+        .select(col("vec_id"), col("sig_word"),
+          call_function("bit_count", col("sig_word")).cast("bigint").as("n_pos"))),
 
     // deterministic Rademacher projection 64→16 over int8-quantized codes:
     // integer sums are order-independent, so the md5-derived ±1 matrix makes
@@ -2779,6 +2925,52 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, corpus_id) AS rk
         |  FROM scored) WHERE rk <= 10""".stripMargin,
 
+    // sign-bit Hamming ranking: per-dim sign disagreement count — pure
+    // integer, replicated dim-by-dim (no packing needed oracle-side)
+    "ann_hamming_topk" ->
+      """WITH sg AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS sb
+        |  FROM embeddings),
+        |  q AS (SELECT sb AS qb FROM sg WHERE vec_id = 1)
+        |SELECT vec_id, CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN sb[i] <> qb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hdist
+        |FROM sg, q WHERE vec_id <> 1
+        |ORDER BY hdist, vec_id LIMIT 20""".stripMargin,
+
+    // full two-stage pipeline: Hamming top-40 candidate cut (hdist asc, id
+    // asc — deterministic), then exact-cosine rescore of ONLY those
+    "ann_hamming_rescored" ->
+      """WITH sg AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS sb
+        |  FROM embeddings),
+        |  q AS (SELECT sb AS qb FROM sg WHERE vec_id = 1),
+        |  hd AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN sb[i] <> qb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hdist
+        |    FROM sg, q WHERE vec_id <> 1),
+        |  cand AS (SELECT vec_id FROM hd ORDER BY hdist, vec_id LIMIT 40),
+        |  qv AS (SELECT embedding AS qve FROM embeddings WHERE vec_id = 1)
+        |SELECT e.vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qve[i] AS DOUBLE)))
+        |    / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |         * list_sum(list_transform(range(1, 65), i -> CAST(qve[i] AS DOUBLE) * CAST(qve[i] AS DOUBLE)))), 4) AS score
+        |FROM embeddings e JOIN cand USING (vec_id), qv
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // per query: rank by hdist asc, corpus id asc, top 10, no self-match
+    "ann_hamming_batch" ->
+      """WITH sg AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS sb
+        |  FROM embeddings),
+        |  qq AS (SELECT vec_id AS query_id, sb AS qb FROM sg WHERE vec_id BETWEEN 1 AND 5),
+        |  scored AS (SELECT query_id, sg.vec_id AS corpus_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN sb[i] <> qb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hdist
+        |    FROM sg, qq WHERE sg.vec_id <> query_id)
+        |SELECT query_id, corpus_id, hdist FROM (
+        |  SELECT query_id, corpus_id, hdist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY hdist, corpus_id) AS rk
+        |  FROM scored) WHERE rk <= 10""".stripMargin,
+
     "ann_int8_topk" ->
       """WITH sc AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -3079,6 +3271,51 @@ object SparkEntry {
         |       ELSE 'middle' END AS bucket
         |FROM scored s JOIN thr t USING (lang)""".stripMargin,
 
+    // the full bigram pipeline re-derived: unigram tier = lmScoreOracleSql's
+    // model; bigram tier = vocab∩vocab adjacent-pair counts cut at 512
+    // (count desc, pair — the cut BINDS here), unsmoothed conditionals;
+    // scoring = bigram hit, else -916 (milli-ln 0.4) + unigram/OOV
+    "text_lm_bigram" ->
+      """WITH rt AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |    FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+        |  counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY 1),
+        |  kept AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 4096),
+        |  st AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM counts) AS n_tok,
+        |                (SELECT CAST(count(*) AS BIGINT) FROM kept) AS v),
+        |  vocab AS (SELECT w, CAST(floor(ln((c + 1.0) / (n_tok + v + 1)) * 1000 + 0.5) AS BIGINT) AS lp
+        |    FROM kept CROSS JOIN st),
+        |  oov AS (SELECT CAST(floor(ln(1.0 / (n_tok + v + 1)) * 1000 + 0.5) AS BIGINT) AS lp FROM st),
+        |  rtl AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |    FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+        |  rp AS (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+        |      i -> struct_pack(w1 := t[i-1], w2 := t[i]))) AS p FROM rtl),
+        |  bp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM rp),
+        |  bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bp
+        |    JOIN kept k1 ON bp.w1 = k1.w
+        |    JOIN kept k2 ON bp.w2 = k2.w
+        |    GROUP BY w1, w2 ORDER BY c12 DESC, w1, w2 LIMIT 512),
+        |  bi AS (SELECT w1, w2, CAST(floor(ln(CAST(c12 AS DOUBLE) / c.c) * 1000 + 0.5) AS BIGINT) AS lp2
+        |    FROM bc JOIN counts c ON bc.w1 = c.w),
+        |  dt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |  dp AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |      i -> struct_pack(w1 := CASE WHEN i = 1 THEN CAST(NULL AS VARCHAR) ELSE t[i-1] END, w2 := t[i]))) AS p FROM dt),
+        |  dr AS (SELECT doc_id, p.w1 AS dw1, p.w2 AS dw2 FROM dp),
+        |  sc AS (SELECT doc_id, dw2,
+        |      CASE WHEN dw1 IS NULL THEN coalesce(v.lp, o.lp)
+        |           ELSE coalesce(b.lp2, -916 + coalesce(v.lp, o.lp)) END AS lp
+        |    FROM dr LEFT JOIN vocab v ON dr.dw2 = v.w
+        |    LEFT JOIN bi b ON dr.dw1 = b.w1 AND dr.dw2 = b.w2
+        |    CROSS JOIN oov o),
+        |  agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |      CAST(sum(lp) AS BIGINT) AS sum_lp_milli FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_lp_milli,
+        |  CAST(floor(CAST(sum_lp_milli AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS avg_lp_milli
+        |FROM agg
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM documents WHERE length(trim(text)) = 0""".stripMargin,
+
     // mirrors Lm.dsirTopK: md5 token buckets (same fold as every curation
     // oracle), add-one smoothed milli-nat log-ratios per bucket, integer
     // per-doc sums, deterministic top-100 (ties by doc_id)
@@ -3254,6 +3491,8 @@ object SparkEntry {
 
     "sink_file_sized" -> "SELECT * FROM orders",
 
+    "sink_file_jsonl" -> "SELECT doc_id, lang, source FROM documents",
+
     "layout_zorder" -> "SELECT * FROM orders",
 
     "layout_partition_prune" ->
@@ -3414,6 +3653,127 @@ object SparkEntry {
         |  CAST(coalesce(floor(t.c * length(t.sng) * 1000.0 / nullif(length(d.text), 0) + 0.5), 0) AS BIGINT) AS top3gram_pm
         |FROM lstat l JOIN documents d ON l.doc_id = d.doc_id
         |LEFT JOIN top t ON l.doc_id = t.doc_id""".stripMargin,
+
+    // the seven Gopher sub-signals + keep, re-derived rule by rule; the
+    // whitespace-normalized padded-instr stopword probe matches the Spark
+    // side exactly (minStopHits=1 on this fixture — see the query comment)
+    "text_gopher_quality" ->
+      """WITH mt AS (SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      CASE WHEN doc_id % 3 = 0 THEN '- bullet item' ELSE 'intro ' || doc_id END,
+        |      text,
+        |      CASE WHEN doc_id % 4 = 0 THEN 'wait for it...' ELSE 'END ' || doc_id END,
+        |      CASE WHEN doc_id % 5 = 0 THEN '### ## #' ELSE 'tail' END) AS mtext
+        |  FROM documents),
+        |  tok AS (SELECT doc_id, mtext,
+        |    CASE WHEN length(trim(mtext)) = 0 THEN [] ELSE regexp_split_to_array(trim(mtext), '\s+') END AS w,
+        |    list_filter(list_transform(string_split(mtext, chr(10)), l -> trim(l)), l -> length(l) > 0) AS ls,
+        |    ' ' || lower(regexp_replace(mtext, '\s+', ' ', 'g')) || ' ' AS pad
+        |  FROM mt),
+        |  sig AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(floor(length(regexp_replace(trim(mtext), '\s+', '', 'g')) * 1000.0 / greatest(len(w), 1) + 0.5) AS BIGINT) AS mean_wlen_milli,
+        |    CAST(floor((
+        |        (length(mtext) - length(replace(mtext, '#', '')))
+        |        + (length(mtext) - length(regexp_replace(mtext, '\.{3}', '', 'g'))) / 3
+        |        + (length(mtext) - length(replace(mtext, '…', '')))
+        |      ) * 1000.0 / greatest(len(w), 1) + 0.5) AS BIGINT) AS symbol_pm,
+        |    CAST(CASE WHEN len(ls) = 0 THEN 0 ELSE floor(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) * 1000.0 / len(ls) + 0.5) END AS BIGINT) AS bullet_line_pm,
+        |    CAST(CASE WHEN len(ls) = 0 THEN 0 ELSE floor(len(list_filter(ls, l -> regexp_matches(l, '(\.{3}|…)$'))) * 1000.0 / len(ls) + 0.5) END AS BIGINT) AS ellipsis_line_pm,
+        |    CAST(CASE WHEN len(w) = 0 THEN 0 ELSE floor(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1000.0 / len(w) + 0.5) END AS BIGINT) AS alpha_word_pm,
+        |    CAST((CASE WHEN instr(pad, ' the ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(pad, ' be ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(pad, ' to ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(pad, ' of ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(pad, ' and ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(pad, ' that ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(pad, ' have ') > 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN instr(pad, ' with ') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |  FROM tok)
+        |SELECT doc_id, n_words, mean_wlen_milli, symbol_pm, bullet_line_pm,
+        |  ellipsis_line_pm, alpha_word_pm, stop_hits,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 AND mean_wlen_milli BETWEEN 3000 AND 10000
+        |    AND symbol_pm <= 100 AND bullet_line_pm < 900 AND ellipsis_line_pm < 300
+        |    AND alpha_word_pm >= 800 AND stop_hits >= 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM sig""".stripMargin,
+
+    // same page construction, same extraction pipeline: script/style/comment
+    // drop → tag strip → entity decode (&amp; last) → whitespace collapse
+    "text_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>T' || doc_id || '</title><style>p { color: red; }</style>' ||
+        |    '<script>var x = 1 && s[0];</script></head><body><h1>Doc ' || doc_id || '</h1><p>' || text ||
+        |    '</p><!-- hidden' || chr(10) || 'comment --><div>tail &amp; &lt;q&gt; &quot;z&quot; &#39;y&#39;&nbsp;end</div></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |      '(?s)<!--.*?-->|<[^>]*>', ' ', 'g'),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS extracted
+        |FROM h""".stripMargin,
+
+    // the full canonicalization replicated: lowercased scheme/host, default
+    // port stripped, trailing slash dropped, tracking params filtered, the
+    // rest sorted, fragment gone
+    "curate_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://Site' ||
+        |    CAST(CAST(floor(doc_id / 2.0) AS BIGINT) % 7 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:443' ELSE '.example.com' END ||
+        |    '/docs/' || CAST(CAST(floor(doc_id / 2.0) AS BIGINT) AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&b=2&a=1#frag' ELSE '?a=1&b=2' END AS url
+        |  FROM documents),
+        |  parts AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS rawpath,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |  FROM u),
+        |  np AS (SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |      p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qs
+        |  FROM parts)
+        |SELECT doc_id,
+        |  scheme || '://' || host || path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm,
+        |  host,
+        |  regexp_extract(host, '([^.:]+\.[^.:]+)$', 1) AS domain
+        |FROM np""".stripMargin,
+
+    // per canonical URL keep the smallest doc_id — min-per-group is the
+    // exact semantics of the windowed keep
+    "curate_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://Site' ||
+        |    CAST(CAST(floor(doc_id / 2.0) AS BIGINT) % 7 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '.Example.COM:443' ELSE '.example.com' END ||
+        |    '/docs/' || CAST(CAST(floor(doc_id / 2.0) AS BIGINT) AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&b=2&a=1#frag' ELSE '?a=1&b=2' END AS url
+        |  FROM documents),
+        |  parts AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2) AS rawpath,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |  FROM u),
+        |  np AS (SELECT doc_id,
+        |    scheme || '://' ||
+        |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |          ELSE hostport END) ||
+        |    (CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |          ELSE regexp_replace(rawpath, '/+$', '') END) ||
+        |    (CASE WHEN array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |        p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') = '' THEN ''
+        |      ELSE '?' || array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |        p -> length(p) > 0 AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') END) AS url_norm
+        |  FROM parts)
+        |SELECT min(doc_id) AS doc_id, url_norm FROM np GROUP BY url_norm""".stripMargin,
 
     "curate_sample_hash" ->
       s"""SELECT doc_id, lang FROM documents
@@ -3630,6 +3990,22 @@ object SparkEntry {
         |  CAST(list_min(qa) AS BIGINT) AS min_q,
         |  CAST(list_max(qa) AS BIGINT) AS max_q
         |FROM q""".stripMargin,
+
+    // packed word re-derived as a HUGEINT shifted sum (DuckDB's BIGINT <<
+    // overflows at bit 63), wrapped to signed 64-bit to match Spark's long
+    "vec_sign_bits" ->
+      """WITH s AS (SELECT vec_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN embedding[i] >= 0 THEN (CAST(1 AS HUGEINT) << (i - 1))
+        |           ELSE CAST(0 AS HUGEINT) END)) AS u,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_pos
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+        |    THEN u - (CAST(1 AS HUGEINT) << 64) ELSE u END AS BIGINT) AS sig_word,
+        |  n_pos
+        |FROM s""".stripMargin,
 
     "infer_batched" ->
       "SELECT doc_id, CAST(length(text) % 997 AS DOUBLE) AS score FROM documents",

@@ -328,6 +328,26 @@ object Config {
       case "redact" =>
         df.withColumn(str(n, "column"),
           graft.functions.TextFunctions.redactPii(col(str(n, "column"))))
+      // HTML → visible text (script/style/comment drop, tag strip, entity
+      // decode) — the crawl-extraction first pass
+      case "htmlExtract" =>
+        df.withColumn(strOpt(n, "as").getOrElse(str(n, "column")),
+          graft.functions.TextFunctions.htmlToText(col(str(n, "column"))))
+      // the composite Gopher quality rule as a row filter
+      case "gopherFilter" =>
+        df.filter(graft.functions.TextFunctions.gopherKeep(col(str(n, "column")),
+          minWords = Option(n.get("minWords")).map(_.asLong).getOrElse(50L),
+          maxWords = Option(n.get("maxWords")).map(_.asLong).getOrElse(100000L),
+          minStopHits = Option(n.get("minStopHits")).map(_.asInt).getOrElse(2)))
+      // URL canonicalization / URL-level dedup / domain blocklist
+      case "urlNormalize" =>
+        df.withColumn(strOpt(n, "as").getOrElse("url_norm"),
+          graft.ext.Urls.normalizeUrl(col(str(n, "column"))))
+      case "urlDedup" =>
+        graft.ext.Urls.dedupByUrl(df, str(n, "key"), str(n, "column"))
+      case "domainFilter" =>
+        graft.ext.Urls.filterBlockedDomains(df, str(n, "column"),
+          strSeq(n, "blocked"))
       case "stratifiedN" =>
         graft.ext.Curation.stratifiedFixedN(df, str(n, "key"), str(n, "strata"),
           n.get("n").asInt, strOpt(n, "salt").getOrElse("graft"))

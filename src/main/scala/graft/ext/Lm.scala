@@ -192,6 +192,133 @@ object Lm {
   }
 
   // ---------------------------------------------------------------------
+  // Bigram language model with stupid backoff (Brants et al., EMNLP'07,
+  // "Large Language Models in Machine Translation") — one step closer to
+  // CCNet's KenLM than the unigram proxy, with the same bounded-model /
+  // integer-score discipline
+  // ---------------------------------------------------------------------
+
+  /** floor(1000·ln(0.4) + 0.5): the stupid-backoff penalty in milli-nats.
+    * A constant, not a tuned weight — that is the published method's whole
+    * point (no held-out EM at web scale).
+    */
+  val BackoffMilli: Long = -916L
+
+  /** A trained bigram LM: `unigram` is exactly [[unigramModel]]'s output
+    * (vocab + OOV row); `bigram` holds `(w1, w2, lp2_milli)` — the rounded
+    * milli-nat log CONDITIONAL `ln(c(w1,w2)/c(w1))` for the `maxBigrams`
+    * most frequent vocab-vocab bigrams. Both tables are bounded by
+    * construction and broadcast at any corpus size.
+    */
+  final case class BigramLm(unigram: DataFrame, bigram: DataFrame)
+
+  /** Train a bigram LM with stupid backoff on `ref`: the unigram tier is
+    * [[unigramModel]] verbatim; the bigram tier counts adjacent
+    * (in-vocab, in-vocab) token pairs, keeps the `maxBigrams` most
+    * frequent (ties by the pair, so the cut is deterministic), and stores
+    * the UNSMOOTHED conditional `c(w1,w2)/c(w1)` — backoff, not
+    * discounting, handles the unseen mass, per the published method.
+    * Training is two token-count aggregations (map-side combined) + two
+    * TakeOrdered heads; nothing else scales with the corpus.
+    */
+  def bigramModel(ref: DataFrame, textCol: String, maxVocab: Int = 65536,
+                  maxBigrams: Int = 262144): BigramLm = {
+    require(maxBigrams > 0, s"maxBigrams must be positive, got $maxBigrams")
+    val uni = unigramModel(ref, textCol, maxVocab)
+    val vocab = uni.filter(col("w").isNotNull).select("w")
+    // raw (uncapped) unigram counts feed the conditional's denominator —
+    // recomputed here rather than threaded out of unigramModel to keep
+    // that signature stable; one extra pass over (token, count) pairs
+    val t = ref.select(explode(T.tokens(lower(col(textCol)))).as("w"))
+    val c1 = t.groupBy("w").agg(count(lit(1)).as("c1"))
+      .join(broadcast(vocab), Seq("w"), "left_semi")
+    val pairRows = ref.select(explode(pairArray(textCol)).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .filter(col("w1").isNotNull)
+    val c12 = pairRows
+      .join(broadcast(vocab.withColumnRenamed("w", "w1")), Seq("w1"), "left_semi")
+      .join(broadcast(vocab.withColumnRenamed("w", "w2")), Seq("w2"), "left_semi")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .orderBy(desc("c12"), col("w1"), col("w2")).limit(maxBigrams)
+    val bi = c12.join(broadcast(c1.withColumnRenamed("w", "w1")), Seq("w1"))
+      .select(col("w1"), col("w2"),
+        milliLog(col("c12").cast("double") / col("c1")).as("lp2_milli"))
+    BigramLm(uni, bi)
+  }
+
+  /** Per-document pair rows: position i carries (w1 = token i−1 or NULL at
+    * the document start, w2 = token i). Built from the token ARRAY in one
+    * projection — no per-token window, no extra shuffle.
+    */
+  private def pairArray(textCol: String): Column =
+    graft.functions.ExprOps.let(T.tokens(lower(col(textCol)))) { t =>
+      when(size(t) === 0, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(t)), i =>
+          struct(
+            when(i === 1, lit(null).cast("string"))
+              .otherwise(element_at(t, i - 1)).as("w1"),
+            element_at(t, i).as("w2"))))
+    }
+
+  /** Score every document against a [[BigramLm]]: per-token milli-nat
+    * log-probability where token i scores the bigram conditional
+    * `lp(w_i | w_{i−1})` when that bigram is in the model, and backs off
+    * to `ln(0.4) + lp_unigram(w_i)` otherwise (document starts always use
+    * the unigram tier). Same output shape and totality contract as
+    * [[scoreUnigram]]: empty documents keep a row with `n_tokens = 0`,
+    * scores are integer sums — partitioning-independent and
+    * oracle-exact. One corpus scan; both model tables broadcast.
+    */
+  def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
+                  model: BigramLm, extraCols: Seq[String] = Nil): DataFrame = {
+    val vocab = model.unigram.filter(col("w").isNotNull)
+      .select(col("w").as("w2"), col("lp_milli").as("__lp_u"))
+    val oov = model.unigram.filter(col("w").isNull)
+      .select(col("lp_milli").as("__oov_lp"))
+    val keyCols = (idCol +: extraCols).map(col)
+    val rows = docs.select(keyCols :+ explode_outer(pairArray(textCol)).as("p"): _*)
+      .select(keyCols :+ col("p.w1").as("w1") :+ col("p.w2").as("w2"): _*)
+    rows
+      .join(broadcast(vocab), Seq("w2"), "left")
+      .crossJoin(broadcast(oov))
+      .join(broadcast(model.bigram), Seq("w1", "w2"), "left")
+      .select(keyCols :+ col("w2") :+
+        graft.functions.ExprOps.let(coalesce(col("__lp_u"), col("__oov_lp"))) { u =>
+          when(col("w2").isNull, lit(null).cast("bigint"))
+            .otherwise(when(col("w1").isNull, u)
+              .otherwise(coalesce(col("lp2_milli"), lit(BackoffMilli) + u)))
+        }.as("__lp"): _*)
+      .groupBy(keyCols: _*)
+      .agg(count(col("w2")).as("n_tokens"),
+        coalesce(sum("__lp"), lit(0L)).as("sum_lp_milli"))
+      .withColumn("avg_lp_milli",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(floor(col("sum_lp_milli").cast("double") / col("n_tokens")
+            + lit(0.5)).cast("bigint")))
+  }
+
+  /** Format stamp for persisted bigram models. */
+  val BigramFormatId = "bigram-lm-v1"
+
+  /** Persist a [[BigramLm]] under `dir/{vocab,bigrams}` with one `_meta`
+    * stamp over both tables (invalidate → data → stamp — a torn write is
+    * rejected loudly by [[readBigramModel]]).
+    */
+  def writeBigramModel(spark: SparkSession, model: BigramLm, dir: String): Unit = {
+    IndexFormat.invalidate(spark, dir)
+    model.unigram.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/vocab")
+    model.bigram.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/bigrams")
+    IndexFormat.stamp(spark, dir, BigramFormatId)
+  }
+
+  /** Read a stamped bigram model for [[scoreBigram]]. */
+  def readBigramModel(spark: SparkSession, dir: String): BigramLm = {
+    IndexFormat.check(spark, dir, BigramFormatId)
+    BigramLm(spark.read.parquet(s"$dir/vocab"),
+      spark.read.parquet(s"$dir/bigrams"))
+  }
+
+  // ---------------------------------------------------------------------
   // DSIR importance weighting (Xie et al., "Data Selection for Language
   // Models via Importance Resampling" — hashed n-gram feature variant)
   // ---------------------------------------------------------------------

@@ -254,6 +254,138 @@ object Similarity {
       .limit(k)
   }
 
+  /** Binary-quantized top-k: corpus and query vectors are collapsed to
+    * their SIGN BITS ([[VectorFunctions.packSignBits]] — 1 bit/dim) and
+    * ranked by Hamming distance, ascending. For unit-norm-ish embeddings,
+    * Hamming distance over sign bits is a monotone estimator of angular
+    * distance (each agreeing sign bit is one random-ish half-space both
+    * vectors share), so the nearest-by-Hamming set is a high-recall
+    * candidate pool for exact rescoring ([[hammingRescoredTopK]]).
+    *
+    * The 100 TB economics are the whole point of the tier: 64 dims = ONE
+    * 8-byte long per row (32× less scan than float32, 8× less than int8),
+    * and the distance kernel is `popcount(xor)` — no multiplies at all.
+    * Distances are small integers, so the full ranking is bit-exact across
+    * engines and carries a complete hash oracle (like the int8 tier,
+    * unlike the float-LSH tiers).
+    */
+  def hammingTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  queryId: Long, k: Int): DataFrame = {
+    val sigs = df.select(col(idCol), V.packSignBits(col(vecCol), dim).as("__sig"))
+    val q = sigs.filter(col(idCol) === queryId).select(col("__sig").as("__qs"))
+    sigs.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("hdist", V.hammingPacked(col("__sig"), col("__qs")))
+      .select(col(idCol), col("hdist"))
+      .orderBy(col("hdist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Persist the packed sign-bit signature table once — the 1-bit/dim scan
+    * side [[hammingTopK]]'s scaladoc promises (re-packing float vectors per
+    * query reads the full-width corpus every time). 64 dims = one BIGINT
+    * per row; written once, probed by every query via [[hammingTopKMany]].
+    */
+  def writeSignBits(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    path: String): Unit =
+    df.select(col(idCol), V.packSignBits(col(vecCol), dim).as("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Batch Hamming search over a [[writeSignBits]] table: top-k by Hamming
+    * distance for EVERY query row, in one pass over the signature scan.
+    * Same kernel shape as [[int8TopKMany]]: query signatures collect +
+    * broadcast (Q × words longs — tiny), each partition keeps a k-capped
+    * heap per query over a `java.lang.Long.bitCount(xor)` inner loop — the
+    * cheapest batch-ANN kernel in the engine (dim/64 xor+popcounts per
+    * pair vs dim multiply-adds for int8) — and emits ≤ Q·k candidates; the
+    * only shuffle ranks the Q·k·P survivors. Integer distances ⇒ the whole
+    * batch ranking is oracle-compared. Ranking is (hdist asc, id asc),
+    * equal to per-query [[hammingTopK]] when `excludeSelf` is on; pass
+    * `excludeSelf = false` when query ids live in a different id space
+    * than the corpus (same contract as [[int8TopKMany]]).
+    */
+  def hammingTopKMany(sigs: DataFrame, idCol: String, queries: DataFrame,
+                      queryIdCol: String, k: Int,
+                      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qs = queries.select(col(queryIdCol).cast("long"), col("sig")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(qs.map(_._1).distinct.length == qs.length,
+      "duplicate query ids — per-query top-k would merge their candidates")
+    val spark = sigs.sparkSession
+    val bcastQ = spark.sparkContext.broadcast(qs)
+    val exclSelf = excludeSelf
+    val in = sigs.select(col(idCol).cast("long"), col("sig"))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("corpus_id", LongType, nullable = false),
+      StructField("hdist", LongType, nullable = false)))
+    // heap dequeues its max; "max" = the WORST kept candidate (LARGEST
+    // hdist, then largest id) so a closer candidate replaces the head
+    val byWorst = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+    val candidates = spark.createDataFrame(
+      in.rdd.mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val queries = bcastQ.value
+          val heaps = Array.fill(queries.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Long, Long)](byWorst))
+          rows.foreach { r =>
+            val id = r.getLong(0); val sig = r.getSeq[Long](1)
+            var qi = 0
+            while (qi < queries.length) {
+              val (qid, qsig) = queries(qi)
+              if (!exclSelf || id != qid) {
+                var d = 0L; var i = 0
+                while (i < qsig.length) {
+                  d += java.lang.Long.bitCount(sig(i) ^ qsig(i)); i += 1
+                }
+                val h = heaps(qi)
+                // keep if better than the current worst: lower distance,
+                // or equal distance with smaller id
+                if (h.size < k) h.enqueue((d, id))
+                else if (d < h.head._1 || (d == h.head._1 && id < h.head._2)) {
+                  h.dequeue(); h.enqueue((d, id))
+                }
+              }
+              qi += 1
+            }
+          }
+          heaps.iterator.zip(queries.iterator).flatMap { case (h, (qid, _)) =>
+            h.iterator.map { case (d, id) => Row(qid, id, d) }
+          }
+        }
+      }, outSchema)
+    val w = Window.partitionBy("query_id").orderBy(col("hdist"), col("corpus_id"))
+    candidates.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Hamming candidate scan + exact-cosine rescore: rank the corpus by
+    * sign-bit Hamming distance, keep the top `rescoreFactor × k`
+    * (deterministic (hdist asc, id asc) cut), then rescore ONLY those with
+    * full-precision cosine and return the top k. The 100 TB read is the
+    * 1-bit signature scan; the float table is touched for
+    * `rescoreFactor × k` rows via a broadcast semi-join. The whole
+    * two-stage pipeline is deterministic, so the oracle replicates BOTH
+    * stages (candidate cut included) — no recall assumption.
+    */
+  def hammingRescoredTopK(df: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, queryId: Long, k: Int,
+                          rescoreFactor: Int = 4, roundTo: Int = 4): DataFrame = {
+    val cand = hammingTopK(df, idCol, vecCol, dim, queryId, k * rescoreFactor)
+      .select(col(idCol))
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    df.join(broadcast(cand), Seq(idCol))
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(V.cosine(col(vecCol), col("__qv")), roundTo))
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Batch k-NN: for every row of `queries`, its top-k neighbors in `corpus`
     * by cosine, via bucket join + per-query window rank. This is the
     * many-query scale path (no cross product).

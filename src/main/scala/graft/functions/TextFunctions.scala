@@ -238,6 +238,100 @@ object TextFunctions {
       }
     }
 
+  /** Count of ellipses: non-overlapping "..." runs plus '…' characters.
+    * Leftmost non-overlapping greedy matching is identical in Java regex
+    * and RE2, so the count is engine-portable.
+    */
+  def ellipsisCount(text: Column): Column =
+    (((length(text) - length(regexp_replace(text, "\\.{3}", ""))) / 3).cast("bigint") +
+      (length(text) - length(regexp_replace(text, "…", ""))).cast("bigint"))
+
+  /** Gopher symbol-to-word ratio (per-mille): ('#' characters + ellipses)
+    * per word — the Table A1 rule (threshold 0.1 ⇒ 100‰) that catches
+    * markup residue and trailing-off generations.
+    */
+  def symbolWordRatioPerMille(text: Column): Column =
+    floor(((length(text) - length(regexp_replace(text, "#", ""))).cast("bigint")
+      + ellipsisCount(text)).cast("double") * 1000 /
+      greatest(tokenCount(text), lit(1L)) + 0.5).cast("bigint")
+
+  /** Fraction of non-empty lines starting with a bullet marker (per-mille)
+    * — Gopher drops docs where ≥ 90% of lines are bullets (nav menus,
+    * scraped lists).
+    */
+  def bulletLinePerMille(text: Column): Column =
+    ExprOps.let(linesOf(text)) { ls =>
+      when(size(ls) === 0, lit(0L)).otherwise(
+        floor(size(filter(ls, l => l.rlike("^[-*•]"))).cast("double") * 1000 /
+          size(ls) + 0.5).cast("bigint"))
+    }
+
+  /** Fraction of non-empty lines ending with an ellipsis (per-mille) —
+    * Gopher drops docs where ≥ 30% of lines trail off (truncated scrapes).
+    */
+  def ellipsisLinePerMille(text: Column): Column =
+    ExprOps.let(linesOf(text)) { ls =>
+      when(size(ls) === 0, lit(0L)).otherwise(
+        floor(size(filter(ls, l => l.rlike("(\\.{3}|…)$"))).cast("double") * 1000 /
+          size(ls) + 0.5).cast("bigint"))
+    }
+
+  /** Fraction of words containing at least one alphabetic character
+    * (per-mille) — Gopher requires ≥ 80% (number/symbol dumps fail it).
+    */
+  def alphaWordPerMille(text: Column): Column =
+    ExprOps.let(tokens(text)) { t =>
+      when(size(t) === 0, lit(0L)).otherwise(
+        floor(size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") * 1000 /
+          size(t) + 0.5).cast("bigint"))
+    }
+
+  /** The Gopher required-stopword list (Rae et al. Table A1). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The composite Gopher quality rule (Rae et al. arXiv:2112.11446 Table
+    * A1), as one boolean column: word count in [minWords, maxWords], mean
+    * word length in [3, 10] chars, symbol-to-word ratio ≤ 10%, < 90%
+    * bullet lines, < 30% ellipsis lines, ≥ 80% alphabetic words, ≥ 2
+    * required stopwords. All sub-signals are integer per-milles computed by
+    * the functions above, so the whole rule is engine-portable and
+    * hash-oracle-able. Stopwords are matched on whitespace-normalized text
+    * so words adjacent to newlines count.
+    */
+  def gopherKeep(text: Column, minWords: Long = 50L,
+                 maxWords: Long = 100000L, minStopHits: Int = 2): Column =
+    ExprOps.let(tokenCount(text)) { n =>
+      n.between(minWords, maxWords) &&
+        avgWordLenMilli(text).between(3000L, 10000L) &&
+        symbolWordRatioPerMille(text) <= 100L &&
+        bulletLinePerMille(text) < 900L &&
+        ellipsisLinePerMille(text) < 300L &&
+        alphaWordPerMille(text) >= 800L &&
+        stopwordHits(regexp_replace(text, "\\s+", " "), GopherStopwords) >= minStopHits
+    }
+
+  /** Extract visible text from HTML markup: `<script>`/`<style>` blocks
+    * and comments are dropped wholesale (lazy-dotall patterns — identical
+    * semantics in Java regex and RE2), remaining tags become spaces, the
+    * five standard character entities are decoded (`&amp;` LAST, so
+    * `&amp;lt;` decodes to the literal `&lt;` and never to `<`), and
+    * whitespace collapses. A regex-subset extractor, not a parser: CDATA
+    * and conditional comments are out of scope (documented limitation —
+    * the full multimodal decode path is where a real parser would plug
+    * in), but for the common crawled-page shape this is the standard
+    * boilerplate-strip first pass, all inside whole-stage codegen.
+    */
+  def htmlToText(html: Column): Column =
+    trim(regexp_replace(
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+          "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(regexp_replace(regexp_replace(html,
+          "(?is)<(script|style)[^>]*>.*?</(script|style)>", " "),
+          "(?s)<!--.*?-->|<[^>]*>", " ")) {
+          case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+        }, "\\s+", " "))
+
   /** Fraction of document characters covered by the single most frequent
     * word n-gram (per-mille): count(top n-gram) × chars(top n-gram) ÷
     * chars(text) — the Gopher top-n-gram rule that catches documents

@@ -131,6 +131,44 @@ object VectorFunctions {
     }
   }
 
+  /** Pack a vector's SIGN BITS into `ceil(dim/64)` BIGINT words: bit
+    * `i mod 64` of word `i / 64` is set iff `v[i] >= 0`. This is 1-bit
+    * scalar quantization — the most aggressive memory cut in the ANN
+    * tier: 64 dims collapse to ONE 8-byte long (32× smaller than float32,
+    * 8× smaller than the int8 codes), and Hamming distance between two
+    * packed vectors is `popcount(xor)` per word — the cheapest possible
+    * candidate metric at 100 TB (see [[graft.ext.Similarity.hammingTopK]]).
+    * Zero is packed as positive (`>= 0`), matching SQL comparison
+    * semantics in every engine (−0.0 == 0.0), so the packing is bit-stable
+    * cross-engine and the Hamming rankings carry full integer oracles.
+    * `v` must have exactly `dim` elements. Packing is declarative
+    * (interpreted) — it runs once per row at signature-write time, off the
+    * scan hot path, exactly like [[quantizeInt8]].
+    */
+  def packSignBits(v: Column, dim: Int): Column = {
+    require(dim > 0, "dim must be positive")
+    val nWords = (dim + 63) / 64
+    ExprOps.let(toDouble(v)) { vd =>
+      transform(sequence(lit(0), lit(nWords - 1)), w =>
+        aggregate(
+          sequence(w * 64, least(w * 64 + lit(63), lit(dim - 1))),
+          lit(0L),
+          (acc, i) =>
+            when(element_at(vd, (i + 1).cast("int")) >= 0.0,
+              acc.bitwiseOR(call_function("shiftleft", lit(1L), (i % 64).cast("int"))))
+              .otherwise(acc)))
+    }
+  }
+
+  /** Hamming distance between two [[packSignBits]] signatures:
+    * `Σ popcount(a[w] xor b[w])` — integer, order-independent, bit-exact
+    * across engines. Both arrays must have the same word count.
+    */
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("bigint")),
+      lit(0L), (acc, v) => acc + v)
+
   /** Sign-bit LSH bucket for a vector: `nBits` deterministic pseudo-random
     * hyperplanes (splitmix64-derived row-constants). Delegates to the
     * native codegen'd [[SignLshBucketExpr]] — the planes ride along as one

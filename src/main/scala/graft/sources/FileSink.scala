@@ -88,4 +88,22 @@ object FileSink {
     val w = df.write.mode(mode).option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w).parquet(path)
   }
+
+  /** Training-consumption JSONL export: each row rendered as ONE compact
+    * JSON object per line (`to_json` over the row struct — field order =
+    * column order, deterministic), written as size-governed text files
+    * (`maxRecordsPerFile` rolls a task to a new file). This is the format
+    * LLM training stacks actually stream — splittable uniformly-sized
+    * shards, optionally compressed (`compression = Some("gzip")`), with no
+    * engine required to read them back.
+    */
+  def jsonlSized(df: DataFrame, path: String, maxRecordsPerFile: Long,
+                 compression: Option[String] = None,
+                 mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(maxRecordsPerFile > 0)
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val lines = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    val w = lines.write.mode(mode).option("maxRecordsPerFile", maxRecordsPerFile)
+    compression.fold(w)(c => w.option("compression", c)).text(path)
+  }
 }

@@ -319,6 +319,59 @@ object Streams {
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
   }
 
+  /** Streaming corpus ingest with URL-level dedup BEFORE the content-hash
+    * admission — the C4-shaped crawl-ingest path ([[graft.ext.Urls]]):
+    * each micro-batch (1) canonicalizes its URL column and keeps one row
+    * per canonical URL within the batch (smallest `idCol`), (2) anti-joins
+    * the corpus's STORED canonical-URL column `__u` (a column-pruned scan
+    * of short strings — the corpus is never re-normalized, same economics
+    * as `__h`), then (3) flows through the exact content-hash dedup
+    * admission, storing both `__u` and `__h`. Rows whose URL fails to
+    * normalize (NULL `__u`) skip the URL stage on BOTH sides — a
+    * malformed URL is no evidence of sameness — but still content-dedup.
+    *
+    * Replay safety composes: a replayed batch's URLs and content hashes
+    * are both already in the corpus, so it appends nothing — idempotent by
+    * construction across checkpoint loss, same contract as [[ingestDedup]].
+    * The corpus at `corpusPath` must be created by THIS ingest (the stored
+    * `__u`/`__h` columns are its format; a foreign corpus fails loudly).
+    */
+  def ingestUrlDedup(stream: DataFrame, corpusPath: String, urlCol: String,
+                     contentCols: Seq[String], idCol: String, checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      require(!batch.columns.exists(c =>
+        c.equalsIgnoreCase("__h") || c.equalsIgnoreCase("__u")),
+        "'__h'/'__u' are reserved corpus columns — rename them upstream")
+      val spark = batch.sparkSession
+      val path = new org.apache.hadoop.fs.Path(corpusPath)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasCorpus = fs.exists(path) && Option(
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$corpusPath/*.parquet")))
+        .exists(_.nonEmpty)
+      // within-batch URL dedup first (cheapest), then content-exact
+      val urlKept = graft.ext.Urls.dedupByUrl(batch, idCol, urlCol)
+        .withColumnRenamed("url_norm", "__u")
+      val fresh = graft.ext.Dedup.exact(urlKept, contentCols, idCol)
+        .withColumn("__h", graft.ext.Dedup.contentHash(contentCols))
+      val admitted =
+        if (!hasCorpus) fresh
+        else {
+          val corpus = spark.read.parquet(corpusPath)
+          require(corpus.columns.contains("__u") && corpus.columns.contains("__h"),
+            s"corpus at $corpusPath lacks the stored __u/__h columns — it was " +
+              "not created by ingestUrlDedup (refusing to silently re-ingest)")
+          // NULL __u never equi-joins → malformed-URL rows pass to the
+          // content stage on both sides, by construction
+          fresh
+            .join(corpus.select("__u").distinct(), Seq("__u"), "left_anti")
+            .join(corpus.select("__h").distinct(), Seq("__h"), "left_anti")
+        }
+      val outCols = batch.columns :+ "__u" :+ "__h"
+      admitted.select(outCols.map(col): _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+    }
+
   /** Streaming corpus ingest with NEAR-duplicate dedup — [[ingestDedup]]'s
     * fuzzy sibling, built on the persisted signature index
     * ([[graft.ext.Dedup.buildNearIndex]]): each micro-batch classifies

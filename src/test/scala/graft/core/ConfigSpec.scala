@@ -129,6 +129,39 @@ class ConfigSpec extends SparkSpec {
     assert(again == rows.map(_._1).toSet)
   }
 
+  test("web-crawl ops from config: htmlExtract + gopherFilter + urlDedup + domainFilter") {
+    val dir = Files.createTempDirectory("graft_cfg_web_").toString
+    val body = (Seq.fill(20)("the quick brown fox jumps with zeal") :+ "of it").mkString(" ")
+    Seq(
+      (1L, "https://a.com/p?b=2&a=1", s"<html><body><p>$body</p></body></html>"),
+      // same page, decorated URL — urlDedup must drop it
+      (2L, "HTTPS://A.com:443/p/?a=1&utm_source=s&b=2#f", s"<p>$body other</p>"),
+      // blocklisted domain
+      (3L, "https://x.spam.net/z", s"<p>$body</p>"),
+      // fails the Gopher word-count floor after extraction
+      (4L, "https://a.com/short", "<p>the tiny of doc</p>"))
+      .toDF("id", "url", "html").write.parquet(s"$dir/docs")
+    val yaml =
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - op: htmlExtract
+         |    column: html
+         |    as: text
+         |  - op: domainFilter
+         |    column: url
+         |    blocked: [spam.net]
+         |  - op: urlDedup
+         |    key: id
+         |    column: url
+         |  - op: gopherFilter
+         |    column: text
+         |    minWords: 50
+         |    minStopHits: 2
+         |""".stripMargin
+    val rows = Config.run(spark, yaml).select("id").as[Long].collect().toSeq
+    assert(rows == Seq(1L))
+  }
+
   test("sample op from config is a pure filter of the source") {
     val dir = Files.createTempDirectory("graft_cfg_smp_").toString
     (1L to 500L).toDF("id").write.parquet(s"$dir/in")

@@ -203,4 +203,65 @@ class LmSpec extends SparkSpec {
     }
     assert(row.getLong(3) == milli((dp + 1.0) / (dn + 1.0)))
   }
+
+  // ---- bigram LM with stupid backoff -----------------------------------
+
+  test("bigramModel: unsmoothed conditionals over vocab pairs, capped cut") {
+    val m = Lm.bigramModel(ref, "text", maxVocab = 100, maxBigrams = 100)
+    val bi = m.bigram.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // pairs: (the,cat)×2, (the,dog)×1, (cat,sat)×1, (cat,ran)×1, (dog,sat)×1
+    // c(the)=3, c(cat)=2, c(dog)=1
+    assert(bi(("the", "cat")) == milli(2.0 / 3))
+    assert(bi(("the", "dog")) == milli(1.0 / 3))
+    assert(bi(("cat", "sat")) == milli(1.0 / 2))
+    assert(bi(("dog", "sat")) == milli(1.0 / 1))
+    assert(bi.size == 5)
+    // the cap keeps the most frequent pairs, ties by the pair string:
+    // top-2 = (the,cat) c=2, then c=1 ties sorted → (cat,ran)
+    val capped = Lm.bigramModel(ref, "text", maxVocab = 100, maxBigrams = 2)
+      .bigram.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("the", "cat"), ("cat", "ran")))
+  }
+
+  test("scoreBigram: first token unigram, bigram hits, backoff for novel pairs") {
+    val m = Lm.bigramModel(ref, "text", maxVocab = 100, maxBigrams = 100)
+    val uni = m.unigram.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    val docs = Seq(
+      (10L, "the cat sat"),   // bigram hits all the way
+      (11L, "sat the"),       // (sat,the) never seen → backoff
+      (12L, "")).toDF("id", "text")
+    val got = Lm.scoreBigram(docs, "id", "text", m).orderBy("id")
+      .select("id", "n_tokens", "sum_lp_milli").as[(Long, Long, Long)]
+      .collect().toSeq
+    val expect10 = uni(Some("the")) + milli(2.0 / 3) + milli(1.0 / 2)
+    val expect11 = uni(Some("sat")) + (Lm.BackoffMilli + uni(Some("the")))
+    assert(got == Seq((10L, 3L, expect10), (11L, 2L, expect11), (12L, 0L, 0L)))
+  }
+
+  test("scoreBigram is partitioning-independent (integer sums)") {
+    val m = Lm.bigramModel(ref, "text", maxVocab = 100, maxBigrams = 100)
+    val docs = (1L to 40L).map(i => (i, s"the cat sat ran x$i the dog")).toDF("id", "text")
+    val a = Lm.scoreBigram(docs.repartition(1), "id", "text", m)
+      .orderBy("id").collect().toSeq
+    val b = Lm.scoreBigram(docs.repartition(13), "id", "text", m)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("persisted bigram model round-trips; torn/foreign stamps rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("lm_bigram").toString
+    val m = Lm.bigramModel(ref, "text", maxVocab = 100, maxBigrams = 100)
+    Lm.writeBigramModel(spark, m, dir)
+    val docs = Seq((1L, "the cat sat"), (2L, "sat the"), (3L, "")).toDF("id", "text")
+    val a = Lm.scoreBigram(docs, "id", "text", m).orderBy("id").collect().toSeq
+    val b = Lm.scoreBigram(docs, "id", "text", Lm.readBigramModel(spark, dir))
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    IndexFormat.invalidate(spark, dir)
+    intercept[IllegalStateException](Lm.readBigramModel(spark, dir))
+    IndexFormat.stamp(spark, dir, "unigram-lm-v1")
+    intercept[IllegalStateException](Lm.readBigramModel(spark, dir))
+  }
 }

@@ -151,4 +151,83 @@ class SimilaritySpec extends SparkSpec {
       .as[Seq[Double]].head()
     assert(f1 == f2 && f1.length == 8 && f1.forall(v => v >= 0.0 && v < 1.0))
   }
+
+  // ---- 1-bit sign quantization / Hamming tier ----
+
+  test("packSignBits packs v[i] >= 0 into bit i, across word boundaries") {
+    import graft.functions.{VectorFunctions => V}
+    import org.apache.spark.sql.functions.col
+    // dim 70 forces two words; alternate signs with a zero (packs positive)
+    val v = (0 until 70).map(i => if (i == 3) 0.0f else if (i % 3 == 0) 1.0f else -1.0f)
+    val packed = Seq(Tuple1(v)).toDF("v")
+      .select(V.packSignBits(col("v"), 70).as("p"))
+      .as[Seq[Long]].head()
+    assert(packed.length == 2)
+    for (i <- 0 until 70) {
+      val bit = (packed(i / 64) >> (i % 64)) & 1L
+      assert((bit == 1L) == (v(i) >= 0.0f), s"bit $i")
+    }
+  }
+
+  test("hammingPacked equals the naive sign-disagreement count on real vectors") {
+    import graft.functions.{VectorFunctions => V}
+    import org.apache.spark.sql.functions._
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = real.filter(col("vec_id") === 1L).select(col("embedding").as("qv"))
+    val got = real.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        V.hammingPacked(V.packSignBits(col("embedding"), 64),
+          V.packSignBits(col("qv"), 64)).as("d"))
+      .as[(Long, Long)].collect().toMap
+    val vecs = real.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val qv = vecs(1L)
+    vecs.foreach { case (id, v) =>
+      val naive = v.indices.count(i => (v(i) >= 0) != (qv(i) >= 0)).toLong
+      assert(got(id) == naive, s"id $id")
+    }
+  }
+
+  test("hammingTopK ranks by ascending sign disagreement") {
+    val out = Similarity.hammingTopK(vecs, "vec_id", "embedding", dim = 3,
+      queryId = 0L, k = 4).as[(Long, Long)].collect()
+    // query (+,+,+): ids 1,4 agree everywhere (d=0), 2 agrees (0>=0 both
+    // positive... all non-negative → d=0), 3 differs in dim 0 only (d=1)
+    val m = out.toMap
+    assert(m(1L) == 0L && m(4L) == 0L && m(2L) == 0L && m(3L) == 1L)
+    // ties broken by id ascending
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L, 3L))
+  }
+
+  test("hammingTopKMany from persisted signatures equals per-query hammingTopK") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString
+    Similarity.writeSignBits(real, "vec_id", "embedding", dim = 64, s"$dir/sigs")
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    // stored signature really is one 8-byte word per 64 dims
+    assert(sigs.schema("sig").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.LongType)
+    val batch = Similarity.hammingTopKMany(sigs, "vec_id",
+      sigs.filter(org.apache.spark.sql.functions.col("vec_id").isin(1L, 2L, 3L)),
+      "vec_id", k = 7)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2)).map(r => (r._2, r._3)).toSeq).toMap
+    for (qid <- Seq(1L, 2L, 3L)) {
+      val single = Similarity.hammingTopK(real, "vec_id", "embedding", dim = 64,
+        queryId = qid, k = 7).as[(Long, Long)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid")
+    }
+  }
+
+  test("hammingRescoredTopK with a full-corpus rescore equals the exact scan") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = real.count().toInt
+    val exact = Similarity.cosineTopK(real, "vec_id", "embedding", queryId = 1L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    // rescoreFactor large enough that the candidate cut keeps everything
+    val rescored = Similarity.hammingRescoredTopK(real, "vec_id", "embedding",
+      dim = 64, queryId = 1L, k = 10, rescoreFactor = n).as[(Long, Double)]
+      .collect().toSeq
+    assert(rescored == exact)
+  }
 }

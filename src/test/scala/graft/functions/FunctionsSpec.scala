@@ -193,4 +193,49 @@ class FunctionsSpec extends SparkSpec {
     // signs differ across output rows somewhere (the matrix isn't constant)
     assert(p1.distinct.size > 1)
   }
+
+  test("gopher signals: symbol ratio, bullet/ellipsis lines, alpha words") {
+    val t = "- first bullet\nthe plain line here\nnumbers 123 456\ntrailing off...\n### #"
+    val row = Seq(t).toDF("t").select(
+      TextFunctions.symbolWordRatioPerMille($"t").as("sym"),
+      TextFunctions.bulletLinePerMille($"t").as("bul"),
+      TextFunctions.ellipsisLinePerMille($"t").as("ell"),
+      TextFunctions.alphaWordPerMille($"t").as("alpha"))
+      .as[(Long, Long, Long, Long)].head()
+    // 14 words; symbols: 4 '#' + 1 '...' = 5 → 5000/14 = 357
+    assert(row._1 == 357L)
+    // 5 lines, 1 bullet ('- first…'; '###' is not a bullet marker) → 200
+    assert(row._2 == 200L)
+    // 1 of 5 lines ends with '...' → 200
+    assert(row._3 == 200L)
+    // words with letters: 14 - (-, 123, 456, ###, #) = 9 → 643
+    assert(row._4 == 643L)
+  }
+
+  test("ellipsisCount counts non-overlapping dot runs and the … char") {
+    val out = Seq(("...", 1L), (".....", 1L), ("......", 2L), ("a…b…", 2L),
+      ("..", 0L), ("…...", 2L)).toDF("t", "want")
+    assert(out.filter(TextFunctions.ellipsisCount($"t") =!= $"want").count() == 0)
+  }
+
+  test("gopherKeep applies every rule conjunctively") {
+    val good = (Seq.fill(30)("the quick brown fox jumps with energy") :+ "of it")
+      .mkString(" ")  // 212 words, normal lengths, stopwords present
+    val tooShort = "the cat sat with it"
+    val symbols = (Seq.fill(60)("the word") :+ Seq.fill(20)("###").mkString(" ")).mkString(" ")
+    val out = Seq(good, tooShort, symbols).toDF("t")
+      .select(TextFunctions.gopherKeep($"t").as("k")).as[Boolean].collect().toSeq
+    assert(out == Seq(true, false, false))
+  }
+
+  test("htmlToText strips script/style/comments/tags and decodes entities last") {
+    val html = "<html><head><style>p{x:1}</style><script>if(a<b){run()}</script>" +
+      "</head><body><h1>Title</h1><!-- c1\nc2 --><p>body &amp;lt; text &lt;tag&gt;" +
+      " &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(TextFunctions.htmlToText($"h")).as[String].head()
+    // &amp;lt; decodes to the literal '&lt;' (amp decoded LAST), real
+    // entities decode, tags/script/style/comments vanish
+    assert(got == "Title body &lt; text <tag> \"q\" 's' end")
+  }
 }

@@ -60,6 +60,31 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("jsonlSized writes one JSON object per line in sized shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString + "/out"
+    val df = spark.range(5000)
+      .selectExpr("id", "concat('doc ', id) AS text").coalesce(1)
+    FileSink.jsonlSized(df, dir, maxRecordsPerFile = 1000)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    assert(parts.length >= 5)           // one writer task still rolls files
+    val back = spark.read.text(dir)
+    assert(back.count() == 5000)
+    // every line is a self-contained JSON object with the row's fields, in
+    // column order
+    val first = back.filter(org.apache.spark.sql.functions
+      .get_json_object($"value", "$.id") === "7").as[String].head()
+    assert(first == """{"id":7,"text":"doc 7"}""")
+  }
+
+  test("jsonlSized gzip shards round-trip through the text reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonlgz_").toString + "/out"
+    FileSink.jsonlSized(spark.range(100).toDF("id"), dir,
+      maxRecordsPerFile = 1000, compression = Some("gzip"))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".txt.gz")))
+    assert(spark.read.text(dir).count() == 100)
+  }
+
   test("compactTo rewrites many small files into the sized layout") {
     val base = java.nio.file.Files.createTempDirectory("graft_cmp_").toString
     spark.range(5000).toDF("id").repartition(50).write.parquet(s"$base/small")

@@ -556,6 +556,70 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestUrlDedup dedups by canonical URL then content, idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_url_").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.ingestUrlDedup(mem.toDF().toDF("doc_id", "url", "text"),
+      s"$dir/corpus", urlCol = "url", contentCols = Seq("text"),
+      idCol = "doc_id", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1: ids 1,2 are the same page via URL decoration (different
+      // content — URL wins); id 3 a distinct page; id 4 malformed URL
+      mem.addData(
+        (1L, "https://a.com/p?b=2&a=1", "first fetch"),
+        (2L, "HTTPS://A.com:443/p/?a=1&b=2&utm_source=s#f", "second fetch"),
+        (3L, "https://a.com/q", "other page"),
+        (4L, "not-a-url", "no scheme doc"))
+      q.processAllAvailable()
+      // batch 2: same canonical URL as 1 (dropped), same CONTENT as 3
+      // under a new URL (dropped by the content stage), genuinely new row,
+      // and a second malformed-URL row with DUPLICATE content (content
+      // stage still applies to malformed-URL rows)
+      mem.addData(
+        (5L, "https://a.com:443/p?a=1&b=2", "third fetch"),
+        (6L, "https://b.com/copy", "other page"),
+        (7L, "https://c.com/new", "new content"),
+        (8L, "also not a url", "no scheme doc"))
+      q.processAllAvailable()
+      // batch 3: pure replay → appends nothing
+      mem.addData(
+        (9L, "https://a.com/p?a=1&b=2", "whatever"),
+        (10L, "https://c.com/new?utm_campaign=x", "ignored"))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/corpus")
+      assert(stored.columns.toSeq == Seq("doc_id", "url", "text", "__u", "__h"))
+      val ids = stored.select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L, 4L, 7L))
+      // malformed URL stored with NULL __u
+      assert(stored.filter(col("doc_id") === 4L).select("__u")
+        .collect().head.isNullAt(0))
+    } finally q.stop()
+  }
+
+  test("ingestUrlDedup refuses a foreign corpus without the stored columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_urlf_").toString
+    // a corpus NOT created by ingestUrlDedup (no __u/__h)
+    Seq((1L, "https://a.com/p", "x")).toDF("doc_id", "url", "text")
+      .write.parquet(s"$dir/corpus")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.ingestUrlDedup(mem.toDF().toDF("doc_id", "url", "text"),
+      s"$dir/corpus", urlCol = "url", contentCols = Seq("text"),
+      idCol = "doc_id", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((2L, "https://a.com/q", "y"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("not created by ingestUrlDedup")))
+    } finally q.stop()
+  }
+
   test("runningTotalsExpiring survives malformed timestamps and null values") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Option[Double], String)]
