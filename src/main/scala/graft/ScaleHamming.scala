@@ -56,19 +56,23 @@ object ScaleHamming {
 
     val sigs = spark.read.parquet(sigDir)
     val codes = spark.read.parquet(codeDir)
-    val queriesSig = sigs.filter(col("vec_id").between(1L, 16L)).localCheckpoint(true)
-    val queriesCode = codes.filter(col("vec_id").between(1L, 16L))
+    // 64 queries so the per-row kernel work dominates the fixed scan cost
+    // (64 words xor+popcount vs 64×64 multiply-adds per corpus row)
+    val queriesSig = sigs.filter(col("vec_id").between(1L, 64L)).localCheckpoint(true)
+    val queriesCode = codes.filter(col("vec_id").between(1L, 64L))
       .select("vec_id", "code").localCheckpoint(true)
 
-    // warm both inputs' file listings, then time the batch kernels
-    val t0 = System.nanoTime()
-    val nH = graft.ext.Similarity.hammingTopKMany(sigs, "vec_id", queriesSig,
-      "vec_id", k = 10).count()
-    val hammSec = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val nI = graft.ext.Similarity.int8TopKMany(codes, "vec_id", queriesCode,
-      "vec_id", k = 10).count()
-    val int8Sec = (System.nanoTime() - t1) / 1e9
+    // best-of-2 per kernel: the first run also warms file listings/JIT;
+    // single runs at this duration carry ±0.3 s host noise
+    def best2(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n0 = f; val s0 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); val n1 = f; val s1 = (System.nanoTime() - t1) / 1e9
+      (math.min(s0, s1), math.max(n0, n1))
+    }
+    val (hammSec, nH) = best2(graft.ext.Similarity.hammingTopKMany(
+      sigs, "vec_id", queriesSig, "vec_id", k = 10).count())
+    val (int8Sec, nI) = best2(graft.ext.Similarity.int8TopKMany(
+      codes, "vec_id", queriesCode, "vec_id", k = 10).count())
 
     println(f"SCALE_HAMMING label=$label corpus_rows=$nCorpus " +
       f"sig_bytes=${dirBytes(sigDir)} code_bytes=${dirBytes(codeDir)} " +

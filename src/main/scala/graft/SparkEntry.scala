@@ -1260,6 +1260,15 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    // ORC round-trip (Spark-native second columnar format): every orders
+    // column — int64/string/double/TIMESTAMP_NTZ — must survive the
+    // write→read cycle bit-exactly vs the parquet-sourced oracle
+    "sink_file_orc" -> ((s, dir) => {
+      val out = tmpDir(dir, "orc_orders")
+      FileSink.orc(Tables(s, dir).orders, out)
+      s.read.orc(out)
+    }),
+
     // JSONL training export → read-back: the written lines are parsed with
     // the JSON-path extractor, so the oracle (a plain projection) verifies
     // the whole render→shard→stream round trip
@@ -1597,6 +1606,33 @@ object SparkEntry {
         T.dupLinePerMille(mtext).as("dup_line_pm"),
         T.dupLineCharPerMille(mtext).as("dup_line_char_pm"),
         T.topNgramCharPerMille(col("text"), 3).as("top3gram_pm"))
+    }),
+
+    // Unicode-script densities + dominant-script label: the fixture mixes
+    // Cyrillic / CJK tails into the Latin corpus so every class fires
+    "text_script" -> ((s, dir) => {
+      val mtext = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" привет мир"))
+          .when(col("doc_id") % 3 === 1, lit(" 你好 世界"))
+          .otherwise(lit("")))
+      Tables(s, dir).documents.select(col("doc_id"),
+        T.latinPerMille(mtext).as("latin_pm"),
+        T.cyrillicPerMille(mtext).as("cyrillic_pm"),
+        T.cjkPerMille(mtext).as("cjk_pm"),
+        T.dominantScript(mtext).as("script"))
+    }),
+
+    // Luhn-validated card masking: id%4=0 and %4=2 carry checksum-VALID
+    // numbers (masked), %4=1 a checksum-broken lookalike (kept) — the
+    // precision a pattern-only redactor cannot express
+    "text_redact_cc" -> ((s, dir) => {
+      val mtext = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" card 4111 1111 1111 1111 end"))
+          .when(col("doc_id") % 4 === 1, lit(" ref 4111 1111 1111 1112 end"))
+          .when(col("doc_id") % 4 === 2, lit(" acct 5500-0000-0000-0004 ok"))
+          .otherwise(lit("")))
+      Tables(s, dir).documents.select(col("doc_id"),
+        T.redactCreditCards(mtext).as("redacted"))
     }),
 
     // the composite Gopher quality rule (Rae et al. Table A1): all seven
@@ -3493,6 +3529,8 @@ object SparkEntry {
 
     "sink_file_jsonl" -> "SELECT doc_id, lang, source FROM documents",
 
+    "sink_file_orc" -> "SELECT * FROM orders",
+
     "layout_zorder" -> "SELECT * FROM orders",
 
     "layout_partition_prune" ->
@@ -3653,6 +3691,45 @@ object SparkEntry {
         |  CAST(coalesce(floor(t.c * length(t.sng) * 1000.0 / nullif(length(d.text), 0) + 0.5), 0) AS BIGINT) AS top3gram_pm
         |FROM lstat l JOIN documents d ON l.doc_id = d.doc_id
         |LEFT JOIN top t ON l.doc_id = t.doc_id""".stripMargin,
+
+    // script densities re-derived with the same literal char classes; ties
+    // and the und-fallback replicated
+    "text_script" ->
+      """WITH mt AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' привет мир'
+        |         WHEN doc_id % 3 = 1 THEN ' 你好 世界'
+        |         ELSE '' END AS t FROM documents),
+        |  sig AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE floor((length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g'))) * 1000.0 / length(t) + 0.5) END AS BIGINT) AS latin_pm,
+        |    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE floor((length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g'))) * 1000.0 / length(t) + 0.5) END AS BIGINT) AS cyrillic_pm,
+        |    CAST(CASE WHEN length(t) = 0 THEN 0 ELSE floor((length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g'))) * 1000.0 / length(t) + 0.5) END AS BIGINT) AS cjk_pm
+        |  FROM mt)
+        |SELECT doc_id, latin_pm, cyrillic_pm, cjk_pm,
+        |  CASE WHEN latin_pm = 0 AND cyrillic_pm = 0 AND cjk_pm = 0 THEN 'und'
+        |       WHEN latin_pm >= cyrillic_pm AND latin_pm >= cjk_pm THEN 'latin'
+        |       WHEN cyrillic_pm >= cjk_pm THEN 'cyrillic'
+        |       ELSE 'cjk' END AS script
+        |FROM sig""".stripMargin,
+
+    // candidates from the same regex, Luhn re-derived per candidate, only
+    // validated ones replaced (list_reduce folds replace over them)
+    "text_redact_cc" ->
+      """WITH mt AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' card 4111 1111 1111 1111 end'
+        |         WHEN doc_id % 4 = 1 THEN ' ref 4111 1111 1111 1112 end'
+        |         WHEN doc_id % 4 = 2 THEN ' acct 5500-0000-0000-0004 ok'
+        |         ELSE '' END AS t FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(t, list_filter(regexp_extract_all(t, '[0-9][0-9 -]{10,17}[0-9]'),
+        |    c -> length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19
+        |      AND CAST(list_sum(list_transform(range(1, length(regexp_replace(c, '[^0-9]', '', 'g')) + 1), i ->
+        |        CASE WHEN (length(regexp_replace(c, '[^0-9]', '', 'g')) - i) % 2 = 1
+        |          THEN CASE WHEN CAST(regexp_replace(c, '[^0-9]', '', 'g')[i] AS INT) * 2 > 9
+        |               THEN CAST(regexp_replace(c, '[^0-9]', '', 'g')[i] AS INT) * 2 - 9
+        |               ELSE CAST(regexp_replace(c, '[^0-9]', '', 'g')[i] AS INT) * 2 END
+        |          ELSE CAST(regexp_replace(c, '[^0-9]', '', 'g')[i] AS INT) END)) AS BIGINT) % 10 = 0)),
+        |    (a, b) -> replace(a, b, '<CC>')) AS redacted
+        |FROM mt""".stripMargin,
 
     // the seven Gopher sub-signals + keep, re-derived rule by rule; the
     // whitespace-normalized padded-instr stopword probe matches the Spark

@@ -168,6 +168,7 @@ object Config {
   private def source(spark: SparkSession, n: JsonNode): DataFrame =
     str(n, "type") match {
       case "parquet" => spark.read.parquet(str(n, "path"))
+      case "orc"     => spark.read.orc(str(n, "path"))
       case "csv" =>
         spark.read
           .option("header", strOpt(n, "header").getOrElse("true"))
@@ -590,8 +591,12 @@ object Config {
       .getOrElse(if (streaming) SaveMode.Append else SaveMode.Overwrite)
     str(n, "type") match {
       case "parquet" => FileSink.parquet(df, str(n, "path"), mode)
+      case "orc"     => FileSink.orc(df, str(n, "path"), mode)
       case "csv"     => FileSink.csv(df, str(n, "path"), header = true, mode)
       case "json"    => FileSink.json(df, str(n, "path"), mode)
+      case "jsonl"   => FileSink.jsonlSized(df, str(n, "path"),
+        Option(n.get("maxRecordsPerFile")).map(_.asLong).getOrElse(1000000L),
+        strOpt(n, "compression"), mode)
       case "xml"     => FileSink.xml(df, str(n, "path"),
         rowTag = strOpt(n, "rowTag").getOrElse("row"), mode = mode)
       case "console" => graft.sources.Sinks.console(df, 20,

@@ -168,15 +168,18 @@ object Similarity {
     // heap dequeues its max; make "max" = the WORST kept candidate (lowest
     // iscore, then largest id) so a better candidate replaces the head
     val byWorst = Ordering.Tuple2(Ordering.Long.reverse, Ordering.Long)
+    // InternalRow scan + toByteArray: the code column decodes to a
+    // primitive byte[] with no per-element boxing (same decode-bound
+    // finding as the Hamming kernel — ScaleHamming / SCALING.md r12)
     val candidates = spark.createDataFrame(
-      in.rdd.mapPartitions { rows =>
+      in.queryExecution.toRdd.mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
           val queries = bcastQ.value
           val heaps = Array.fill(queries.length)(
             scala.collection.mutable.PriorityQueue.empty[(Long, Long)](byWorst))
           rows.foreach { r =>
-            val id = r.getLong(0); val code = r.getSeq[Byte](1)
+            val id = r.getLong(0); val code = r.getArray(1).toByteArray()
             var qi = 0
             while (qi < queries.length) {
               val (qid, qc) = queries(qi)
@@ -325,15 +328,19 @@ object Similarity {
     // heap dequeues its max; "max" = the WORST kept candidate (LARGEST
     // hdist, then largest id) so a closer candidate replaces the head
     val byWorst = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+    // InternalRow scan + toLongArray: the signature column is read as a
+    // PRIMITIVE long[] with no per-element boxing — at 1-word signatures
+    // the row-decode path IS the kernel, and the boxed Row.getSeq form was
+    // measured decode-bound (see ScaleHamming / SCALING.md r12)
     val candidates = spark.createDataFrame(
-      in.rdd.mapPartitions { rows =>
+      in.queryExecution.toRdd.mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
           val queries = bcastQ.value
           val heaps = Array.fill(queries.length)(
             scala.collection.mutable.PriorityQueue.empty[(Long, Long)](byWorst))
           rows.foreach { r =>
-            val id = r.getLong(0); val sig = r.getSeq[Long](1)
+            val id = r.getLong(0); val sig = r.getArray(1).toLongArray()
             var qi = 0
             while (qi < queries.length) {
               val (qid, qsig) = queries(qi)

@@ -332,6 +332,69 @@ object TextFunctions {
           case (c, (ent, ch)) => regexp_replace(c, ent, ch)
         }, "\\s+", " "))
 
+  /** Unicode-script densities (per-mille of characters): Latin, Cyrillic,
+    * and CJK-ideograph classes — the multilingual-pipeline signal that
+    * catches wrong-script content the stopword-based [[langId]] cannot
+    * (it only knows Latin-alphabet markers). Character classes are literal
+    * ranges, identical in Java regex and RE2.
+    */
+  def latinPerMille(text: Column): Column = classPerMille(text, "[A-Za-z]")
+  def cyrillicPerMille(text: Column): Column = classPerMille(text, "[Ѐ-ӿ]")
+  def cjkPerMille(text: Column): Column = classPerMille(text, "[一-鿿]")
+
+  /** Dominant script label from the three density signals; ties break to
+    * the earlier class (latin > cyrillic > cjk), all-zero → "und".
+    */
+  def dominantScript(text: Column): Column =
+    ExprOps.let(latinPerMille(text)) { la =>
+      ExprOps.let(cyrillicPerMille(text)) { cy =>
+        ExprOps.let(cjkPerMille(text)) { cj =>
+          when(la === 0L && cy === 0L && cj === 0L, lit("und"))
+            .when(la >= cy && la >= cj, lit("latin"))
+            .when(cy >= cj, lit("cyrillic"))
+            .otherwise(lit("cjk"))
+        }
+      }
+    }
+
+  /** Candidate payment-card pattern: 13–19 digits with optional space/dash
+    * separators, digit-bounded.
+    */
+  val CcCandidateRe = "[0-9][0-9 -]{10,17}[0-9]"
+
+  /** Luhn checksum validity of a pure digit string (mod-10 with every
+    * second digit from the RIGHT doubled, 9-subtracted above 9) — the
+    * standard card-number check digit. Length must land in [13, 19].
+    * Pure higher-order-function expression; runs per CANDIDATE, not per
+    * character of the document.
+    */
+  def luhnValid(digits: Column): Column =
+    ExprOps.let(digits) { s =>
+      ExprOps.let(length(s)) { n =>
+        n.between(13, 19) &&
+          aggregate(sequence(lit(1), n), lit(0), (acc, i) =>
+            ExprOps.let(s.substr(i, lit(1)).cast("int")) { d =>
+              ExprOps.let(when(((n - i) % 2) === 1, d * 2).otherwise(d)) { dd =>
+                acc + when(dd > 9, dd - 9).otherwise(dd)
+              }
+            }) % 10 === 0
+      }
+    }
+
+  /** Mask VALIDATED payment-card numbers with `<CC>`: candidates come from
+    * one [[CcCandidateRe]] scan, each is Luhn-checked on its stripped
+    * digits, and only validated candidates are replaced — a digit run that
+    * fails the checksum (an order id, a timestamp) is left alone, which is
+    * the precision [[redactPii]]'s pattern-only phone rule cannot offer.
+    * Replacement is literal per candidate string; all occurrences of a
+    * validated candidate mask together (deterministic cross-engine).
+    */
+  def redactCreditCards(text: Column): Column =
+    ExprOps.let(filter(regexp_extract_all(text, lit(CcCandidateRe), lit(0)),
+        c => luhnValid(regexp_replace(c, "[^0-9]", "")))) { valid =>
+      aggregate(valid, text, (t, c) => replace(t, c, lit("<CC>")))
+    }
+
   /** Fraction of document characters covered by the single most frequent
     * word n-gram (per-mille): count(top n-gram) × chars(top n-gram) ÷
     * chars(text) — the Gopher top-n-gram rule that catches documents

@@ -89,6 +89,14 @@ object FileSink {
     (if (partitionKeys.nonEmpty) w.partitionBy(partitionKeys: _*) else w).parquet(path)
   }
 
+  /** ORC write — the second columnar interchange format Spark executes
+    * natively (no connector jar): predicate pushdown, column pruning, and
+    * TIMESTAMP_NTZ all round-trip. For pipelines whose downstream warehouse
+    * reads ORC rather than parquet.
+    */
+  def orc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Training-consumption JSONL export: each row rendered as ONE compact
     * JSON object per line (`to_json` over the row struct — field order =
     * column order, deterministic), written as size-governed text files

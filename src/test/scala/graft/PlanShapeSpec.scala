@@ -222,10 +222,13 @@ class PlanShapeSpec extends SparkSpec {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val model = graft.ext.Lm.unigramModel(
       d.filter($"lang" === "en"), "text", maxVocab = 1024)
+    val bigram = graft.ext.Lm.bigramModel(
+      d.filter($"lang" === "en"), "text", maxVocab = 1024, maxBigrams = 1024)
     for (out <- Seq(
         graft.ext.Lm.scoreUnigram(d, "doc_id", "text", model),
         graft.ext.Lm.pplBuckets(d, "doc_id", "text", "lang", model),
-        graft.ext.Lm.nbTrainScore(d, "doc_id", "text", $"lang" === "en"))) {
+        graft.ext.Lm.nbTrainScore(d, "doc_id", "text", $"lang" === "en"),
+        graft.ext.Lm.scoreBigram(d, "doc_id", "text", bigram))) {
       val plan = physical(out)
       assert(plan.contains("BroadcastHashJoin"),
         s"LM scoring lost its broadcast join:\n$plan")

@@ -39,13 +39,15 @@ class SparkEntrySpec extends SparkSpec {
     // 154 late round 12 (+text_lm_score, +text_lm_persisted,
     // +curate_ppl_buckets, +curate_dsir, +curate_nb_quality,
     // +text_bpe_counts, +text_bpe_counts_gate, +curate_dsir_sample)
-    // 167 round 12 Hamming/heuristic-filter/URL/JSONL/bigram tier
+    // 168 round 12 Hamming/heuristic-filter/URL/JSONL/bigram/ORC tier
     // (+ann_hamming_topk, +ann_hamming_rescored, +ann_hamming_batch,
     // +vec_sign_bits, +text_gopher_quality, +text_html_extract,
     // +curate_url_normalize, +curate_url_dedup, +sink_file_jsonl,
-    // +text_lm_bigram)
-    assert(SparkEntry.queries.size == 167,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 167); " +
+    // +text_lm_bigram, +sink_file_orc)
+    // 170: +text_script (Unicode-script densities), +text_redact_cc
+    // (Luhn-validated card masking)
+    assert(SparkEntry.queries.size == 170,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 170); " +
         "if intentional, update this pin")
   }
 

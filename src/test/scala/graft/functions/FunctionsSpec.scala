@@ -228,6 +228,38 @@ class FunctionsSpec extends SparkSpec {
     assert(out == Seq(true, false, false))
   }
 
+  test("script densities and dominant-script label") {
+    val out = Seq(
+      ("hello world", "latin"),
+      ("привет мир", "cyrillic"),
+      ("你好世界", "cjk"),
+      ("hello world привет", "latin"),   // mixed, Latin-dominant
+      ("12345 !!!", "und")).toDF("t", "want")
+    assert(out.filter(TextFunctions.dominantScript($"t") =!= $"want").count() == 0)
+    val pm = Seq("ab:гд").toDF("t").select(
+      TextFunctions.latinPerMille($"t"), TextFunctions.cyrillicPerMille($"t"))
+      .as[(Long, Long)].head()
+    assert(pm == ((400L, 400L)))
+  }
+
+  test("luhnValid accepts checksum-correct cards only, within 13-19 digits") {
+    val out = Seq(
+      ("4111111111111111", true),
+      ("4111111111111112", false),
+      ("5500000000000004", true),
+      ("1234567890123", false),
+      ("41111111", false) // too short even if checksum passed
+    ).toDF("d", "want")
+    assert(out.filter(TextFunctions.luhnValid($"d") =!= $"want").count() == 0)
+  }
+
+  test("redactCreditCards masks validated numbers, keeps lookalikes") {
+    val t = "pay 4111 1111 1111 1111 not 4111 1111 1111 1112 id 5500-0000-0000-0004."
+    val got = Seq(t).toDF("t")
+      .select(TextFunctions.redactCreditCards($"t")).as[String].head()
+    assert(got == "pay <CC> not 4111 1111 1111 1112 id <CC>.")
+  }
+
   test("htmlToText strips script/style/comments/tags and decodes entities last") {
     val html = "<html><head><style>p{x:1}</style><script>if(a<b){run()}</script>" +
       "</head><body><h1>Title</h1><!-- c1\nc2 --><p>body &amp;lt; text &lt;tag&gt;" +

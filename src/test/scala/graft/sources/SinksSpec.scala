@@ -60,6 +60,21 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("orc round-trips every column type bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString + "/out"
+    val df = Seq(
+      (1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 10:30:00.123456")),
+      (2L, "b", -0.25, java.sql.Timestamp.valueOf("2024-06-30 23:59:59.999999")))
+      .toDF("id", "s", "d", "ts")
+    FileSink.orc(df, dir)
+    val back = spark.read.orc(dir)
+    // names + types must survive; ORC read-back relaxes nullability (all
+    // columns come back nullable), which the driver's compare ignores too
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("jsonlSized writes one JSON object per line in sized shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString + "/out"
     val df = spark.range(5000)
