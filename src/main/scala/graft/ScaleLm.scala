@@ -73,6 +73,29 @@ object ScaleLm {
     println(f"SCALE_LM label=$label ref_docs=$nRef batch_docs=$nBatch " +
       f"model_rows=$modelRows scored=${scored.getLong(0)} " +
       f"train_sec=$trainSec%.2f score_sec=$scoreSec%.2f")
+
+    // the bigram tier under the same protocol: both tables are capped
+    // (maxVocab unigrams, maxBigrams conditionals), so scoring the fixed
+    // batch must stay flat while training pays one extra pair-count
+    // aggregation over the reference
+    val bdir = s"/tmp/graft_scale_lm_bi_$label"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(bdir), true)
+    val t2 = System.nanoTime()
+    graft.ext.Lm.writeBigramModel(spark,
+      graft.ext.Lm.bigramModel(ref, "text", maxVocab = 256, maxBigrams = 1024),
+      bdir)
+    val biTrainSec = (System.nanoTime() - t2) / 1e9
+    val biModel = graft.ext.Lm.readBigramModel(spark, bdir)
+    val biRows = biModel.bigram.count()
+    val t3 = System.nanoTime()
+    val biScored = graft.ext.Lm.scoreBigram(batch, "doc_id", "text", biModel)
+      .agg(count(lit(1)).as("n"), sum("avg_lp_milli").as("s"))
+      .collect().head
+    val biScoreSec = (System.nanoTime() - t3) / 1e9
+    println(f"SCALE_LM_BIGRAM label=$label ref_docs=$nRef bigram_rows=$biRows " +
+      f"scored=${biScored.getLong(0)} train_sec=$biTrainSec%.2f " +
+      f"score_sec=$biScoreSec%.2f")
     spark.stop()
   }
 }

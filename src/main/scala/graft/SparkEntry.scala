@@ -83,6 +83,21 @@ object SparkEntry {
       dir
     })
 
+  /** Train-once-per-JVM persisted bigram LM (same memoization contract as
+    * [[cachedLmModelDir]]) — `text_lm_bigram_persisted` scores against the
+    * STORED artifact, proving the two-table round trip is lossless.
+    */
+  private val bigramModelMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedBigramModelDir(s: SparkSession, sfDir: String): String =
+    bigramModelMemo.computeIfAbsent(sfDir, _ => {
+      val dir = tmpDir(sfDir, "lm_bigram_cached")
+      val en = Tables(s, sfDir).documents.filter(col("lang") === "en")
+      graft.ext.Lm.writeBigramModel(s,
+        graft.ext.Lm.bigramModel(en, "text", maxVocab = 4096, maxBigrams = 512),
+        dir)
+      dir
+    })
+
   /** Train-once-per-JVM persisted BPE merge table over `documents` — the
     * tokenizer `text_bpe_counts` applies (same memoization contract as
     * [[cachedNearIndexDir]]).
@@ -109,6 +124,7 @@ object SparkEntry {
     "search_bm25_batch" -> ((s, dir) => { cachedSearchIndexDir(s, dir); () }),
     "search_hybrid_rrf" -> ((s, dir) => { cachedSearchIndexDir(s, dir); () }),
     "text_lm_persisted" -> ((s, dir) => { cachedLmModelDir(s, dir); () }),
+    "text_lm_bigram_persisted" -> ((s, dir) => { cachedBigramModelDir(s, dir); () }),
     "text_bpe_counts" -> ((s, dir) => { cachedBpeMergesDir(s, dir); () }),
     "text_bpe_counts_gate" -> ((s, dir) => { cachedBpeMergesDir(s, dir); () }))
 
@@ -1547,6 +1563,13 @@ object SparkEntry {
           maxVocab = 4096, maxBigrams = 512))
     }),
 
+    // the deployment shape for the bigram tier: score against the STORED
+    // two-table model — oracle identical to text_lm_bigram (the round trip
+    // is lossless by construction)
+    "text_lm_bigram_persisted" -> ((s, dir) =>
+      graft.ext.Lm.scoreBigram(Tables(s, dir).documents, "doc_id", "text",
+        graft.ext.Lm.readBigramModel(s, cachedBigramModelDir(s, dir)))),
+
     // per-source corpus dashboard: counts/tokens/languages exactly, plus an
     // HLL sketch (approx_count_distinct — mergeable, constant memory, the
     // 100 TB path for distinct counts) tolerance-gated at ±5% vs the exact
@@ -1678,6 +1701,16 @@ object SparkEntry {
         lit("<body><h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
         lit("</p><!-- hidden\ncomment --><div>tail &amp; &lt;q&gt; &quot;z&quot; &#39;y&#39;&nbsp;end</div></body></html>"))
       d.select(col("doc_id"), T.htmlToText(html).as("extracted"))
+    }),
+
+    // sentence-aware chunking: the fixture injects a period after every
+    // 8th word, so 20-token chunks pack two sentences and never split one;
+    // the oracle re-derives the greedy fold with a recursive CTE
+    "curate_chunk_sentences" -> ((s, dir) => {
+      val mtext = regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1. ")
+      Curation.chunkBySentences(
+        Tables(s, dir).documents.select(col("doc_id"), mtext.as("text")),
+        "doc_id", "text", maxTokens = 20)
     }),
 
     // URL canonicalization (the C4/RefinedWeb pre-content-dedup stage):
@@ -2146,6 +2179,51 @@ object SparkEntry {
     * stored model round-trips losslessly, so both queries have the same
     * oracle).
     */
+  /** The text_lm_bigram / text_lm_bigram_persisted oracle: the full
+    * stupid-backoff pipeline re-derived in DuckDB (see the map entry
+    * comments for the construction).
+    */
+  private val bigramScoreOracleSql: String =
+    """WITH rt AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |    FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+        |  counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY 1),
+        |  kept AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 4096),
+        |  st AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM counts) AS n_tok,
+        |                (SELECT CAST(count(*) AS BIGINT) FROM kept) AS v),
+        |  vocab AS (SELECT w, CAST(floor(ln((c + 1.0) / (n_tok + v + 1)) * 1000 + 0.5) AS BIGINT) AS lp
+        |    FROM kept CROSS JOIN st),
+        |  oov AS (SELECT CAST(floor(ln(1.0 / (n_tok + v + 1)) * 1000 + 0.5) AS BIGINT) AS lp FROM st),
+        |  rtl AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |    FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+        |  rp AS (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+        |      i -> struct_pack(w1 := t[i-1], w2 := t[i]))) AS p FROM rtl),
+        |  bp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM rp),
+        |  bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bp
+        |    JOIN kept k1 ON bp.w1 = k1.w
+        |    JOIN kept k2 ON bp.w2 = k2.w
+        |    GROUP BY w1, w2 ORDER BY c12 DESC, w1, w2 LIMIT 512),
+        |  bi AS (SELECT w1, w2, CAST(floor(ln(CAST(c12 AS DOUBLE) / c.c) * 1000 + 0.5) AS BIGINT) AS lp2
+        |    FROM bc JOIN counts c ON bc.w1 = c.w),
+        |  dt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |  dp AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |      i -> struct_pack(w1 := CASE WHEN i = 1 THEN CAST(NULL AS VARCHAR) ELSE t[i-1] END, w2 := t[i]))) AS p FROM dt),
+        |  dr AS (SELECT doc_id, p.w1 AS dw1, p.w2 AS dw2 FROM dp),
+        |  sc AS (SELECT doc_id, dw2,
+        |      CASE WHEN dw1 IS NULL THEN coalesce(v.lp, o.lp)
+        |           ELSE coalesce(b.lp2, -916 + coalesce(v.lp, o.lp)) END AS lp
+        |    FROM dr LEFT JOIN vocab v ON dr.dw2 = v.w
+        |    LEFT JOIN bi b ON dr.dw1 = b.w1 AND dr.dw2 = b.w2
+        |    CROSS JOIN oov o),
+        |  agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |      CAST(sum(lp) AS BIGINT) AS sum_lp_milli FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_lp_milli,
+        |  CAST(floor(CAST(sum_lp_milli AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS avg_lp_milli
+        |FROM agg
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM documents WHERE length(trim(text)) = 0""".stripMargin
+
   private val lmScoreOracleSql: String =
     """WITH rt AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
       |    FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
@@ -3311,46 +3389,12 @@ object SparkEntry {
     // model; bigram tier = vocab∩vocab adjacent-pair counts cut at 512
     // (count desc, pair — the cut BINDS here), unsmoothed conditionals;
     // scoring = bigram hit, else -916 (milli-ln 0.4) + unigram/OOV
-    "text_lm_bigram" ->
-      """WITH rt AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
-        |    FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
-        |  counts AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM rt GROUP BY 1),
-        |  kept AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 4096),
-        |  st AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM counts) AS n_tok,
-        |                (SELECT CAST(count(*) AS BIGINT) FROM kept) AS v),
-        |  vocab AS (SELECT w, CAST(floor(ln((c + 1.0) / (n_tok + v + 1)) * 1000 + 0.5) AS BIGINT) AS lp
-        |    FROM kept CROSS JOIN st),
-        |  oov AS (SELECT CAST(floor(ln(1.0 / (n_tok + v + 1)) * 1000 + 0.5) AS BIGINT) AS lp FROM st),
-        |  rtl AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |    FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
-        |  rp AS (SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
-        |      i -> struct_pack(w1 := t[i-1], w2 := t[i]))) AS p FROM rtl),
-        |  bp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM rp),
-        |  bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bp
-        |    JOIN kept k1 ON bp.w1 = k1.w
-        |    JOIN kept k2 ON bp.w2 = k2.w
-        |    GROUP BY w1, w2 ORDER BY c12 DESC, w1, w2 LIMIT 512),
-        |  bi AS (SELECT w1, w2, CAST(floor(ln(CAST(c12 AS DOUBLE) / c.c) * 1000 + 0.5) AS BIGINT) AS lp2
-        |    FROM bc JOIN counts c ON bc.w1 = c.w),
-        |  dt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |    FROM documents WHERE length(trim(text)) > 0),
-        |  dp AS (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
-        |      i -> struct_pack(w1 := CASE WHEN i = 1 THEN CAST(NULL AS VARCHAR) ELSE t[i-1] END, w2 := t[i]))) AS p FROM dt),
-        |  dr AS (SELECT doc_id, p.w1 AS dw1, p.w2 AS dw2 FROM dp),
-        |  sc AS (SELECT doc_id, dw2,
-        |      CASE WHEN dw1 IS NULL THEN coalesce(v.lp, o.lp)
-        |           ELSE coalesce(b.lp2, -916 + coalesce(v.lp, o.lp)) END AS lp
-        |    FROM dr LEFT JOIN vocab v ON dr.dw2 = v.w
-        |    LEFT JOIN bi b ON dr.dw1 = b.w1 AND dr.dw2 = b.w2
-        |    CROSS JOIN oov o),
-        |  agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |      CAST(sum(lp) AS BIGINT) AS sum_lp_milli FROM sc GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, sum_lp_milli,
-        |  CAST(floor(CAST(sum_lp_milli AS DOUBLE) / n_tokens + 0.5) AS BIGINT) AS avg_lp_milli
-        |FROM agg
-        |UNION ALL
-        |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-        |FROM documents WHERE length(trim(text)) = 0""".stripMargin,
+    "text_lm_bigram" -> bigramScoreOracleSql,
+
+    // persisted-model variant scores against a lossless round-trip of the
+    // same two tables — same oracle
+    "text_lm_bigram_persisted" -> bigramScoreOracleSql,
+
 
     // mirrors Lm.dsirTopK: md5 token buckets (same fold as every curation
     // oracle), add-one smoothed milli-nat log-ratios per bucket, integer
@@ -3789,6 +3833,29 @@ object SparkEntry {
         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |  '\s+', ' ', 'g')) AS extracted
         |FROM h""".stripMargin,
+
+    // the greedy sentence-pack fold replayed as a recursive CTE: walk the
+    // per-doc sentence token counts, open a new chunk when the budget
+    // would overflow, then string_agg each chunk's sentences in order
+    "curate_chunk_sentences" ->
+      """WITH RECURSIVE mt AS (SELECT doc_id, regexp_replace(text, '((\S+ ){7}\S+) ', '\1. ', 'g') AS mtext FROM documents),
+        |  sen AS (SELECT doc_id, list_filter(list_transform(
+        |      string_split(regexp_replace(mtext, '([.!?]+)\s+', '\1' || chr(1), 'g'), chr(1)),
+        |      x -> trim(x)), x -> length(x) > 0) AS ss FROM mt),
+        |  tok AS (SELECT doc_id, ss, list_transform(ss, x ->
+        |      CASE WHEN length(trim(x)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(x), '\s+')) END) AS tc
+        |    FROM sen WHERE len(ss) > 0),
+        |  w(doc_id, i, chunk_no, cur) AS (
+        |    SELECT doc_id, 1, 0, tc[1] FROM tok
+        |    UNION ALL
+        |    SELECT w.doc_id, w.i + 1,
+        |      CASE WHEN w.cur + tok.tc[w.i + 1] > 20 THEN w.chunk_no + 1 ELSE w.chunk_no END,
+        |      CASE WHEN w.cur + tok.tc[w.i + 1] > 20 THEN tok.tc[w.i + 1] ELSE w.cur + tok.tc[w.i + 1] END
+        |    FROM w JOIN tok ON w.doc_id = tok.doc_id WHERE w.i < len(tok.ss))
+        |SELECT t.doc_id, CAST(w.chunk_no AS BIGINT) AS chunk_idx,
+        |  string_agg(t.ss[w.i], ' ' ORDER BY w.i) AS chunk
+        |FROM w JOIN tok t ON w.doc_id = t.doc_id
+        |GROUP BY t.doc_id, w.chunk_no""".stripMargin,
 
     // the full canonicalization replicated: lowercased scheme/host, default
     // port stripped, trailing slash dropped, tracking params filtered, the

@@ -335,6 +335,48 @@ object Curation {
         col("__c.chunk"))
   }
 
+  /** Sentence-aware chunking — the RAG/pretraining segmenter that never
+    * splits mid-sentence: the document is segmented with
+    * [[graft.functions.TextFunctions.sentencesOf]], then consecutive
+    * sentences pack greedily into chunks whose whitespace-token count
+    * stays ≤ `maxTokens` (a single sentence longer than the budget gets
+    * its own oversized chunk — truncating it would lose content, and the
+    * downstream tokenizer's own truncation is the right place for that
+    * policy). The whole fold is ONE higher-order expression per row — no
+    * window, no shuffle, no UDF — so it runs at scan speed over any corpus
+    * size, like [[chunkByTokens]]. Output: (id, chunk_idx, chunk), chunks
+    * joined with single spaces in sentence order.
+    */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+                       maxTokens: Int): DataFrame = {
+    require(maxTokens > 0)
+    val folded = graft.functions.ExprOps.let(T.sentencesOf(col(textCol))) { ss =>
+      graft.functions.ExprOps.let(
+        aggregate(ss,
+          struct(array().cast("array<string>").as("chunks"),
+            lit("").as("cur"), lit(0L).as("curToks")),
+          (acc, s) => graft.functions.ExprOps.let(T.tokenCount(s)) { t =>
+            when(acc.getField("curToks") > 0L &&
+                acc.getField("curToks") + t > maxTokens.toLong,
+              struct(
+                concat(acc.getField("chunks"), array(acc.getField("cur"))).as("chunks"),
+                s.as("cur"), t.as("curToks")))
+            .otherwise(struct(
+              acc.getField("chunks").as("chunks"),
+              when(acc.getField("curToks") === 0L, s)
+                .otherwise(concat_ws(" ", acc.getField("cur"), s)).as("cur"),
+              (acc.getField("curToks") + t).as("curToks")))
+          })) { st =>
+        when(st.getField("curToks") > 0L,
+          concat(st.getField("chunks"), array(st.getField("cur"))))
+          .otherwise(st.getField("chunks"))
+      }
+    }
+    df.select(col(idCol), posexplode(folded))
+      .select(col(idCol), col("pos").cast("bigint").as("chunk_idx"),
+        col("col").as("chunk"))
+  }
+
   /** Keep the top `keepFraction` of each stratum by a score column —
     * per-source quality-percentile filtering (e.g. "keep each source's best
     * half by quality score"). Rank-based, so it adapts per stratum instead

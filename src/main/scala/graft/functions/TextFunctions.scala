@@ -332,6 +332,30 @@ object TextFunctions {
           case (c, (ent, ch)) => regexp_replace(c, ent, ch)
         }, "\\s+", " "))
 
+  /** Sentences of a document: split AFTER a `[.!?]` run followed by
+    * whitespace. Sentinel-based (insert ``, then split) because
+    * lookbehind exists in Java regex but not RE2 — this form runs
+    * identically in both engines. Sentences keep their terminal
+    * punctuation; non-empty trimmed segments only.
+    */
+  def sentencesOf(text: Column): Column =
+    filter(transform(
+      split(regexp_replace(text, "([.!?]+)\\s+", "$1\u0001"), "\u0001"),
+      s => trim(s)), s => length(s) > 0)
+
+  def sentenceCount(text: Column): Column = size(sentencesOf(text)).cast("bigint")
+
+  /** Mean sentence length in thousandths of a character — long-running
+    * sentences flag unsegmented boilerplate; very short ones flag listy
+    * non-prose.
+    */
+  def avgSentenceLenMilli(text: Column): Column =
+    ExprOps.let(sentencesOf(text)) { ss =>
+      when(size(ss) === 0, lit(0L)).otherwise(
+        floor(aggregate(ss, lit(0L), (a, s) => a + length(s)).cast("double")
+          * 1000 / size(ss) + 0.5).cast("bigint"))
+    }
+
   /** Unicode-script densities (per-mille of characters): Latin, Cyrillic,
     * and CJK-ideograph classes — the multilingual-pipeline signal that
     * catches wrong-script content the stopword-based [[langId]] cannot

@@ -279,6 +279,28 @@ object Streams {
       ingestDedupBatch(kept, corpusPath, contentCols, idCol)
     }
 
+  /** Streaming corpus ingest gated by the composite GOPHER heuristic rule
+    * ([[graft.functions.TextFunctions.gopherKeep]] — Rae et al. Table A1)
+    * before the exact content-hash dedup admission: rows failing any
+    * sub-rule (word count, word length, symbol ratio, bullet/ellipsis
+    * lines, alphabetic fraction, stopwords) are dropped, survivors dedup
+    * as [[ingestDedup]]. The rule is a pure per-row predicate (no model
+    * artifact, no joins), so replay safety is exactly [[ingestDedup]]'s:
+    * a replayed batch re-applies the same filter and the anti-join admits
+    * nothing the corpus already holds.
+    */
+  def ingestGopherGated(stream: DataFrame, corpusPath: String,
+                        contentCols: Seq[String], idCol: String, textCol: String,
+                        checkpoint: String, minWords: Long = 50L,
+                        maxWords: Long = 100000L, minStopHits: Int = 2,
+                        trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      ingestDedupBatch(
+        batch.filter(graft.functions.TextFunctions.gopherKeep(
+          col(textCol), minWords, maxWords, minStopHits)),
+        corpusPath, contentCols, idCol)
+    }
+
   private def ingestDedupBatch(batch: org.apache.spark.sql.DataFrame,
                                corpusPath: String, contentCols: Seq[String],
                                idCol: String): Unit = {

@@ -44,10 +44,11 @@ class SparkEntrySpec extends SparkSpec {
     // +vec_sign_bits, +text_gopher_quality, +text_html_extract,
     // +curate_url_normalize, +curate_url_dedup, +sink_file_jsonl,
     // +text_lm_bigram, +sink_file_orc)
-    // 170: +text_script (Unicode-script densities), +text_redact_cc
-    // (Luhn-validated card masking)
-    assert(SparkEntry.queries.size == 170,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 170); " +
+    // 172: +text_script (Unicode-script densities), +text_redact_cc
+    // (Luhn-validated card masking), +text_lm_bigram_persisted,
+    // +curate_chunk_sentences
+    assert(SparkEntry.queries.size == 172,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 172); " +
         "if intentional, update this pin")
   }
 

@@ -431,4 +431,30 @@ class CurationSpec extends SparkSpec {
     assert(nFiles < filesBefore)
     assert(surviving() == before)
   }
+
+  test("chunkBySentences packs greedily without splitting sentences") {
+    // sentence token counts: 3, 3, 3, 10, 2 — budget 6
+    val doc = "one two three. four five six! seven eight nine? " +
+      "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10. last two."
+    val out = Curation.chunkBySentences(
+      Seq((7L, doc)).toDF("id", "text"), "id", "text", maxTokens = 6)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, "one two three. four five six!"),
+      (1L, "seven eight nine?"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10."),  // oversized sentence alone
+      (3L, "last two.")))
+  }
+
+  test("chunkBySentences: chunks reconstruct the document; empty doc yields none") {
+    val doc = "a b. c d e. f! g h i j. k."
+    val chunks = Curation.chunkBySentences(
+      Seq((1L, doc)).toDF("id", "text"), "id", "text", maxTokens = 4)
+      .orderBy("chunk_idx").select("chunk").as[String].collect().toSeq
+    assert(chunks.mkString(" ") == doc)
+    assert(Curation.chunkBySentences(
+      Seq((1L, "   ")).toDF("id", "text"), "id", "text", maxTokens = 4)
+      .count() == 0)
+  }
 }

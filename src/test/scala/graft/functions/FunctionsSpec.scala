@@ -228,6 +228,24 @@ class FunctionsSpec extends SparkSpec {
     assert(out == Seq(true, false, false))
   }
 
+  test("sentencesOf splits after terminal punctuation, keeps it, skips blanks") {
+    val out = Seq("One two. Three!  Four? no-end").toDF("t")
+      .select(TextFunctions.sentencesOf($"t")).as[Seq[String]].head()
+    assert(out == Seq("One two.", "Three!", "Four?", "no-end"))
+    assert(Seq("").toDF("t").select(TextFunctions.sentenceCount($"t"))
+      .as[Long].head() == 0L)
+    // ellipsis-style runs split once, not per dot
+    val ell = Seq("Wait... go").toDF("t")
+      .select(TextFunctions.sentencesOf($"t")).as[Seq[String]].head()
+    assert(ell == Seq("Wait...", "go"))
+  }
+
+  test("avgSentenceLenMilli averages sentence characters") {
+    // "ab." (3 chars) + "c!" (2 chars) → 2500 milli-chars
+    assert(Seq("ab. c!").toDF("t")
+      .select(TextFunctions.avgSentenceLenMilli($"t")).as[Long].head() == 2500L)
+  }
+
   test("script densities and dominant-script label") {
     val out = Seq(
       ("hello world", "latin"),

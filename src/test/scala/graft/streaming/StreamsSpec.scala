@@ -598,6 +598,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestGopherGated drops rule-failing rows, then dedups") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_gq_").toString
+    val good = (Seq.fill(30)("the quick brown fox jumps with energy") :+ "of it")
+      .mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestGopherGated(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", contentCols = Seq("text"), idCol = "doc_id",
+      textCol = "text", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // 1: passes every rule; 2: under the word floor; 3: duplicate of 1
+      mem.addData((1L, good), (2L, "the short one with it"), (3L, good))
+      q.processAllAvailable()
+      // replay-shaped second batch: same content again → nothing appended
+      mem.addData((4L, good))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L))
+    } finally q.stop()
+  }
+
   test("ingestUrlDedup refuses a foreign corpus without the stored columns") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_urlf_").toString
