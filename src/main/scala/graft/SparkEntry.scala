@@ -1285,6 +1285,22 @@ object SparkEntry {
       s.read.orc(out)
     }),
 
+    // partition-pruned keyed MERGE into partitioned parquet: seed the
+    // table, upsert price bumps for key%7=0 plus brand-new keys, read the
+    // WHOLE table back — the oracle is the same merge as one SELECT
+    "sink_upsert_partitioned" -> ((s, dir) => {
+      val base = tmpDir(dir, "upsert_part_orders")
+      val orders = Tables(s, dir).orders
+      FileSink.partitionedBy(orders, base, "parquet", Seq("o_orderpriority"))
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(col("o_orderkey") % 1000 === 3)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      Sync.upsertPartitioned(s, base, updates,
+        keys = Seq("o_orderkey"), partitionCol = "o_orderpriority")
+      s.read.parquet(base).select(orders.columns.map(col): _*)
+    }),
+
     // JSONL training export → read-back: the written lines are parsed with
     // the JSON-path extractor, so the oracle (a plain projection) verifies
     // the whole render→shard→stream round trip
@@ -1681,11 +1697,18 @@ object SparkEntry {
         T.ellipsisLinePerMille(mtext).as("ellipsis_line_pm"),
         T.alphaWordPerMille(mtext).as("alpha_word_pm"),
         T.stopwordHits(regexp_replace(mtext, "\\s+", " "), T.GopherStopwords)
-          .cast("bigint").as("stop_hits"),
+          .cast("bigint").as("stop_hits"))
+        // keep derived from the PROJECTED signals (gopherKeep would
+        // re-evaluate every regex — 2× the scan work for the same bit).
         // minStopHits relaxed to 1 on the fixture (its SQL-word vocabulary
         // carries only 'the' from the Gopher list; the production default
         // of 2 would make keep constant-0 and gate nothing)
-        T.gopherKeep(mtext, minStopHits = 1).cast("bigint").as("keep"))
+        .withColumn("keep",
+          (col("n_words").between(50L, 100000L) &&
+            col("mean_wlen_milli").between(3000L, 10000L) &&
+            col("symbol_pm") <= 100L && col("bullet_line_pm") < 900L &&
+            col("ellipsis_line_pm") < 300L && col("alpha_word_pm") >= 800L &&
+            col("stop_hits") >= 1L).cast("bigint"))
     }),
 
     // HTML → visible text: the fixture wraps each doc in a full page
@@ -3574,6 +3597,18 @@ object SparkEntry {
     "sink_file_jsonl" -> "SELECT doc_id, lang, source FROM documents",
 
     "sink_file_orc" -> "SELECT * FROM orders",
+
+    // the merge expressed as one SELECT: key%7 rows take the price bump,
+    // everything else unchanged, new keys appended
+    "sink_upsert_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 1000 = 3""".stripMargin,
 
     "layout_zorder" -> "SELECT * FROM orders",
 

@@ -152,4 +152,46 @@ object Sync {
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(wv))
   }
+
+  /** Keyed MERGE into a day/attribute-partitioned parquet table that
+    * rewrites ONLY the partitions the updates touch — the merge-at-scale
+    * path for plain parquet (what a table format's MERGE does, minus the
+    * log): at 100 TB a daily update batch touches a handful of recent
+    * partitions, so the read AND the rewrite are bounded by the batch, not
+    * the table. Mechanics: collect the updates' distinct partition values
+    * (bounded by construction — that is this operator's contract; it
+    * throws above `maxPartitions` rather than silently planning a
+    * full-table rewrite), read ONLY those partitions (literal IN predicate
+    * → directory pruning at plan time), keep base rows whose key has no
+    * update (anti-join — updates win wholesale), union the updates, and
+    * write back with dynamic partition overwrite so untouched partitions'
+    * files are never opened, read, or replaced.
+    *
+    * An update row whose `partitionCol` differs from its key's current
+    * partition lands in the NEW partition while the anti-join removes the
+    * old row only if the old partition is also touched by this batch —
+    * callers moving rows across partitions must include both partitions'
+    * updates in one batch (documented contract, checked nowhere: the
+    * operator cannot see an untouched partition by design).
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+                        basePath: String, updates: DataFrame,
+                        keys: Seq[String], partitionCol: String,
+                        maxPartitions: Int = 1000): Unit = {
+    require(keys.nonEmpty && !keys.contains(partitionCol),
+      "need row keys distinct from the partition column")
+    val touched = updates.select(partitionCol).distinct()
+      .limit(maxPartitions + 1).collect().map(_.get(0))
+    require(touched.length <= maxPartitions,
+      s"updates touch more than $maxPartitions partitions — this operator " +
+        "is for bounded-partition merges; rewrite the table instead")
+    if (touched.isEmpty) return
+    val base = spark.read.parquet(basePath)
+      .filter(col(partitionCol).isin(touched.toSeq: _*))
+    val kept = base.join(
+      updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    graft.sources.FileSink.overwritePartitions(
+      updates.select(base.columns.map(col): _*).unionByName(kept),
+      basePath, Seq(partitionCol))
+  }
 }

@@ -244,4 +244,22 @@ class PlanShapeSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
     assert(hasCodegenStage, s"text projection fell out of codegen:\n${physical(d)}")
   }
+
+  test("URL canonicalization and the Gopher rule stay codegen'd, zero-shuffle") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", concat(lit("https://Site"), $"doc_id" % 7,
+        lit(".Example.com:443/docs/"), $"doc_id",
+        lit("/?utm_source=x&b=2&a=1#f")).as("url"), $"text")
+    for (out <- Seq(
+        d.select(graft.ext.Urls.normalizeUrl($"url").as("u"),
+          graft.ext.Urls.urlDomain($"url").as("dm")),
+        d.select(graft.functions.TextFunctions.gopherKeep($"text").as("k")))) {
+      val plan = physical(out)
+      assert(out.queryExecution.executedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+        s"projection fell out of codegen:\n$plan")
+      assert(!plan.contains("Exchange"), s"pure projection plans a shuffle:\n$plan")
+    }
+  }
 }

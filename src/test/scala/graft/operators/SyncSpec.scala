@@ -127,4 +127,38 @@ class SyncSpec extends SparkSpec {
     val out = Sync.scd2FromHistory(hist, Seq("k"), Seq("attr"), "ts")
     assert(out.count() == 3)
   }
+
+  test("upsertPartitioned rewrites only touched partitions, merges by key") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_p_").toString + "/t"
+    Seq((1L, "d1", 10.0), (2L, "d1", 20.0), (3L, "d2", 30.0), (4L, "d3", 40.0))
+      .toDF("k", "day", "v")
+      .write.partitionBy("day").parquet(base)
+    def partFiles(day: String) =
+      new java.io.File(s"$base/day=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    val d3Before = partFiles("d3")
+    // update k=1 (d1), insert k=9 into d2; d3 untouched
+    val updates = Seq((1L, "d1", 11.0), (9L, "d2", 90.0)).toDF("k", "day", "v")
+    Sync.upsertPartitioned(spark, base, updates, keys = Seq("k"), partitionCol = "day")
+    val got = spark.read.parquet(base).select("k", "v")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 11.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (9L, 90.0)))
+    // untouched partition's files were never replaced
+    assert(partFiles("d3") == d3Before)
+    assert(spark.read.parquet(base).filter(col("day") === "d3").count() == 1)
+  }
+
+  test("upsertPartitioned refuses unbounded partition fans and no-ops on empty") {
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_pe_").toString + "/t"
+    Seq((1L, "d1", 10.0)).toDF("k", "day", "v").write.partitionBy("day").parquet(base)
+    val wide = (1 to 5).map(i => (i.toLong, s"day$i", 1.0)).toDF("k", "day", "v")
+    intercept[IllegalArgumentException] {
+      Sync.upsertPartitioned(spark, base, wide, Seq("k"), "day", maxPartitions = 3)
+    }
+    // empty updates: nothing read, nothing written
+    Sync.upsertPartitioned(spark, base,
+      Seq.empty[(Long, String, Double)].toDF("k", "day", "v"), Seq("k"), "day")
+    assert(spark.read.parquet(base).count() == 1)
+  }
 }
