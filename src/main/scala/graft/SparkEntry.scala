@@ -934,6 +934,19 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    // cross-corpus exact-overlap audit: the right corpus carries verbatim
+    // copies of every doc_id%3=0 doc (shifted ids) plus modified decoys —
+    // exactly the copy pairs must surface, at (id, hash) join cost
+    "dedup_cross_corpus" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val right = d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" novel tail")).as("text")))
+      Dedup.crossCorpusPairs(d, right, Seq("text"), "doc_id", "doc_id")
+    }),
+
     // ---- ext: similarity search ----
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables(s, dir).embeddings, "vec_id", "embedding",
@@ -2763,6 +2776,12 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |SELECT doc_id, text FROM u
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
+
+    // exactly the planted verbatim copies (all fixture texts are distinct,
+    // pinned by dedup_exact's 500-of-500 survivors); decoys match nothing
+    "dedup_cross_corpus" ->
+      """SELECT doc_id AS left_id, doc_id + 1000000 AS right_id
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH u AS (SELECT doc_id AS id, text FROM documents

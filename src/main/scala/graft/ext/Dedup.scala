@@ -66,6 +66,27 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Cross-corpus exact-duplicate report: every (left id, right id) pair
+    * whose content matches byte-for-byte across two corpora — the "is my
+    * eval set already inside my training set" / "how much do these two
+    * crawls overlap" audit, at hash-join cost: both sides project down to
+    * (id, 128-bit content hash) before the join, so the shuffle carries
+    * fixed-width keys regardless of document size, and content columns
+    * never move. Returns (left_id, right_id), one row per matching pair
+    * (a content value with n left copies and m right copies yields n×m
+    * rows — the complete evidence set; dedup either side first with
+    * [[exact]] if only representative pairs are wanted).
+    */
+  def crossCorpusPairs(left: DataFrame, right: DataFrame,
+                       contentCols: Seq[String], leftIdCol: String,
+                       rightIdCol: String): DataFrame = {
+    val l = left.select(col(leftIdCol).as("left_id"),
+      contentHash(contentCols).as("__h"))
+    val r = right.select(col(rightIdCol).as("right_id"),
+      contentHash(contentCols).as("__h"))
+    l.join(r, "__h").select("left_id", "right_id")
+  }
+
   /** MinHash signature column: `numHashes` permutations approximated by
     * seeded xxhash64 over word `shingleN`-gram shingles. Deterministic
     * (seeds are literals). Empty-shingle docs get the hash of the raw text

@@ -104,20 +104,23 @@ object Urls {
   /** URL-level dedup: keep exactly one row (smallest `idCol`) per
     * canonical URL. Adds the `url_norm` column. Rows whose URL fails to
     * normalize (no scheme) are KEPT — a malformed URL is no evidence two
-    * documents are the same page. The only shuffle carries
-    * (url_norm, id, row) — content columns ride the shuffle but are never
-    * compared; at 100 TB project down to (id, url) first and semi-join
-    * the winners back if rows are wide.
+    * documents are the same page; each gets a synthetic per-row window
+    * key (space-prefixed, which no real canonical URL can start with —
+    * schemes begin with a letter), so a corpus with millions of
+    * malformed URLs never funnels them through one window partition. The
+    * only shuffle carries (window key, id, row) — content columns ride
+    * the shuffle but are never compared; at 100 TB project down to
+    * (id, url) first and semi-join the winners back if rows are wide.
     */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String,
                  dropParamRe: String = DefaultDropParamRe): DataFrame = {
     val withNorm = df.withColumn("url_norm",
       normalizeUrl(col(urlCol), dropParamRe))
-    val w = Window.partitionBy("url_norm").orderBy(col(idCol))
+    val pkey = coalesce(col("url_norm"),
+      concat(lit(" malformed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(pkey).orderBy(col(idCol))
     withNorm
-      .withColumn("__rk",
-        when(col("url_norm").isNull, lit(1))
-          .otherwise(row_number().over(w)))
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1).drop("__rk")
   }
 }

@@ -44,10 +44,10 @@ class SparkEntrySpec extends SparkSpec {
     // +vec_sign_bits, +text_gopher_quality, +text_html_extract,
     // +curate_url_normalize, +curate_url_dedup, +sink_file_jsonl,
     // +text_lm_bigram, +sink_file_orc)
-    // 173: +text_script, +text_redact_cc, +text_lm_bigram_persisted,
-    // +curate_chunk_sentences, +sink_upsert_partitioned
-    assert(SparkEntry.queries.size == 173,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 173); " +
+    // 174: +text_script, +text_redact_cc, +text_lm_bigram_persisted,
+    // +curate_chunk_sentences, +sink_upsert_partitioned, +dedup_cross_corpus
+    assert(SparkEntry.queries.size == 174,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 174); " +
         "if intentional, update this pin")
   }
 

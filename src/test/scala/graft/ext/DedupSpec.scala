@@ -537,4 +537,15 @@ class DedupSpec extends SparkSpec {
     assert(classify() == before)
     assert(before == Map(900L -> "dup_corpus", 901L -> "dup_corpus", 902L -> "admitted"))
   }
+
+  test("crossCorpusPairs reports every matching pair, n×m per shared content") {
+    val left = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"), (4L, "gamma"))
+      .toDF("id", "text")
+    val right = Seq((10L, "alpha"), (11L, "beta"), (12L, "beta"), (13L, "delta"))
+      .toDF("id", "text")
+    val got = Dedup.crossCorpusPairs(left, right, Seq("text"), "id", "id")
+      .as[(Long, Long)].collect().toSet
+    // alpha: 2 left × 1 right; beta: 1 × 2; gamma/delta unmatched
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 11L), (3L, 12L)))
+  }
 }
