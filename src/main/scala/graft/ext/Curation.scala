@@ -335,6 +335,49 @@ object Curation {
         col("__c.chunk"))
   }
 
+  /** First-fit-decreasing sequence packing — the padding-minimizing
+    * sibling of [[packSequences]] for the case where documents must NOT
+    * straddle bins (each example = whole documents + padding): within a
+    * hash shard, documents are taken largest-first and placed into the
+    * FIRST open bin with room (classic FFD — provably ≤ 11/9·OPT + 1
+    * bins, Johnson 1973, vs unbounded waste for arrival-order packing of
+    * adversarial size mixes). Documents larger than the budget get their
+    * own (over-full) bin — truncation is the chunker's job.
+    *
+    * Scale shape: each shard packs independently inside one task (shards
+    * bound partition size — pick shards ≈ corpus_tokens / executor-chunk);
+    * the per-shard state is one `remaining` counter per open bin, bounded
+    * by shard_tokens / budget. Deterministic: shard → one partition,
+    * (tokens desc, id) order fixes the FFD sequence, so the assignment is
+    * identical across runs and partitionings. `idCol` must be
+    * long-castable (it orders the tie-break). Returns the input columns
+    * plus `shard` and `bin`.
+    */
+  def packSequencesFirstFitDec(df: DataFrame, idCol: String, tokensCol: String,
+                               maxTokensPerBin: Int, shards: Int,
+                               salt: String = "graft"): DataFrame = {
+    require(maxTokensPerBin > 0 && shards > 0)
+    import df.sparkSession.implicits._
+    val prepped = df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("t"),
+        hashBucket(col(idCol), shards, salt).as("shard"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), desc("t"), col("id"))
+    val assigned = prepped.as[(Long, Long, Int)].mapPartitions { it =>
+      var curShard = Int.MinValue
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.map { case (id, t, shard) =>
+        if (shard != curShard || bins.isEmpty) { curShard = shard; bins.clear() }
+        var b = 0
+        while (b < bins.length && bins(b) < t) b += 1
+        if (b == bins.length) bins += maxTokensPerBin.toLong
+        bins(b) -= t
+        (id, shard, b.toLong)
+      }
+    }.toDF(idCol, "shard", "bin")
+    df.join(assigned, Seq(idCol))
+  }
+
   /** Sentence-aware chunking — the RAG/pretraining segmenter that never
     * splits mid-sentence: the document is segmented with
     * [[graft.functions.TextFunctions.sentencesOf]], then consecutive

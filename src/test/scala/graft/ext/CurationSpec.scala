@@ -432,6 +432,35 @@ class CurationSpec extends SparkSpec {
     assert(surviving() == before)
   }
 
+  test("packSequencesFirstFitDec: valid FFD assignment, optimal on a known mix") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 4L), (4L, 4L), (5L, 2L))
+      .toDF("id", "toks")
+    val out = Curation.packSequencesFirstFitDec(df, "id", "toks",
+      maxTokensPerBin = 10, shards = 1)
+      .select("id", "toks", "bin").as[(Long, Long, Long)].collect().toSeq
+    // every id packed exactly once
+    assert(out.map(_._1).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+    // no bin over budget
+    val sums = out.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(sums.values.forall(_ <= 10L))
+    // FFD reaches the optimum here: total 20 tokens / budget 10 = 2 bins
+    assert(out.map(_._3).distinct.size == 2)
+  }
+
+  test("packSequencesFirstFitDec: oversized docs bin alone; deterministic") {
+    val df = (1L to 40L).map(i => (i, if (i == 7L) 25L else (i % 5) + 1L))
+      .toDF("id", "toks")
+    val a = Curation.packSequencesFirstFitDec(df, "id", "toks", 8, shards = 4)
+      .select("id", "shard", "bin").as[(Long, Int, Long)].collect().toSet
+    val b = Curation.packSequencesFirstFitDec(df.repartition(13), "id", "toks",
+      8, shards = 4).select("id", "shard", "bin").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(a == b)
+    // the oversized doc shares its bin with nobody
+    val big = a.find(_._1 == 7L).get
+    assert(a.count(r => r._2 == big._2 && r._3 == big._3) == 1)
+  }
+
   test("chunkBySentences packs greedily without splitting sentences") {
     // sentence token counts: 3, 3, 3, 10, 2 — budget 6
     val doc = "one two three. four five six! seven eight nine? " +
