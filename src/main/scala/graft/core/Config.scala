@@ -372,6 +372,15 @@ object Config {
       case "qualityTopQuantile" =>
         graft.ext.Curation.topQuantileByGroup(df, str(n, "strata"),
           str(n, "score"), str(n, "tie"), n.get("keepFraction").asDouble)
+      // sentence-aware chunking (never splits a sentence)
+      case "chunkSentences" =>
+        graft.ext.Curation.chunkBySentences(df, str(n, "key"), str(n, "column"),
+          n.get("maxTokens").asInt)
+      // first-fit-decreasing whole-document packing (no straddling)
+      case "packFfd" =>
+        graft.ext.Curation.packSequencesFirstFitDec(df, str(n, "key"),
+          str(n, "tokens"), n.get("maxTokensPerBin").asInt,
+          n.get("shards").asInt, strOpt(n, "salt").getOrElse("graft"))
       case "chunk" =>
         graft.ext.Curation.chunkByTokens(df, str(n, "key"), str(n, "column"),
           n.get("chunkTokens").asInt,
@@ -591,6 +600,12 @@ object Config {
       .getOrElse(if (streaming) SaveMode.Append else SaveMode.Overwrite)
     str(n, "type") match {
       case "parquet" => FileSink.parquet(df, str(n, "path"), mode)
+      // partition-pruned keyed MERGE into a partitioned parquet table
+      // (rewrites only the partitions this batch touches)
+      case "upsertParquet" =>
+        graft.operators.Sync.upsertPartitioned(df.sparkSession, str(n, "path"),
+          df, strSeq(n, "keys"), str(n, "partitionCol"),
+          Option(n.get("maxPartitions")).map(_.asInt).getOrElse(1000))
       case "orc"     => FileSink.orc(df, str(n, "path"), mode)
       case "csv"     => FileSink.csv(df, str(n, "path"), header = true, mode)
       case "json"    => FileSink.json(df, str(n, "path"), mode)

@@ -162,6 +162,43 @@ class ConfigSpec extends SparkSpec {
     assert(rows == Seq(1L))
   }
 
+  test("chunkSentences + packFfd ops and the upsertParquet sink from config") {
+    val dir = Files.createTempDirectory("graft_cfg_pack_").toString
+    Seq((1L, "d1", "one two three. four five six! seven eight nine?"),
+        (2L, "d1", "a b. c d."),
+        (3L, "d2", "x y z."))
+      .toDF("id", "day", "text").write.parquet(s"$dir/docs")
+    // sentence chunking from YAML
+    val chunks = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - {op: chunkSentences, key: id, column: text, maxTokens: 6}
+         |""".stripMargin)
+    assert(chunks.columns.toSeq == Seq("id", "chunk_idx", "chunk"))
+    assert(chunks.count() > 3)  // at least one doc split into several chunks
+    // FFD packing from YAML (token counts via addField expression first)
+    val packed = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms:
+         |  - op: addField
+         |    fields:
+         |      toks: "size(split(text, ' '))"
+         |  - {op: packFfd, key: id, tokens: toks, maxTokensPerBin: 12, shards: 1}
+         |""".stripMargin)
+    assert(packed.columns.contains("bin") && packed.count() == 3)
+    // upsertParquet sink: seed a partitioned table, merge an update batch
+    Seq((1L, "d1", "SEED"), (9L, "d3", "other"))
+      .toDF("id", "day", "text").write.partitionBy("day").parquet(s"$dir/table")
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/docs}
+         |transforms: [{op: filter, expr: "day = 'd1'"}]
+         |sink: {type: upsertParquet, path: $dir/table, keys: [id], partitionCol: day}
+         |""".stripMargin)
+    val after = spark.read.parquet(s"$dir/table")
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(after(1L) != "SEED" && after.contains(2L) && after(9L) == "other")
+  }
+
   test("sample op from config is a pure filter of the source") {
     val dir = Files.createTempDirectory("graft_cfg_smp_").toString
     (1L to 500L).toDF("id").write.parquet(s"$dir/in")
