@@ -2777,11 +2777,17 @@ object SparkEntry {
         |SELECT doc_id, text FROM u
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
 
-    // exactly the planted verbatim copies (all fixture texts are distinct,
-    // pinned by dedup_exact's 500-of-500 survivors); decoys match nothing
+    // a faithful CONTENT join, not just the planted identity pairs: the
+    // sf0.1 fixture carries a handful of naturally-duplicated texts
+    // (4992 distinct of 5000), and every cross-corpus content match must
+    // surface — the identity-only form undercounted by those extras
     "dedup_cross_corpus" ->
-      """SELECT doc_id AS left_id, doc_id + 1000000 AS right_id
-        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+      """WITH rightc AS (
+        |  SELECT doc_id + 1000000 AS rid, text AS rtext FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' novel tail' FROM documents WHERE doc_id % 3 = 1)
+        |SELECT l.doc_id AS left_id, r.rid AS right_id
+        |FROM documents l JOIN rightc r ON l.text = r.rtext""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH u AS (SELECT doc_id AS id, text FROM documents
