@@ -3946,7 +3946,7 @@ object SparkEntry {
         |SELECT doc_id,
         |  scheme || '://' || host || path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm,
         |  host,
-        |  regexp_extract(host, '([^.:]+\.[^.:]+)$', 1) AS domain
+        |  regexp_extract(regexp_replace(host, ':[0-9]+$', ''), '([^.:]+\.[^.:]+)$', 1) AS domain
         |FROM np""".stripMargin,
 
     // per canonical URL keep the smallest doc_id — min-per-group is the

@@ -67,24 +67,34 @@ object Dedup {
   }
 
   /** Cross-corpus exact-duplicate report: every (left id, right id) pair
-    * whose content matches byte-for-byte across two corpora — the "is my
-    * eval set already inside my training set" / "how much do these two
-    * crawls overlap" audit, at hash-join cost: both sides project down to
-    * (id, 128-bit content hash) before the join, so the shuffle carries
-    * fixed-width keys regardless of document size, and content columns
-    * never move. Returns (left_id, right_id), one row per matching pair
-    * (a content value with n left copies and m right copies yields n×m
-    * rows — the complete evidence set; dedup either side first with
-    * [[exact]] if only representative pairs are wanted).
+    * whose content matches across two corpora — the "is my eval set
+    * already inside my training set" / "how much do these two crawls
+    * overlap" audit, at hash-join cost: both sides project down to
+    * (id, hash-pair) before the join, so the shuffle carries fixed-width
+    * keys regardless of document size, and content columns never move.
+    * The join key is TWO independent hashes — md5 (128-bit) AND seeded
+    * xxhash64 — because md5 collisions are practically constructible
+    * (r12 advice: adversarial crawl content could forge or mask overlap
+    * pairs in a contamination audit with a single chosen-prefix
+    * collision); forging a pair now requires a simultaneous collision in
+    * two unrelated hash families, and the shuffle key stays 24 bytes.
+    * Not a byte-equality guarantee — callers needing cryptographic
+    * certainty should equality-verify the surviving pairs against the
+    * raw content (a bounded join: only the matched ids move).
+    * Returns (left_id, right_id), one row per matching pair (a content
+    * value with n left copies and m right copies yields n×m rows — the
+    * complete evidence set; dedup either side first with [[exact]] if
+    * only representative pairs are wanted).
     */
   def crossCorpusPairs(left: DataFrame, right: DataFrame,
                        contentCols: Seq[String], leftIdCol: String,
                        rightIdCol: String): DataFrame = {
-    val l = left.select(col(leftIdCol).as("left_id"),
-      contentHash(contentCols).as("__h"))
-    val r = right.select(col(rightIdCol).as("right_id"),
-      contentHash(contentCols).as("__h"))
-    l.join(r, "__h").select("left_id", "right_id")
+    def keyed(df: DataFrame, idCol: String, outId: String) =
+      df.select(col(idCol).as(outId), contentHash(contentCols).as("__h"),
+        xxhash64(lit(0x9e3779b9L) +: contentCols.map(col): _*).as("__h2"))
+    keyed(left, leftIdCol, "left_id")
+      .join(keyed(right, rightIdCol, "right_id"), Seq("__h", "__h2"))
+      .select("left_id", "right_id")
   }
 
   /** MinHash signature column: `numHashes` permutations approximated by

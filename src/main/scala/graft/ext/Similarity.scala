@@ -145,22 +145,26 @@ object Similarity {
     * corpus row that happens to share a number would silently shrink that
     * query's ranking. Returns (query_id, corpus_id, iscore) with
     * deterministic (iscore desc, id) ranking, equal to per-query
-    * [[int8TopKFromCodes]] when `excludeSelf` is on.
+    * [[int8TopKFromCodes]] when `excludeSelf` is on. The byte-code column
+    * is `codeCol` on BOTH frames (default `"code"`, what the int8 writers
+    * emit) — callers with differently-named columns pass the name instead
+    * of renaming (r12 advice).
     */
   def int8TopKMany(codes: DataFrame, idCol: String, queries: DataFrame,
                    queryIdCol: String, k: Int,
-                   excludeSelf: Boolean = true): DataFrame = {
+                   excludeSelf: Boolean = true,
+                   codeCol: String = "code"): DataFrame = {
     require(k > 0)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val qs = queries.select(col(queryIdCol).cast("long"), col("code")).collect()
+    val qs = queries.select(col(queryIdCol).cast("long"), col(codeCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Byte](1).map(_.toInt).toArray))
     require(qs.map(_._1).distinct.length == qs.length,
       "duplicate query ids — per-query top-k would merge their candidates")
     val spark = codes.sparkSession
     val bcastQ = spark.sparkContext.broadcast(qs)
     val exclSelf = excludeSelf
-    val in = codes.select(col(idCol).cast("long"), col("code"))
+    val in = codes.select(col(idCol).cast("long"), col(codeCol))
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("corpus_id", LongType, nullable = false),
@@ -305,22 +309,26 @@ object Similarity {
     * batch ranking is oracle-compared. Ranking is (hdist asc, id asc),
     * equal to per-query [[hammingTopK]] when `excludeSelf` is on; pass
     * `excludeSelf = false` when query ids live in a different id space
-    * than the corpus (same contract as [[int8TopKMany]]).
+    * than the corpus (same contract as [[int8TopKMany]]). The packed
+    * signature column is `sigCol` on BOTH frames (default `"sig"`, what
+    * [[writeSignBits]] emits) — callers with differently-named columns
+    * pass the name instead of renaming (r12 advice).
     */
   def hammingTopKMany(sigs: DataFrame, idCol: String, queries: DataFrame,
                       queryIdCol: String, k: Int,
-                      excludeSelf: Boolean = true): DataFrame = {
+                      excludeSelf: Boolean = true,
+                      sigCol: String = "sig"): DataFrame = {
     require(k > 0)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val qs = queries.select(col(queryIdCol).cast("long"), col("sig")).collect()
+    val qs = queries.select(col(queryIdCol).cast("long"), col(sigCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     require(qs.map(_._1).distinct.length == qs.length,
       "duplicate query ids — per-query top-k would merge their candidates")
     val spark = sigs.sparkSession
     val bcastQ = spark.sparkContext.broadcast(qs)
     val exclSelf = excludeSelf
-    val in = sigs.select(col(idCol).cast("long"), col("sig"))
+    val in = sigs.select(col(idCol).cast("long"), col(sigCol))
     val outSchema = StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("corpus_id", LongType, nullable = false),

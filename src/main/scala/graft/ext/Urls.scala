@@ -88,10 +88,14 @@ object Urls {
   /** Registrable-domain approximation: the last two dot-labels of the host
     * (`a.b.site.example.com` → `example.com`). A public-suffix list would
     * refine multi-label TLDs (`co.uk`) — documented approximation, same
-    * trade C4 makes.
+    * trade C4 makes. Any `:port` suffix is stripped FIRST — [[urlHost]]
+    * keeps non-default ports (different origin), but the registrable
+    * domain is port-independent; without the strip, `bad.com:8080` would
+    * extract to `''` and sail past every domain blocklist.
     */
   def urlDomain(url: Column): Column =
-    regexp_extract(urlHost(url), "([^.:]+\\.[^.:]+)$", 1)
+    regexp_extract(regexp_replace(urlHost(url), ":[0-9]+$", ""),
+      "([^.:]+\\.[^.:]+)$", 1)
 
   /** Drop rows whose registrable domain is blocklisted. The blocklist is a
     * literal IN-predicate pushed into the scan — zero joins, zero

@@ -173,6 +173,25 @@ object Sync {
     * callers moving rows across partitions must include both partitions'
     * updates in one batch (documented contract, checked nowhere: the
     * operator cannot see an untouched partition by design).
+    *
+    * A NULL `partitionCol` in the updates is handled explicitly: `isin`
+    * alone would never match the null partition (three-valued logic), so
+    * without the `isNull` branch the base rows living under
+    * `__HIVE_DEFAULT_PARTITION__` would be neither read nor kept while
+    * dynamic overwrite still rewrote that partition with only the update
+    * rows — silently deleting every non-updated row in it (r12 advice).
+    *
+    * NOT ATOMIC vs readers/failure: this is a read-then-dynamic-overwrite
+    * of the SAME path in one job. That self-overwrite is safe against
+    * consuming its own output because the committer stages every task's
+    * files under `_temporary/` and only swaps partition directories at
+    * job-commit, AFTER all read-and-write tasks finished — but the
+    * per-partition swap itself has no transaction log: a failure DURING
+    * commit can leave some touched partitions replaced and others old,
+    * unrecoverable except by re-running the same batch (which is the
+    * supported recovery — the merge is idempotent, updates win
+    * wholesale). Use a table format with a real log when readers must
+    * never observe the torn state (r12 advice: documented hazard).
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
                         basePath: String, updates: DataFrame,
@@ -186,8 +205,16 @@ object Sync {
       s"updates touch more than $maxPartitions partitions — this operator " +
         "is for bounded-partition merges; rewrite the table instead")
     if (touched.isEmpty) return
-    val base = spark.read.parquet(basePath)
-      .filter(col(partitionCol).isin(touched.toSeq: _*))
+    val (nullTouched, nonNullTouched) = touched.partition(_ == null)
+    // explicit isNull branch: isin(...) is NULL (not true) for the null
+    // partition, which would drop __HIVE_DEFAULT_PARTITION__'s kept rows
+    val touchedPred = {
+      val inPred =
+        if (nonNullTouched.nonEmpty) col(partitionCol).isin(nonNullTouched.toSeq: _*)
+        else lit(false)
+      if (nullTouched.nonEmpty) inPred || col(partitionCol).isNull else inPred
+    }
+    val base = spark.read.parquet(basePath).filter(touchedPred)
     val kept = base.join(
       updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
     graft.sources.FileSink.overwritePartitions(

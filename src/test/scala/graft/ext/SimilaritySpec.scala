@@ -219,6 +219,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("batch kernels accept caller-named signature/code columns") {
+    // r12 advice: the column name is a parameter, not a hardcoded contract
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs2_").toString
+    Similarity.writeSignBits(real, "vec_id", "embedding", dim = 64, s"$dir/sigs")
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val renamed = sigs.withColumnRenamed("sig", "my_signature")
+    val a = Similarity.hammingTopKMany(sigs, "vec_id",
+      sigs.filter($"vec_id" === 1L), "vec_id", k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2)).toSeq
+    val b = Similarity.hammingTopKMany(renamed, "vec_id",
+      renamed.filter($"vec_id" === 1L), "vec_id", k = 5,
+      sigCol = "my_signature")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2)).toSeq
+    assert(a == b && a.nonEmpty)
+    val cdir = java.nio.file.Files.createTempDirectory("graft_codes2_").toString
+    Similarity.writeCodes(real, "vec_id", "embedding", s"$cdir/codes")
+    val codes = spark.read.parquet(s"$cdir/codes").select($"vec_id", $"code")
+    val rcodes = codes.withColumnRenamed("code", "c8")
+    val ia = Similarity.int8TopKMany(codes, "vec_id",
+      codes.filter($"vec_id" === 1L), "vec_id", k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(r => (-r._3, r._2)).toSeq
+    val ib = Similarity.int8TopKMany(rcodes, "vec_id",
+      rcodes.filter($"vec_id" === 1L), "vec_id", k = 5, codeCol = "c8")
+      .as[(Long, Long, Long)].collect().sortBy(r => (-r._3, r._2)).toSeq
+    assert(ia == ib && ia.nonEmpty)
+  }
+
   test("hammingRescoredTopK with a full-corpus rescore equals the exact scan") {
     val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = real.count().toInt

@@ -50,13 +50,20 @@ class UrlsSpec extends SparkSpec {
     val d = Seq("https://a.b.Site.Example.com:443/x").toDF("u")
       .select(Urls.urlDomain($"u")).as[String].head()
     assert(d == "example.com")
+    // NON-default port: urlHost keeps ':8080' (different origin) but the
+    // registrable domain must still extract — the r12-advice blocklist
+    // bypass (bad.com:8080 → '') is pinned closed here
+    val d2 = Seq("https://x.Example.com:8080/x").toDF("u")
+      .select(Urls.urlDomain($"u")).as[String].head()
+    assert(d2 == "example.com")
   }
 
   test("filterBlockedDomains drops blocked registrable domains") {
     val df = Seq(
       (1L, "https://spam.bad.com/x"),
       (2L, "https://ok.good.com/y"),
-      (3L, "https://Bad.COM/z")).toDF("id", "url")
+      (3L, "https://Bad.COM/z"),
+      (4L, "https://Bad.com:8080/served-on-odd-port")).toDF("id", "url")
     val kept = Urls.filterBlockedDomains(df, "url", Seq("bad.com"))
       .select("id").as[Long].collect().toSet
     assert(kept == Set(2L))

@@ -149,6 +149,22 @@ class SyncSpec extends SparkSpec {
     assert(spark.read.parquet(base).filter(col("day") === "d3").count() == 1)
   }
 
+  test("upsertPartitioned keeps non-updated rows in the NULL partition") {
+    // r12 advice: isin(touched) is never true for a null partition value,
+    // so before the explicit isNull branch an update touching the null
+    // partition silently deleted every non-updated row living in it
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert_n_").toString + "/t"
+    Seq((1L, Option("d1"), 10.0), (2L, None: Option[String], 20.0),
+      (3L, None: Option[String], 30.0))
+      .toDF("k", "day", "v").write.partitionBy("day").parquet(base)
+    // update k=2 (null partition); k=3 shares that partition, NOT updated
+    val updates = Seq((2L, None: Option[String], 22.0)).toDF("k", "day", "v")
+    Sync.upsertPartitioned(spark, base, updates, keys = Seq("k"), partitionCol = "day")
+    val got = spark.read.parquet(base).select("k", "v")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 22.0), (3L, 30.0)))
+  }
+
   test("upsertPartitioned refuses unbounded partition fans and no-ops on empty") {
     val base = java.nio.file.Files.createTempDirectory("graft_upsert_pe_").toString + "/t"
     Seq((1L, "d1", 10.0)).toDF("k", "day", "v").write.partitionBy("day").parquet(base)
