@@ -1,0 +1,456 @@
+package graft.ext
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Real (JDK-only) media decode for the multimodal tier: PNG/JPEG images
+  * via `javax.imageio` and WAV audio via a RIFF header parse — no external
+  * codec jars, everything ships in the JRE. Replaces the round-≤12 decode
+  * stubs ([[Multimodal.decodeStub]] history): the bytes ARE a real
+  * container format, the decode IS a real codec call, and every derived
+  * number (dimensions, dHash bits, block means, sample counts) is exact
+  * integer math an independent engine re-derives for the oracle compare.
+  *
+  * Scale shape, same for every op here: one `mapPartitions` pass, one
+  * codec instance per partition, no shuffle — decode is embarrassingly
+  * parallel, so the operators inherit whatever partitioning the binary
+  * scan (`spark.read.format("binaryFile")` in production, generated
+  * fixtures in tests) arrives with. Reference anchor: the reference moves
+  * media as opaque file payloads on `Message.data` (SURVEY.md §1.4); this
+  * tier upgrades those bytes to typed, queryable columns.
+  */
+object Media {
+
+  // ---------------------------------------------------------------- images
+
+  /** Luma of an RGB pixel — integer Rec.601-ish weights over 1000. For a
+    * grayscale pixel (r=g=b=v) this is exactly v: (299+587+114)=1000, so
+    * (1000·v)/1000 = v with no rounding — the property the gray-PNG
+    * oracle fixtures rely on.
+    */
+  @inline private[ext] def luma(r: Int, g: Int, b: Int): Int =
+    (299 * r + 587 * g + 114 * b) / 1000
+
+  /** Decode an image payload to a row-major luma grid via the RASTER (not
+    * `getRGB`, which routes through color-space conversion and is not
+    * bit-stable across band layouts): 1-band images read the raw sample,
+    * ≥3-band images fold bands 0..2 through [[luma]].
+    */
+  private[ext] def decodeLuma(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(y * w + x) =
+          if (bands == 1) raster.getSample(x, y, 0)
+          else luma(raster.getSample(x, y, 0), raster.getSample(x, y, 1),
+            raster.getSample(x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, bands, out)
+  }
+
+  /** Container sniff from magic bytes — decode-independent, so a payload
+    * that LIES about its type still reports what it actually is.
+    */
+  private[ext] def sniffMime(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G') "image/png"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      "image/jpeg"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      "audio/wav"
+    else "application/octet-stream"
+
+  /** Exact block-mean resample of a luma grid to `tw`×`th`: target cell
+    * (cx,cy) = floor(mean) over source block [cx·w/tw,(cx+1)·w/tw) ×
+    * [cy·h/th,(cy+1)·h/th), clamped to at least one pixel — pure integer
+    * math (sum / count with integer division), so the result is
+    * engine-independent. When (tw,th)=(w,h) it is the identity; for
+    * integer downscale factors the blocks are the uniform s×s tiles a SQL
+    * oracle can re-average; upscaling degenerates to nearest-pixel
+    * replication (the clamp), so dHash stays defined on images smaller
+    * than its 9×8 grid.
+    */
+  private[ext] def blockMean(px: Array[Int], w: Int, h: Int,
+                             tw: Int, th: Int): Array[Int] = {
+    require(tw >= 1 && th >= 1, s"bad target $tw x $th")
+    val out = new Array[Int](tw * th)
+    var cy = 0
+    while (cy < th) {
+      val y0 = cy * h / th; val y1 = math.max(y0 + 1, (cy + 1) * h / th)
+      var cx = 0
+      while (cx < tw) {
+        val x0 = cx * w / tw; val x1 = math.max(x0 + 1, (cx + 1) * w / tw)
+        var s = 0; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x); x += 1 }
+          y += 1
+        }
+        out(cy * tw + cx) = s / ((y1 - y0) * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash of a luma grid: block-mean to a 9×8 grid,
+    * then bit (y·8+x) = 1 iff cell(x+1,y) > cell(x,y) — the standard
+    * perceptual dHash (horizontal gradient signs), one BIGINT per image.
+    * Integer end-to-end: two images' similarity is `bitCount(h1 ^ h2)`,
+    * which drops straight into the engine's Hamming ANN tier.
+    */
+  private[ext] def dHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val g = blockMean(px, w, h, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Decode every image payload: REAL dimensions/bands from the codec,
+    * sniffed mime, and the perceptual [[dHash64]] — the per-image scalar
+    * row a multimodal curation pipeline joins on. One decode per row,
+    * no shuffle. Input: (idCol, contentCol binary); output adds
+    * (width, height, channels, mime, dhash). Undecodable payloads throw —
+    * quarantine upstream with a mime filter if the corpus is dirty.
+    */
+  def decodeImageMeta(df: DataFrame, idCol: String,
+                      contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(in.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, bands, px) = decodeLuma(bytes)
+        Row(r.get(0), r.get(1), w, h, bands, sniffMime(bytes), dHash64(px, w, h))
+      }
+    }, outSchema)
+  }
+
+  /** Real image resize (area/block-mean, grayscale) to `tw`×`th`: decode,
+    * [[blockMean]], re-encode as a gray PNG. Returns
+    * (idCol, content resized-PNG binary, width, height). Deterministic
+    * integer math — for integer scale factors each output pixel is
+    * floor(mean of the source tile), which an oracle re-derives from the
+    * source pattern. (Bilinear would look marginally better on photos but
+    * is FP-order-sensitive and engine-specific; area mean is the standard
+    * choice for hash pipelines precisely because it is exact.)
+    */
+  def resizeImage(df: DataFrame, idCol: String, contentCol: String,
+                  tw: Int, th: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, px) = decodeLuma(r.getAs[Array[Byte]](1))
+        val small = blockMean(px, w, h, tw, th)
+        Row(r.get(0), encodeGrayPng(small, tw, th), tw, th)
+      }
+    }, outSchema)
+  }
+
+  /** Encode a row-major gray grid (values 0..255) as a PNG — fixture
+    * generator AND the re-encode half of [[resizeImage]]. PNG is lossless,
+    * so decode∘encode is the identity on the grid (the property every
+    * image oracle here rests on).
+    */
+  def encodeGrayPng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, px(y * w + x)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Explode every image payload to its luma grid: one row per pixel,
+    * (idCol, x, y, gray) — the feature-extract shape downstream per-pixel
+    * analytics (histograms, block stats, oracle compares) consume. Row
+    * count multiplies by width×height: use on thumbnails/resized output,
+    * not raw corpus images.
+    */
+  def imagePixels(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", IntegerType, nullable = false),
+      StructField("gray", IntegerType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, _, px) = decodeLuma(r.getAs[Array[Byte]](1))
+        val id = r.get(0)
+        (0 until h).iterator.flatMap(y => (0 until w).iterator.map(x =>
+          Row(id, x, y, px(y * w + x))))
+      }
+    }, outSchema)
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance ≤ `maxDist`,
+    * WITHOUT the all-pairs cross join: the 64-bit hash splits into
+    * 64/`bandBits` bands, candidates share at least one exact band, and
+    * only candidates pay the `bitCount(xor)` check. Sound for
+    * `maxDist < 64/bandBits` by pigeonhole (≤3 differing bits cannot
+    * touch all 4 16-bit bands), i.e. the candidate cut loses NOTHING —
+    * output equals the all-pairs filter exactly, at band-join cost. Same
+    * banding economics as MinHash-LSH ([[Dedup.minhashPairs]]): the
+    * shuffle carries (band, 16-bit key, id, hash) fixed-width rows; a
+    * degenerate corpus (millions of identical hashes) concentrates in one
+    * bucket — run [[Dedup.exact]] on the hash first if that is a real
+    * risk, exact-duplicate groups don't need pair evidence.
+    * Returns (left_id, right_id, hdist), left_id < right_id.
+    */
+  def dhashNearPairs(df: DataFrame, idCol: String, hashCol: String,
+                     maxDist: Int = 3, bandBits: Int = 16): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val nBands = 64 / bandBits
+    require(maxDist < nBands,
+      s"maxDist=$maxDist needs > $maxDist bands to be lossless; " +
+        s"bandBits=$bandBits gives only $nBands")
+    val mask = (1L << bandBits) - 1
+    // band keys as a literal-indexed array (shiftright needs a literal
+    // shift): arithmetic sign-extension on the top band is masked away
+    val bandKeys = array((0 until nBands).map(b =>
+      shiftright(col("__h"), b * bandBits).bitwiseAND(lit(mask))): _*)
+    val keyed = df.select(col(idCol).cast("long").as("__id"),
+        col(hashCol).as("__h"))
+      .select(col("__id"), col("__h"),
+        posexplode(bandKeys).as(Seq("__b", "__k")))
+    val l = keyed.select(col("__b"), col("__k"), col("__id").as("left_id"),
+      col("__h").as("__hl"))
+    val r = keyed.select(col("__b"), col("__k"), col("__id").as("right_id"),
+      col("__h").as("__hr"))
+    l.join(r, Seq("__b", "__k"))
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        bit_count(col("__hl").bitwiseXOR(col("__hr"))).cast("long").as("hdist"))
+      .filter(col("hdist") <= maxDist)
+      .distinct()
+  }
+
+  /** Deterministic gray-pattern PNG fixtures, one per input row: pixel
+    * (x,y) of row (k = `patternCol`, p = `perturbCol`) is
+    * `((k·31 + x²·3 + y²·5 + x·y·7) mod 256 + p·[(x + y·w) mod 29 = 0]) mod 256`
+    * — nonlinear in (x,y) so gradient signs vary per row, and the p=1
+    * variant flips a handful of pixels (a near-duplicate, a few dHash
+    * bits apart). The formula is plain integer arithmetic so an oracle
+    * re-derives every pixel, every block mean, and every hash bit without
+    * decoding anything. Output: (idCol, content PNG binary).
+    */
+  def genPatternPngs(df: DataFrame, idCol: String, patternCol: String,
+                     perturbCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(perturbCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1); val p = r.getInt(2)
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = ((k * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
+              x.toLong * y * 7) % 256).toInt
+            val bump = if (p != 0 && (x + y * w) % 29 == 0) 1 else 0
+            px(y * w + x) = (base + bump) % 256
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.get(0), encodeGrayPng(px, w, h))
+      }
+    }, outSchema)
+  }
+
+  // ----------------------------------------------------------------- audio
+
+  /** Parsed WAV facts: everything the RIFF header states plus the data
+    * chunk size actually present.
+    */
+  private[ext] final case class WavMeta(sampleRate: Int, channels: Int,
+                                        bitsPerSample: Int, byteRate: Int,
+                                        blockAlign: Int, dataBytes: Int)
+
+  /** Parse a RIFF/WAVE header — a real container parse (chunk walk with
+    * word padding), ~30 lines of pure JDK. Throws on non-WAV bytes or a
+    * header missing fmt/data chunks; quarantine upstream via
+    * [[sniffMime]] if the corpus is dirty.
+    */
+  private[ext] def parseWav(bytes: Array[Byte]): WavMeta = {
+    require(sniffMime(bytes) == "audio/wav", "not a RIFF/WAVE payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    var dataBytes = -1
+    while (off + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = bb.getShort(off + 8) & 0xffff
+        require(audioFormat == 1, s"only PCM WAV supported, got format $audioFormat")
+        fmt = Some((bb.getShort(off + 10) & 0xffff, bb.getInt(off + 12),
+          bb.getInt(off + 16), bb.getShort(off + 20) & 0xffff,
+          bb.getShort(off + 22) & 0xffff))
+      } else if (id == "data") {
+        // trust the byte count physically present over a lying size field
+        dataBytes = math.min(size, bytes.length - off - 8)
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    val (ch, rate, byteRate, block, bits) =
+      fmt.getOrElse(throw new IllegalArgumentException("WAV missing fmt chunk"))
+    require(dataBytes >= 0, "WAV missing data chunk")
+    WavMeta(rate, ch, bits, byteRate, block, dataBytes)
+  }
+
+  /** Encode interleaved 16-bit PCM frames as a canonical 44-byte-header
+    * WAV — the fixture generator and the inverse of [[parseWav]].
+    */
+  def encodeWav(sampleRate: Int, channels: Int,
+                samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0, "partial final frame")
+    val dataBytes = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(byteRate).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decode every WAV payload's header: REAL sample rate / channels /
+    * bit depth from the fmt chunk, frame count and integer-milliseconds
+    * duration from the data chunk (`dataBytes·1000 / byteRate`, floor —
+    * exact integer math the oracle replays). Input (idCol, contentCol);
+    * output adds (sample_rate, channels, bits, n_frames, duration_ms).
+    */
+  def decodeAudioMeta(df: DataFrame, idCol: String,
+                      contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(in.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parseWav(r.getAs[Array[Byte]](1))
+        Row(r.get(0), r.get(1), m.sampleRate, m.channels, m.bitsPerSample,
+          m.dataBytes.toLong / m.blockAlign,
+          m.dataBytes.toLong * 1000 / m.byteRate)
+      }
+    }, outSchema)
+  }
+
+  /** Container-aware audio windowing — the honest replacement for byte-
+    * stride sampling ([[Multimodal.sampleFrames]], which documents itself
+    * as synthetic): windows are cut by TIME from the parsed header, each
+    * `windowMs` long, aligned DOWN to whole PCM frames (blockAlign), the
+    * final window ragged. Output one row per window:
+    * (idCol, window_idx, start_ms, n_bytes, n_frames) — all integer math
+    * from (byteRate, blockAlign, dataBytes), so an oracle re-derives the
+    * full explode. The PCM bytes themselves stay in the source row;
+    * downstream feature extractors slice `content` by
+    * (44-byte canonical header offset + window_idx·windowBytes) or carry
+    * the window spec to a decoder.
+    */
+  def audioWindows(df: DataFrame, idCol: String, contentCol: String,
+                   windowMs: Int): DataFrame = {
+    require(windowMs > 0)
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("window_idx", IntegerType, nullable = false),
+      StructField("start_ms", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val m = parseWav(r.getAs[Array[Byte]](1))
+        val wBytes = math.max(m.blockAlign,
+          m.byteRate.toLong * windowMs / 1000 / m.blockAlign * m.blockAlign).toInt
+        val nW = math.max(1L, (m.dataBytes + wBytes - 1L) / wBytes).toInt
+        (0 until nW).iterator.map { i =>
+          val off = i.toLong * wBytes
+          val n = math.min(wBytes.toLong, m.dataBytes - off).toInt
+          Row(r.get(0), i, off * 1000 / m.byteRate, n, n / m.blockAlign)
+        }
+      }
+    }, outSchema)
+  }
+
+  /** Deterministic WAV fixtures, one per input row: 16-bit PCM at
+    * (`rateCol`, `channelsCol`, `framesCol`) with sample j =
+    * `(id·7 + j·13) mod 256 − 128` (content is irrelevant to header
+    * decode; it just has to be real frames). Output (idCol, content).
+    */
+  def genWavs(df: DataFrame, idCol: String, rateCol: String,
+              channelsCol: String, framesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(rateCol).cast("int"),
+      col(channelsCol).cast("int"), col(framesCol).cast("int"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val rate = r.getInt(1)
+        val ch = r.getInt(2); val frames = r.getInt(3)
+        val samples = Array.tabulate[Short](frames * ch)(j =>
+          ((id * 7 + j * 13) % 256 - 128).toShort)
+        Row(id, encodeWav(rate, ch, samples))
+      }
+    }, outSchema)
+  }
+}

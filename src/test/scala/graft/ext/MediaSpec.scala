@@ -1,0 +1,147 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Real-codec media tier: JDK ImageIO decode (PNG lossless round-trip,
+  * JPEG/RGB band handling), dHash invariants, band-join near-dup pairs,
+  * WAV header parse round-trip, and time-based audio windowing.
+  */
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pattern(k: Long, p: Int, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val base = ((k * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
+        x.toLong * y * 7) % 256).toInt
+      (base + (if (p != 0 && (x + y * w) % 29 == 0) 1 else 0)) % 256
+    }
+
+  test("gray PNG encode→ImageIO decode is the identity on pixels") {
+    val px = pattern(5L, 0, 9, 8)
+    val bytes = Media.encodeGrayPng(px, 9, 8)
+    assert(Media.sniffMime(bytes) == "image/png")
+    val (w, h, bands, got) = Media.decodeLuma(bytes)
+    assert((w, h, bands) == (9, 8, 1))
+    assert(got.toSeq == px.toSeq)
+  }
+
+  test("decodeImageMeta reads real dimensions/bands from PNG and JPEG") {
+    // an RGB PNG (3 bands) and a JPEG, both decoded by the real codec
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7)
+      img.setRGB(x, y, (x * 40 << 16) | (y * 50 << 8) | 99)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, enc("png")), (2L, enc("jpg"))).toDF("id", "content")
+    val out = Media.decodeImageMeta(df, "id", "content")
+      .select("id", "width", "height", "channels", "mime")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 7, 5, 3, "image/png"), (2L, 7, 5, 3, "image/jpeg")))
+  }
+
+  test("luma of a gray pixel is exactly the gray value") {
+    for (v <- Seq(0, 1, 127, 128, 254, 255))
+      assert(Media.luma(v, v, v) == v)
+  }
+
+  test("blockMean upscale is nearest-pixel (dHash defined below 9x8)") {
+    // 2x2 grid upscaled to 4x2: each source pixel replicated twice in x
+    val got = Media.blockMean(Array(10, 20, 30, 40), 2, 2, 4, 2).toSeq
+    assert(got == Seq(10, 10, 20, 20, 30, 30, 40, 40))
+  }
+
+  test("dHash is invariant under its own block-mean resize") {
+    // dHash internally block-means to 9x8; resizing to 9x8 first computes
+    // the SAME means, so hash(resize(img)) == hash(img) for integer scales
+    val px = pattern(11L, 0, 18, 16)
+    val big = Seq((1L, Media.encodeGrayPng(px, 18, 16))).toDF("id", "content")
+    val hBig = Media.decodeImageMeta(big, "id", "content")
+      .select("dhash").as[Long].head()
+    val small = Media.resizeImage(big, "id", "content", 9, 8)
+    val hSmall = Media.decodeImageMeta(small, "id", "content")
+      .select("dhash").as[Long].head()
+    assert(hBig == hSmall)
+  }
+
+  test("resizeImage block means are exact integer tile averages") {
+    val px = pattern(3L, 0, 18, 16)
+    val df = Seq((1L, Media.encodeGrayPng(px, 18, 16))).toDF("id", "content")
+    val outBytes = Media.resizeImage(df, "id", "content", 9, 8)
+      .select("content").as[Array[Byte]].head()
+    val (_, _, _, got) = Media.decodeLuma(outBytes)
+    val want = Array.tabulate(72) { i =>
+      val cx = i % 9; val cy = i / 9
+      (px(2 * cy * 18 + 2 * cx) + px(2 * cy * 18 + 2 * cx + 1) +
+        px((2 * cy + 1) * 18 + 2 * cx) + px((2 * cy + 1) * 18 + 2 * cx + 1)) / 4
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("dhashNearPairs equals the all-pairs Hamming filter (lossless bands)") {
+    val docs = (0L until 40L).map(i => (i, i / 2, (i % 2).toInt)).toDF("id", "k", "p")
+    val media = Media.genPatternPngs(docs, "id", "k", "p", 9, 8)
+    val hashed = Media.decodeImageMeta(media, "id", "content").select("id", "dhash")
+    val got = Media.dhashNearPairs(hashed, "id", "dhash", maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // reference: brute-force over collected hashes
+    val hs = hashed.as[(Long, Long)].collect()
+    val want = (for {
+      (i, hi) <- hs; (j, hj) <- hs if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d.toLong)).toSet
+    assert(got == want)
+    // the fixture really plants near-dup pairs (even, odd) per pattern
+    assert(want.exists { case (l, r, _) => r == l + 1 && l % 2 == 0 })
+  }
+
+  test("WAV encode→parse round-trips the header facts") {
+    val samples = Array.tabulate[Short](300)(i => (i * 13 % 256 - 128).toShort)
+    val bytes = Media.encodeWav(16000, 2, samples)
+    assert(Media.sniffMime(bytes) == "audio/wav")
+    val m = Media.parseWav(bytes)
+    assert(m.sampleRate == 16000 && m.channels == 2 && m.bitsPerSample == 16)
+    assert(m.blockAlign == 4 && m.byteRate == 64000)
+    assert(m.dataBytes == 600 && m.dataBytes / m.blockAlign == 150)
+  }
+
+  test("parseWav rejects non-WAV and truncates a lying data size") {
+    intercept[IllegalArgumentException] {
+      Media.parseWav("definitely not audio".getBytes)
+    }
+    // data chunk claims more bytes than exist → physical truncation wins
+    val good = Media.encodeWav(8000, 1, Array.tabulate[Short](100)(_.toShort))
+    val lying = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(lying)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 100000) // data size field at offset 40 in canonical header
+    assert(Media.parseWav(lying).dataBytes == 200)
+  }
+
+  test("decodeAudioMeta derives duration by integer floor") {
+    val df = Media.genWavs(
+      Seq((1L, 8000, 1, 123), (2L, 44100, 2, 999)).toDF("id", "rate", "ch", "frames"),
+      "id", "rate", "ch", "frames")
+    val out = Media.decodeAudioMeta(df, "id", "content")
+      .select("id", "sample_rate", "channels", "bits", "n_frames", "duration_ms")
+      .as[(Long, Int, Int, Int, Long, Long)].collect().sortBy(_._1).toSeq
+    // duration = dataBytes*1000/byteRate = frames*1000/rate (floor)
+    assert(out == Seq((1L, 8000, 1, 16, 123L, 123L * 1000 / 8000),
+      (2L, 44100, 2, 16, 999L, 999L * 1000 / 44100)))
+  }
+
+  test("audioWindows cuts frame-aligned time windows with a ragged tail") {
+    // 8000 Hz mono 16-bit: byteRate 16000, blockAlign 2; 25 ms -> 400 bytes
+    val df = Media.genWavs(Seq((1L, 8000, 1, 450)).toDF("id", "rate", "ch", "frames"),
+      "id", "rate", "ch", "frames")
+    val out = Media.audioWindows(df, "id", "content", windowMs = 25)
+      .select("window_idx", "start_ms", "n_bytes", "n_frames")
+      .as[(Int, Long, Int, Int)].collect().sortBy(_._1).toSeq
+    // 450 frames = 900 bytes -> windows of 400 bytes: 400, 400, 100
+    assert(out == Seq((0, 0L, 400, 200), (1, 25L, 400, 200), (2, 50L, 100, 50)))
+  }
+}

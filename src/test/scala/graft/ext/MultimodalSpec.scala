@@ -9,26 +9,20 @@ class MultimodalSpec extends SparkSpec {
   private lazy val media = Multimodal.fromText(
     Seq((1L, "short"), (2L, "x" * 200)).toDF("id", "t"), "id", "t", "image")
 
-  test("resizeStub normalizes every payload to the target byte box") {
-    val out = Multimodal.resizeStub(media, targetBytes = 64)
-      .select(col("media_id"), length(col("content")).as("len"),
-        col("meta.width"), col("meta.height"))
-      .as[(Long, Int, Int, Int)].collect().toSeq.sortBy(_._1)
-    assert(out.forall(_._2 == 64))                  // truncated AND padded
-    assert(out.forall(r => r._3 == 224 && r._4 == 224))
-    // padded payload preserves the original prefix
-    val p = Multimodal.resizeStub(media, 64).filter($"media_id" === 1L)
-      .select(col("content").cast("string")).as[String].head()
-    assert(p.startsWith("short") && p.length == 64)
+  test("fromText wraps rows into the canonical media schema") {
+    val out = media.select(col("media_id"), col("kind"),
+      length(col("content")).as("len"), col("meta.mime"))
+      .as[(Long, String, Int, String)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, "image", 5, "text/plain"),
+      (2L, "image", 200, "text/plain")))
   }
 
-  test("decodeStub emits fixed-dim deterministic features in [0,1)") {
-    val f = Multimodal.decodeStub(media, featureDim = 4)
-      .select(col("features")).as[Seq[Double]].collect()
-    assert(f.forall(_.length == 4))
-    assert(f.flatten.forall(v => v >= 0.0 && v < 1.0))
-    val f2 = Multimodal.decodeStub(media, featureDim = 4)
-      .select(col("features")).as[Seq[Double]].collect()
-    assert(f.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+  test("sampleFrames strides payload bytes and keeps every-nth window") {
+    // 200 bytes / 64 -> 4 frames, every 2nd -> idx 0 and 2
+    val out = Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+      .filter($"media_id" === 2L)
+      .select(col("frame_idx"), length(col("frame")).as("n"))
+      .as[(Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((0, 64), (2, 64)))
   }
 }

@@ -143,15 +143,6 @@ class SimilaritySpec extends SparkSpec {
       Seq((10L, "X"), (20L, "Y")))
   }
 
-  test("multimodal: decodeStub emits a deterministic fixed-length feature vector") {
-    val media = Multimodal.fromText(Seq((1L, "abc")).toDF("id", "t"), "id", "t", "image")
-    val f1 = Multimodal.decodeStub(media, featureDim = 8).select("features")
-      .as[Seq[Double]].head()
-    val f2 = Multimodal.decodeStub(media, featureDim = 8).select("features")
-      .as[Seq[Double]].head()
-    assert(f1 == f2 && f1.length == 8 && f1.forall(v => v >= 0.0 && v < 1.0))
-  }
-
   // ---- 1-bit sign quantization / Hamming tier ----
 
   test("packSignBits packs v[i] >= 0 into bit i, across word boundaries") {
