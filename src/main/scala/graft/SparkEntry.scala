@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Pipeline, Tables}
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, Spans}
+import graft.ext.{Curation, Dedup, Media, Multimodal, Similarity, Spans}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.operators.{AsOf, ColumnOps, Enrich, Parse, Sync}
 import graft.sources.{FileSink, FileSource, JdbcSink, JdbcSource, LineParser, LineParserConfig}
@@ -41,6 +41,18 @@ object SparkEntry {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     s"/tmp/graft_q/$tag/$name"
   }
+
+  /** SF-INDEPENDENT artifact dir for queries whose DuckDB oracle
+    * `read_parquet()`s something the query itself wrote (k-means
+    * centroids, PQ codebooks — trained state that is not SQL-derivable
+    * but IS a persisted table the oracle can re-apply). The path must be
+    * a compile-time constant because oracle SQL is a static string; the
+    * last Verify/Bench run at any SF owns it, and oracle_check always
+    * runs right after the Verify that wrote it (same contract as the
+    * driver's gate).
+    */
+  private def oracleArtifactDir(name: String): String =
+    s"/tmp/graft_q/oracle_artifacts/$name"
 
   /** Build-once-per-JVM near-dedup signature index over `documents` —
     * the persisted-corpus fixture `dedup_near_classify` classifies against.
@@ -1015,15 +1027,27 @@ object SparkEntry {
       Similarity.lshTopK(Tables(s, dir).embeddings, "vec_id", "embedding", dim = 64,
         queryId = 1L, k = 10, lshBits = 6, probes = 4)),
 
-    // IVF coarse-quantizer ANN (k-means cells + probe-pruned search);
-    // k-means isn't DuckDB-expressible → rows-only check
+    // IVF coarse-quantizer ANN (k-means cells + probe-pruned search).
+    // FULL oracle since r13: the k-means FIT isn't SQL-expressible, but
+    // the fitted centroids are a persisted 8-row table — the query
+    // writeIndexes them to a fixed artifact path and the DuckDB oracle
+    // read_parquet()s them back, re-deriving cell assignment (argmin
+    // squared-L2, ties to lowest cell — the assignCells contract), probe
+    // selection, and the cosine top-k entirely in SQL. Assignment goes
+    // through assignCells (not model.transform) precisely so that
+    // tie-breaks are a stated cross-engine contract.
     "ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
+      val path = oracleArtifactDir("ann_ivf")
       // maxIter=3: a coarse quantizer needs placement, not convergence —
       // recall comes from nProbe (see Ivf scaladoc); 5 iterations measured
       // ~1.5 s slower for identical search results on this corpus
-      val idx = graft.ext.Ivf.build(e, "vec_id", "embedding", nLists = 8,
+      val fit = graft.ext.Ivf.build(e, "vec_id", "embedding", nLists = 8,
         maxIter = 3)
+      val assigned = graft.ext.Ivf.assignCells(e, "vec_id", "embedding",
+        fit.centroids)
+      graft.ext.Ivf.writeIndex(graft.ext.Ivf.Index(assigned, fit.centroids), path)
+      val idx = graft.ext.Ivf.readIndex(s, path)
       graft.ext.Ivf.search(idx.assigned, idx, "vec_id", "embedding",
         queryVec = Seq.fill(64)(0.1), k = 10, nProbe = 2)
     }),
@@ -1039,16 +1063,25 @@ object SparkEntry {
     }),
 
     // product-quantized ADC scan (FAISS-style m-byte codes, 32× the scan-
-    // byte cut of float32); k-means codebooks aren't DuckDB-expressible →
-    // rows-only, gated by ann_pq_recall
+    // byte cut of float32). FULL oracle since r13, same technique as
+    // ann_ivf: the trained codebooks persist to a fixed artifact path via
+    // writeIndex and the DuckDB oracle read_parquet()s them, re-deriving
+    // per-subspace encoding (argmin, ties to lowest code), the query's
+    // distance table, and the ADC ranking in SQL. adist is rounded to 4
+    // decimals on BOTH sides after ranking (the ranking itself compares
+    // raw doubles produced by identical sequential-sum order).
     "ann_pq" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
+      val path = oracleArtifactDir("ann_pq")
       val cb = graft.ext.Pq.train(e, "embedding", dim = 64, m = 8)
       val codes = graft.ext.Pq.encode(e, "vec_id", "embedding", cb)
+      graft.ext.Pq.writeIndex(codes, cb, path)
+      val (codes2, cb2) = graft.ext.Pq.readIndex(s, path)
       val qv = e.filter(col("vec_id") === 1L).select("embedding")
         .head().getSeq[Float](0).map(_.toDouble).toSeq
-      graft.ext.Pq.adcTopK(codes.filter(col("vec_id") =!= 1L), cb, "vec_id",
+      graft.ext.Pq.adcTopK(codes2.filter(col("vec_id") =!= 1L), cb2, "vec_id",
         qv, k = 10)
+        .withColumn("adist", round(col("adist"), 4))
     }),
 
     // the SQL registration surface driven end-to-end: GraftFunctions
@@ -1987,25 +2020,91 @@ object SparkEntry {
           col("frame").cast("string").as("frame"))
     }),
 
-    // exploded to (media_id, idx, value) scalars — raw array columns crash
-    // the driver's pandas compare, and the flat shape is oracle-expressible
-    "mm_decode_features" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents.filter(col("text").isNotNull)
-      val media = Multimodal.fromText(docs, "doc_id", "text", "image")
-      Multimodal.decodeStub(media, featureDim = 8)
-        .select(col("media_id"), posexplode(col("features")).as(Seq("feature_idx", "feature")))
-        .select(col("media_id"), col("feature_idx").cast("bigint").as("feature_idx"),
-          col("feature"))
+    // ---- ext: multimodal — REAL codecs (JDK ImageIO / RIFF parse) ----
+    // Fixtures are deterministic gray patterns round-tripped through REAL
+    // PNG bytes: the query encodes pattern→PNG, decodes PNG→pixels with
+    // javax.imageio, and derives integer facts; the oracle re-derives the
+    // same facts straight from the pattern formula — losslessness of the
+    // codec round-trip is exactly what the hash compare proves.
+    "mm_decode" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+        .withColumn("k", floor(col("doc_id") / 2).cast("long"))
+        .withColumn("p", (col("doc_id") % 2).cast("int"))
+      val media = Media.genPatternPngs(ids, "doc_id", "k", "p", w = 9, h = 8)
+      Media.decodeImageMeta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("width"), col("height"),
+          col("channels"), col("mime"), col("dhash"))
     }),
 
-    // resize stub: every payload normalized to a fixed byte box with
-    // stamped target dimensions (rpad truncate/pad on both engines)
+    // perceptual near-dup image pairs: dHash + lossless band join (output
+    // == the all-pairs Hamming≤3 filter, at band-bucket cost)
+    "mm_image_dedup" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+        .withColumn("k", floor(col("doc_id") / 2).cast("long"))
+        .withColumn("p", (col("doc_id") % 2).cast("int"))
+      val media = Media.genPatternPngs(ids, "doc_id", "k", "p", w = 9, h = 8)
+      val hashed = Media.decodeImageMeta(media, "doc_id", "content")
+        .select(col("doc_id"), col("dhash"))
+      Media.dhashNearPairs(hashed, "doc_id", "dhash", maxDist = 3)
+    }),
+
+    // dHash composed with the batch Hamming ANN kernel: image search IS
+    // the existing 1-word signature tier with sig = [dhash]
+    "mm_image_search" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 400)
+        .withColumn("k", floor(col("doc_id") / 2).cast("long"))
+        .withColumn("p", (col("doc_id") % 2).cast("int"))
+      val media = Media.genPatternPngs(ids, "doc_id", "k", "p", w = 9, h = 8)
+      val sigs = Media.decodeImageMeta(media, "doc_id", "content")
+        .select(col("doc_id"), array(col("dhash")).as("sig"))
+      Similarity.hammingTopKMany(sigs, "doc_id",
+        sigs.filter(col("doc_id") < 10), "doc_id", k = 5)
+    }),
+
+    // real area resize: 18×16 pattern → 9×8 block means, emitted as
+    // exploded pixels (media_id, x, y, gray) the oracle re-averages
     "mm_resize" -> ((s, dir) => {
-      val docs = Tables(s, dir).documents.filter(col("text").isNotNull)
-      val media = Multimodal.fromText(docs, "doc_id", "text", "image")
-      Multimodal.resizeStub(media, targetBytes = 96)
-        .select(col("media_id"), col("content").cast("string").as("payload"),
-          col("meta.width").as("w"), col("meta.height").as("h"))
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 100)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("p", lit(0))
+      val media = Media.genPatternPngs(ids, "doc_id", "k", "p", w = 18, h = 16)
+      val small = Media.resizeImage(media, "doc_id", "content", tw = 9, th = 8)
+      Media.imagePixels(small, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("x"), col("y"), col("gray"))
+    }),
+
+    // WAV header decode: REAL RIFF fmt/data chunk parse over generated
+    // 16-bit PCM payloads with id-derived parameters
+    "mm_audio_meta" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("rate", when(col("doc_id") % 3 === 0, 8000)
+          .when(col("doc_id") % 3 === 1, 16000).otherwise(44100))
+        .withColumn("ch", (col("doc_id") % 2 + 1).cast("int"))
+        .withColumn("frames", (lit(100) + (col("doc_id") % 50) * 10).cast("int"))
+      val media = Media.genWavs(ids, "doc_id", "rate", "ch", "frames")
+      Media.decodeAudioMeta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_frames"), col("duration_ms"))
+    }),
+
+    // container-aware time windowing from the parsed header (frame-aligned
+    // 25 ms windows, ragged tail)
+    "mm_audio_windows" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 60)
+        .withColumn("rate", when(col("doc_id") % 3 === 0, 8000)
+          .when(col("doc_id") % 3 === 1, 16000).otherwise(44100))
+        .withColumn("ch", (col("doc_id") % 2 + 1).cast("int"))
+        .withColumn("frames", (lit(200) + (col("doc_id") % 7) * 97).cast("int"))
+      val media = Media.genWavs(ids, "doc_id", "rate", "ch", "frames")
+      Media.audioWindows(media, "doc_id", "content", windowMs = 25)
+        .select(col("doc_id").as("media_id"), col("window_idx"),
+          col("start_ms"), col("n_bytes"), col("n_frames"))
     }),
 
     // ---- streaming (file stream over the events table, AvailableNow) ----
@@ -2312,8 +2411,11 @@ object SparkEntry {
     * key can never again land rows-only without a named correctness gate.
     */
   def rowsOnlyGates: Map[String, String] = Map(
-    "ann_ivf"             -> "ann_ivf_recall",
-    "ann_pq"              -> "ann_pq_recall",
+    // ann_ivf / ann_pq graduated to FULL oracles in r13 (the oracle
+    // read_parquet()s the persisted centroids/codebooks and re-derives
+    // assignment + search in SQL); the two keys left are the genuinely
+    // irreducible ones: a wall-clock id generator and a driver-side
+    // iterative merge loop.
     "xf_idkey_snowflake"  -> "xf_idkey_snowflake_gate",
     "text_bpe_counts"     -> "text_bpe_counts_gate")
 
@@ -3048,6 +3150,63 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS hit_id
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
 
+    // IVF re-derived from the persisted quantizer: centroids come from the
+    // artifact the query wrote (k-means fit is the ONLY non-SQL step);
+    // assignment (argmin L2, ties → lowest cell), probe selection, and the
+    // probed cosine top-k are all re-computed in SQL. (centroid[i] - 0.1)²
+    // equals Spark's (0.1 - centroid[i])² exactly — FP negation is exact.
+    "ann_ivf" ->
+      """WITH cents AS (SELECT list_id, centroid
+        |    FROM read_parquet('/tmp/graft_q/oracle_artifacts/ann_ivf/centroids/*.parquet')),
+        |  probes AS (SELECT list_id FROM (
+        |    SELECT list_id, list_sum(list_transform(range(1, 65),
+        |      i -> (centroid[i] - 0.1) * (centroid[i] - 0.1))) AS d FROM cents)
+        |    ORDER BY d, list_id LIMIT 2),
+        |  asg AS (SELECT vec_id, embedding FROM (
+        |    SELECT e.vec_id, e.embedding, c.list_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+        |             * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+        |        c.list_id) AS rk
+        |    FROM embeddings e, cents c)
+        |    WHERE rk = 1 AND list_id IN (SELECT list_id FROM probes))
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * 0.1))
+        |    / sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+        |         * list_sum(list_transform(range(1, 65), i -> 0.1 * 0.1))), 4) AS score
+        |FROM asg ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // PQ ADC re-derived from the persisted codebooks: encode = per-subspace
+    // argmin (ties → lowest code), the query's distance table = squared L2
+    // of query slice vs codeword, adist = subspace-ORDERED sum of lookups
+    // (list(d ORDER BY subspace) → list_sum matches Spark's sequential
+    // j=0..7 accumulation); rounded to 4 decimals after ranking, like the
+    // Spark side
+    "ann_pq" ->
+      """WITH cb AS (SELECT subspace, code, centroid
+        |    FROM read_parquet('/tmp/graft_q/oracle_artifacts/ann_pq/codebooks/*.parquet')),
+        |  q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |    FROM embeddings WHERE vec_id = 1),
+        |  tbl AS (SELECT subspace, code,
+        |      list_sum(list_transform(range(1, 9),
+        |        i -> (qv[subspace*8 + i] - centroid[i]) * (qv[subspace*8 + i] - centroid[i]))) AS d
+        |    FROM cb, q),
+        |  enc AS (SELECT vec_id, subspace, code FROM (
+        |    SELECT e.vec_id, c.subspace, c.code,
+        |      row_number() OVER (PARTITION BY e.vec_id, c.subspace ORDER BY
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (CAST(e.embedding[c.subspace*8 + i] AS DOUBLE) - c.centroid[i])
+        |             * (CAST(e.embedding[c.subspace*8 + i] AS DOUBLE) - c.centroid[i]))),
+        |        c.code) AS rk
+        |    FROM embeddings e, cb c WHERE e.vec_id <> 1)
+        |    WHERE rk = 1),
+        |  ad AS (SELECT enc.vec_id, list_sum(list(tbl.d ORDER BY enc.subspace)) AS adist
+        |    FROM enc JOIN tbl ON tbl.subspace = enc.subspace AND tbl.code = enc.code
+        |    GROUP BY enc.vec_id)
+        |SELECT vec_id, round(adist, 4) AS adist
+        |FROM ad ORDER BY ad.adist, vec_id LIMIT 10""".stripMargin,
+
     "ann_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
         |SELECT vec_id,
@@ -3226,17 +3385,110 @@ object SparkEntry {
         |  FROM (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
         |    ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM documents))""".stripMargin,
 
-    // decodeStub feature i = int(md5(text ‖ i)[0:6 hex]) / 2^24 — the hex
-    // prefix folds to an integer via instr on the hex alphabet; 16.0**k
-    // keeps the arithmetic in exact-double range so values match Spark's
-    // conv(...,16,10)/2^24 bit-for-bit
-    "mm_decode_features" ->
-      """SELECT doc_id AS media_id, j AS feature_idx,
-        |  list_sum(list_transform(range(1, 7),
-        |    k -> (instr('0123456789abcdef', substr(md5(text || CAST(j AS VARCHAR)), CAST(k AS INT), 1)) - 1)
-        |         * (16.0 ** (6 - k)))) / 16777216.0 AS feature
-        |FROM documents, unnest(range(0, 8)) AS t(j)
-        |WHERE text IS NOT NULL""".stripMargin,
+    // real-codec image oracles: the dHash is re-derived straight from the
+    // pattern formula (the PNG round-trip is lossless, so decode(encode(g))
+    // == g); the 64-bit hash is assembled as two 32-bit halves with integer
+    // shifts and recombined into a signed BIGINT (two's complement: hi ≥
+    // 2^31 → subtract 2^32 before scaling) because DuckDB's ** returns
+    // DOUBLE, which cannot hold 64 distinct bits
+    "mm_decode" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k, doc_id % 2 AS p
+        |    FROM documents WHERE doc_id < 120),
+        |  g AS (SELECT id, x, y,
+        |      ((k*31 + x*x*3 + y*y*5 + x*y*7) % 256
+        |       + p * (CASE WHEN (x + y*9) % 29 = 0 THEN 1 ELSE 0 END)) % 256 AS v
+        |    FROM ids, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT DISTINCT id FROM ids) i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id)
+        |SELECT id AS media_id, 9 AS width, 8 AS height, 1 AS channels,
+        |  'image/png' AS mime,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs""".stripMargin,
+
+    // band-join pair set == the all-pairs Hamming filter (lossless by
+    // pigeonhole), so the oracle IS the all-pairs filter over formula
+    // hashes
+    "mm_image_dedup" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k, doc_id % 2 AS p
+        |    FROM documents WHERE doc_id < 400),
+        |  g AS (SELECT id, x, y,
+        |      ((k*31 + x*x*3 + y*y*5 + x*y*7) % 256
+        |       + p * (CASE WHEN (x + y*9) % 29 = 0 THEN 1 ELSE 0 END)) % 256 AS v
+        |    FROM ids, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT DISTINCT id FROM ids) i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id),
+        |  h AS (SELECT id,
+        |      CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |           ELSE hi * 4294967296 + lo END AS dh
+        |    FROM hs)
+        |SELECT a.id AS left_id, b.id AS right_id,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hdist
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin,
+
+    "mm_image_search" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k, doc_id % 2 AS p
+        |    FROM documents WHERE doc_id < 400),
+        |  g AS (SELECT id, x, y,
+        |      ((k*31 + x*x*3 + y*y*5 + x*y*7) % 256
+        |       + p * (CASE WHEN (x + y*9) % 29 = 0 THEN 1 ELSE 0 END)) % 256 AS v
+        |    FROM ids, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT DISTINCT id FROM ids) i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id),
+        |  h AS (SELECT id,
+        |      CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |           ELSE hi * 4294967296 + lo END AS dh
+        |    FROM hs)
+        |SELECT query_id, corpus_id, hdist FROM (
+        |  SELECT q.id AS query_id, c.id AS corpus_id,
+        |    CAST(bit_count(xor(q.dh, c.dh)) AS BIGINT) AS hdist,
+        |    row_number() OVER (PARTITION BY q.id
+        |      ORDER BY bit_count(xor(q.dh, c.dh)), c.id) AS rk
+        |  FROM h q JOIN h c ON q.id < 10 AND c.id <> q.id)
+        |WHERE rk <= 5""".stripMargin,
+
+    "mm_audio_meta" ->
+      """WITH ids AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS rate,
+        |    CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |    100 + (doc_id % 50) * 10 AS frames
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT id AS media_id, CAST(rate AS INT) AS sample_rate, ch AS channels,
+        |  16 AS bits, CAST(frames AS BIGINT) AS n_frames,
+        |  CAST((frames * ch * 2 * 1000) // (rate * ch * 2) AS BIGINT) AS duration_ms
+        |FROM ids""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH ids AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS rate,
+        |    doc_id % 2 + 1 AS ch,
+        |    200 + (doc_id % 7) * 97 AS frames
+        |  FROM documents WHERE doc_id < 60),
+        |  geom AS (SELECT id, rate * ch * 2 AS byte_rate, ch * 2 AS block_align,
+        |      frames * ch * 2 AS data_bytes,
+        |      greatest(ch * 2, ((rate * ch * 2) * 25 // 1000) // (ch * 2) * (ch * 2)) AS w_bytes
+        |    FROM ids)
+        |SELECT id AS media_id, CAST(i AS INT) AS window_idx,
+        |  CAST((i * w_bytes) * 1000 // byte_rate AS BIGINT) AS start_ms,
+        |  CAST(least(w_bytes, data_bytes - i * w_bytes) AS INT) AS n_bytes,
+        |  CAST(least(w_bytes, data_bytes - i * w_bytes) // block_align AS INT) AS n_frames
+        |FROM geom, unnest(range(0, greatest(1, (data_bytes + w_bytes - 1) // w_bytes))) t(i)""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
@@ -3538,10 +3790,18 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n")
     },
 
+    // real area resize: each 9×8 output pixel is the floor-mean of its 2×2
+    // source tile, re-derived from the 18×16 pattern (integer // division
+    // matches Scala's Int division on the non-negative sums)
     "mm_resize" ->
-      """SELECT doc_id AS media_id, rpad(text, 96, ' ') AS payload,
-        |  224 AS w, 224 AS h
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k
+        |    FROM documents WHERE doc_id < 100),
+        |  g AS (SELECT id, x, y,
+        |      (k*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM ids, unnest(range(0, 18)) tx(x), unnest(range(0, 16)) ty(y))
+        |SELECT id AS media_id, CAST(x // 2 AS INT) AS x, CAST(y // 2 AS INT) AS y,
+        |  CAST(CAST(SUM(v) AS BIGINT) // 4 AS INT) AS gray
+        |FROM g GROUP BY id, x // 2, y // 2""".stripMargin,
 
     "stream_tumbling_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS wstart, event_type, count(*) AS cnt

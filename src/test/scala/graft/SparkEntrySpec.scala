@@ -46,8 +46,11 @@ class SparkEntrySpec extends SparkSpec {
     // +text_lm_bigram, +sink_file_orc)
     // 174: +text_script, +text_redact_cc, +text_lm_bigram_persisted,
     // +curate_chunk_sentences, +sink_upsert_partitioned, +dedup_cross_corpus
-    assert(SparkEntry.queries.size == 174,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 174); " +
+    // 178 round 13 real-codec media tier: -mm_decode_features (stub
+    // retired), +mm_decode, +mm_image_dedup, +mm_image_search,
+    // +mm_audio_meta, +mm_audio_windows (mm_resize replaced in place)
+    assert(SparkEntry.queries.size == 178,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 178); " +
         "if intentional, update this pin")
   }
 
