@@ -165,6 +165,10 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       prefixes.isEmpty || prefixes.exists(n.startsWith)
     }
+    // per-query 1-min load sample (r12 advice: the canonical run was taken
+    // at load 7.2 and read 10% slow vs a quiet host — a single global load
+    // can't show WHICH queries ate the drift; this pins noise to queries)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val resultsFull = selected.map { case (name, fn) =>
       // pay accumulated GC debt outside the next query's timing window —
       // without this one random query per run absorbs a multi-second pause
@@ -179,6 +183,7 @@ object Bench {
         }
       }
       val sh0 = settledShuffleBytes()
+      val loadAtStart = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
       val okQ =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -187,9 +192,9 @@ object Bench {
         }
       val sec = if (okQ) (System.nanoTime() - t0) / 1e9 else -1.0
       val shMb = if (okQ) (settledShuffleBytes() - sh0) / 1e6 else -1.0
-      (name, sec, shMb)
+      (name, sec, shMb, loadAtStart)
     }
-    val results = resultsFull.map { case (n, sec, _) => (n, sec) }
+    val results = resultsFull.map { case (n, sec, _, _) => (n, sec) }
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val nFailed = results.count(_._2 < 0)
     val total = ok.sum
@@ -223,8 +228,13 @@ object Bench {
 
     val fullQs = results.map { case (k, v) => jsonStr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
-    val fullSh = resultsFull.map { case (k, _, mb) => jsonStr(k) + ":" + r3(mb) }
+    val fullSh = resultsFull.map { case (k, _, mb, _) => jsonStr(k) + ":" + r3(mb) }
       .mkString("{", ",", "}")
+    // load at each query's start + the run-wide max: a reader comparing
+    // rounds can drop (or deflate) exactly the queries that ran hot
+    val fullLoad = resultsFull.map { case (k, _, _, ld) => jsonStr(k) + ":" + r3(ld) }
+      .mkString("{", ",", "}")
+    val loadMax = resultsFull.map(_._4).foldLeft(0.0)(math.max)
     // n_queries = ATTEMPTED (stable denominator across artifacts even when
     // failures differ — round-10 lesson); n_ok/n_failed break it down.
     // mean_per_query stays mean over the ok set (a -1 would poison it).
@@ -232,8 +242,10 @@ object Bench {
     // field predate the change and their n_queries means ok-count.
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","schema":2,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,""" +
-      s""""mean_per_query":${r3(mean)},"env":$env,"stream":$stream,""" +
-      s""""queries":$fullQs,"queries_shuffle_mb":$fullSh}"""
+      s""""mean_per_query":${r3(mean)},"load_max":${r3(loadMax)},""" +
+      s""""env":$env,"stream":$stream,""" +
+      s""""queries":$fullQs,"queries_shuffle_mb":$fullSh,""" +
+      s""""queries_load":$fullLoad}"""
     Files.write(Paths.get(outFile), full.getBytes("UTF-8"))
 
     // the slowest queries are the only per-query data that fits the tail
@@ -242,7 +254,8 @@ object Bench {
       .map { case (k, v) => jsonStr(k) + ":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","schema":2,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,""" +
-      s""""mean_per_query":${r3(mean)},"env":$env,"stream":$stream,""" +
+      s""""mean_per_query":${r3(mean)},"load_max":${r3(loadMax)},""" +
+      s""""env":$env,"stream":$stream,""" +
       s""""queries":$slowest,"queries_truncated":true,""" +
       s""""queries_file":${jsonStr(outFile)}}""")
     spark.stop()

@@ -529,6 +529,67 @@ object Config {
           bands = Option(n.get("bands")).map(_.asInt).getOrElse(4),
           rowsPerBand = Option(n.get("rowsPerBand")).map(_.asInt).getOrElse(4))
         df
+      // ---- maintenance: ERASURE from persisted indexes. The task's input
+      // relation IS the id list (retention sweeps / right-to-be-forgotten
+      // batches arrive as a relation like any other); every op is a
+      // filtered compaction under the index's commit marker and passes the
+      // ids through so a sink can journal what was erased.
+      case "ivfErase" =>
+        graft.ext.Ivf.deleteFromIndex(df.sparkSession, str(n, "path"),
+          str(n, "id"), df.select(str(n, "id")))
+        df
+      case "pqErase" =>
+        graft.ext.Pq.deleteFromIndex(df.sparkSession, str(n, "path"),
+          str(n, "id"), df.select(str(n, "id")))
+        df
+      case "ivfpqErase" =>
+        graft.ext.IvfPq.deleteFromIndex(df.sparkSession, str(n, "path"),
+          str(n, "id"), df.select(str(n, "id")))
+        df
+      case "dedupNearErase" =>
+        graft.ext.Dedup.deleteFromNearIndex(df.sparkSession, str(n, "path"),
+          df.select(str(n, "id")),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3),
+          bands = Option(n.get("bands")).map(_.asInt).getOrElse(4),
+          rowsPerBand = Option(n.get("rowsPerBand")).map(_.asInt).getOrElse(4))
+        df
+      case "semanticErase" =>
+        graft.ext.Dedup.deleteFromSemanticIndex(df.sparkSession, str(n, "path"),
+          df.select(str(n, "id")),
+          k = Option(n.get("k")).map(_.asInt).getOrElse(64),
+          dim = Option(n.get("dim")).map(_.asInt).getOrElse(64))
+        df
+      case "searchIndexErase" =>
+        graft.ext.SearchIndex.delete(df.sparkSession, str(n, "path"),
+          df.select(str(n, "id")))
+        df
+      // ---- decontamination index lifecycle (ext/Curation): build/append
+      // are pass-throughs over the EVAL relation (mirror of
+      // dedupNearIndexBuild); classify treats the task's input as the
+      // training batch; compact/erase are maintenance like the ANN tiers
+      case "decontamIndexBuild" =>
+        graft.ext.Curation.buildDecontamIndex(df, str(n, "id"),
+          str(n, "column"), str(n, "path"),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3))
+        df
+      case "decontamIndexAppend" =>
+        graft.ext.Curation.appendDecontamIndex(df, str(n, "id"),
+          str(n, "column"), str(n, "path"),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3))
+        df
+      case "decontamIncremental" =>
+        graft.ext.Curation.decontaminateIncremental(df, str(n, "id"),
+          str(n, "column"), str(n, "path"),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3))
+      case "decontamCompact" =>
+        graft.ext.Curation.compactDecontamIndex(df.sparkSession, str(n, "path"),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3))
+        df
+      case "decontamErase" =>
+        graft.ext.Curation.deleteFromDecontamIndex(df.sparkSession,
+          str(n, "path"), df.select(str(n, "id")),
+          shingleN = Option(n.get("shingleN")).map(_.asInt).getOrElse(3))
+        df
       // full-text relevance: scan form over the upstream frame
       case "bm25" =>
         graft.ext.Search.bm25TopK(df, str(n, "id"), str(n, "column"),

@@ -858,6 +858,87 @@ class ConfigSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("erasure from config: ivfErase retires ids from the persisted index") {
+    val dir = Files.createTempDirectory("graft_cfg_erase_").toString
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => if (d == (i % 4).toInt * 2) 10.0f else rnd.nextFloat() * 0.3f).toSeq)
+    }
+    (base ++ base.map { case (i, v) => (i + 1000L, v) })
+      .toDF("vec_id", "vec").write.parquet(s"$dir/corpus")
+    // erase the planted copies of queries 0..4; search for all 10
+    (1000L until 1005L).map(Tuple1(_)).toDF("vec_id").write.parquet(s"$dir/erase")
+    base.take(10).toDF("vec_id", "vec").write.parquet(s"$dir/queries")
+    Config.runAll(spark,
+      s"""tasks:
+         |  - name: build
+         |    source: {type: parquet, path: $dir/corpus}
+         |    transforms:
+         |      - {op: ivfBuild, id: vec_id, vec: vec, nLists: 4, maxIter: 2,
+         |         path: $dir/ivf}
+         |  - name: retire
+         |    source: {type: parquet, path: $dir/erase}
+         |    transforms:
+         |      - {op: ivfErase, id: vec_id, path: $dir/ivf}
+         |  - name: search
+         |    source: {type: parquet, path: $dir/queries}
+         |    transforms:
+         |      - {op: ivfSearchMany, path: $dir/ivf, id: vec_id, vec: vec,
+         |         k: 3, nProbe: 1}
+         |    sink: {type: parquet, path: $dir/hits}
+         |""".stripMargin)
+    val planted = spark.read.parquet(s"$dir/hits")
+      .filter($"corpus_id" === $"query_id" + 1000L)
+      .select("corpus_id").as[Long].collect().toSet
+    // erased copies are gone from results; the other 5 still retrieved
+    assert(planted == (1005L until 1010L).toSet)
+  }
+
+  test("decontam lifecycle from config: build, classify, append, compact, erase") {
+    val dir = Files.createTempDirectory("graft_cfg_dc_").toString
+    // two eval docs; training batch shares text with eval 1 only
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six"))
+      .toDF("eval_id", "text").write.parquet(s"$dir/eval")
+    Seq((10L, "alpha beta gamma delta epsilon zeta eta"),   // hits eval 1
+        (11L, "totally unrelated training text here okay"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch")
+    Seq(Tuple1(1L)).toDF("eval_id").write.parquet(s"$dir/retire")
+    val out1 = Config.runAll(spark,
+      s"""tasks:
+         |  - name: build
+         |    source: {type: parquet, path: $dir/eval}
+         |    transforms:
+         |      - {op: decontamIndexBuild, id: eval_id, column: text, path: $dir/dc}
+         |  - name: classify
+         |    source: {type: parquet, path: $dir/batch}
+         |    transforms:
+         |      - {op: decontamIncremental, id: doc_id, column: text, path: $dir/dc}
+         |""".stripMargin)
+    assert(out1("classify").select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // append a third eval set, compact, then retire eval 1: doc 10 now clean
+    Seq((3L, "seven eight nine ten eleven twelve"))
+      .toDF("eval_id", "text").write.parquet(s"$dir/eval2")
+    val out2 = Config.runAll(spark,
+      s"""tasks:
+         |  - name: extend
+         |    source: {type: parquet, path: $dir/eval2}
+         |    transforms:
+         |      - {op: decontamIndexAppend, id: eval_id, column: text, path: $dir/dc}
+         |      - {op: decontamCompact, path: $dir/dc}
+         |  - name: retire
+         |    source: {type: parquet, path: $dir/retire}
+         |    transforms:
+         |      - {op: decontamErase, id: eval_id, path: $dir/dc}
+         |  - name: reclassify
+         |    source: {type: parquet, path: $dir/batch}
+         |    transforms:
+         |      - {op: decontamIncremental, id: doc_id, column: text, path: $dir/dc}
+         |""".stripMargin)
+    assert(out2("reclassify").select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L))
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")

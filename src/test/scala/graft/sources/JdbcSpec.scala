@@ -83,6 +83,33 @@ class JdbcSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("filter and column pruning push down into the JDBC scan plan") {
+    // SURVEY §4 claims predicate/column pushdown on the JDBC source is
+    // free via Catalyst — this pins the EVIDENCE (r12 advice): the
+    // executed plan's JDBC scan must carry the filter in PushedFilters
+    // (Spark renders WHERE remotely, not post-scan) and a pruned
+    // ReadSchema with only the selected column.
+    val url = freshUrl()
+    JdbcSink.append((1 to 50).map(i => (i, i * 2, s"s$i")).toDF("id", "n", "s"),
+      url, "t5", mode = SaveMode.Overwrite)
+    val scan = JdbcSource.read(spark, url, "t5")
+      .filter($"n" > 60).select("id")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(n,60)"),
+      s"filter not pushed to JDBC:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id: int>") ||
+      plan.contains("ReadSchema: struct<id:int>"),
+      s"column pruning did not reach the JDBC scan:\n$plan")
+    assert(scan.as[Int].collect().sorted.toSeq == (31 to 50).toSeq)
+    // LIMIT does NOT push through the v1 JDBC relation (Spark applies it
+    // post-scan); the engine's bounded-read scale path is query-mode
+    // pushdown, where the database executes the whole clause — pin that
+    // the remote query really runs the limit
+    val limited = JdbcSource.read(spark, url,
+      "SELECT \"id\" FROM t5 ORDER BY \"id\" FETCH FIRST 3 ROWS ONLY")
+    assert(limited.as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("updateSql renders the reference's predicated-UPDATE shape") {
     assert(JdbcSink.updateSql("t", Seq("a", "b"), Seq("id"), Some("x > 0")) ==
       "UPDATE t SET a=?, b=? WHERE id=? AND (x > 0)")
