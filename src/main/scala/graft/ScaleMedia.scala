@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling measurement for the real-codec media tier: decode+dHash over a
+  * corpus of N real PNGs at 1× and `mult`×, plus the band-join pair stage
+  * over the resulting hashes. The design claims under test: decode is a
+  * per-row codec call with NO shuffle (cost must scale ~linearly with
+  * rows, embarrassingly parallel), and [[graft.ext.Media.dhashNearPairs]]
+  * shuffles only fixed-width (band, key, id, hash) rows — so pair-finding
+  * cost tracks candidate-pair count, never N².
+  *
+  * Usage: runMain graft.ScaleMedia <mult> <label> [nopairs]
+  * (base = 2,000 images). `nopairs` skips the pair stage — the synthetic
+  * pattern family is deliberately self-similar, so emitted-pair count
+  * grows ~quadratically with corpus and at 100× the pair stage measures
+  * the fixture's density, not the join (the 10× point + the PlanShapeSpec
+  * equi-join pin carry the pair-stage story).
+  * Prints one SCALE_MEDIA line.
+  */
+object ScaleMedia {
+  def main(args: Array[String]): Unit = {
+    val (multS, label, doPairs) = args match {
+      case Array(m, l) => (m, l, true)
+      case Array(m, l, "nopairs") => (m, l, false)
+    }
+    val mult = multS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nBase = 2000L
+    val n = nBase * mult
+    // 48x40 gray patterns (realistic thumbnail-ish size, 1920 px decoded
+    // per image); every other image is a perturbed near-dup of its even
+    // neighbor, so the pair stage has real work at every scale
+    val ids = spark.range(n).select(col("id"),
+      (col("id") / 2).cast("long").as("k"), (col("id") % 2).cast("int").as("p"))
+      .repartition(cpus.toInt)
+    val media = graft.ext.Media.genPatternPngs(ids, "id", "k", "p", w = 48, h = 40)
+      .localCheckpoint(true) // encode cost OUT of the decode clock
+
+    val t0 = System.nanoTime()
+    val hashed = graft.ext.Media.decodeImageMeta(media, "id", "content")
+      .select(col("id"), col("dhash")).localCheckpoint(true)
+    val decodeSec = (System.nanoTime() - t0) / 1e9
+
+    val (pairSec, pairs) = if (doPairs) {
+      val t1 = System.nanoTime()
+      val p = graft.ext.Media.dhashNearPairs(hashed, "id", "dhash",
+        maxDist = 3).count()
+      ((System.nanoTime() - t1) / 1e9, p)
+    } else (-1.0, -1L)
+
+    println(f"SCALE_MEDIA label=$label images=$n decode_hash_sec=$decodeSec%.2f " +
+      f"images_per_sec=${n / decodeSec}%.0f pair_join_sec=$pairSec%.2f pairs=$pairs")
+    spark.stop()
+  }
+}

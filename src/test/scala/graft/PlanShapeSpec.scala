@@ -168,6 +168,19 @@ class PlanShapeSpec extends SparkSpec {
         "partitioned window, or idKeySnowflake for surrogate keys")
   }
 
+  test("dhashNearPairs is an equi-join on band keys — never a cross join") {
+    // the image near-dup tier's whole scale claim: candidates come from a
+    // hash-partitionable (band, key) equi-join; an all-pairs Hamming
+    // filter would plan a cartesian/BNLJ and die at corpus scale
+    val hashes = spark.range(200).select($"id",
+      xxhash64($"id").as("dhash"))
+    val plan = physical(graft.ext.Media.dhashNearPairs(hashes, "id", "dhash"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to all-pairs:\n$plan")
+    assert(plan.contains("Join"), s"no join planned at all:\n$plan")
+  }
+
   test("tokenStats aggregates with exactly one exchange (map-side combine)") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select($"lang", lit(1L).as("t"))
