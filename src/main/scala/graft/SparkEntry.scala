@@ -2092,6 +2092,42 @@ object SparkEntry {
           col("channels"), col("bits"), col("n_frames"), col("duration_ms"))
     }),
 
+    // RIFF/AVI main-header decode: the video leg of the real-container
+    // triad (avih chunk nested in LIST(hdrl) — a two-level RIFF walk)
+    "mm_video_meta" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("uspf", when(col("doc_id") % 3 === 0, 41667)
+          .when(col("doc_id") % 3 === 1, 33333).otherwise(16667))
+        .withColumn("frames", (lit(100) + (col("doc_id") % 60) * 25).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+      val media = Media.genAvis(ids, "doc_id", "uspf", "frames", "w", "h")
+      Media.decodeVideoMeta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("width"), col("height"),
+          col("n_frames"), col("n_streams"), col("fps_x1000"),
+          col("duration_ms"))
+    }),
+
+    // dirty-corpus quarantine: odd ids carry garbage bytes; the lenient
+    // decoder must split the stream in ONE pass without failing the job
+    "mm_decode_quarantine" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+        .withColumn("k", floor(col("doc_id") / 2).cast("long"))
+        .withColumn("p", lit(0))
+      val good = Media.genPatternPngs(ids.filter(col("doc_id") % 2 === 0),
+        "doc_id", "k", "p", w = 9, h = 8)
+      val bad = ids.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          concat(lit("not an image #"), col("doc_id").cast("string"))
+            .cast("binary").as("content"))
+      Media.decodeImageMetaLenient(good.unionByName(bad), "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("decode_ok"),
+          col("decode_err"), col("mime"), col("width"), col("height"),
+          col("dhash"))
+    }),
+
     // container-aware time windowing from the parsed header (frame-aligned
     // 25 ms windows, ragged tail)
     "mm_audio_windows" -> ((s, dir) => {
@@ -3473,6 +3509,48 @@ object SparkEntry {
         |  16 AS bits, CAST(frames AS BIGINT) AS n_frames,
         |  CAST((frames * ch * 2 * 1000) // (rate * ch * 2) AS BIGINT) AS duration_ms
         |FROM ids""".stripMargin,
+
+    "mm_video_meta" ->
+      """WITH ids AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 41667 WHEN doc_id % 3 = 1 THEN 33333 ELSE 16667 END AS uspf,
+        |    100 + (doc_id % 60) * 25 AS frames,
+        |    320 + (doc_id % 4) * 160 AS w,
+        |    240 + (doc_id % 4) * 120 AS h
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(frames AS INT) AS n_frames, 1 AS n_streams,
+        |  CAST(1000000000 // uspf AS BIGINT) AS fps_x1000,
+        |  CAST(uspf * frames // 1000 AS BIGINT) AS duration_ms
+        |FROM ids""".stripMargin,
+
+    // even ids decode (dhash re-derived from the pattern formula, perturb
+    // p=0); odd ids are sniffed as octet-stream and quarantined with the
+    // decoder's failure class — ImageIO returns null → requirement failed
+    "mm_decode_quarantine" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k
+        |    FROM documents WHERE doc_id < 200),
+        |  evens AS (SELECT id, k FROM ids WHERE id % 2 = 0),
+        |  g AS (SELECT id, x, y,
+        |      (k*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM evens, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id FROM evens) i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id)
+        |SELECT id AS media_id, TRUE AS decode_ok, CAST(NULL AS VARCHAR) AS decode_err,
+        |  'image/png' AS mime, 9 AS width, 8 AS height,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs
+        |UNION ALL
+        |SELECT id AS media_id, FALSE AS decode_ok,
+        |  'IllegalArgumentException' AS decode_err,
+        |  'application/octet-stream' AS mime, CAST(NULL AS INT) AS width,
+        |  CAST(NULL AS INT) AS height, CAST(NULL AS BIGINT) AS dhash
+        |FROM ids WHERE id % 2 = 1""".stripMargin,
 
     "mm_audio_windows" ->
       """WITH ids AS (SELECT doc_id AS id,

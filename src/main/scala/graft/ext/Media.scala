@@ -75,6 +75,9 @@ object Media {
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
       "audio/wav"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+      "video/avi"
     else "application/octet-stream"
 
   /** Exact block-mean resample of a luma grid to `tw`×`th`: target cell
@@ -201,6 +204,44 @@ object Media {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** [[decodeImageMeta]] for DIRTY corpora: undecodable payloads are
+    * quarantined in place instead of failing the job — `decode_ok=false`
+    * with null facts and the failure class in `decode_err`, so one pass
+    * splits a crawl into the processable stream
+    * (`filter($"decode_ok")`) and a quarantine ledger
+    * (`filter(!$"decode_ok")`) without re-reading bytes. Strict
+    * [[decodeImageMeta]] stays the default — a fixture pipeline WANTS to
+    * fail loudly on a bad byte; lenient is for the open web.
+    */
+  def decodeImageMetaLenient(df: DataFrame, idCol: String,
+                             contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(in.schema.fields ++ Seq(
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("decode_err", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("mime", StringType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val mime = if (bytes == null) "application/octet-stream" else sniffMime(bytes)
+        try {
+          require(bytes != null, "null payload")
+          val (w, h, bands, px) = decodeLuma(bytes)
+          Row(r.get(0), r.get(1), true, null, w, h, bands, mime, dHash64(px, w, h))
+        } catch {
+          case e: Exception =>
+            Row(r.get(0), r.get(1), false, e.getClass.getSimpleName,
+              null, null, null, mime, null)
+        }
+      }
+    }, outSchema)
   }
 
   /** Explode every image payload to its luma grid: one row per pixel,
@@ -426,6 +467,125 @@ object Media {
           val n = math.min(wBytes.toLong, m.dataBytes - off).toInt
           Row(r.get(0), i, off * 1000 / m.byteRate, n, n / m.blockAlign)
         }
+      }
+    }, outSchema)
+  }
+
+  // ----------------------------------------------------------------- video
+
+  /** Parsed AVI facts from the `avih` main header. */
+  private[ext] final case class AviMeta(usPerFrame: Int, totalFrames: Int,
+                                        streams: Int, width: Int, height: Int)
+
+  /** Parse a RIFF/AVI container's `avih` main header — the same RIFF
+    * chunk walk as [[parseWav]], one level deeper: AVI nests its headers
+    * inside `LIST(hdrl)`, so the walker descends into LIST chunks (4-byte
+    * list type, then sub-chunks) until it finds `avih`. Pure JDK; throws
+    * on non-AVI bytes or a container missing the header.
+    */
+  private[ext] def parseAvi(bytes: Array[Byte]): AviMeta = {
+    require(sniffMime(bytes) == "video/avi", "not a RIFF/AVI payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def scan(from: Int, until: Int): Option[AviMeta] = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val size = bb.getInt(off + 4)
+        val end = math.min(off + 8 + size, until)
+        if (id == "LIST" && size >= 4) {
+          // LIST payload = 4-byte list type + sub-chunks
+          val found = scan(off + 12, end)
+          if (found.isDefined) return found
+        } else if (id == "avih" && size >= 40) {
+          return Some(AviMeta(bb.getInt(off + 8), bb.getInt(off + 24),
+            bb.getInt(off + 32), bb.getInt(off + 40), bb.getInt(off + 44)))
+        }
+        off += 8 + size + (size & 1)
+      }
+      None
+    }
+    scan(12, bytes.length)
+      .getOrElse(throw new IllegalArgumentException("AVI missing avih header"))
+  }
+
+  /** Encode a minimal canonical AVI container: `RIFF(AVI  LIST(hdrl
+    * avih(...)) LIST(movi <payload>))` — the fixture generator and the
+    * inverse of [[parseAvi]] for the header fields it reads.
+    */
+  def encodeAvi(usPerFrame: Int, totalFrames: Int, streams: Int,
+                width: Int, height: Int,
+                movi: Array[Byte] = Array.empty): Array[Byte] = {
+    val avihSize = 56
+    val hdrlSize = 4 + 8 + avihSize          // "hdrl" + avih chunk
+    val moviSize = 4 + movi.length           // "movi" + payload bytes
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(hdrlSize)
+      .put("hdrl".getBytes("US-ASCII"))
+      .put("avih".getBytes("US-ASCII")).putInt(avihSize)
+      .putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(totalFrames).putInt(0).putInt(streams).putInt(0)
+      .putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+      .put("LIST".getBytes("US-ASCII")).putInt(moviSize)
+      .put("movi".getBytes("US-ASCII")).put(movi)
+    bb.array()
+  }
+
+  /** Decode every AVI payload's main header: REAL frame timing, frame
+    * count, stream count, and dimensions from the `avih` chunk, plus the
+    * integer-floor duration (`usPerFrame·totalFrames / 1000` — exact
+    * integer math the oracle replays). Completes the real-container triad
+    * (PNG/JPEG images, WAV audio, AVI video) with zero external jars.
+    * Input (idCol, contentCol); output adds
+    * (width, height, n_frames, n_streams, fps_x1000, duration_ms).
+    */
+  def decodeVideoMeta(df: DataFrame, idCol: String,
+                      contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(in.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("n_streams", IntegerType, nullable = false),
+      StructField("fps_x1000", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parseAvi(r.getAs[Array[Byte]](1))
+        Row(r.get(0), r.get(1), m.width, m.height, m.totalFrames, m.streams,
+          // frames per 1000 s = 1e9 / usPerFrame — integer, no FP
+          1000000000L / m.usPerFrame,
+          m.usPerFrame.toLong * m.totalFrames / 1000)
+      }
+    }, outSchema)
+  }
+
+  /** Deterministic AVI fixtures, one per input row, from id-derived
+    * header parameters. The `movi` payload is a tiny deterministic byte
+    * run (header decode never reads it).
+    */
+  def genAvis(df: DataFrame, idCol: String, usPerFrameCol: String,
+              framesCol: String, widthCol: String,
+              heightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(usPerFrameCol).cast("int"),
+      col(framesCol).cast("int"), col(widthCol).cast("int"),
+      col(heightCol).cast("int"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val movi = Array.tabulate[Byte](16)(i => ((id * 31 + i * 7) % 256).toByte)
+        Row(id, encodeAvi(r.getInt(1), r.getInt(2), streams = 1,
+          r.getInt(3), r.getInt(4), movi))
       }
     }, outSchema)
   }

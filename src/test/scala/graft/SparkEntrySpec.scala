@@ -49,8 +49,11 @@ class SparkEntrySpec extends SparkSpec {
     // 178 round 13 real-codec media tier: -mm_decode_features (stub
     // retired), +mm_decode, +mm_image_dedup, +mm_image_search,
     // +mm_audio_meta, +mm_audio_windows (mm_resize replaced in place)
-    assert(SparkEntry.queries.size == 178,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 178); " +
+    // 180 round 13: +mm_video_meta (RIFF/AVI avih parse — the video leg
+    // of the container triad), +mm_decode_quarantine (lenient decode
+    // splits a dirty corpus in one pass)
+    assert(SparkEntry.queries.size == 180,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 180); " +
         "if intentional, update this pin")
   }
 

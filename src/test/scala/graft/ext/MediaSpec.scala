@@ -99,6 +99,50 @@ class MediaSpec extends SparkSpec {
     assert(want.exists { case (l, r, _) => r == l + 1 && l % 2 == 0 })
   }
 
+  test("AVI encode→parse round-trips the avih header through LIST nesting") {
+    val bytes = Media.encodeAvi(usPerFrame = 33333, totalFrames = 250,
+      streams = 2, width = 640, height = 480,
+      movi = Array.tabulate[Byte](32)(_.toByte))
+    assert(Media.sniffMime(bytes) == "video/avi")
+    val m = Media.parseAvi(bytes)
+    assert(m == Media.AviMeta(33333, 250, 2, 640, 480))
+    intercept[IllegalArgumentException] { Media.parseAvi("nope".getBytes) }
+    // a WAV is RIFF but not AVI — the sniff keeps them apart
+    val wav = Media.encodeWav(8000, 1, Array.tabulate[Short](10)(_.toShort))
+    intercept[IllegalArgumentException] { Media.parseAvi(wav) }
+  }
+
+  test("decodeVideoMeta derives integer fps and floor duration") {
+    val df = Media.genAvis(
+      Seq((1L, 41667, 2500, 320, 240)).toDF("id", "uspf", "frames", "w", "h"),
+      "id", "uspf", "frames", "w", "h")
+    val out = Media.decodeVideoMeta(df, "id", "content")
+      .select("width", "height", "n_frames", "n_streams", "fps_x1000", "duration_ms")
+      .as[(Int, Int, Int, Int, Long, Long)].head()
+    // fps_x1000 = 1e9/41667 = 23999 (23.999 fps); duration = 41667*2500/1000
+    assert(out == ((320, 240, 2500, 1, 23999L, 104167L)))
+  }
+
+  test("lenient decode quarantines garbage in place, keeps good rows exact") {
+    val px = pattern(4L, 0, 9, 8)
+    val df = Seq(
+      (1L, Media.encodeGrayPng(px, 9, 8)),
+      (2L, "definitely not a png".getBytes)).toDF("id", "content")
+    val out = Media.decodeImageMetaLenient(df, "id", "content")
+      .select("id", "decode_ok", "decode_err", "mime", "width")
+      .as[(Long, Boolean, Option[String], String, Option[Int])]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, true, None, "image/png", Some(9))))
+    assert(out(1) == ((2L, false, Some("IllegalArgumentException"),
+      "application/octet-stream", None)))
+    // good row's dhash equals the strict decoder's
+    val strict = Media.decodeImageMeta(df.filter($"id" === 1L), "id", "content")
+      .select("dhash").as[Long].head()
+    val lenient = Media.decodeImageMetaLenient(df, "id", "content")
+      .filter($"id" === 1L).select("dhash").as[Long].head()
+    assert(strict == lenient)
+  }
+
   test("WAV encode→parse round-trips the header facts") {
     val samples = Array.tabulate[Short](300)(i => (i * 13 % 256 - 128).toShort)
     val bytes = Media.encodeWav(16000, 2, samples)
