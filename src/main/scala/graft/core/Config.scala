@@ -176,6 +176,12 @@ object Config {
           .option("inferSchema", strOpt(n, "inferSchema").getOrElse("false"))
           .csv(str(n, "path"))
       case "json" => spark.read.json(str(n, "path"))
+      // opaque media files: (path, modificationTime, length, content) —
+      // the production entry point for the ext/Media codec tier
+      case "binaryFile" =>
+        val r = spark.read.format("binaryFile")
+        strOpt(n, "pathGlobFilter").fold(r)(g => r.option("pathGlobFilter", g))
+          .load(str(n, "path"))
       case "queue" =>
         spark.readStream.format("graft.streaming.QueueSourceProvider")
           .option("queue", str(n, "name")).load()
@@ -645,6 +651,27 @@ object Config {
         graft.ext.IvfPq.appendIndex(df.sparkSession, str(n, "path"), df,
           str(n, "id"), str(n, "vec"))
         df
+      // ---- real-codec media tier (ext/Media): decode is a per-row codec
+      // call with no shuffle, so these compose anywhere in a task chain;
+      // production sources pair them with `spark.read.format("binaryFile")`
+      case "imageDecode" =>
+        graft.ext.Media.decodeImageMeta(df, str(n, "id"), str(n, "column"))
+      case "imageDecodeLenient" =>
+        graft.ext.Media.decodeImageMetaLenient(df, str(n, "id"), str(n, "column"))
+      case "imageResize" =>
+        graft.ext.Media.resizeImage(df, str(n, "id"), str(n, "column"),
+          tw = n.get("width").asInt, th = n.get("height").asInt)
+      case "imageDedupPairs" =>
+        graft.ext.Media.dhashNearPairs(df, str(n, "id"), str(n, "hash"),
+          maxDist = Option(n.get("maxDist")).map(_.asInt).getOrElse(3),
+          bandBits = Option(n.get("bandBits")).map(_.asInt).getOrElse(16))
+      case "audioMeta" =>
+        graft.ext.Media.decodeAudioMeta(df, str(n, "id"), str(n, "column"))
+      case "audioWindows" =>
+        graft.ext.Media.audioWindows(df, str(n, "id"), str(n, "column"),
+          windowMs = n.get("windowMs").asInt)
+      case "videoMeta" =>
+        graft.ext.Media.decodeVideoMeta(df, str(n, "id"), str(n, "column"))
       // data-quality gate: fail the task if any rule has violations
       // (minRows guards empty upstreams that row-level rules cannot see)
       case "expect" =>

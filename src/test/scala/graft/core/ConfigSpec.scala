@@ -939,6 +939,43 @@ class ConfigSpec extends SparkSpec {
       Seq(10L, 11L))
   }
 
+  test("media pipeline from config: binaryFile source, real decode, pair dedup") {
+    val dir = Files.createTempDirectory("graft_cfg_media_").toString
+    // write REAL PNG files to disk (two near-dup pairs + decoys), then
+    // drive the whole tier from YAML: binaryFile → decode → band-join
+    new java.io.File(s"$dir/imgs").mkdirs()
+    val ids = (0L until 8L).map(i => (i, i / 2, (i % 2).toInt)).toDF("id", "k", "p")
+    graft.ext.Media.genPatternPngs(ids, "id", "k", "p", 9, 8)
+      .collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/imgs/img_${r.getLong(0)}.png"),
+          r.getAs[Array[Byte]](1))
+      }
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: decode
+         |    source: {type: binaryFile, path: $dir/imgs, pathGlobFilter: "*.png"}
+         |    transforms:
+         |      - op: include
+         |        columns:
+         |          id: "CAST(regexp_extract(path, 'img_([0-9]+)', 1) AS BIGINT)"
+         |          content: content
+         |      - {op: imageDecode, id: id, column: content}
+         |  - name: pairs
+         |    source: {type: task, name: decode}
+         |    transforms:
+         |      - {op: imageDedupPairs, id: id, hash: dhash, maxDist: 3}
+         |""".stripMargin)
+    val dec = out("decode")
+    assert(dec.columns.contains("dhash") && dec.count() == 8)
+    assert(dec.filter($"mime" === "image/png" && $"width" === 9).count() == 8)
+    // planted (even, odd) near-dup pairs all surface
+    val pairs = out("pairs").select("left_id", "right_id")
+      .as[(Long, Long)].collect().toSet
+    for (k <- 0L until 4L)
+      assert(pairs.contains((2 * k, 2 * k + 1)), s"missing planted pair $k")
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")
