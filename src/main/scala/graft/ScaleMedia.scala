@@ -11,20 +11,25 @@ import org.apache.spark.sql.functions._
   * shuffles only fixed-width (band, key, id, hash) rows — so pair-finding
   * cost tracks candidate-pair count, never N².
   *
-  * Usage: runMain graft.ScaleMedia <mult> <label> [nopairs]
+  * Usage: runMain graft.ScaleMedia <mult> <label> [nopairs|audio]
   * (base = 2,000 images). `nopairs` skips the pair stage — the synthetic
   * pattern family is deliberately self-similar, so emitted-pair count
   * grows ~quadratically with corpus and at 100× the pair stage measures
   * the fixture's density, not the join (the 10× point + the PlanShapeSpec
   * equi-join pin carry the pair-stage story).
-  * Prints one SCALE_MEDIA line.
+  * `audio` measures the OTHER per-row scan legs instead: imageStats over
+  * the PNG corpus and audioEnergy over a WAV corpus (base = 2,000 clips,
+  * 16 kHz mono ~0.5 s each) — both shuffle-free per-row scans whose cost
+  * must stay linear in payload bytes.
+  * Prints one SCALE_MEDIA (or SCALE_MEDIA_AUDIO) line.
   */
 object ScaleMedia {
   def main(args: Array[String]): Unit = {
-    val (multS, label, doPairs) = args match {
-      case Array(m, l) => (m, l, true)
-      case Array(m, l, "nopairs") => (m, l, false)
+    val (multS, label, mode) = args match {
+      case Array(m, l) => (m, l, "full")
+      case Array(m, l, md) => (m, l, md)
     }
+    val doPairs = mode == "full"
     val mult = multS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -37,6 +42,37 @@ object ScaleMedia {
 
     val nBase = 2000L
     val n = nBase * mult
+
+    if (mode == "audio") {
+      // image-stats leg: same PNG corpus as the decode leg
+      val ids0 = spark.range(n).select(col("id"),
+        (col("id") / 2).cast("long").as("k"), (col("id") % 2).cast("int").as("p"))
+        .repartition(cpus.toInt)
+      val pngs = graft.ext.Media.genPatternPngs(ids0, "id", "k", "p",
+        w = 48, h = 40).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val nStats = graft.ext.Media.imageStats(pngs, "id", "content")
+        .filter(col("luma_min") < col("luma_max")).count()
+      val statsSec = (System.nanoTime() - t0) / 1e9
+
+      // audio leg: 16 kHz mono clips, 8,000 frames (~0.5 s) each, windowed
+      // at 25 ms -> ~32 windows and 8k real sample reads per clip
+      val clips = spark.range(n).select(col("id"),
+        lit(16000).as("rate"), lit(1).as("ch"), lit(8000).as("frames"))
+        .repartition(cpus.toInt)
+      val wavs = graft.ext.Media.genWavs(clips, "id", "rate", "ch", "frames")
+        .localCheckpoint(true)
+      val t1 = System.nanoTime()
+      val nWin = graft.ext.Media.audioEnergy(wavs, "id", "content",
+        windowMs = 25).count()
+      val energySec = (System.nanoTime() - t1) / 1e9
+
+      println(f"SCALE_MEDIA_AUDIO label=$label images=$n stats_sec=$statsSec%.2f " +
+        f"stats_imgs_per_sec=${nStats / statsSec}%.0f clips=$n windows=$nWin " +
+        f"energy_sec=$energySec%.2f samples_per_sec=${n * 8000 / energySec}%.0f")
+      spark.stop()
+      return
+    }
     // 48x40 gray patterns (realistic thumbnail-ish size, 1920 px decoded
     // per image); every other image is a perturbed near-dup of its even
     // neighbor, so the pair stage has real work at every scale

@@ -1757,6 +1757,48 @@ object SparkEntry {
             col("stop_hits") >= 1L).cast("bigint"))
     }),
 
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): the fixture mixes
+    // keepable lines (≥5 words, terminal punct) with boilerplate the rule
+    // must strip — no-punct body text, enable-JS banners, short lines —
+    // and the oracle replays the keep rule token-for-token
+    "text_c4_clean" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val mtext = concat_ws("\n",
+        concat(lit("Intro words for doc "), col("doc_id"), lit(" ok.")),
+        col("text"),
+        lit("Please enable javascript to view this page."),
+        when(col("doc_id") % 3 === 0, lit("Too short line."))
+          .otherwise(lit("This line has six words total.")),
+        concat(lit("Tail marker words for doc "), col("doc_id"), lit("?")))
+      d.select(col("doc_id"),
+        size(split(mtext, "\n")).cast("bigint").as("n_lines"),
+        size(split(T.c4CleanLines(mtext), "\n")).cast("bigint").as("n_kept"),
+        T.c4CleanLines(mtext).as("clean_text"))
+    }),
+
+    // the full C4 page gate over already-cleaned text: ≥3 sentences, no
+    // lorem ipsum, no curly brace, no bad-word token — fixture plants
+    // each violation on a residue class, survivors keep their clean text
+    "curate_c4_filter" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val mtext = concat_ws("\n",
+        concat(lit("Intro words for doc "), col("doc_id"), lit(" ok.")),
+        when(col("doc_id") % 5 === 0,
+          lit("Lorem ipsum dolor sit amet consectetur."))
+          .otherwise(lit("This page has real content sentences.")),
+        when(col("doc_id") % 7 === 0,
+          lit("Config block { display none } here."))
+          .otherwise(lit("Another safe line of plain words.")),
+        when(col("doc_id") % 11 === 0,
+          lit("Buy cheap viagra pills online now."))
+          .otherwise(lit("Closing words for this page end.")),
+        col("text"))
+      val cleaned = T.c4CleanLines(mtext)
+      d.select(col("doc_id"), cleaned.as("clean_text"),
+          T.sentenceCount(cleaned).as("n_sentences"))
+        .filter(T.c4Keep(col("clean_text")))
+    }),
+
     // HTML → visible text: the fixture wraps each doc in a full page
     // (head/title/style/script/comment/entities) and the extractor must
     // recover exactly title + heading + body text + decoded tail — the
@@ -2141,6 +2183,82 @@ object SparkEntry {
       Media.audioWindows(media, "doc_id", "content", windowMs = 25)
         .select(col("doc_id").as("media_id"), col("window_idx"),
           col("start_ms"), col("n_bytes"), col("n_frames"))
+    }),
+
+    // LAION-style image-quality gate over REAL decoded pixels: exact
+    // integer luma stats per image, thresholds composed in the plan
+    // (min-dim 8, aspect within [1/2, 2], not solid-color) — the odd ids'
+    // 5x4 thumbnails are dropped by the dimension gate
+    "mm_image_quality" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("p", lit(0))
+      val big = Media.genPatternPngs(
+        ids.filter(col("doc_id") % 2 === 0), "doc_id", "k", "p", w = 9, h = 8)
+      val small = Media.genPatternPngs(
+        ids.filter(col("doc_id") % 2 =!= 0), "doc_id", "k", "p", w = 5, h = 4)
+      Media.imageStats(big.unionByName(small), "doc_id", "content")
+        .filter(col("width") >= 8 && col("height") >= 8 &&
+          col("width") * 1000 <= col("height") * 2000 &&
+          col("height") * 1000 <= col("width") * 2000 &&
+          col("luma_min") < col("luma_max"))
+        .select(col("doc_id").as("media_id"), col("width"), col("height"),
+          col("n_px"), col("luma_sum"), col("luma_sq_sum"),
+          col("luma_min"), col("luma_max"), col("mean_milli"))
+    }),
+
+    // average hash (second perceptual family next to dHash): 16x16
+    // pattern → exact 2x2 block means → bit = cell > grid mean, all
+    // integer math the oracle replays pixel-for-pixel
+    "mm_ahash" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+        .withColumn("k", floor(col("doc_id") / 2).cast("long"))
+        .withColumn("p", (col("doc_id") % 2).cast("int"))
+      val media = Media.genPatternPngs(ids, "doc_id", "k", "p", w = 16, h = 16)
+      Media.imageAHash(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("width"), col("height"),
+          col("ahash"))
+    }),
+
+    // real PCM scan: per-window sum of squared 16-bit samples + peak, cut
+    // on the same header-derived windows as mm_audio_windows; silence
+    // classification stays in the plan as an exact integer compare
+    "mm_audio_energy" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 100)
+        .withColumn("rate", when(col("doc_id") % 3 === 0, 8000)
+          .when(col("doc_id") % 3 === 1, 16000).otherwise(44100))
+        .withColumn("ch", (col("doc_id") % 2 + 1).cast("int"))
+        .withColumn("frames", (lit(150) + (col("doc_id") % 11) * 37).cast("int"))
+      val media = Media.genWavs(ids, "doc_id", "rate", "ch", "frames")
+      Media.audioEnergy(media, "doc_id", "content", windowMs = 20)
+        .select(col("doc_id").as("media_id"), col("window_idx"),
+          col("start_ms"), col("n_samples"), col("sum_sq"), col("peak_abs"),
+          (col("sum_sq") < col("n_samples").cast("long") * 5440L).as("silent"))
+    }),
+
+    // image+caption pair curation end-to-end: decode → dHash near-dup
+    // representative selection (band join, drop the larger id of every
+    // near pair) → caption length gate — the multimodal tier composed
+    // with the text tier in one plan
+    "mm_pair_curation" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 300)
+      val ids = docs.select(col("doc_id"))
+        .withColumn("k", floor(col("doc_id") / 2).cast("long"))
+        .withColumn("p", (col("doc_id") % 2).cast("int"))
+      val media = Media.genPatternPngs(ids, "doc_id", "k", "p", w = 9, h = 8)
+      val meta = Media.decodeImageMeta(media, "doc_id", "content")
+        .select(col("doc_id"), col("width"), col("height"), col("dhash"))
+      val losers = Media.dhashNearPairs(meta, "doc_id", "dhash", maxDist = 3)
+        .select(col("right_id").as("doc_id")).distinct()
+      meta.join(losers, Seq("doc_id"), "left_anti")
+        .join(docs, Seq("doc_id"))
+        .filter(T.tokenCount(col("text")) >= 10L && col("width") >= 8)
+        .select(col("doc_id").as("media_id"), col("dhash"),
+          T.tokenCount(col("text")).as("n_tokens"))
     }),
 
     // ---- streaming (file stream over the events table, AvailableNow) ----
@@ -3567,6 +3685,165 @@ object SparkEntry {
         |  CAST(least(w_bytes, data_bytes - i * w_bytes) AS INT) AS n_bytes,
         |  CAST(least(w_bytes, data_bytes - i * w_bytes) // block_align AS INT) AS n_frames
         |FROM geom, unnest(range(0, greatest(1, (data_bytes + w_bytes - 1) // w_bytes))) t(i)""".stripMargin,
+
+    // per-image integer luma stats re-derived from the pattern formula,
+    // then the same dimension/aspect/solid gates applied in SQL
+    "mm_image_quality" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k,
+        |    CASE WHEN doc_id % 2 = 0 THEN 9 ELSE 5 END AS w,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 4 END AS h
+        |  FROM documents WHERE doc_id < 150),
+        |  g AS (SELECT id, w, h, (k*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM ids, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+        |  st AS (SELECT id, w, h, count(*) AS n_px, sum(v) AS s, sum(v*v) AS sq,
+        |      min(v) AS mn, max(v) AS mx
+        |    FROM g GROUP BY id, w, h)
+        |SELECT id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n_px AS INT) AS n_px, CAST(s AS BIGINT) AS luma_sum,
+        |  CAST(sq AS BIGINT) AS luma_sq_sum, CAST(mn AS INT) AS luma_min,
+        |  CAST(mx AS INT) AS luma_max, CAST(s * 1000 // n_px AS BIGINT) AS mean_milli
+        |FROM st
+        |WHERE w >= 8 AND h >= 8 AND w * 1000 <= h * 2000 AND h * 1000 <= w * 2000
+        |  AND mn < mx""".stripMargin,
+
+    // aHash replayed: 16x16 pattern → exact 2x2 block means → grid mean →
+    // bit = cell > mean, packed hi/lo into one signed BIGINT
+    "mm_ahash" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k, doc_id % 2 AS p
+        |    FROM documents WHERE doc_id < 120),
+        |  g AS (SELECT id, x, y,
+        |      ((k*31 + x*x*3 + y*y*5 + x*y*7) % 256
+        |       + p * (CASE WHEN (x + y*16) % 29 = 0 THEN 1 ELSE 0 END)) % 256 AS v
+        |    FROM ids, unnest(range(0, 16)) tx(x), unnest(range(0, 16)) ty(y)),
+        |  b AS (SELECT id, x // 2 AS cx, y // 2 AS cy, CAST(SUM(v) // 4 AS BIGINT) AS bv
+        |    FROM g GROUP BY id, x // 2, y // 2),
+        |  m AS (SELECT id, SUM(bv) // 64 AS mean FROM b GROUP BY id),
+        |  bits AS (SELECT b.id, cy*8 + cx AS bit
+        |    FROM b JOIN m ON m.id = b.id WHERE bv > mean),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT DISTINCT id FROM ids) i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id)
+        |SELECT id AS media_id, 16 AS width, 16 AS height,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS ahash
+        |FROM hs""".stripMargin,
+
+    // every PCM sample re-derived from the generator formula
+    // v(j) = (id·7 + j·13) mod 256 − 128, summed per header-cut window
+    "mm_audio_energy" ->
+      """WITH ids AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS rate,
+        |    doc_id % 2 + 1 AS ch,
+        |    150 + (doc_id % 11) * 37 AS frames
+        |  FROM documents WHERE doc_id < 100),
+        |  geom AS (SELECT id, rate * ch * 2 AS br, ch * 2 AS ba,
+        |      frames * ch * 2 AS db,
+        |      greatest(ch * 2, ((rate * ch * 2) * 20 // 1000) // (ch * 2) * (ch * 2)) AS wb
+        |    FROM ids),
+        |  w AS (SELECT id, br, wb, i, i * wb AS woff, least(wb, db - i * wb) AS n
+        |    FROM geom, unnest(range(0, greatest(1, (db + wb - 1) // wb))) t(i)),
+        |  s AS (SELECT id, i, woff, br, n // 2 AS nsamp,
+        |      SUM(((id*7 + j*13) % 256 - 128) * ((id*7 + j*13) % 256 - 128)) AS ss,
+        |      MAX(abs((id*7 + j*13) % 256 - 128)) AS pk
+        |    FROM w, unnest(range(woff // 2, woff // 2 + n // 2)) tj(j)
+        |    GROUP BY id, i, woff, br, n)
+        |SELECT id AS media_id, CAST(i AS INT) AS window_idx,
+        |  CAST(woff * 1000 // br AS BIGINT) AS start_ms,
+        |  CAST(nsamp AS INT) AS n_samples, CAST(ss AS BIGINT) AS sum_sq,
+        |  CAST(pk AS INT) AS peak_abs,
+        |  ss < nsamp * 5440 AS silent
+        |FROM s""".stripMargin,
+
+    // dHash pair suppression (all-pairs filter ≡ the band join) + the
+    // caption token gate, composed exactly as the Spark plan does
+    "mm_pair_curation" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k, doc_id % 2 AS p
+        |    FROM documents WHERE doc_id < 300),
+        |  g AS (SELECT id, x, y,
+        |      ((k*31 + x*x*3 + y*y*5 + x*y*7) % 256
+        |       + p * (CASE WHEN (x + y*9) % 29 = 0 THEN 1 ELSE 0 END)) % 256 AS v
+        |    FROM ids, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT DISTINCT id FROM ids) i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id),
+        |  h AS (SELECT id,
+        |      CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |           ELSE hi * 4294967296 + lo END AS dh
+        |    FROM hs),
+        |  losers AS (SELECT DISTINCT b.id FROM h a JOIN h b ON a.id < b.id
+        |    WHERE bit_count(xor(a.dh, b.dh)) <= 3),
+        |  tok AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |    FROM documents WHERE doc_id < 300)
+        |SELECT h.id AS media_id, h.dh AS dhash, CAST(tok.nt AS BIGINT) AS n_tokens
+        |FROM h LEFT JOIN losers ON losers.id = h.id
+        |  JOIN tok ON tok.doc_id = h.id
+        |WHERE losers.id IS NULL AND tok.nt >= 10""".stripMargin,
+
+    // the C4 line-keep rule replayed token-for-token: terminal punct,
+    // ≥5 space-separated words, no 'javascript'
+    "text_c4_clean" ->
+      """WITH mt AS (SELECT doc_id, concat_ws(chr(10),
+        |    'Intro words for doc ' || doc_id || ' ok.',
+        |    text,
+        |    'Please enable javascript to view this page.',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Too short line.'
+        |         ELSE 'This line has six words total.' END,
+        |    'Tail marker words for doc ' || doc_id || '?') AS mtext
+        |  FROM documents),
+        |  ln AS (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM mt),
+        |  kp AS (SELECT doc_id, ls, list_filter(ls, l ->
+        |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |      AND len(list_filter(string_split(trim(l), ' '), w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')) AS ks
+        |    FROM ln)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ks) AS BIGINT) AS n_kept,
+        |  array_to_string(ks, chr(10)) AS clean_text
+        |FROM kp""".stripMargin,
+
+    // the full C4 page gate: clean lines first, then ≥3 sentences, no
+    // lorem ipsum, no brace, no bad-word token — each violation planted
+    // on its own residue class
+    "curate_c4_filter" ->
+      """WITH mt AS (SELECT doc_id, concat_ws(chr(10),
+        |    'Intro words for doc ' || doc_id || ' ok.',
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Lorem ipsum dolor sit amet consectetur.'
+        |         ELSE 'This page has real content sentences.' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'Config block { display none } here.'
+        |         ELSE 'Another safe line of plain words.' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'Buy cheap viagra pills online now.'
+        |         ELSE 'Closing words for this page end.' END,
+        |    text) AS mtext FROM documents),
+        |  cl AS (SELECT doc_id, array_to_string(list_filter(
+        |      string_split(mtext, chr(10)), l ->
+        |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |      AND len(list_filter(string_split(trim(l), ' '), w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')), chr(10)) AS clean_text
+        |    FROM mt),
+        |  sen AS (SELECT doc_id, clean_text,
+        |      len(list_filter(list_transform(
+        |        string_split(regexp_replace(clean_text, '([.!?]+)\s+', '\1' || chr(1), 'g'), chr(1)),
+        |        x -> trim(x)), x -> length(x) > 0)) AS ns
+        |    FROM cl),
+        |  tk AS (SELECT doc_id, clean_text, ns,
+        |      list_filter(string_split_regex(lower(clean_text), '[ \n]'),
+        |        t -> len(t) > 0) AS toks
+        |    FROM sen)
+        |SELECT doc_id, clean_text, CAST(ns AS BIGINT) AS n_sentences
+        |FROM tk
+        |WHERE ns >= 3 AND NOT contains(lower(clean_text), 'lorem ipsum')
+        |  AND NOT contains(clean_text, '{')
+        |  AND NOT list_contains(toks, 'viagra')
+        |  AND NOT list_contains(toks, 'casino')
+        |  AND NOT list_contains(toks, 'xxx')""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,

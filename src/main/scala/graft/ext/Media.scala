@@ -309,6 +309,85 @@ object Media {
       .distinct()
   }
 
+  /** 64-bit average hash of a luma grid: block-mean to 8×8, then bit
+    * (y·8+x) = 1 iff cell > floor(mean of the 64 cells) — the classic
+    * aHash, complementary to [[dHash64]] (aHash keys on absolute
+    * brightness vs the image mean; dHash on local gradient signs —
+    * running both and requiring agreement cuts near-dup false positives
+    * on flat images where one hash family degenerates). Integer
+    * end-to-end, so it drops into the same Hamming ANN tier.
+    */
+  private[ext] def aHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val g = blockMean(px, w, h, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += g(i); i += 1 }
+    val mean = sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (g(i) > mean) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** Decode + average-hash every image payload: (idCol, width, height,
+    * ahash). Second perceptual-hash family next to [[decodeImageMeta]]'s
+    * dHash — see [[aHash64]] for when to run both. One decode per row,
+    * no shuffle.
+    */
+  def imageAHash(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, px) = decodeLuma(r.getAs[Array[Byte]](1))
+        Row(r.get(0), w, h, aHash64(px, w, h))
+      }
+    }, outSchema)
+  }
+
+  /** Per-image luma statistics for image-quality curation — the numeric
+    * facts a LAION-style filter keys on, all exact integers so an oracle
+    * replays them: (width, height, n_px, luma_sum, luma_sq_sum, luma_min,
+    * luma_max, mean_milli = luma_sum·1000/n_px floor). Downstream filters
+    * compose as plain Column predicates: min-dimension / aspect-ratio
+    * bounds from (width, height); solid-color detection as
+    * `luma_min = luma_max`; low-contrast as a bound on the integer
+    * variance proxy `n_px·luma_sq_sum − luma_sum²`. One decode per row,
+    * no shuffle; all thresholds stay in the query plan, not the decoder.
+    */
+  def imageStats(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_px", IntegerType, nullable = false),
+      StructField("luma_sum", LongType, nullable = false),
+      StructField("luma_sq_sum", LongType, nullable = false),
+      StructField("luma_min", IntegerType, nullable = false),
+      StructField("luma_max", IntegerType, nullable = false),
+      StructField("mean_milli", LongType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, px) = decodeLuma(r.getAs[Array[Byte]](1))
+        var s = 0L; var sq = 0L; var mn = 255; var mx = 0
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          s += v; sq += v.toLong * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        Row(r.get(0), w, h, px.length, s, sq, mn, mx, s * 1000 / px.length)
+      }
+    }, outSchema)
+  }
+
   /** Deterministic gray-pattern PNG fixtures, one per input row: pixel
     * (x,y) of row (k = `patternCol`, p = `perturbCol`) is
     * `((k·31 + x²·3 + y²·5 + x·y·7) mod 256 + p·[(x + y·w) mod 29 = 0]) mod 256`
@@ -353,7 +432,8 @@ object Media {
     */
   private[ext] final case class WavMeta(sampleRate: Int, channels: Int,
                                         bitsPerSample: Int, byteRate: Int,
-                                        blockAlign: Int, dataBytes: Int)
+                                        blockAlign: Int, dataBytes: Int,
+                                        dataOff: Int)
 
   /** Parse a RIFF/WAVE header — a real container parse (chunk walk with
     * word padding), ~30 lines of pure JDK. Throws on non-WAV bytes or a
@@ -367,6 +447,7 @@ object Media {
     var off = 12
     var fmt: Option[(Int, Int, Int, Int, Int)] = None
     var dataBytes = -1
+    var dataOff = -1
     while (off + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val size = bb.getInt(off + 4)
@@ -379,13 +460,14 @@ object Media {
       } else if (id == "data") {
         // trust the byte count physically present over a lying size field
         dataBytes = math.min(size, bytes.length - off - 8)
+        dataOff = off + 8
       }
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
     val (ch, rate, byteRate, block, bits) =
       fmt.getOrElse(throw new IllegalArgumentException("WAV missing fmt chunk"))
     require(dataBytes >= 0, "WAV missing data chunk")
-    WavMeta(rate, ch, bits, byteRate, block, dataBytes)
+    WavMeta(rate, ch, bits, byteRate, block, dataBytes, dataOff)
   }
 
   /** Encode interleaved 16-bit PCM frames as a canonical 44-byte-header
@@ -466,6 +548,59 @@ object Media {
           val off = i.toLong * wBytes
           val n = math.min(wBytes.toLong, m.dataBytes - off).toInt
           Row(r.get(0), i, off * 1000 / m.byteRate, n, n / m.blockAlign)
+        }
+      }
+    }, outSchema)
+  }
+
+  /** Per-window PCM energy over 16-bit WAV payloads — the real-sample
+    * analysis leg on top of [[audioWindows]]'s header math: windows are
+    * cut identically (time-aligned down to whole frames, final window
+    * ragged), then each window's samples are actually read from the data
+    * chunk. Output one row per window: (idCol, window_idx, start_ms,
+    * n_samples, sum_sq, peak_abs) — sum of squared sample values (BIGINT,
+    * exact) and max |sample|, the two facts silence detection / clipping
+    * detection / loudness filters key on. Classification stays in the
+    * query plan (e.g. `silent = sum_sq < n_samples·T²`), so one scan
+    * serves any threshold. 16-bit PCM only (the canonical fixture and by
+    * far the commonest crawl WAV); other depths throw — quarantine
+    * upstream via [[sniffMime]]/bits if the corpus is dirty.
+    */
+  def audioEnergy(df: DataFrame, idCol: String, contentCol: String,
+                  windowMs: Int): DataFrame = {
+    require(windowMs > 0)
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("window_idx", IntegerType, nullable = false),
+      StructField("start_ms", LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("peak_abs", IntegerType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val m = parseWav(bytes)
+        require(m.bitsPerSample == 16,
+          s"audioEnergy reads 16-bit PCM, got ${m.bitsPerSample}-bit")
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val wBytes = math.max(m.blockAlign,
+          m.byteRate.toLong * windowMs / 1000 / m.blockAlign * m.blockAlign).toInt
+        val nW = math.max(1L, (m.dataBytes + wBytes - 1L) / wBytes).toInt
+        (0 until nW).iterator.map { i =>
+          val off = i.toLong * wBytes
+          val n = math.min(wBytes.toLong, m.dataBytes - off).toInt
+          var sumSq = 0L; var peak = 0
+          var j = 0
+          while (j < n / 2) {
+            val v = bb.getShort(m.dataOff + off.toInt + j * 2).toInt
+            sumSq += v.toLong * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            j += 1
+          }
+          Row(r.get(0), i, off * 1000 / m.byteRate, n / 2, sumSq, peak)
         }
       }
     }, outSchema)

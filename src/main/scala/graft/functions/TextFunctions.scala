@@ -450,4 +450,56 @@ object TextFunctions {
             .cast("bigint")
         })
     }
+
+  // ------------------------------------------------------------------ C4
+
+  /** C4 line-keep rule (Raffel et al. arXiv:1910.10683 §2.2): a line
+    * survives iff, after trimming, it (a) ends in a terminal punctuation
+    * mark — period / exclamation / question mark / closing double quote;
+    * (b) contains at least 5 space-separated words; and (c) does not
+    * mention "javascript" (case-insensitive — the rule that strips
+    * enable-JS boilerplate). Spelled as `endswith` disjunctions and a
+    * single-space split, not regex, so the DuckDB oracle replays it
+    * token-for-token.
+    */
+  def c4LineKeep(line: Column): Column =
+    ExprOps.let(trim(line)) { t =>
+      (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") ||
+        t.endsWith("\"")) &&
+        size(filter(split(t, " "), w => length(w) > 0)) >= 5 &&
+        !lower(t).contains("javascript")
+    }
+
+  /** C4 line-level cleaning: drop every line [[c4LineKeep]] rejects and
+    * rejoin the survivors with newlines. Pure per-row array work — no
+    * shuffle, stays in codegen at any corpus size.
+    */
+  def c4CleanLines(text: Column): Column =
+    array_join(filter(split(text, "\n"), l => c4LineKeep(l)), "\n")
+
+  /** Small built-in spam-marker list for [[c4Keep]] — a deterministic
+    * stand-in for the "List of Dirty, Naughty, Obscene or Otherwise Bad
+    * Words" C4 actually uses (which is a 400-line external resource;
+    * callers with the real list pass it in). Matched as whole lowercase
+    * words.
+    */
+  val DefaultBadWords: Seq[String] = Seq("viagra", "casino", "xxx")
+
+  /** C4 page-keep rule (arXiv:1910.10683 §2.2), applied to the ALREADY
+    * line-cleaned text ([[c4CleanLines]]): keep iff the page (a) has at
+    * least 3 sentences; (b) does not contain "lorem ipsum"
+    * (case-insensitive); (c) has no curly brace (code marker); and
+    * (d) contains no bad-word token (whole-word, lowercase). All
+    * per-row expression work; thresholds inline so Catalyst folds them.
+    */
+  def c4Keep(cleaned: Column,
+             badWords: Seq[String] = DefaultBadWords): Column =
+    ExprOps.let(lower(cleaned)) { lc =>
+      val noBad = badWords.map { w =>
+        !exists(filter(split(lc, "[ \n]"), t => length(t) > 0), t => t === w)
+      }.reduce(_ && _)
+      sentenceCount(cleaned) >= 3L &&
+        !lc.contains("lorem ipsum") &&
+        !cleaned.contains("{") && noBad
+    }
 }

@@ -52,8 +52,14 @@ class SparkEntrySpec extends SparkSpec {
     // 180 round 13: +mm_video_meta (RIFF/AVI avih parse — the video leg
     // of the container triad), +mm_decode_quarantine (lenient decode
     // splits a dirty corpus in one pass)
-    assert(SparkEntry.queries.size == 180,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 180); " +
+    // 186 round 13 image/audio-quality + C4 tier: +mm_image_quality
+    // (exact luma stats + LAION-style gates), +mm_ahash (average hash,
+    // second perceptual family), +mm_audio_energy (real PCM window
+    // energy/peak), +mm_pair_curation (decode→near-dup→caption gate
+    // end-to-end), +text_c4_clean, +curate_c4_filter (Raffel et al. 2020
+    // §2.2 line + page rules)
+    assert(SparkEntry.queries.size == 186,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 186); " +
         "if intentional, update this pin")
   }
 

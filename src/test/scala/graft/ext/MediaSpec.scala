@@ -188,4 +188,61 @@ class MediaSpec extends SparkSpec {
     // 450 frames = 900 bytes -> windows of 400 bytes: 400, 400, 100
     assert(out == Seq((0, 0L, 400, 200), (1, 25L, 400, 200), (2, 50L, 100, 50)))
   }
+
+  test("aHash64: constant image hashes to 0; one bright cell sets one bit") {
+    // constant: no cell exceeds the mean -> all bits 0
+    assert(Media.aHash64(Array.fill(64)(100), 8, 8) == 0L)
+    // one bright pixel at (x=3, y=2) on an 8x8 grid: only that cell > mean
+    val px = Array.fill(64)(10)
+    px(2 * 8 + 3) = 200
+    assert(Media.aHash64(px, 8, 8) == (1L << (2 * 8 + 3)))
+  }
+
+  test("aHash64 is invariant under exact 2x2 block-mean downscale") {
+    // 16x16 -> 8x8 block means are exact, so hashing the 16x16 original
+    // equals hashing its own 8x8 reduction
+    val big = pattern(7L, 0, 16, 16)
+    val small = Media.blockMean(big, 16, 16, 8, 8)
+    assert(Media.aHash64(big, 16, 16) == Media.aHash64(small, 8, 8))
+  }
+
+  test("imageStats computes exact integer luma statistics") {
+    val px = Array(0, 10, 20, 250) // 2x2
+    val bytes = Media.encodeGrayPng(px, 2, 2)
+    val df = Seq((1L, bytes)).toDF("id", "content")
+    val got = Media.imageStats(df, "id", "content")
+      .select("width", "height", "n_px", "luma_sum", "luma_sq_sum",
+        "luma_min", "luma_max", "mean_milli")
+      .as[(Int, Int, Int, Long, Long, Int, Int, Long)].head()
+    assert(got == ((2, 2, 4, 280L, 100L + 400L + 62500L, 0, 250, 70000L)))
+  }
+
+  test("audioEnergy sums real squared samples per window, ragged tail") {
+    // 8000 Hz mono 16-bit, 6 frames, 0.25 ms windows -> wBytes floors to
+    // blockAlign=2 -> max(2, 16000*0/1000)=2 bytes = 1 sample per window
+    val samples = Array[Short](3, -4, 0, 100, -100, 7)
+    val wav = Media.encodeWav(8000, 1, samples)
+    val df = Seq((1L, wav)).toDF("id", "content")
+    val got = Media.audioEnergy(df, "id", "content", windowMs = 1)
+      .select("window_idx", "n_samples", "sum_sq", "peak_abs")
+      .as[(Int, Int, Long, Int)].collect().sortBy(_._1).toSeq
+    // windowMs=1 at byteRate 16000 -> 16 bytes -> 8 samples, but only 6
+    // present: one ragged window
+    assert(got == Seq((0, 6, 9L + 16L + 0L + 10000L + 10000L + 49L, 100)))
+  }
+
+  test("audioEnergy window cut matches audioWindows geometry") {
+    val df = Media.genWavs(Seq((1L, 8000, 2, 450)).toDF("id", "rate", "ch", "frames"),
+      "id", "rate", "ch", "frames")
+    val wins = Media.audioWindows(df, "id", "content", windowMs = 25)
+      .select("window_idx", "start_ms", "n_frames")
+      .as[(Int, Long, Int)].collect().sortBy(_._1).toSeq
+    val en = Media.audioEnergy(df, "id", "content", windowMs = 25)
+      .select("window_idx", "start_ms", "n_samples")
+      .as[(Int, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(en.map(_._1) == wins.map(_._1))
+    assert(en.map(_._2) == wins.map(_._2))
+    // stereo: samples per window = 2 x frames per window
+    assert(en.map(_._3) == wins.map(w => w._3 * 2))
+  }
 }

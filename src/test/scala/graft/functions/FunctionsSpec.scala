@@ -288,4 +288,43 @@ class FunctionsSpec extends SparkSpec {
     // entities decode, tags/script/style/comments vanish
     assert(got == "Title body &lt; text <tag> \"q\" 's' end")
   }
+
+  test("c4CleanLines keeps only terminal-punct ≥5-word non-JS lines") {
+    val t = Seq(
+      "This line has five words.",       // keep
+      "no terminal punctuation here",    // drop: no terminal punct
+      "Short line ends.",                // drop: 3 words
+      "Did this question line survive?", // keep (ends ?)
+      "Please enable JavaScript to view content.", // drop: javascript
+      "He said the quote ends \"here.\"" // keep (ends ")
+    ).mkString("\n")
+    val got = Seq(t).toDF("t")
+      .select(TextFunctions.c4CleanLines($"t")).as[String].head()
+    assert(got == Seq("This line has five words.",
+      "Did this question line survive?",
+      "He said the quote ends \"here.\"").mkString("\n"))
+  }
+
+  test("c4Keep gates on sentences, lorem ipsum, braces, and bad words") {
+    val ok = "One real sentence here now. Two more words follow here. " +
+      "Third sentence closes the page."
+    val cases = Seq(
+      (ok, true),
+      ("Only two sentences here now. Second one ends the page.", false),
+      (ok + " Lorem Ipsum dolor sit amet.", false),
+      (ok + " Code block { nested } marker.", false),
+      (ok + " Buy cheap viagra pills now.", false))
+    val out = cases.toDF("t", "want")
+    assert(out.filter(TextFunctions.c4Keep($"t") =!= $"want").count() == 0)
+  }
+
+  test("c4Keep bad-word match is whole-token, not substring") {
+    // 'casinos' must NOT trip the 'casino' marker; bare 'casino' must
+    val base = "First sentence is here now. Second sentence is here too. " +
+      "Third sentence ends the doc."
+    val out = Seq(
+      (base + " The casinos word is plural.", true),
+      (base + " The casino word is exact.", false)).toDF("t", "want")
+    assert(out.filter(TextFunctions.c4Keep($"t") =!= $"want").count() == 0)
+  }
 }
