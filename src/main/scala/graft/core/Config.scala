@@ -672,6 +672,23 @@ object Config {
           windowMs = n.get("windowMs").asInt)
       case "videoMeta" =>
         graft.ext.Media.decodeVideoMeta(df, str(n, "id"), str(n, "column"))
+      case "imageStats" =>
+        graft.ext.Media.imageStats(df, str(n, "id"), str(n, "column"))
+      case "imageAHash" =>
+        graft.ext.Media.imageAHash(df, str(n, "id"), str(n, "column"))
+      case "audioEnergy" =>
+        graft.ext.Media.audioEnergy(df, str(n, "id"), str(n, "column"),
+          windowMs = n.get("windowMs").asInt)
+      // C4 crawl cleaning (Raffel et al. 2020 §2.2): line rule rewrites the
+      // text column in place; the page gate filters on the cleaned text
+      case "c4Clean" =>
+        val c = str(n, "column")
+        df.withColumn(c, graft.functions.TextFunctions.c4CleanLines(col(c)))
+      case "c4Filter" =>
+        val words = Option(n.get("badWords"))
+          .map(_ => strSeq(n, "badWords"))
+          .getOrElse(graft.functions.TextFunctions.DefaultBadWords)
+        df.filter(graft.functions.TextFunctions.c4Keep(col(str(n, "column")), words))
       // data-quality gate: fail the task if any rule has violations
       // (minRows guards empty upstreams that row-level rules cannot see)
       case "expect" =>

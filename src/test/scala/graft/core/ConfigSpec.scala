@@ -976,6 +976,51 @@ class ConfigSpec extends SparkSpec {
       assert(pairs.contains((2 * k, 2 * k + 1)), s"missing planted pair $k")
   }
 
+  test("image/audio quality and C4 ops compose from config") {
+    val dir = Files.createTempDirectory("graft_cfg_quality_").toString
+    val ids = (0L until 6L).map(i => (i, i, 0)).toDF("id", "k", "p")
+    graft.ext.Media.genPatternPngs(ids, "id", "k", "p", 9, 8)
+      .write.parquet(s"$dir/imgs")
+    val clips = Seq((1L, 8000, 1, 400)).toDF("id", "rate", "ch", "frames")
+    graft.ext.Media.genWavs(clips, "id", "rate", "ch", "frames")
+      .write.parquet(s"$dir/wavs")
+    Seq(
+      (1L, "First line has five words.\nshort one\nSecond good line is here.\nThird closing line ends here."),
+      (2L, "Only one good sentence here.\nAll else { junk"),
+      (3L, "Buy cheap viagra pills online now.\nSecond real line sits here.\nThird real line sits here.\nFourth real line sits here."))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: stats
+         |    source: {type: parquet, path: $dir/imgs}
+         |    transforms:
+         |      - {op: imageStats, id: id, column: content}
+         |      - {op: filter, expr: "luma_min < luma_max AND width >= 8"}
+         |  - name: hashes
+         |    source: {type: parquet, path: $dir/imgs}
+         |    transforms:
+         |      - {op: imageAHash, id: id, column: content}
+         |  - name: energy
+         |    source: {type: parquet, path: $dir/wavs}
+         |    transforms:
+         |      - {op: audioEnergy, id: id, column: content, windowMs: 25}
+         |  - name: c4
+         |    source: {type: parquet, path: $dir/docs}
+         |    transforms:
+         |      - {op: c4Clean, column: text}
+         |      - {op: c4Filter, column: text}
+         |""".stripMargin)
+    assert(out("stats").count() == 6) // pattern images: never solid, 9x8
+    assert(out("hashes").select("ahash").distinct().count() > 1)
+    // 400 frames at 8000 Hz mono = 800 bytes; 25 ms windows = 400 bytes
+    assert(out("energy").count() == 2)
+    assert(out("energy").filter($"sum_sq" <= 0).count() == 0)
+    // doc 1 survives (3 good lines ≥ 3 sentences); doc 2 loses its brace
+    // line to the clean pass but has only 1 sentence left; doc 3 carries
+    // a bad word through cleaning
+    assert(out("c4").select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")
