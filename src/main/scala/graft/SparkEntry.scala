@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Pipeline, Tables}
-import graft.ext.{Curation, Dedup, Media, Multimodal, Similarity, Spans}
+import graft.ext.{Bloom, Curation, Dedup, Media, Multimodal, Similarity, Spans}
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.operators.{AsOf, ColumnOps, Enrich, Parse, Sync}
 import graft.sources.{FileSink, FileSource, JdbcSink, JdbcSource, LineParser, LineParserConfig}
@@ -783,6 +783,21 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + 1000000L))
       Dedup.incrementalExact(batch, corpus, Seq("text"), "doc_id")
         .select("doc_id")
+    }),
+
+    // Bloom-filter membership dedup (Dolma shape): corpus → one broadcast
+    // bitmap, batch classified map-only — no batch shuffle, no corpus
+    // rescan. Probes are md5-derived double hashing, so the oracle replays
+    // the bitmap test as exact set-membership of probe positions
+    "dedup_bloom" -> ((s, dir) => {
+      val d = Tables(s, dir).documents.select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val bits = Bloom.build(corpus, "text", k = 7, mBits = 1L << 20)
+      Bloom.flagDuplicates(batch, "text", bits, k = 7, mBits = 1L << 20)
+        .select(col("doc_id"), col("maybe_dup"))
     }),
 
     // winnowing candidates (SIGMOD'03) rescored with exact n-gram Jaccard —
@@ -2385,6 +2400,27 @@ object SparkEntry {
       }
     }),
 
+    // Bloom-admission streaming ingest: duplicated feed through the
+    // map-only bitmap gate — corpus holds each distinct content exactly
+    // once (at this fill the FP term is ~1e-17, and deterministically so:
+    // probes are md5-derived, so a run either has a collision forever or
+    // never — this fixture has none)
+    "stream_ingest_bloom" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_b_").toString
+        val docs = Tables(s, dir).documents.select("doc_id", "text")
+        docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+          .coalesce(4).write.parquet(s"$tmp/in")
+        val q = Streams.ingestBloomDedup(
+          Streams.fileStream(s, s"$tmp/in", docs.schema,
+            options = Map("maxFilesPerTrigger" -> "1")),
+          s"$tmp/corpus", s"$tmp/bloom", idCol = "doc_id", textCol = "text",
+          checkpoint = s"$tmp/ckpt")
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/corpus").select("text")
+      }
+    }),
+
     // custom bounded per-key state (flatMapGroupsWithState with event-time
     // timeout): running count/sum per user with idle-key eviction — the
     // 100 TB-safe form for unbounded key domains. The feed arrives in one
@@ -3129,6 +3165,39 @@ object SparkEntry {
         |    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1)
         |SELECT doc_id FROM b1
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b1.text)""".stripMargin,
+
+    // the Bloom bitmap replayed as set-membership: h1/h2 are the 12-hex-char
+    // md5 prefix folds (exact in doubles: 16^12 < 2^53), h2 forced odd,
+    // probe_i = (h1 + i*h2) mod 2^20; maybe_dup = all 7 probes present in
+    // the corpus position set — EXACTLY the bitmap test, false positives
+    // and all
+    "dedup_bloom" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |  batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |    UNION ALL SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 7 = 0),
+        |  chh AS (SELECT
+        |      CAST(list_sum(list_transform(range(1, 13),
+        |        k -> (instr('0123456789abcdef', substr(md5(coalesce(text, '') || ':graft:b1'), CAST(k AS INT), 1)) - 1)
+        |             * (16.0 ** (12 - k)))) AS BIGINT) AS h1,
+        |      CAST(list_sum(list_transform(range(1, 13),
+        |        k -> (instr('0123456789abcdef', substr(md5(coalesce(text, '') || ':graft:b2'), CAST(k AS INT), 1)) - 1)
+        |             * (16.0 ** (12 - k)))) AS BIGINT) | 1 AS h2
+        |    FROM corpus),
+        |  cp AS (SELECT DISTINCT (h1 + h2 * i) % 1048576 AS p
+        |    FROM chh, unnest(range(0, 7)) t(i)),
+        |  bhh AS (SELECT doc_id,
+        |      CAST(list_sum(list_transform(range(1, 13),
+        |        k -> (instr('0123456789abcdef', substr(md5(coalesce(text, '') || ':graft:b1'), CAST(k AS INT), 1)) - 1)
+        |             * (16.0 ** (12 - k)))) AS BIGINT) AS h1,
+        |      CAST(list_sum(list_transform(range(1, 13),
+        |        k -> (instr('0123456789abcdef', substr(md5(coalesce(text, '') || ':graft:b2'), CAST(k AS INT), 1)) - 1)
+        |             * (16.0 ** (12 - k)))) AS BIGINT) | 1 AS h2
+        |    FROM batch),
+        |  bp AS (SELECT doc_id, (h1 + h2 * i) % 1048576 AS p
+        |    FROM bhh, unnest(range(0, 7)) t(i))
+        |SELECT bp.doc_id, bool_and(cp.p IS NOT NULL) AS maybe_dup
+        |FROM bp LEFT JOIN cp ON cp.p = bp.p
+        |GROUP BY bp.doc_id""".stripMargin,
 
     // exact-Jaccard oracle for the LSH-candidate + rescore pipelines: equals
     // DuckDB's all-pairs exact Jaccard because candidate recall is total on
@@ -4164,6 +4233,9 @@ object SparkEntry {
 
     // duplicated feed → corpus holds each distinct content exactly once
     "stream_ingest_dedup" ->
+      "SELECT DISTINCT text FROM documents",
+
+    "stream_ingest_bloom" ->
       "SELECT DISTINCT text FROM documents",
 
     // sliding windows: each event belongs to the window starting at its

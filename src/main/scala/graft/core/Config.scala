@@ -684,6 +684,29 @@ object Config {
       case "c4Clean" =>
         val c = str(n, "column")
         df.withColumn(c, graft.functions.TextFunctions.c4CleanLines(col(c)))
+      // Bloom membership dedup: build persists the corpus bitmap (df
+      // passes through unchanged); flag/filter classify against it
+      // map-only; append ORs a batch's bits into the stored bitmap
+      case "bloomBuild" =>
+        graft.ext.Bloom.writeBits(df.sparkSession, str(n, "path"),
+          graft.ext.Bloom.build(df, str(n, "column"),
+            k = n.get("k").asInt, mBits = n.get("mBits").asLong))
+        df
+      case "bloomFlag" =>
+        graft.ext.Bloom.flagDuplicates(df, str(n, "column"),
+          graft.ext.Bloom.readBits(df.sparkSession, str(n, "path")),
+          k = n.get("k").asInt, mBits = n.get("mBits").asLong)
+      case "bloomFilter" =>
+        graft.ext.Bloom.filterNovel(df, str(n, "column"),
+          graft.ext.Bloom.readBits(df.sparkSession, str(n, "path")),
+          k = n.get("k").asInt, mBits = n.get("mBits").asLong)
+      case "bloomAppend" =>
+        val sp = df.sparkSession; val p = str(n, "path")
+        graft.ext.Bloom.writeBits(sp, p, graft.ext.Bloom.orInto(
+          graft.ext.Bloom.readBits(sp, p),
+          graft.ext.Bloom.build(df, str(n, "column"),
+            k = n.get("k").asInt, mBits = n.get("mBits").asLong)))
+        df
       case "c4Filter" =>
         val words = Option(n.get("badWords"))
           .map(_ => strSeq(n, "badWords"))

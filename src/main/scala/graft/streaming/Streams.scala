@@ -245,6 +245,62 @@ object Streams {
       ingestDedupBatch(clean, corpusPath, contentCols, idCol)
     }
 
+  /** Streaming corpus ingest with BLOOM membership admission — the
+    * map-only sibling of [[ingestDedup]] for corpora too large to anti-join
+    * per batch: the stored corpus is represented by an m-bit bitmap at
+    * `bloomDir` (fixed m/8 bytes regardless of corpus rows), each
+    * micro-batch is in-batch exact-deduped (min-id per content, the
+    * [[graft.ext.Dedup.exact]] rule) then tested against the bitmap
+    * scan-side, admitted rows append to `corpusPath`, and their bits OR
+    * into the bitmap so the NEXT batch sees them. The batch side never
+    * shuffles against corpus state and the corpus is never re-read —
+    * continuous ingest is O(batch) per batch at ANY corpus size, the
+    * trade being the Bloom false-positive rate (novel rows dropped at
+    * ~fill^k; never the reverse — duplicates are always caught).
+    *
+    * Crash discipline matches the other persisted-index ingests: bootstrap
+    * dispatch keys off DATA presence (not the stamp); appends run inside
+    * one commit-marker window over corpus + bitmap (invalidate → append →
+    * OR-write → restamp), so a torn append fails the replay loudly via
+    * [[graft.ext.IndexFormat.check]] instead of double-ingesting or
+    * silently dropping. A replayed COMMITTED batch re-tests against a
+    * bitmap that already holds its bits, admits nothing, and appends
+    * nothing — idempotent by construction, same as [[ingestDedup]].
+    */
+  def ingestBloomDedup(stream: DataFrame, corpusPath: String, bloomDir: String,
+                       idCol: String, textCol: String, checkpoint: String,
+                       k: Int = 7, mBits: Long = 1L << 22,
+                       trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, _) =>
+      val spark = batch.sparkSession
+      val fmt = s"bloom:v1:k=$k:m=$mBits"
+      val bitsPath = s"$bloomDir/bits"
+      val fresh = graft.ext.Dedup.exact(batch, Seq(textCol), idCol)
+        .localCheckpoint(true)
+      if (!graft.ext.Dedup.nearIndexDataExists(spark, bloomDir)) {
+        // bootstrap: a replay overwrites identical content (corpusPath
+        // belongs to this ingest), then the stamp commits the bitmap
+        fresh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(corpusPath)
+        graft.ext.Bloom.writeBits(spark, bitsPath,
+          graft.ext.Bloom.build(fresh, textCol, k, mBits))
+        graft.ext.IndexFormat.stamp(spark, bloomDir, fmt)
+      } else {
+        graft.ext.IndexFormat.check(spark, bloomDir, fmt)
+        val bits = graft.ext.Bloom.readBits(spark, bitsPath)
+        val admitted = graft.ext.Bloom
+          .filterNovel(fresh, textCol, bits, k, mBits).localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          graft.ext.IndexFormat.invalidate(spark, bloomDir)
+          admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(corpusPath)
+          graft.ext.Bloom.writeBits(spark, bitsPath, graft.ext.Bloom.orInto(
+            bits, graft.ext.Bloom.build(admitted, textCol, k, mBits)))
+          graft.ext.IndexFormat.stamp(spark, bloomDir, fmt)
+        }
+      }
+    }
+
   /** Streaming corpus ingest with LM QUALITY GATING before the
     * [[ingestDedup]] admission: each micro-batch is scored against the
     * persisted unigram model at `modelDir` ([[graft.ext.Lm.readModel]] →

@@ -275,4 +275,38 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"pure projection plans a shuffle:\n$plan")
     }
   }
+
+  test("C4 cleaning and page gate stay codegen'd, zero-shuffle") {
+    import org.apache.spark.sql.functions._
+    val T = graft.functions.TextFunctions
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", concat_ws("\n", $"text",
+        lit("This line has six words total."),
+        lit("Second safe line of plain words."),
+        lit("Third closing line sits right here.")).as("text"))
+    val out = d.select($"doc_id", T.c4CleanLines($"text").as("c"))
+      .filter(T.c4Keep(col("c")))
+    val plan = physical(out)
+    assert(out.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      s"C4 pass fell out of codegen:\n$plan")
+    assert(!plan.contains("Exchange"), s"C4 pass plans a shuffle:\n$plan")
+  }
+
+  test("bloom probes are a pure projection; classify plans no shuffle") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val probesPlan = physical(
+      d.select(graft.ext.Bloom.probes($"text", 7, 1L << 20).as("p")))
+    assert(!probesPlan.contains("Exchange"),
+      s"probe projection plans a shuffle:\n$probesPlan")
+    // classify: scan → probes projection → per-partition bit test; the
+    // ONLY acceptable plan is shuffle-free (the bitmap rides a broadcast
+    // variable, not a join)
+    val bits = graft.ext.Bloom.build(d.limit(50), "text", 7, 1L << 20)
+    val flagged = graft.ext.Bloom.flagDuplicates(d, "text", bits, 7, 1L << 20)
+    val plan = physical(flagged)
+    assert(!plan.contains("Exchange"), s"bloom classify shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"bloom classify joins:\n$plan")
+  }
 }

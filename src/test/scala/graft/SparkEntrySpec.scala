@@ -58,8 +58,11 @@ class SparkEntrySpec extends SparkSpec {
     // energy/peak), +mm_pair_curation (decode→near-dup→caption gate
     // end-to-end), +text_c4_clean, +curate_c4_filter (Raffel et al. 2020
     // §2.2 line + page rules)
-    assert(SparkEntry.queries.size == 186,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 186); " +
+    // 188 round 13: +dedup_bloom (Dolma-style broadcast-bitmap membership
+    // dedup, probes replayed as exact set-membership in the oracle),
+    // +stream_ingest_bloom (the map-only streaming admission built on it)
+    assert(SparkEntry.queries.size == 188,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 188); " +
         "if intentional, update this pin")
   }
 

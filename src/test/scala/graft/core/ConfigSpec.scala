@@ -1021,6 +1021,42 @@ class ConfigSpec extends SparkSpec {
     assert(out("c4").select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("bloom membership dedup lifecycle from config: build, flag, append") {
+    val dir = Files.createTempDirectory("graft_cfg_bloom_").toString
+    (0L until 50L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/corpus")
+    // batch: 5 resubmitted corpus docs under new ids + 5 novel
+    ((0L until 5L).map(i => (100 + i, s"corpus doc $i")) ++
+      (0L until 5L).map(i => (200 + i, s"novel doc $i")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/batch")
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: build
+         |    source: {type: parquet, path: $dir/corpus}
+         |    transforms:
+         |      - {op: bloomBuild, column: text, k: 5, mBits: 65536, path: $dir/bloom}
+         |  - name: classify
+         |    source: {type: parquet, path: $dir/batch}
+         |    transforms:
+         |      - {op: bloomFlag, column: text, k: 5, mBits: 65536, path: $dir/bloom}
+         |  - name: ingest
+         |    source: {type: parquet, path: $dir/batch}
+         |    transforms:
+         |      - {op: bloomFilter, column: text, k: 5, mBits: 65536, path: $dir/bloom}
+         |      - {op: bloomAppend, column: text, k: 5, mBits: 65536, path: $dir/bloom}
+         |""".stripMargin)
+    val flagged = out("classify").filter($"maybe_dup")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(flagged == (100L until 105L))
+    assert(out("ingest").select("doc_id").as[Long].collect().sorted.toSeq ==
+      (200L until 205L))
+    // after append, re-classifying the ingested novel docs flags them all
+    val bits = graft.ext.Bloom.readBits(spark, s"$dir/bloom")
+    val re = graft.ext.Bloom.flagDuplicates(
+      spark.read.parquet(s"$dir/batch"), "text", bits, 5, 65536L)
+    assert(re.filter(!$"maybe_dup").count() == 0)
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")

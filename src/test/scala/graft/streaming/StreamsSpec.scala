@@ -598,6 +598,65 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestBloomDedup admits novel content map-only, replays append nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_bloom_").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestBloomDedup(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/bloom", idCol = "doc_id", textCol = "text",
+      checkpoint = s"$dir/ckpt", k = 5, mBits = 1L << 16,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // bootstrap: in-batch dup (min id wins) + two distinct docs
+      mem.addData((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha doc"))
+      q.processAllAvailable()
+      // batch 2: one replayed content (dropped by the bitmap), one novel
+      mem.addData((4L, "beta doc"), (5L, "gamma doc"))
+      q.processAllAvailable()
+      // batch 3: pure replay → admits nothing
+      mem.addData((6L, "alpha doc"), (7L, "gamma doc"))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/corpus")
+      assert(stored.select("doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 5L))
+      // the bitmap is stamped and flags all stored content
+      val bits = graft.ext.Bloom.readBits(spark, s"$dir/bloom/bits")
+      assert(graft.ext.Bloom.flagDuplicates(stored.select("doc_id", "text"),
+        "text", bits, 5, 1L << 16).filter(!col("maybe_dup")).count() == 0)
+    } finally q.stop()
+  }
+
+  test("ingestBloomDedup fails loudly on a torn append (unstamped bitmap)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_bloomt_").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.ingestBloomDedup(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/bloom", idCol = "doc_id", textCol = "text",
+      checkpoint = s"$dir/ckpt", k = 5, mBits = 1L << 16,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, "alpha doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // simulate a crash inside the commit window: stamp gone, data present
+    graft.ext.IndexFormat.invalidate(spark, s"$dir/bloom")
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streams.ingestBloomDedup(mem2.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/bloom", idCol = "doc_id", textCol = "text",
+      checkpoint = s"$dir/ckpt2", k = 5, mBits = 1L << 16,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((2L, "beta doc"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      // the loud IndexFormat failure reaches the stream, not a silent
+      // bootstrap-over-corpus
+      assert(e.getMessage.contains("bloom") || e.getMessage.contains("stamp")
+        || Option(e.getCause).exists(_.getMessage.contains("stamp")))
+    } finally q2.stop()
+  }
+
   test("ingestGopherGated drops rule-failing rows, then dedups") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_gq_").toString
