@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   * fully computed and serialized by the executors but discarded, so
   * expression-heavy projections are really timed (a bare `.count()` lets
   * Catalyst prune unused projections and times a near-no-op).
+  *
+  * Noise control (r13 postmortem — two ~5-9x one-run outliers with no code
+  * cause ate a third of the 2x gate): queries whose first run exceeds
+  * SPARK_GRAFT_BENCH_RERUN_S (default 3.0 s) run a second time and score
+  * their MIN; both raw timings land in `queries_rerun`. Per-query GC-pause
+  * millis (`queries_gc_ms`) and start-of-query load (`queries_load`) ride
+  * in the artifact so a reader attributes any remaining drift without a
+  * replay.
   */
 object Bench {
 
@@ -169,7 +177,15 @@ object Bench {
     // at load 7.2 and read 10% slow vs a quiet host — a single global load
     // can't show WHICH queries ate the drift; this pins noise to queries)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val resultsFull = selected.map { case (name, fn) =>
+    // per-query JVM GC time (sum over all collectors): the other noise
+    // channel next to load — a query whose wall time is mostly GC pause is
+    // host/heap drift, not a plan regression (r13 postmortem: two ~5-9x
+    // one-run outliers ate a third of the 2x gate with no code cause)
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double, Long) = {
       // pay accumulated GC debt outside the next query's timing window —
       // without this one random query per run absorbs a multi-second pause
       System.gc()
@@ -184,6 +200,7 @@ object Bench {
       }
       val sh0 = settledShuffleBytes()
       val loadAtStart = osBean.getSystemLoadAverage
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val okQ =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -192,9 +209,28 @@ object Bench {
         }
       val sec = if (okQ) (System.nanoTime() - t0) / 1e9 else -1.0
       val shMb = if (okQ) (settledShuffleBytes() - sh0) / 1e6 else -1.0
-      (name, sec, shMb, loadAtStart)
+      (sec, shMb, loadAtStart, gcMillis() - gc0)
     }
-    val results = resultsFull.map { case (n, sec, _, _) => (n, sec) }
+    val firstPass = selected.map { case (name, fn) =>
+      val (sec, shMb, ld, gc) = runOne(name, fn)
+      (name, fn, sec, shMb, ld, gc)
+    }
+    // best-of-2 on the tail (r13 advice #1): any query whose first run
+    // clears RERUN_THRESHOLD seconds is timed once more and scored as the
+    // MIN of the two runs — a one-off multi-second stall (GC storm, page
+    // cache eviction, heartbeat hiccup) cannot poison the official gate
+    // reading, while a real regression reproduces in both runs. Bounded
+    // cost: only the handful of >threshold queries pay a second run.
+    val rerunThreshold = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_S", "3.0").toDouble
+    val resultsFull = firstPass.map { case (name, fn, sec1, sh1, ld1, gc1) =>
+      if (sec1 >= rerunThreshold) {
+        val (sec2, sh2, ld2, gc2) = runOne(name, fn)
+        if (sec2 >= 0 && sec2 < sec1)
+          (name, sec2, sh2, ld2, gc2, Some((sec1, sec2)))
+        else (name, sec1, sh1, ld1, gc1, Some((sec1, sec2)))
+      } else (name, sec1, sh1, ld1, gc1, None)
+    }
+    val results = resultsFull.map { case (n, sec, _, _, _, _) => (n, sec) }
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val nFailed = results.count(_._2 < 0)
     val total = ok.sum
@@ -228,12 +264,20 @@ object Bench {
 
     val fullQs = results.map { case (k, v) => jsonStr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
-    val fullSh = resultsFull.map { case (k, _, mb, _) => jsonStr(k) + ":" + r3(mb) }
+    val fullSh = resultsFull.map { case (k, _, mb, _, _, _) => jsonStr(k) + ":" + r3(mb) }
       .mkString("{", ",", "}")
     // load at each query's start + the run-wide max: a reader comparing
     // rounds can drop (or deflate) exactly the queries that ran hot
-    val fullLoad = resultsFull.map { case (k, _, _, ld) => jsonStr(k) + ":" + r3(ld) }
+    val fullLoad = resultsFull.map { case (k, _, _, ld, _, _) => jsonStr(k) + ":" + r3(ld) }
       .mkString("{", ",", "}")
+    // GC millis spent inside each query's timing window (scored run)
+    val fullGc = resultsFull.map { case (k, _, _, _, gc, _) => jsonStr(k) + ":" + gc }
+      .mkString("{", ",", "}")
+    // both raw timings for every re-run tail query: [first, second] — the
+    // scored figure is their min, and the spread IS the noise evidence
+    val fullReruns = resultsFull.collect { case (k, _, _, _, _, Some((a, b))) =>
+      jsonStr(k) + s":[${r3(a)},${r3(b)}]"
+    }.mkString("{", ",", "}")
     val loadMax = resultsFull.map(_._4).foldLeft(0.0)(math.max)
     // n_queries = ATTEMPTED (stable denominator across artifacts even when
     // failures differ — round-10 lesson); n_ok/n_failed break it down.
@@ -245,7 +289,8 @@ object Bench {
       s""""mean_per_query":${r3(mean)},"load_max":${r3(loadMax)},""" +
       s""""env":$env,"stream":$stream,""" +
       s""""queries":$fullQs,"queries_shuffle_mb":$fullSh,""" +
-      s""""queries_load":$fullLoad}"""
+      s""""queries_load":$fullLoad,"queries_gc_ms":$fullGc,""" +
+      s""""rerun_threshold_s":${r3(rerunThreshold)},"queries_rerun":$fullReruns}"""
     Files.write(Paths.get(outFile), full.getBytes("UTF-8"))
 
     // the slowest queries are the only per-query data that fits the tail

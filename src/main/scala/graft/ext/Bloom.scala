@@ -95,12 +95,28 @@ object Bloom {
     * single per-partition bit-test pass.
     */
   def flagDuplicates(batch: DataFrame, textCol: String, bits: Array[Long],
-                     k: Int, mBits: Long, salt: String = "graft"): DataFrame = {
-    require(bits.length.toLong * 64 == mBits,
-      s"bitmap has ${bits.length * 64L} bits, expected $mBits")
+                     k: Int, mBits: Long, salt: String = "graft"): DataFrame =
+    flagDuplicatesBc(batch, textCol,
+      batch.sparkSession.sparkContext.broadcast(bits), k, mBits, salt)
+
+  /** [[flagDuplicates]] against an ALREADY-broadcast bitmap — the form a
+    * long-running stream uses so the caller owns the broadcast lifecycle
+    * (create once per bitmap version, `destroy()` after the batch that
+    * consumed it is fully written; a fresh broadcast per micro-batch that
+    * is never destroyed leaks one bitmap-sized block per batch).
+    */
+  def flagDuplicatesBc(batch: DataFrame, textCol: String,
+                       bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                       k: Int, mBits: Long, salt: String = "graft"): DataFrame = {
+    require(bc.value.length.toLong * 64 == mBits,
+      s"bitmap has ${bc.value.length * 64L} bits, expected $mBits")
     val spark = batch.sparkSession
-    val bc = spark.sparkContext.broadcast(bits)
-    val in = batch.withColumn("__probes", probes(col(textCol), k, mBits, salt))
+    // collision-free temp column: a batch that already carries a column
+    // named "__probes" must get it back untouched, and the positional read
+    // below must land on OUR appended column, not the caller's
+    val probeCol = Iterator.from(0).map(i => s"__graft_bloom_probes_$i")
+      .find(n => !batch.columns.contains(n)).get
+    val in = batch.withColumn(probeCol, probes(col(textCol), k, mBits, salt))
     val outSchema = StructType(batch.schema.fields :+
       StructField("maybe_dup", BooleanType, nullable = false))
     val nCols = batch.schema.fields.length
@@ -138,9 +154,20 @@ object Bloom {
     */
   def writeBits(spark: org.apache.spark.sql.SparkSession, path: String,
                 bits: Array[Long]): Unit = {
-    import spark.implicits._
-    bits.zipWithIndex.map { case (w, i) => (i, w) }.toSeq.toDF("idx", "word")
-      .repartition(1).write.mode("overwrite").parquet(path)
+    // spark.range + a broadcast of the raw long[] — NOT toSeq.toDF, which
+    // embeds the whole bitmap as boxed (Int, Long) tuples in a driver-side
+    // LocalRelation (at the 2^33-bit ceiling that is ~134M boxed tuples,
+    // far heavier than the 1 GiB bitmap itself). Here the driver holds only
+    // the primitive array it already had; executors index into the
+    // broadcast.
+    val bc = spark.sparkContext.broadcast(bits)
+    try {
+      import spark.implicits._
+      spark.range(0, bits.length.toLong, 1, numPartitions = 1)
+        .map { i => (i.toInt, bc.value(i.toInt)) }
+        .toDF("idx", "word")
+        .write.mode("overwrite").parquet(path)
+    } finally bc.destroy()
   }
 
   def readBits(spark: org.apache.spark.sql.SparkSession, path: String): Array[Long] = {

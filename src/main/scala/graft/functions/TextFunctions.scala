@@ -495,9 +495,12 @@ object TextFunctions {
   def c4Keep(cleaned: Column,
              badWords: Seq[String] = DefaultBadWords): Column =
     ExprOps.let(lower(cleaned)) { lc =>
+      // foldLeft over lit(true), not reduce: an empty badWords list must
+      // degrade to "no bad-word rule" (reachable from YAML `c4Filter` with
+      // badWords: []), not throw empty.reduce
       val noBad = badWords.map { w =>
         !exists(filter(split(lc, "[ \n]"), t => length(t) > 0), t => t === w)
-      }.reduce(_ && _)
+      }.foldLeft(lit(true))(_ && _)
       sentenceCount(cleaned) >= 3L &&
         !lc.contains("lorem ipsum") &&
         !cleaned.contains("{") && noBad

@@ -60,6 +60,23 @@ class BloomSpec extends SparkSpec {
       .filter(!col("maybe_dup")).count() == 0)
   }
 
+  test("batch columns named like the probe temp survive untouched") {
+    // regression: flagDuplicates used a hardcoded __probes temp column and
+    // a positional read — a batch already carrying __probes (or the new
+    // __graft_bloom_probes_0) got it clobbered / read out of bounds
+    val corpus = Seq((1L, "seen doc")).toDF("id", "text")
+    val bits = Bloom.build(corpus, "text", K, M)
+    val batch = Seq((1L, "seen doc", "keep-me", "keep-me-too"))
+      .toDF("id", "text", "__probes", "__graft_bloom_probes_0")
+    val out = Bloom.flagDuplicates(batch, "text", bits, K, M)
+    assert(out.columns.toSeq ==
+      Seq("id", "text", "__probes", "__graft_bloom_probes_0", "maybe_dup"))
+    val r = out.head()
+    assert(r.getAs[String]("__probes") == "keep-me" &&
+      r.getAs[String]("__graft_bloom_probes_0") == "keep-me-too" &&
+      r.getAs[Boolean]("maybe_dup"))
+  }
+
   test("null text hashes as empty string, not a crash") {
     val df = Seq((1L, null: String), (2L, "")).toDF("id", "text")
     val bits = Bloom.build(df.filter($"id" === 2), "text", K, M)

@@ -318,6 +318,20 @@ class FunctionsSpec extends SparkSpec {
     assert(out.filter(TextFunctions.c4Keep($"t") =!= $"want").count() == 0)
   }
 
+  test("c4Keep with an empty bad-word list gates on the other three rules") {
+    // regression: badWords.map(...).reduce threw empty.reduce on
+    // badWords = Nil (reachable from YAML c4Filter with badWords: [])
+    val ok = "One real sentence here now. Two more words follow here. " +
+      "Third sentence closes the page."
+    val out = Seq(
+      (ok + " Buy cheap viagra pills now.", true), // no bad-word rule at all
+      (ok + " Code block { nested } marker.", false), // brace rule still live
+      ("Only two sentences here now. Second one ends the page.", false))
+      .toDF("t", "want")
+    assert(out.filter(
+      TextFunctions.c4Keep($"t", badWords = Nil) =!= $"want").count() == 0)
+  }
+
   test("c4Keep bad-word match is whole-token, not substring") {
     // 'casinos' must NOT trip the 'casino' marker; bare 'casino' must
     val base = "First sentence is here now. Second sentence is here too. " +
