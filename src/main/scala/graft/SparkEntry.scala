@@ -1617,6 +1617,38 @@ object SparkEntry {
             .as("viol_high"))
     }),
 
+    // external-tokenizer interop: a hand-built 20-merge fixture vocab in
+    // the public merges.txt format (ranked pairs, #version header) loaded
+    // through the REAL file parser, persisted+restamped, then applied by
+    // the same tokenCounts path — gate shape identical to
+    // text_bpe_counts_gate (row/word totals vs DuckDB, zero invariant
+    // violations), proving rank order survives the text round trip
+    "text_bpe_external" -> ((s, dir) => {
+      val d = Tables(s, dir).documents
+      val file = java.nio.file.Paths.get(tmpDir(dir, "bpe_external"), "merges.txt")
+      java.nio.file.Files.createDirectories(file.getParent)
+      // 20 ranked merges over common English letter pairs; 'in g' fuses a
+      // PRODUCT of merge 5, so multi-level application is exercised
+      java.nio.file.Files.write(file, ("#version: 0.2\n" +
+        Seq("t h", "th e", "a n", "an d", "i n", "e r", "o n", "r e",
+          "h e", "a t", "e s", "o u", "i s", "i t", "a l", "a r",
+          "s t", "t o", "o f", "in g").mkString("\n") + "\n").getBytes("UTF-8"))
+      val loaded = graft.ext.Bpe.loadMergesText(s, file.toString)
+      val mdir = tmpDir(dir, "bpe_external_idx")
+      graft.ext.Bpe.writeMerges(s, loaded, mdir)
+      val counts = graft.ext.Bpe.tokenCounts(d, "doc_id", "text",
+        graft.ext.Bpe.readMerges(s, mdir))
+      counts.join(d.select(col("doc_id"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("bigint")
+            .as("__nsc")), "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("total_words"),
+          sum(when(col("n_bpe_tokens") < col("n_words"), 1L).otherwise(0L))
+            .as("viol_low"),
+          sum(when(col("n_bpe_tokens") > col("__nsc"), 1L).otherwise(0L))
+            .as("viol_high"))
+    }),
+
     // CCNet-style unigram LM scoring: train an add-one-smoothed LM on the
     // English slice, score EVERY document by mean milli-nat token
     // log-probability. The model is bounded (≤ maxVocab+1 rows) and
@@ -2274,6 +2306,101 @@ object SparkEntry {
         .filter(T.tokenCount(col("text")) >= 10L && col("width") >= 8)
         .select(col("doc_id").as("media_id"), col("dhash"),
           T.tokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // EXIF-orientation normalization: the fixture stores each pattern
+    // ROTATED/MIRRORED (all 8 CIPA orientations, lossless PNG + eXIf
+    // chunk); a correct decoder returns the DISPLAY grid, so the oracle is
+    // the plain pattern formula with zero orientation math — the hash
+    // match proves the rotation recall hole is closed
+    "mm_image_orient" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 160)
+        .withColumn("k", floor(col("doc_id") / 8).cast("long"))
+        .withColumn("p", lit(0))
+        .withColumn("o", (col("doc_id") % 8 + 1).cast("int"))
+      val media = Media.genPatternPngsOriented(ids, "doc_id", "k", "p", "o",
+        w = 9, h = 8)
+      Media.decodeImageMeta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("width"), col("height"),
+          col("mime"), col("dhash"))
+    }),
+
+    // rotated near-dups surface in the dedup band join: same-k fixtures
+    // differ by perturbation (p) AND stored orientation (o) — without
+    // normalization the rotated copies would hash unrelated and the pair
+    // set would silently lose them
+    "mm_image_dedup_orient" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 320)
+        .withColumn("k", floor(col("doc_id") / 4).cast("long"))
+        .withColumn("p", (col("doc_id") % 2).cast("int"))
+        .withColumn("o", (col("doc_id") % 4 * 2 + 1).cast("int"))
+      val media = Media.genPatternPngsOriented(ids, "doc_id", "k", "p", "o",
+        w = 9, h = 8)
+      val hashed = Media.decodeImageMeta(media, "doc_id", "content")
+        .select(col("doc_id"), col("dhash"))
+      Media.dhashNearPairs(hashed, "doc_id", "dhash", maxDist = 3)
+    }),
+
+    // dirty-corpus quarantine, audio leg: odd ids carry non-WAV bytes; the
+    // lenient decoder splits the stream in one pass, good rows bit-equal
+    // to the strict path
+    "mm_audio_quarantine" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("rate", when(col("doc_id") % 3 === 0, 8000)
+          .when(col("doc_id") % 3 === 1, 16000).otherwise(44100))
+        .withColumn("ch", (col("doc_id") % 2 + 1).cast("int"))
+        .withColumn("frames", (lit(100) + (col("doc_id") % 50) * 10).cast("int"))
+      val good = Media.genWavs(ids.filter(col("doc_id") % 2 === 0),
+        "doc_id", "rate", "ch", "frames")
+      val bad = ids.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          concat(lit("not audio #"), col("doc_id").cast("string"))
+            .cast("binary").as("content"))
+      Media.decodeAudioMetaLenient(good.unionByName(bad), "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("decode_ok"),
+          col("decode_err"), col("mime"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"), col("duration_ms"))
+    }),
+
+    // dirty-corpus quarantine, video leg: odd ids carry garbage; lenient
+    // AVI decode quarantines in place
+    "mm_video_quarantine" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("uspf", when(col("doc_id") % 3 === 0, 41667)
+          .when(col("doc_id") % 3 === 1, 33333).otherwise(16667))
+        .withColumn("frames", (lit(100) + (col("doc_id") % 60) * 25).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+      val good = Media.genAvis(ids.filter(col("doc_id") % 2 === 0),
+        "doc_id", "uspf", "frames", "w", "h")
+      val bad = ids.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          concat(lit("not video #"), col("doc_id").cast("string"))
+            .cast("binary").as("content"))
+      Media.decodeVideoMetaLenient(good.unionByName(bad), "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("decode_ok"),
+          col("decode_err"), col("mime"), col("width"), col("height"),
+          col("n_frames"), col("n_streams"), col("fps_x1000"),
+          col("duration_ms"))
+    }),
+
+    // REAL frame content from video: LIST(movi) walk → per-frame codec
+    // decode → dHash, one row per frame — frame-level dedup drops into the
+    // existing Hamming tier; the oracle re-derives every frame's pixels
+    // from the per-frame pattern formula (k·8+f)
+    "mm_video_frames" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 3 + 2).cast("int"))
+      val media = Media.genPatternAvis(ids, "doc_id", "k", "n", w = 9, h = 8)
+      Media.videoFrames(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("frame_idx"),
+          col("width"), col("height"), col("dhash"))
     }),
 
     // ---- streaming (file stream over the events table, AvailableNow) ----
@@ -3854,6 +3981,125 @@ object SparkEntry {
         |  JOIN tok ON tok.doc_id = h.id
         |WHERE losers.id IS NULL AND tok.nt >= 10""".stripMargin,
 
+    // orientation-normalized decode: the oracle is the PLAIN display-grid
+    // formula (k = doc_id//8, p=0) — no orientation math at all, because a
+    // correct decoder undoes the stored rotation; dims are display 9x8 for
+    // every one of the 8 stored orientations
+    "mm_image_orient" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 8 AS k
+        |    FROM documents WHERE doc_id < 160),
+        |  g AS (SELECT id, x, y,
+        |      (k*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM ids, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT DISTINCT id FROM ids) i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id)
+        |SELECT id AS media_id, 9 AS width, 8 AS height, 'image/png' AS mime,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs""".stripMargin,
+
+    // rotated near-dups: all-pairs Hamming filter over formula hashes with
+    // k = doc_id//4, p = doc_id%2 — stored orientation does not appear
+    // because normalization removes it; the pair set therefore contains
+    // cross-orientation pairs the un-normalized decoder would lose
+    "mm_image_dedup_orient" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 4 AS k, doc_id % 2 AS p
+        |    FROM documents WHERE doc_id < 320),
+        |  g AS (SELECT id, x, y,
+        |      ((k*31 + x*x*3 + y*y*5 + x*y*7) % 256
+        |       + p * (CASE WHEN (x + y*9) % 29 = 0 THEN 1 ELSE 0 END)) % 256 AS v
+        |    FROM ids, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT DISTINCT id FROM ids) i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id),
+        |  h AS (SELECT id,
+        |      CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |           ELSE hi * 4294967296 + lo END AS dh
+        |    FROM hs)
+        |SELECT a.id AS left_id, b.id AS right_id,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS hdist
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3""".stripMargin,
+
+    // lenient audio: even ids re-derive the strict facts; odd ids are
+    // sniffed octet-stream and quarantined with the parse-failure class
+    "mm_audio_quarantine" ->
+      """WITH ids AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS rate,
+        |    CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |    100 + (doc_id % 50) * 10 AS frames
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT id AS media_id, TRUE AS decode_ok, CAST(NULL AS VARCHAR) AS decode_err,
+        |  'audio/wav' AS mime, CAST(rate AS INT) AS sample_rate, ch AS channels,
+        |  16 AS bits, CAST(frames AS BIGINT) AS n_frames,
+        |  CAST((frames * ch * 2 * 1000) // (rate * ch * 2) AS BIGINT) AS duration_ms
+        |FROM ids WHERE id % 2 = 0
+        |UNION ALL
+        |SELECT id AS media_id, FALSE AS decode_ok,
+        |  'IllegalArgumentException' AS decode_err,
+        |  'application/octet-stream' AS mime, CAST(NULL AS INT) AS sample_rate,
+        |  CAST(NULL AS INT) AS channels, CAST(NULL AS INT) AS bits,
+        |  CAST(NULL AS BIGINT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms
+        |FROM ids WHERE id % 2 = 1""".stripMargin,
+
+    // lenient video: even ids re-derive the strict avih facts; odd ids
+    // quarantine with the parse-failure class
+    "mm_video_quarantine" ->
+      """WITH ids AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 41667 WHEN doc_id % 3 = 1 THEN 33333 ELSE 16667 END AS uspf,
+        |    100 + (doc_id % 60) * 25 AS frames,
+        |    320 + (doc_id % 4) * 160 AS w,
+        |    240 + (doc_id % 4) * 120 AS h
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT id AS media_id, TRUE AS decode_ok, CAST(NULL AS VARCHAR) AS decode_err,
+        |  'video/avi' AS mime, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(frames AS INT) AS n_frames, 1 AS n_streams,
+        |  CAST(1000000000 // uspf AS BIGINT) AS fps_x1000,
+        |  CAST(uspf * frames // 1000 AS BIGINT) AS duration_ms
+        |FROM ids WHERE id % 2 = 0
+        |UNION ALL
+        |SELECT id AS media_id, FALSE AS decode_ok,
+        |  'IllegalArgumentException' AS decode_err,
+        |  'application/octet-stream' AS mime, CAST(NULL AS INT) AS width,
+        |  CAST(NULL AS INT) AS height, CAST(NULL AS INT) AS n_frames,
+        |  CAST(NULL AS INT) AS n_streams, CAST(NULL AS BIGINT) AS fps_x1000,
+        |  CAST(NULL AS BIGINT) AS duration_ms
+        |FROM ids WHERE id % 2 = 1""".stripMargin,
+
+    // frame-level video decode: every frame f of id re-derives its pixels
+    // from the per-frame formula (pattern k·8+f), then the dHash CTE —
+    // the hash match proves the movi walk found every frame in order and
+    // the codec round trip is lossless
+    "mm_video_frames" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k, doc_id % 3 + 2 AS n
+        |    FROM documents WHERE doc_id < 80),
+        |  fr AS (SELECT id, k * 8 + f AS kf, CAST(f AS INT) AS f
+        |    FROM ids, unnest(range(0, 5)) tf(f) WHERE f < n),
+        |  g AS (SELECT id, f, x, y,
+        |      (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f)
+        |SELECT id AS media_id, f AS frame_idx, 9 AS width, 8 AS height,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs""".stripMargin,
+
     // the C4 line-keep rule replayed token-for-token: terminal punct,
     // ≥5 space-separated words, no 'javascript'
     "text_c4_clean" ->
@@ -4063,6 +4309,16 @@ object SparkEntry {
     // zero by the tokenizer's construction (≥1 token per word, tokens
     // concatenate back to the word so ≤ non-space chars)
     "text_bpe_counts_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 0) AS BIGINT) AS total_words,
+        |  CAST(0 AS BIGINT) AS viol_low, CAST(0 AS BIGINT) AS viol_high
+        |FROM documents""".stripMargin,
+
+    // external merges gate: same ground truth as text_bpe_counts_gate —
+    // the merge table changes WHICH subwords words split into, never the
+    // word totals or the two tokenizer invariants
+    "text_bpe_external" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(coalesce(sum(CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END), 0) AS BIGINT) AS total_words,

@@ -485,6 +485,15 @@ object Config {
       case "bpeCounts" =>
         graft.ext.Bpe.tokenCounts(df, str(n, "key"), str(n, "column"),
           graft.ext.Bpe.readMerges(df.sparkSession, str(n, "path")))
+      // external-tokenizer interop: load a published merges.txt (ranked
+      // merge pairs, the public GPT-2 BPE format) and persist it as the
+      // stamped artifact bpeCounts reads — token budgets can then be
+      // specified in the REAL tokenizer's units
+      case "bpeLoad" =>
+        graft.ext.Bpe.writeMerges(df.sparkSession,
+          graft.ext.Bpe.loadMergesText(df.sparkSession, str(n, "file")),
+          str(n, "path"))
+        df
       // ingest-time layout ops (sources/Layout): pass-through writers so
       // the task can keep transforming/sinking the same relation
       case "writePartitioned" =>
@@ -672,6 +681,15 @@ object Config {
           windowMs = n.get("windowMs").asInt)
       case "videoMeta" =>
         graft.ext.Media.decodeVideoMeta(df, str(n, "id"), str(n, "column"))
+      // dirty-crawl twins: malformed payloads quarantine in place
+      // (decode_ok/decode_err) instead of failing the task
+      case "audioMetaLenient" =>
+        graft.ext.Media.decodeAudioMetaLenient(df, str(n, "id"), str(n, "column"))
+      case "videoMetaLenient" =>
+        graft.ext.Media.decodeVideoMetaLenient(df, str(n, "id"), str(n, "column"))
+      // per-frame video decode: LIST(movi) walk -> codec decode -> dHash
+      case "videoFrames" =>
+        graft.ext.Media.videoFrames(df, str(n, "id"), str(n, "column"))
       case "imageStats" =>
         graft.ext.Media.imageStats(df, str(n, "id"), str(n, "column"))
       case "imageAHash" =>
@@ -706,6 +724,19 @@ object Config {
           graft.ext.Bloom.readBits(sp, p),
           graft.ext.Bloom.build(df, str(n, "column"),
             k = n.get("k").asInt, mBits = n.get("mBits").asLong)))
+        df
+      // the documented Bloom erasure path, now YAML-declarable: a plain
+      // bitmap cannot forget single documents (bits are shared), so erase =
+      // rebuild the bitmap from the SURVIVING corpus flowing in as df.
+      // Refuses to "rebuild" a bitmap that never existed — a path typo must
+      // fail loudly, not silently fork a second index
+      case "bloomRebuild" =>
+        val sp = df.sparkSession; val p = str(n, "path")
+        require(graft.ext.Dedup.nearIndexDataExists(sp, p),
+          s"bloomRebuild: no existing bitmap at $p (use bloomBuild to create one)")
+        graft.ext.Bloom.writeBits(sp, p,
+          graft.ext.Bloom.build(df, str(n, "column"),
+            k = n.get("k").asInt, mBits = n.get("mBits").asLong))
         df
       case "c4Filter" =>
         val words = Option(n.get("badWords"))

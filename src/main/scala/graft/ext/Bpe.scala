@@ -172,4 +172,54 @@ object Bpe {
       .orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
   }
+
+  /** Parse the public `merges.txt` tokenizer format — ranked merge pairs,
+    * one `left right` pair per line, rank = line order, with an optional
+    * leading `#version: …` header (the format GPT-2-family BPE tokenizers
+    * publish their merge tables in). This is the interop seam for
+    * production pipelines whose token budgets are specified in a REAL
+    * tokenizer's units: load the published table here and feed the
+    * existing apply path ([[tokenCounts]], the token-budget curation ops)
+    * instead of training in-corpus merges with [[trainMerges]].
+    *
+    * Strict by design: a malformed line (not exactly two space-separated
+    * fields) fails loudly with its line number — a silently skipped merge
+    * would shift every later rank and mis-tokenize the whole corpus.
+    * Blank lines and a `#version` FIRST line are the only tolerated
+    * non-pair content.
+    */
+  def parseMergesText(lines: IterableOnce[String]): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var lineNo = 0
+    for (raw <- lines.iterator) {
+      lineNo += 1
+      val line = raw.stripLineEnd
+      if (line.nonEmpty && !(lineNo == 1 && line.startsWith("#version"))) {
+        require(!line.startsWith("#version"),
+          s"merges.txt line $lineNo: '#version' header only allowed on line 1 " +
+            "(a mid-file header means concatenated or corrupt vocab files)")
+        val parts = line.split(" ", -1)
+        require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+          s"merges.txt line $lineNo is not a 'left right' pair: '$line'")
+        out += ((parts(0), parts(1)))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Load a `merges.txt` file from any Hadoop-visible path. Driver-side
+    * read on purpose: a published merge table is a bounded artifact (tens
+    * of thousands of short lines) whose ORDER is the ranking — the same
+    * bounded-model reasoning as [[readMerges]], and a distributed text
+    * read would have to re-sort by a line number it no longer has.
+    */
+  def loadMergesText(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      parseMergesText(src.getLines())
+    } finally in.close()
+  }
 }

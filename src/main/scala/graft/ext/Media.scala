@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,7 +40,11 @@ object Media {
   /** Decode an image payload to a row-major luma grid via the RASTER (not
     * `getRGB`, which routes through color-space conversion and is not
     * bit-stable across band layouts): 1-band images read the raw sample,
-    * ≥3-band images fold bands 0..2 through [[luma]].
+    * ≥3-band images fold bands 0..2 through [[luma]]. The grid is returned
+    * in DISPLAY orientation: ImageIO ignores the EXIF Orientation tag, so
+    * without [[orientLuma]] two visually identical crawl photos differing
+    * only in stored rotation would hash to unrelated dHash/aHash values
+    * and silently escape the near-dup band join.
     */
   private[ext] def decodeLuma(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
@@ -61,7 +65,211 @@ object Media {
       }
       y += 1
     }
-    (w, h, bands, out)
+    val o = exifOrientation(bytes)
+    if (o == 1) (w, h, bands, out)
+    else {
+      val (px2, w2, h2) = orientLuma(out, w, h, o)
+      (w2, h2, bands, px2)
+    }
+  }
+
+  // ------------------------------------------------------- EXIF orientation
+
+  /** EXIF Orientation (tag 0x0112) of an image payload, 1–8; 1 (normal)
+    * when the payload carries no EXIF or anything in the walk is
+    * malformed — orientation is a HINT, never a decode failure. Two
+    * public carriers are parsed, both pure byte walks in the
+    * [[parseWav]]/[[parseAvi]] style:
+    *  - JPEG: marker walk from SOI for an APP1 segment whose payload
+    *    starts "Exif\0\0", then the TIFF IFD0 scan (CIPA DC-008).
+    *  - PNG: chunk walk for the `eXIf` chunk (PNG 1.2 extension, 2017),
+    *    whose payload IS the TIFF structure directly.
+    */
+  private[ext] def exifOrientation(bytes: Array[Byte]): Int = {
+    try {
+      sniffMime(bytes) match {
+        case "image/jpeg" =>
+          var off = 2 // past SOI
+          while (off + 4 <= bytes.length && (bytes(off) & 0xff) == 0xff) {
+            val marker = bytes(off + 1) & 0xff
+            if (marker == 0xda || marker == 0xd9) return 1 // SOS/EOI: no EXIF
+            val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+            if (len < 2 || off + 2 + len > bytes.length) return 1
+            if (marker == 0xe1 && len >= 8 + 6 &&
+              bytes(off + 4) == 'E' && bytes(off + 5) == 'x' &&
+              bytes(off + 6) == 'i' && bytes(off + 7) == 'f' &&
+              bytes(off + 8) == 0 && bytes(off + 9) == 0)
+              return tiffOrientation(bytes, off + 10, off + 2 + len)
+            off += 2 + len
+          }
+          1
+        case "image/png" =>
+          var off = 8 // past signature
+          while (off + 8 <= bytes.length) {
+            val len = ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+              ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+            val typ = new String(bytes, off + 4, 4, "US-ASCII")
+            if (typ == "IEND") return 1
+            if (typ == "eXIf")
+              return tiffOrientation(bytes, off + 8,
+                math.min(off + 8 + len, bytes.length))
+            off += 12 + len // len + type + data + crc
+          }
+          1
+        case _ => 1
+      }
+    } catch { case _: Exception => 1 }
+  }
+
+  /** Scan a TIFF structure at [tiff, end) for IFD0's Orientation SHORT. */
+  private def tiffOrientation(bytes: Array[Byte], tiff: Int, end: Int): Int = {
+    if (tiff + 8 > end) return 1
+    val little =
+      if (bytes(tiff) == 'I' && bytes(tiff + 1) == 'I') true
+      else if (bytes(tiff) == 'M' && bytes(tiff + 1) == 'M') false
+      else return 1
+    def u16(p: Int): Int =
+      if (little) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (little) (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
+      else ((u16(p) & 0xffffL) << 16) | (u16(p + 2) & 0xffffL)
+    if (u16(tiff + 2) != 42) return 1
+    val ifd = tiff + u32(tiff + 4)
+    if (ifd < tiff || ifd + 2 > end) return 1
+    val n = u16(ifd.toInt)
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + i * 12
+      if (e + 12 > end) return 1
+      if (u16(e) == 0x0112 && u16(e + 2) == 3) { // Orientation, SHORT
+        val v = u16(e + 8) // value inlined in the first 2 value bytes
+        return if (v >= 1 && v <= 8) v else 1
+      }
+      i += 1
+    }
+    1
+  }
+
+  /** Apply EXIF orientation `o` to a stored-orientation luma grid,
+    * returning (displayPx, displayW, displayH) — a pure index permutation
+    * (CIPA DC-008 table: 2=mirror-H, 3=rotate 180, 4=mirror-V,
+    * 5=transpose, 6=rotate 90 CW, 7=transverse, 8=rotate 270 CW), so an
+    * oracle that knows the display grid needs no pixel math at all.
+    */
+  private[ext] def orientLuma(px: Array[Int], w: Int, h: Int,
+                              o: Int): (Array[Int], Int, Int) = {
+    require(o >= 1 && o <= 8, s"bad orientation $o")
+    if (o == 1) return (px, w, h)
+    val swap = o >= 5
+    val (dw, dh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Int](w * h)
+    var dy = 0
+    while (dy < dh) {
+      var dx = 0
+      while (dx < dw) {
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - dx, dy)
+          case 3 => (w - 1 - dx, h - 1 - dy)
+          case 4 => (dx, h - 1 - dy)
+          case 5 => (dy, dx)
+          case 6 => (dy, h - 1 - dx)
+          case 7 => (w - 1 - dy, h - 1 - dx)
+          case _ => (w - 1 - dy, dx) // 8
+        }
+        out(dy * dw + dx) = px(sy * w + sx)
+        dx += 1
+      }
+      dy += 1
+    }
+    (out, dw, dh)
+  }
+
+  /** Inverse of [[orientLuma]]: given the DISPLAY grid, produce the
+    * STORED grid that a camera writing orientation `o` would save —
+    * the fixture-generation half of the orientation round trip.
+    */
+  private[ext] def unorientLuma(px: Array[Int], dw: Int, dh: Int,
+                                o: Int): (Array[Int], Int, Int) = {
+    require(o >= 1 && o <= 8, s"bad orientation $o")
+    if (o == 1) return (px, dw, dh)
+    val swap = o >= 5
+    val (w, h) = if (swap) (dh, dw) else (dw, dh) // stored dims
+    val out = new Array[Int](w * h)
+    var dy = 0
+    while (dy < dh) {
+      var dx = 0
+      while (dx < dw) {
+        val (sx, sy) = o match {
+          case 2 => (w - 1 - dx, dy)
+          case 3 => (w - 1 - dx, h - 1 - dy)
+          case 4 => (dx, h - 1 - dy)
+          case 5 => (dy, dx)
+          case 6 => (dy, h - 1 - dx)
+          case 7 => (w - 1 - dy, h - 1 - dx)
+          case _ => (w - 1 - dy, dx) // 8
+        }
+        out(sy * w + sx) = px(dy * dw + dx)
+        dx += 1
+      }
+      dy += 1
+    }
+    (out, w, h)
+  }
+
+  /** Minimal TIFF-II payload holding exactly one IFD0 entry: Orientation
+    * (0x0112, SHORT) = `o`. 26 bytes; the shared body of both EXIF
+    * carriers below.
+    */
+  private def tiffWithOrientation(o: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8) // header
+      .putShort(1)                                            // 1 entry
+      .putShort(0x0112.toShort).putShort(3).putInt(1)         // tag/SHORT/n=1
+      .putShort(o.toShort).putShort(0)                        // value inline
+      .putInt(0)                                              // no next IFD
+    bb.array()
+  }
+
+  /** Insert a PNG `eXIf` chunk (orientation `o`) right after IHDR — the
+    * lossless EXIF carrier the orientation fixtures use (PNG pixels are
+    * exact, so the oracle replays the display grid formula untouched).
+    */
+  def pngWithOrientation(png: Array[Byte], o: Int): Array[Byte] = {
+    require(sniffMime(png) == "image/png", "not a PNG payload")
+    val tiff = tiffWithOrientation(o)
+    val chunk = java.nio.ByteBuffer.allocate(12 + tiff.length)
+    chunk.putInt(tiff.length).put("eXIf".getBytes("US-ASCII")).put(tiff)
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk.array(), 4, 4 + tiff.length)
+    chunk.putInt(crc.getValue.toInt)
+    // IHDR is always the first chunk: signature(8) + len(4)+type(4)+13+crc(4)
+    val ihdrEnd = 8 + 12 + 13
+    val out = new Array[Byte](png.length + chunk.capacity())
+    System.arraycopy(png, 0, out, 0, ihdrEnd)
+    System.arraycopy(chunk.array(), 0, out, ihdrEnd, chunk.capacity())
+    System.arraycopy(png, ihdrEnd, out, ihdrEnd + chunk.capacity(),
+      png.length - ihdrEnd)
+    out
+  }
+
+  /** Insert a JPEG APP1 Exif segment (orientation `o`) right after SOI —
+    * the carrier real crawl photos use; exercised by the unit specs (the
+    * oracle fixtures stay PNG for losslessness).
+    */
+  def jpegWithOrientation(jpeg: Array[Byte], o: Int): Array[Byte] = {
+    require(sniffMime(jpeg) == "image/jpeg", "not a JPEG payload")
+    val tiff = tiffWithOrientation(o)
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val seg = java.nio.ByteBuffer.allocate(4 + payload.length)
+    seg.put(0xff.toByte).put(0xe1.toByte)
+      .putShort((2 + payload.length).toShort).put(payload)
+    val out = new Array[Byte](jpeg.length + seg.capacity())
+    System.arraycopy(jpeg, 0, out, 0, 2) // SOI
+    System.arraycopy(seg.array(), 0, out, 2, seg.capacity())
+    System.arraycopy(jpeg, 2, out, 2 + seg.capacity(), jpeg.length - 2)
+    out
   }
 
   /** Container sniff from magic bytes — decode-independent, so a payload
@@ -309,6 +517,39 @@ object Media {
       .distinct()
   }
 
+  /** Batch-vs-corpus dHash admission — the cross-table sibling of
+    * [[dhashNearPairs]] for incremental/streaming ingest: returns the
+    * DISTINCT batch ids whose hash is within `maxDist` of ANY corpus
+    * hash. Same lossless pigeonhole banding (candidates share an exact
+    * band; `maxDist < 64/bandBits` keeps the cut exact), with the batch
+    * side — bounded per micro-batch — band-exploded and BROADCAST, so the
+    * corpus pays one scan-side band computation and no shuffle at any
+    * corpus size (the classify cost curve stays flat as the signature
+    * table grows, the same shape as the near-dedup classify path).
+    */
+  def dhashDupIds(batch: DataFrame, idCol: String, hashCol: String,
+                  corpusHashes: DataFrame, corpusHashCol: String,
+                  maxDist: Int = 3, bandBits: Int = 16): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val nBands = 64 / bandBits
+    require(maxDist < nBands,
+      s"maxDist=$maxDist needs > $maxDist bands to be lossless; " +
+        s"bandBits=$bandBits gives only $nBands")
+    val mask = (1L << bandBits) - 1
+    def bandKeys(h: Column) = array((0 until nBands).map(b =>
+      shiftright(h, b * bandBits).bitwiseAND(lit(mask))): _*)
+    val b = broadcast(batch
+      .select(col(idCol).as("__bid"), col(hashCol).as("__hb"))
+      .select(col("__bid"), col("__hb"),
+        posexplode(bandKeys(col("__hb"))).as(Seq("__b", "__k"))))
+    val c = corpusHashes.select(col(corpusHashCol).as("__hc"))
+      .select(col("__hc"), posexplode(bandKeys(col("__hc"))).as(Seq("__b", "__k")))
+    c.join(b, Seq("__b", "__k"))
+      .filter(bit_count(col("__hb").bitwiseXOR(col("__hc"))) <= maxDist)
+      .select(col("__bid").as(idCol))
+      .distinct()
+  }
+
   /** 64-bit average hash of a luma grid: block-mean to 8×8, then bit
     * (y·8+x) = 1 iff cell > floor(mean of the 64 cells) — the classic
     * aHash, complementary to [[dHash64]] (aHash keys on absolute
@@ -425,6 +666,45 @@ object Media {
     }, outSchema)
   }
 
+  /** [[genPatternPngs]] with a per-row EXIF orientation (`orientCol`,
+    * 1–8): the pattern formula defines the DISPLAY grid at `w`×`h`, the
+    * stored PNG carries its [[unorientLuma]] inverse plus an `eXIf` chunk
+    * stating the orientation — so a correct decoder returns the SAME
+    * display grid (and hash) for every orientation of the same pattern,
+    * and the oracle replays the plain formula with no orientation math.
+    * PNG is lossless and the transform is an index permutation: exactness
+    * survives the whole round trip.
+    */
+  def genPatternPngsOriented(df: DataFrame, idCol: String, patternCol: String,
+                             perturbCol: String, orientCol: String,
+                             w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(perturbCol).cast("int"), col(orientCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1); val p = r.getInt(2); val o = r.getInt(3)
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = ((k * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
+              x.toLong * y * 7) % 256).toInt
+            val bump = if (p != 0 && (x + y * w) % 29 == 0) 1 else 0
+            px(y * w + x) = (base + bump) % 256
+            x += 1
+          }
+          y += 1
+        }
+        val (stored, sw, sh) = unorientLuma(px, w, h, o)
+        Row(r.get(0), pngWithOrientation(encodeGrayPng(stored, sw, sh), o))
+      }
+    }, outSchema)
+  }
+
   // ----------------------------------------------------------------- audio
 
   /** Parsed WAV facts: everything the RIFF header states plus the data
@@ -516,6 +796,46 @@ object Media {
     }, outSchema)
   }
 
+  /** [[decodeAudioMeta]] for DIRTY corpora — the audio twin of
+    * [[decodeImageMetaLenient]]: malformed payloads (wrong container,
+    * non-PCM format, missing fmt/data chunks) are quarantined in place
+    * with `decode_ok=false`, null facts, and the failure class in
+    * `decode_err`, instead of failing the job. One pass splits a crawl
+    * into the processable stream and a quarantine ledger; good rows carry
+    * facts bit-equal to the strict path.
+    */
+  def decodeAudioMetaLenient(df: DataFrame, idCol: String,
+                             contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(in.schema.fields ++ Seq(
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("decode_err", StringType, nullable = true),
+      StructField("mime", StringType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val mime = if (bytes == null) "application/octet-stream" else sniffMime(bytes)
+        try {
+          require(bytes != null, "null payload")
+          val m = parseWav(bytes)
+          Row(r.get(0), r.get(1), true, null, mime, m.sampleRate, m.channels,
+            m.bitsPerSample, m.dataBytes.toLong / m.blockAlign,
+            m.dataBytes.toLong * 1000 / m.byteRate)
+        } catch {
+          case e: Exception =>
+            Row(r.get(0), r.get(1), false, e.getClass.getSimpleName, mime,
+              null, null, null, null, null)
+        }
+      }
+    }, outSchema)
+  }
+
   /** Container-aware audio windowing — the honest replacement for byte-
     * stride sampling ([[Multimodal.sampleFrames]], which documents itself
     * as synthetic): windows are cut by TIME from the parsed header, each
@@ -543,7 +863,10 @@ object Media {
         val m = parseWav(r.getAs[Array[Byte]](1))
         val wBytes = math.max(m.blockAlign,
           m.byteRate.toLong * windowMs / 1000 / m.blockAlign * m.blockAlign).toInt
-        val nW = math.max(1L, (m.dataBytes + wBytes - 1L) / wBytes).toInt
+        // a zero-length data chunk yields ZERO windows (not one empty one):
+        // windows exist only where samples do, matching the DuckDB oracle's
+        // unnest-join which produces no row for an empty payload
+        val nW = ((m.dataBytes + wBytes - 1L) / wBytes).toInt
         (0 until nW).iterator.map { i =>
           val off = i.toLong * wBytes
           val n = math.min(wBytes.toLong, m.dataBytes - off).toInt
@@ -587,7 +910,9 @@ object Media {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val wBytes = math.max(m.blockAlign,
           m.byteRate.toLong * windowMs / 1000 / m.blockAlign * m.blockAlign).toInt
-        val nW = math.max(1L, (m.dataBytes + wBytes - 1L) / wBytes).toInt
+        // zero-data payload -> zero windows, same rule (and oracle) as
+        // [[audioWindows]]
+        val nW = ((m.dataBytes + wBytes - 1L) / wBytes).toInt
         (0 until nW).iterator.map { i =>
           val off = i.toLong * wBytes
           val n = math.min(wBytes.toLong, m.dataBytes - off).toInt
@@ -644,6 +969,120 @@ object Media {
       .getOrElse(throw new IllegalArgumentException("AVI missing avih header"))
   }
 
+  /** Frame payloads from an AVI's `LIST(movi)` — the walk that upgrades
+    * "video decode" from header metadata to per-frame content: descends
+    * RIFF LIST chunks to `movi`, collects every `##dc`/`##db` sub-chunk
+    * (compressed / uncompressed video frame for stream ##) in file order.
+    * Returns (frame_idx, payload bytes); the payload is whatever codec
+    * frame the file carries — JPEG for MJPEG-in-AVI (the commonest
+    * ImageIO-decodable crawl case), PNG in the oracle fixtures (lossless,
+    * so pixel formulas replay exactly; the walk and decode path are
+    * identical either way).
+    */
+  private[ext] def aviFramePayloads(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    require(sniffMime(bytes) == "video/avi", "not a RIFF/AVI payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    def scan(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val size = bb.getInt(off + 4)
+        val end = math.min(off + 8 + size, until)
+        if (id == "LIST" && size >= 4) {
+          val listType = new String(bytes, off + 8, 4, "US-ASCII")
+          scan(off + 12, end, inMovi || listType == "movi")
+        } else if (inMovi && isFrameId(id) && size > 0 && off + 8 + size <= until) {
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    scan(12, bytes.length, inMovi = false)
+    frames.toSeq
+  }
+
+  /** Explode every AVI payload to its decoded frames: one row per video
+    * frame, (idCol, frame_idx, width, height, dhash) — the frame walk of
+    * [[aviFramePayloads]] composed with the image decode path (EXIF-
+    * normalized [[decodeLuma]] + [[dHash64]]), so frame-level dedup drops
+    * straight into the existing dHash band-join tier. One container walk +
+    * one codec instance per partition, no shuffle; row count multiplies by
+    * frames-per-file, same caveat as [[imagePixels]]. Undecodable frame
+    * payloads throw — use a mime filter upstream or [[decodeVideoMetaLenient]]
+    * to quarantine whole files first.
+    */
+  def videoFrames(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(0)
+        aviFramePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
+          case (payload, i) =>
+            val (w, h, _, px) = decodeLuma(payload)
+            Row(id, i, w, h, dHash64(px, w, h))
+        }
+      }
+    }, outSchema)
+  }
+
+  /** Deterministic multi-frame AVI fixtures: frame f of row (k =
+    * `patternCol`) is the [[genPatternPngs]] formula grid with pattern
+    * k·8+f (perturb 0), encoded as a lossless PNG payload in a `00dc`
+    * movi sub-chunk — so the oracle re-derives every frame's pixels, and
+    * [[videoFrames]] exercises the REAL container walk + codec decode.
+    * Output (idCol, content AVI binary).
+    */
+  def genPatternAvis(df: DataFrame, idCol: String, patternCol: String,
+                     framesCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(framesCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1); val n = r.getInt(2)
+        val movi = new ByteArrayOutputStream()
+        var f = 0
+        while (f < n) {
+          val kf = k * 8 + f
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = ((kf * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
+                x.toLong * y * 7) % 256).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val png = encodeGrayPng(px, w, h)
+          val hdr = java.nio.ByteBuffer.allocate(8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          hdr.put("00dc".getBytes("US-ASCII")).putInt(png.length)
+          movi.write(hdr.array())
+          movi.write(png)
+          if ((png.length & 1) == 1) movi.write(0) // word-align
+          f += 1
+        }
+        Row(r.get(0), encodeAvi(usPerFrame = 33333, totalFrames = n,
+          streams = 1, width = w, height = h, movi.toByteArray))
+      }
+    }, outSchema)
+  }
+
   /** Encode a minimal canonical AVI container: `RIFF(AVI  LIST(hdrl
     * avih(...)) LIST(movi <payload>))` — the fixture generator and the
     * inverse of [[parseAvi]] for the header fields it reads.
@@ -697,6 +1136,45 @@ object Media {
           // frames per 1000 s = 1e9 / usPerFrame — integer, no FP
           1000000000L / m.usPerFrame,
           m.usPerFrame.toLong * m.totalFrames / 1000)
+      }
+    }, outSchema)
+  }
+
+  /** [[decodeVideoMeta]] for DIRTY corpora — the video twin of
+    * [[decodeImageMetaLenient]]: malformed payloads (wrong container,
+    * missing `avih`) quarantine in place with `decode_ok=false` and the
+    * failure class in `decode_err`; good rows carry facts bit-equal to
+    * the strict path.
+    */
+  def decodeVideoMetaLenient(df: DataFrame, idCol: String,
+                             contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(in.schema.fields ++ Seq(
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("decode_err", StringType, nullable = true),
+      StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("n_streams", IntegerType, nullable = true),
+      StructField("fps_x1000", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val mime = if (bytes == null) "application/octet-stream" else sniffMime(bytes)
+        try {
+          require(bytes != null, "null payload")
+          val m = parseAvi(bytes)
+          Row(r.get(0), r.get(1), true, null, mime, m.width, m.height,
+            m.totalFrames, m.streams, 1000000000L / m.usPerFrame,
+            m.usPerFrame.toLong * m.totalFrames / 1000)
+        } catch {
+          case e: Exception =>
+            Row(r.get(0), r.get(1), false, e.getClass.getSimpleName, mime,
+              null, null, null, null, null, null)
+        }
       }
     }, outSchema)
   }

@@ -288,8 +288,16 @@ object Streams {
       } else {
         graft.ext.IndexFormat.check(spark, bloomDir, fmt)
         val bits = graft.ext.Bloom.readBits(spark, bitsPath)
-        val admitted = graft.ext.Bloom
-          .filterNovel(fresh, textCol, bits, k, mBits).localCheckpoint(true)
+        // own the bitmap broadcast for exactly this batch: the eager
+        // localCheckpoint materializes every admitted row, after which the
+        // broadcast is dead weight — destroying it here keeps a long-running
+        // stream at ONE bitmap-sized block, not one leaked per micro-batch
+        val bc = spark.sparkContext.broadcast(bits)
+        val admitted =
+          try graft.ext.Bloom.flagDuplicatesBc(fresh, textCol, bc, k, mBits)
+            .filter(!org.apache.spark.sql.functions.col("maybe_dup"))
+            .drop("maybe_dup").localCheckpoint(true)
+          finally bc.destroy()
         if (!admitted.isEmpty) {
           graft.ext.IndexFormat.invalidate(spark, bloomDir)
           admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -297,6 +305,86 @@ object Streams {
           graft.ext.Bloom.writeBits(spark, bitsPath, graft.ext.Bloom.orInto(
             bits, graft.ext.Bloom.build(admitted, textCol, k, mBits)))
           graft.ext.IndexFormat.stamp(spark, bloomDir, fmt)
+        }
+      }
+    }
+
+  /** Streaming IMAGE ingest with perceptual dedup — the multimodal member
+    * of the exactly-once ingest family: each micro-batch of (id, content)
+    * payloads is decoded leniently ([[graft.ext.Media.decodeImageMetaLenient]]
+    * — a dirty crawl must not fail the stream), undecodable rows land in a
+    * per-batch quarantine partition, decodable rows are in-batch
+    * near-deduped by dHash band join (min-id representative, the
+    * `mm_pair_curation` rule), then admitted against the PERSISTED
+    * signature table at `indexDir/sigs` via [[graft.ext.Media.dhashDupIds]]
+    * (batch side broadcast — the corpus never shuffles and classify cost
+    * stays flat as the signature table grows). Admitted rows append to
+    * `corpusPath` WITH their dhash; their signatures append to the index
+    * so the NEXT batch dedups against them too.
+    *
+    * Exactly-once discipline, mirroring [[ingestNearDedup]]:
+    *  - branch dispatch keys off signature DATA presence, never the stamp;
+    *  - bootstrap writes corpus with Overwrite (a replayed bootstrap
+    *    rewrites identical content — `corpusPath` belongs to this ingest);
+    *  - incremental appends run inside one commit-marker window over
+    *    corpus + signatures (invalidate → append both → restamp), so a
+    *    torn append fails the next batch loudly via
+    *    [[graft.ext.IndexFormat.check]];
+    *  - a replayed COMMITTED batch re-classifies its own rows as dups
+    *    (their hashes are in the index, Hamming 0 ≤ maxDist) and appends
+    *    nothing;
+    *  - quarantine writes go to `quarantinePath/batch_id=N` with
+    *    Overwrite — a replay rewrites the same partition instead of
+    *    double-appending, and the write is O(batch) with no scan of the
+    *    existing quarantine.
+    */
+  def ingestImageDedup(stream: DataFrame, corpusPath: String, indexDir: String,
+                       quarantinePath: String, idCol: String, contentCol: String,
+                       checkpoint: String, maxDist: Int = 3, bandBits: Int = 16,
+                       trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      require(!batch.columns.contains("dhash"),
+        "'dhash' is a reserved corpus column — rename it upstream")
+      val fmt = s"imagededup:v1:maxDist=$maxDist:bandBits=$bandBits"
+      val sigsPath = s"$indexDir/sigs"
+      val decoded = graft.ext.Media
+        .decodeImageMetaLenient(batch, idCol, contentCol).localCheckpoint(true)
+      decoded.filter(!org.apache.spark.sql.functions.col("decode_ok"))
+        .select(col(idCol), col(contentCol), col("decode_err"), col("mime"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$quarantinePath/batch_id=$batchId")
+      val good = decoded.filter(col("decode_ok"))
+        .select(col(idCol), col(contentCol), col("dhash"))
+      // in-batch representatives: drop the larger id of every near pair
+      val losers = graft.ext.Media
+        .dhashNearPairs(good, idCol, "dhash", maxDist, bandBits)
+        .select(col("right_id").as(idCol))
+      val reps = good.join(losers, Seq(idCol), "left_anti")
+      if (!graft.ext.Dedup.nearIndexDataExists(spark, sigsPath)) {
+        val kept = reps.localCheckpoint(true)
+        // an all-quarantined first batch must NOT bootstrap: an empty
+        // write would leave a schema-less sigs dir the next batch cannot
+        // read — bootstrap waits for the first decodable batch
+        if (!kept.isEmpty) {
+          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpusPath)
+          kept.select(col(idCol), col("dhash"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sigsPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
+        }
+      } else {
+        graft.ext.IndexFormat.check(spark, indexDir, fmt)
+        val dups = graft.ext.Media.dhashDupIds(reps, idCol, "dhash",
+          spark.read.parquet(sigsPath), "dhash", maxDist, bandBits)
+        val admitted = reps.join(dups, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          graft.ext.IndexFormat.invalidate(spark, indexDir)
+          admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(corpusPath)
+          admitted.select(col(idCol), col("dhash"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
         }
       }
     }

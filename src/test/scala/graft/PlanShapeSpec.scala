@@ -181,6 +181,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Join"), s"no join planned at all:\n$plan")
   }
 
+  test("dhashDupIds broadcasts the batch bands — corpus never shuffles or crosses") {
+    // the streaming image-dedup admission's scale contract: the bounded
+    // micro-batch is band-exploded and BROADCAST; the corpus side pays a
+    // scan-side band computation and meets it in a broadcast hash join —
+    // classify cost stays flat as the signature table grows
+    val corpus = spark.range(5000).select($"id", xxhash64($"id").as("dhash"))
+    val batch = spark.range(10).select($"id", xxhash64($"id" + 7L).as("dhash"))
+    val plan = physical(graft.ext.Media.dhashDupIds(
+      batch, "id", "dhash", corpus, "dhash"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"admission degenerated to all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch side not broadcast:\n$plan")
+  }
+
   test("tokenStats aggregates with exactly one exchange (map-side combine)") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select($"lang", lit(1L).as("t"))

@@ -61,8 +61,13 @@ class SparkEntrySpec extends SparkSpec {
     // 188 round 13: +dedup_bloom (Dolma-style broadcast-bitmap membership
     // dedup, probes replayed as exact set-membership in the oracle),
     // +stream_ingest_bloom (the map-only streaming admission built on it)
-    assert(SparkEntry.queries.size == 188,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 188); " +
+    // 194 round 14: +mm_image_orient, +mm_image_dedup_orient (EXIF
+    // orientation normalized away — oracle has zero orientation math),
+    // +mm_audio_quarantine, +mm_video_quarantine (lenient decode twins),
+    // +mm_video_frames (LIST(movi) frame walk + per-frame dHash),
+    // +text_bpe_external (public merges.txt loader, gate shape)
+    assert(SparkEntry.queries.size == 194,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 194); " +
         "if intentional, update this pin")
   }
 

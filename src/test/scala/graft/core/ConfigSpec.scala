@@ -1057,6 +1057,89 @@ class ConfigSpec extends SparkSpec {
     assert(re.filter(!$"maybe_dup").count() == 0)
   }
 
+  test("bloomRebuild from config replaces the bitmap with the survivors'") {
+    val dir = Files.createTempDirectory("graft_cfg_bloomrb_").toString
+    (0L until 40L).map(i => (i, s"stored doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/corpus")
+    // survivors after an erasure request: docs 0..19 only
+    (0L until 20L).map(i => (i, s"stored doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/survivors")
+    graft.ext.Bloom.writeBits(spark, s"$dir/bloom",
+      graft.ext.Bloom.build(spark.read.parquet(s"$dir/corpus"), "text", 5, 65536L))
+    Config.runAll(spark,
+      s"""tasks:
+         |  - name: rebuild
+         |    source: {type: parquet, path: $dir/survivors}
+         |    transforms:
+         |      - {op: bloomRebuild, column: text, k: 5, mBits: 65536, path: $dir/bloom}
+         |""".stripMargin)
+    val bits = graft.ext.Bloom.readBits(spark, s"$dir/bloom")
+    val re = graft.ext.Bloom.flagDuplicates(
+      spark.read.parquet(s"$dir/corpus"), "text", bits, 5, 65536L)
+    // erased docs (20..39) now classify novel; survivors still flag
+    assert(re.filter($"maybe_dup").select("doc_id").as[Long]
+      .collect().sorted.toSeq == (0L until 20L))
+    // a path typo must fail loudly, not fork a fresh index
+    val e = intercept[Exception] {
+      Config.run(spark,
+        s"""source: {type: parquet, path: $dir/survivors}
+           |transforms:
+           |  - {op: bloomRebuild, column: text, k: 5, mBits: 65536, path: $dir/nope}
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("no existing bitmap"))
+  }
+
+  test("bpeLoad wires an external merges.txt into the bpeCounts path") {
+    val dir = Files.createTempDirectory("graft_cfg_bpeload_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/merges.txt"),
+      "#version: 0.2\nt h\nth e\ni n\nin g\n".getBytes("UTF-8"))
+    Seq((1L, "the thing"), (2L, "nothing here")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: load
+         |    source: {type: parquet, path: $dir/docs}
+         |    transforms:
+         |      - {op: bpeLoad, file: $dir/merges.txt, path: $dir/bpe}
+         |  - name: counts
+         |    source: {type: task, name: load}
+         |    transforms:
+         |      - {op: bpeCounts, key: doc_id, column: text, path: $dir/bpe}
+         |""".stripMargin)
+    // 'the'->1, 'thing'->th+ing=2; 'nothing'->n,o,th,ing=4, 'here'->h,e,r,e=4
+    val got = out("counts").select("doc_id", "n_bpe_tokens")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L), (2L, 8L)))
+  }
+
+  test("lenient media decode and videoFrames compose from config") {
+    val dir = Files.createTempDirectory("graft_cfg_media2_").toString
+    val wavs = graft.ext.Media.genWavs(
+      Seq((0L, 8000, 1, 100)).toDF("id", "rate", "ch", "frames"),
+      "id", "rate", "ch", "frames")
+    wavs.unionByName(Seq((1L, "junk".getBytes)).toDF("id", "content"))
+      .write.parquet(s"$dir/wavs")
+    graft.ext.Media.genPatternAvis(
+      Seq((0L, 4L, 2)).toDF("id", "k", "n"), "id", "k", "n", 9, 8)
+      .write.parquet(s"$dir/avis")
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: audio
+         |    source: {type: parquet, path: $dir/wavs}
+         |    transforms:
+         |      - {op: audioMetaLenient, id: id, column: content}
+         |  - name: frames
+         |    source: {type: parquet, path: $dir/avis}
+         |    transforms:
+         |      - {op: videoFrames, id: id, column: content}
+         |""".stripMargin)
+    assert(out("audio").filter($"decode_ok").count() == 1)
+    assert(out("audio").filter(!$"decode_ok" && $"decode_err".isNotNull).count() == 1)
+    assert(out("frames").select("frame_idx").as[Int].collect().sorted.toSeq ==
+      Seq(0, 1))
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")

@@ -73,6 +73,39 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalStateException](Bpe.readMerges(spark, dir))
   }
 
+  test("parseMergesText reads the public merges.txt format, rank = order") {
+    val lines = Seq("#version: 0.2", "t h", "th e", "", "i n", "in g")
+    assert(Bpe.parseMergesText(lines) ==
+      Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")))
+    // malformed lines fail loudly with the line number, never skip
+    val bad = intercept[IllegalArgumentException](
+      Bpe.parseMergesText(Seq("t h", "three part line")))
+    assert(bad.getMessage.contains("line 2"))
+    intercept[IllegalArgumentException](
+      Bpe.parseMergesText(Seq("t h", " x"))) // empty left field
+    // #version only tolerated as the FIRST line
+    intercept[IllegalArgumentException](
+      Bpe.parseMergesText(Seq("t h", "#version: 0.2")))
+  }
+
+  test("loadMergesText round-trips through a real file and the apply path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_ext_")
+    val f = dir.resolve("merges.txt")
+    java.nio.file.Files.write(f,
+      "#version: 0.2\nt h\nth e\ni n\nin g\n".getBytes("UTF-8"))
+    val merges = Bpe.loadMergesText(spark, f.toString)
+    assert(merges == Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")))
+    // 'the' fuses fully (t+h -> th, th+e -> the); 'thing' -> th,ing via
+    // the multi-level in+g merge: external ranks drive the same applyWord
+    assert(Bpe.applyWord(merges.zipWithIndex.toMap)("the").toSeq == Seq("the"))
+    assert(Bpe.applyWord(merges.zipWithIndex.toMap)("thing").toSeq ==
+      Seq("th", "ing"))
+    val docs = Seq((1L, "the thing")).toDF("id", "text")
+    val got = Bpe.tokenCounts(docs, "id", "text", merges)
+      .select("n_words", "n_bpe_tokens").as[(Long, Long)].head()
+    assert(got == ((2L, 3L)))
+  }
+
   test("trained tokenizer compresses its own corpus below character count") {
     val docs = (1L to 20L)
       .map(i => (i, "the quick brown fox and the lazy dog " * 2))

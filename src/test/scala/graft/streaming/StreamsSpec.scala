@@ -319,6 +319,75 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestImageDedup admits one representative per dHash group across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_img_").toString
+    // pattern PNGs: same k → identical hash (dup); k and k' differ wildly
+    def png(k: Long, p: Int): Array[Byte] = {
+      val gen = graft.ext.Media.genPatternPngs(
+        Seq((0L, k, p)).toDF("id", "k", "p"), "id", "k", "p", 9, 8)
+      gen.select("content").as[Array[Byte]].head()
+    }
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestImageDedup(mem.toDF().toDF("img_id", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "img_id", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps: in-batch near pair (1 ≈ 2: same k, perturbed)
+      // → min id 1 kept; 3 is distinct; 4 is undecodable → quarantined
+      mem.addData((1L, png(5, 0)), (2L, png(5, 1)), (3L, png(40, 0)),
+        (4L, "not an image".getBytes))
+      q.processAllAvailable()
+      // batch 2: near-dup of an INDEXED image + genuinely new content
+      mem.addData((5L, png(5, 1)), (6L, png(90, 0)))
+      q.processAllAvailable()
+      // batch 3: replay of admitted content → hamming 0 vs index, no-op
+      mem.addData((7L, png(40, 0)), (8L, png(90, 0)))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/corpus")
+      assert(stored.columns.toSeq == Seq("img_id", "content", "dhash"))
+      assert(stored.select("img_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 3L, 6L))
+      // signature table grew with the admissions
+      assert(spark.read.parquet(s"$dir/idx/sigs").count() == 3L)
+      // quarantine: exactly the undecodable row, with its failure class
+      val quar = spark.read.parquet(s"$dir/quarantine")
+        .select("img_id", "decode_err").as[(Long, String)].collect().toSeq
+      assert(quar == Seq((4L, "IllegalArgumentException")))
+    } finally q.stop()
+  }
+
+  test("ingestImageDedup replayed quarantine partition does not double-append") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_imgq_").toString
+    // Simulate a quarantine write that committed while the BATCH did not:
+    // the same micro-batch replays and must REWRITE batch_id=0, not append
+    Seq((4L, "junk payload".getBytes, "IllegalArgumentException",
+        "application/octet-stream"))
+      .toDF("img_id", "content", "decode_err", "mime")
+      .write.parquet(s"$dir/quarantine/batch_id=0")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestImageDedup(mem.toDF().toDF("img_id", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "img_id", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((4L, "junk payload".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/quarantine").count() == 1L)
+      // nothing decodable ever arrived → bootstrap deferred, no index dir
+      assert(!graft.ext.Dedup.nearIndexDataExists(spark, s"$dir/idx/sigs"))
+      // the first decodable batch still bootstraps normally afterwards
+      val gen = graft.ext.Media.genPatternPngs(
+        Seq((0L, 7L, 0)).toDF("id", "k", "p"), "id", "k", "p", 9, 8)
+      mem.addData((5L, gen.select("content").as[Array[Byte]].head()))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("img_id").as[Long].collect().toSeq == Seq(5L))
+    } finally q.stop()
+  }
+
   test("appendCorpusAndNearIndex keeps corpus+index under one commit marker") {
     val dir = java.nio.file.Files.createTempDirectory("graft_append_both_").toString
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
