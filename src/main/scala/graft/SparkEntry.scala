@@ -2198,6 +2198,54 @@ object SparkEntry {
           col("duration_ms"))
     }),
 
+    // WARC crawl ingestion (ISO 28500 — the Common Crawl container):
+    // file k holds a warcinfo record + per page i a (request, response)
+    // pair; even-k files use the per-record-gzip-member layout, so one
+    // key exercises BOTH the plain parse and the multi-member inflate.
+    // body_md5 proves byte-exact content-block extraction.
+    "src_warc_records" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+        .withColumn("n", (col("doc_id") % 5 + 1).cast("int"))
+        .withColumn("gz", col("doc_id") % 2 === 0)
+      val files = graft.sources.Warc.genWarcs(ids, "doc_id", "n", "gz")
+      graft.sources.Warc.warcRecords(files, "doc_id", "content")
+        .select(col("doc_id").as("file_id"), col("rec_idx"),
+          col("warc_type"), col("record_id"), col("target_uri"),
+          col("warc_date"), col("content_length"),
+          md5(col("body")).as("body_md5"))
+    }),
+
+    // WARC → page text: response records' HTTP envelopes split (status,
+    // content-type) and the HTML body stripped to visible text — the
+    // crawl container feeding the text tier in one shuffle-free plan
+    "src_warc_http" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+        .withColumn("n", (col("doc_id") % 5 + 1).cast("int"))
+        .withColumn("gz", col("doc_id") % 2 === 0)
+      val files = graft.sources.Warc.genWarcs(ids, "doc_id", "n", "gz")
+      graft.sources.Warc.warcResponses(files, "doc_id", "content")
+        .select(col("doc_id").as("file_id"), col("rec_idx"),
+          col("target_uri"), col("http_status"), col("http_content_type"),
+          T.htmlToText(col("http_body")).as("page_text"))
+    }),
+
+    // PDF text extraction (ISO 32000): object/stream walk + FlateDecode
+    // + content-stream tokenizer; the fixture rotates show syntax per
+    // page (hex+T*, split-TJ+', plain Tj+T*) and toggles Flate per doc —
+    // every variant must land on the identical formula text
+    "mm_pdf_text" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("n", (col("doc_id") % 4 + 1).cast("int"))
+        .withColumn("flate", col("doc_id") % 2 === 0)
+      val files = graft.ext.Pdf.genPdfs(ids, "doc_id", "n", "flate")
+      graft.ext.Pdf.pdfText(files, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("stream_idx"),
+          col("pdf_version"), col("text"))
+    }),
+
     // dirty-corpus quarantine: odd ids carry garbage bytes; the lenient
     // decoder must split the stream in ONE pass without failing the job
     "mm_decode_quarantine" -> ((s, dir) => {
@@ -3836,6 +3884,79 @@ object SparkEntry {
         |  CAST(1000000000 // uspf AS BIGINT) AS fps_x1000,
         |  CAST(uspf * frames // 1000 AS BIGINT) AS duration_ms
         |FROM ids""".stripMargin,
+
+    // every WARC field re-derived from the fixture formula with ZERO
+    // parsing: the hash match proves version/header/content-block walk
+    // AND the multi-member gunzip (even-k files) are byte-exact —
+    // body_md5 is DuckDB's md5 over the identically-constructed string
+    "src_warc_records" ->
+      """WITH ids AS (SELECT doc_id AS k, CAST(doc_id % 5 + 1 AS INT) AS n,
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+        |  FROM documents WHERE doc_id < 120),
+        |  pages AS (SELECT k, dd, CAST(i AS INT) AS i,
+        |      lpad(CAST(i % 60 AS VARCHAR), 2, '0') AS ss,
+        |      'http://site' || k || '.example/page' || i AS uri,
+        |      CASE WHEN (k*3 + i) % 7 = 0 THEN 404 ELSE 200 END AS st,
+        |      CASE WHEN (k*3 + i) % 7 = 0 THEN 'Not Found' ELSE 'OK' END AS reason,
+        |      '<html><head><title>T' || k || '-' || i ||
+        |        '</title></head><body><p>alpha' || k || ' beta' || i ||
+        |        ' gamma' || ((k*7 + i) % 100) ||
+        |        '</p><script>var x=1;</script></body></html>' AS html
+        |    FROM ids, unnest(range(0, n)) t(i)),
+        |  allr AS (
+        |    SELECT k, 0 AS rec_idx, 'warcinfo' AS warc_type,
+        |      '<urn:uuid:' || k || '-info>' AS record_id,
+        |      CAST(NULL AS VARCHAR) AS target_uri,
+        |      '2026-01-' || dd || 'T00:00:00Z' AS warc_date,
+        |      'software: graft ' || k || chr(13) || chr(10) AS body
+        |    FROM ids
+        |    UNION ALL
+        |    SELECT k, 1 + 2*i, 'request', '<urn:uuid:' || k || '-' || i || '-req>',
+        |      uri, '2026-01-' || dd || 'T00:01:' || ss || 'Z',
+        |      'GET /page' || i || ' HTTP/1.1' || chr(13) || chr(10) ||
+        |        'Host: site' || k || '.example' || chr(13) || chr(10) ||
+        |        chr(13) || chr(10)
+        |    FROM pages
+        |    UNION ALL
+        |    SELECT k, 2 + 2*i, 'response', '<urn:uuid:' || k || '-' || i || '-resp>',
+        |      uri, '2026-01-' || dd || 'T00:02:' || ss || 'Z',
+        |      'HTTP/1.1 ' || st || ' ' || reason || chr(13) || chr(10) ||
+        |        'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+        |        'Content-Length: ' || length(html) || chr(13) || chr(10) ||
+        |        chr(13) || chr(10) || html
+        |    FROM pages)
+        |SELECT k AS file_id, CAST(rec_idx AS INT) AS rec_idx, warc_type,
+        |  record_id, target_uri, warc_date,
+        |  CAST(length(body) AS BIGINT) AS content_length, md5(body) AS body_md5
+        |FROM allr""".stripMargin,
+
+    // response records only, HTTP envelope split by formula; page_text =
+    // the htmlToText of the formula HTML, which collapses to the literal
+    // "T{k}-{i} alpha{k} beta{i} gamma{m}" (title text kept, script
+    // dropped wholesale, tags → collapsed whitespace)
+    "src_warc_http" ->
+      """WITH ids AS (SELECT doc_id AS k, CAST(doc_id % 5 + 1 AS INT) AS n
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT k AS file_id, CAST(2 + 2*i AS INT) AS rec_idx,
+        |  'http://site' || k || '.example/page' || i AS target_uri,
+        |  CAST(CASE WHEN (k*3 + i) % 7 = 0 THEN 404 ELSE 200 END AS INT)
+        |    AS http_status,
+        |  'text/html; charset=utf-8' AS http_content_type,
+        |  'T' || k || '-' || i || ' alpha' || k || ' beta' || i ||
+        |    ' gamma' || ((k*7 + i) % 100) AS page_text
+        |FROM ids, unnest(range(0, n)) t(i)""".stripMargin,
+
+    // page text re-derived from the fixture formula with zero parsing —
+    // the hash match proves the object walk, FlateDecode (even k), and
+    // all three show-syntax variants extract the identical text
+    "mm_pdf_text" ->
+      """WITH ids AS (SELECT doc_id AS k, CAST(doc_id % 4 + 1 AS INT) AS n
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT k AS media_id, CAST(i AS INT) AS stream_idx,
+        |  '1.4' AS pdf_version,
+        |  'Doc ' || k || ' page ' || i || chr(10) ||
+        |    'alpha(' || ((k*13 + i) % 97) || ') beta' AS text
+        |FROM ids, unnest(range(0, n)) t(i)""".stripMargin,
 
     // even ids decode (dhash re-derived from the pattern formula, perturb
     // p=0); odd ids are sniffed as octet-stream and quarantined with the

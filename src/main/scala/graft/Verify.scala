@@ -41,7 +41,16 @@ object Verify {
       case c => c.toString
     } + "\""
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local spot-check lever (the driver sets no env, so it always dumps
+    // the full set): comma-separated key prefixes to restrict the run
+    val keyFilter = sys.env.get("GRAFT_VERIFY_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = keyFilter match {
+      case Some(prefixes) =>
+        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -78,7 +87,7 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    val n = SparkEntry.queries.size
+    val n = selected.size
     println(s"[verify] attempted=$n ok=${n - failures.size} failed=${failures.size}" +
       (if (failures.nonEmpty) s" -> ${failures.keys.mkString(",")}" else ""))
     spark.stop()

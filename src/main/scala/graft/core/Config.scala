@@ -697,6 +697,21 @@ object Config {
       case "audioEnergy" =>
         graft.ext.Media.audioEnergy(df, str(n, "id"), str(n, "column"),
           windowMs = n.get("windowMs").asInt)
+      // WARC crawl ingestion (sources/Warc): explode archive files (from a
+      // binaryFile source) into records / HTTP page responses — one row
+      // per record, gzip members inflated in place, no shuffle
+      case "warcRecords" =>
+        graft.sources.Warc.warcRecords(df, str(n, "id"), str(n, "column"))
+      case "warcRecordsLenient" =>
+        graft.sources.Warc.warcRecordsLenient(df, str(n, "id"), str(n, "column"))
+      case "warcResponses" =>
+        graft.sources.Warc.warcResponses(df, str(n, "id"), str(n, "column"))
+      // PDF text extraction (ext/Pdf): one row per content stream; pairs
+      // with a binaryFile source the same way the media/WARC ops do
+      case "pdfText" =>
+        graft.ext.Pdf.pdfText(df, str(n, "id"), str(n, "column"))
+      case "pdfTextLenient" =>
+        graft.ext.Pdf.pdfTextLenient(df, str(n, "id"), str(n, "column"))
       // C4 crawl cleaning (Raffel et al. 2020 §2.2): line rule rewrites the
       // text column in place; the page gate filters on the cleaned text
       case "c4Clean" =>

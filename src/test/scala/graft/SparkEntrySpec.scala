@@ -66,8 +66,12 @@ class SparkEntrySpec extends SparkSpec {
     // +mm_audio_quarantine, +mm_video_quarantine (lenient decode twins),
     // +mm_video_frames (LIST(movi) frame walk + per-frame dHash),
     // +text_bpe_external (public merges.txt loader, gate shape)
-    assert(SparkEntry.queries.size == 194,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 194); " +
+    // 197 round 14 crawl-container tier: +src_warc_records,
+    // +src_warc_http (ISO 28500 WARC parse incl. multi-member gzip,
+    // full formula oracles), +mm_pdf_text (ISO 32000 object walk +
+    // FlateDecode + content-stream text extraction)
+    assert(SparkEntry.queries.size == 197,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 197); " +
         "if intentional, update this pin")
   }
 

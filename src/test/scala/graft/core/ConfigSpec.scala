@@ -976,6 +976,68 @@ class ConfigSpec extends SparkSpec {
       assert(pairs.contains((2 * k, 2 * k + 1)), s"missing planted pair $k")
   }
 
+  test("WARC crawl pipeline from config: binaryFile → responses → page text") {
+    val dir = Files.createTempDirectory("graft_cfg_warc_").toString
+    new java.io.File(s"$dir/warcs").mkdirs()
+    // two real .warc.gz segment files (per-record gzip members) + one
+    // rotten file the lenient path must quarantine instead of failing on
+    val ids = Seq((1L, 3, true), (2L, 2, true)).toDF("id", "n", "gz")
+    graft.sources.Warc.genWarcs(ids, "id", "n", "gz").collect().foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/warcs/seg_${r.getLong(0)}.warc.gz"),
+        r.getAs[Array[Byte]](1))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/warcs/seg_9.warc.gz"),
+      "rotten segment".getBytes)
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: pages
+         |    source: {type: binaryFile, path: $dir/warcs, pathGlobFilter: "seg_[12]*"}
+         |    transforms:
+         |      - op: include
+         |        columns:
+         |          id: "CAST(regexp_extract(path, 'seg_([0-9]+)', 1) AS BIGINT)"
+         |          content: content
+         |      - {op: warcResponses, id: id, column: content}
+         |      - {op: htmlExtract, column: http_body, as: page_text}
+         |      - {op: filter, expr: "http_status = 200"}
+         |  - name: ledger
+         |    source: {type: binaryFile, path: $dir/warcs, pathGlobFilter: "*.warc.gz"}
+         |    transforms:
+         |      - op: include
+         |        columns:
+         |          id: "CAST(regexp_extract(path, 'seg_([0-9]+)', 1) AS BIGINT)"
+         |          content: content
+         |      - {op: warcRecordsLenient, id: id, column: content}
+         |""".stripMargin)
+    val pages = out("pages")
+    // k=1: statuses for i=0,1,2 → (3+i)%7==0 never; k=2: (6+i)%7==0 at i=1
+    assert(pages.count() == 4)
+    assert(pages.filter($"page_text" === "T1-0 alpha1 beta0 gamma7").count() == 1)
+    val ledger = out("ledger")
+    assert(ledger.filter(!$"decode_ok").select("id")
+      .as[Long].collect().toSeq == Seq(9L))
+    assert(ledger.filter($"decode_ok").count() == 12) // (1+2·3) + (1+2·2)
+  }
+
+  test("PDF extraction composes from config into the text tier") {
+    val dir = Files.createTempDirectory("graft_cfg_pdf_").toString
+    val ids = Seq((1L, 2, true), (2L, 1, false)).toDF("id", "n", "flate")
+    graft.ext.Pdf.genPdfs(ids, "id", "n", "flate").write.parquet(s"$dir/pdfs")
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: pages
+         |    source: {type: parquet, path: $dir/pdfs}
+         |    transforms:
+         |      - {op: pdfText, id: id, column: content}
+         |      - {op: filter, expr: "text LIKE 'Doc %'"}
+         |""".stripMargin)
+    val pages = out("pages")
+    assert(pages.count() == 3)
+    assert(pages.filter($"text" === "Doc 2 page 0\nalpha(26) beta").count() == 1)
+  }
+
   test("image/audio quality and C4 ops compose from config") {
     val dir = Files.createTempDirectory("graft_cfg_quality_").toString
     val ids = (0L until 6L).map(i => (i, i, 0)).toDF("id", "k", "p")

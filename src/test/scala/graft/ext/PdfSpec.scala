@@ -1,0 +1,117 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PDF text-extraction tier: object/stream walk, FlateDecode, the
+  * content-stream tokenizer (escapes, hex strings, TJ arrays, newline
+  * operators), fixture round-trips, and the lenient quarantine contract.
+  */
+class PdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode→extract round-trips fixture pages, plain and FlateDecode") {
+    for (flate <- Seq(false, true)) {
+      val pdf = Pdf.encodePdf(Seq(Pdf.fixturePage(7L, 0), Pdf.fixturePage(7L, 1),
+        Pdf.fixturePage(7L, 2)), flate)
+      val texts = Pdf.contentStreams(pdf).map(Pdf.streamText)
+      assert(texts == Seq(
+        "Doc 7 page 0\nalpha(91) beta",
+        "Doc 7 page 1\nalpha(92) beta",
+        "Doc 7 page 2\nalpha(93) beta"))
+    }
+  }
+
+  test("literal-string escapes: named, octal, nested parens, line continuation") {
+    val content = "BT (a\\(b\\)c \\\\ \\101\\12 (nested) d) Tj ET"
+    val pdf = Pdf.encodePdf(Seq(content), flate = false)
+    assert(Pdf.contentStreams(pdf).map(Pdf.streamText) ==
+      Seq("a(b)c \\ A\n (nested) d"))
+    // backslash-EOL is a line continuation: the break vanishes
+    val cont = "BT (one\\\ntwo) Tj ET"
+    val pdf2 = Pdf.encodePdf(Seq(cont), flate = false)
+    assert(Pdf.contentStreams(pdf2).map(Pdf.streamText) == Seq("onetwo"))
+  }
+
+  test("hex strings decode, odd length zero-padded; whitespace inside ignored") {
+    val content = "BT <48 656C6C 6F> Tj <7> Tj ET" // "Hello" then 0x70='p'
+    val pdf = Pdf.encodePdf(Seq(content), flate = false)
+    assert(Pdf.contentStreams(pdf).map(Pdf.streamText) == Seq("Hellop"))
+  }
+
+  test("TJ kerning numbers are ignored; quote operators imply a line break") {
+    val content = "BT [(ab) -250 (cd) 40 (ef)] TJ (gh) ' (ij) \" ET"
+    val pdf = Pdf.encodePdf(Seq(content), flate = false)
+    assert(Pdf.contentStreams(pdf).map(Pdf.streamText) == Seq("abcdef\ngh\nij"))
+  }
+
+  test("Td/TD/T* emit newlines; leading break suppressed, runs collapse") {
+    val content = "BT 72 720 Td (l1) Tj T* T* (l2) Tj 0 -14 TD (l3) Tj ET"
+    val pdf = Pdf.encodePdf(Seq(content), flate = false)
+    assert(Pdf.contentStreams(pdf).map(Pdf.streamText) == Seq("l1\nl2\nl3"))
+  }
+
+  test("strict failures are named: not a PDF, unsupported filter, corrupt deflate") {
+    assert(intercept[Exception](
+      Pdf.contentStreams("hello world".getBytes(ISO_8859_1)))
+      .getMessage.contains("not a PDF"))
+    val dct = ("%PDF-1.4\n1 0 obj << /Length 3 /Filter /DCTDecode >>\n" +
+      "stream\nabc\nendstream endobj\n").getBytes(ISO_8859_1)
+    assert(intercept[Exception](Pdf.contentStreams(dct))
+      .getMessage.contains("unsupported filter"))
+    val good = Pdf.encodePdf(Seq(Pdf.fixturePage(1L, 0)), flate = true)
+    val corrupt = good.clone()
+    val streamAt = {
+      var i = 0
+      while (!(corrupt(i) == 's' && new String(corrupt, i, 7, ISO_8859_1) == "stream\n")) i += 1
+      i + 10
+    }
+    corrupt(streamAt) = (corrupt(streamAt) ^ 0x55).toByte
+    val e = intercept[Exception](
+      Pdf.contentStreams(corrupt).map(Pdf.streamText))
+    assert(e.getMessage.contains("FlateDecode"))
+  }
+
+  test("pdfText explodes docs into per-stream rows with version") {
+    val ids = Seq((2L, 3, true), (3L, 2, false)).toDF("id", "n", "flate")
+    val out = Pdf.pdfText(Pdf.genPdfs(ids, "id", "n", "flate"), "id", "content")
+      .orderBy("id", "stream_idx").collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getString(2) == "1.4"))
+    assert(out.head.getString(3) == "Doc 2 page 0\nalpha(26) beta")
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((2L, 0), (2L, 1), (2L, 2), (3L, 0), (3L, 1)))
+  }
+
+  test("pdfTextLenient quarantines garbage, good rows bit-equal strict") {
+    val ids = Seq((1L, 2, true)).toDF("id", "n", "flate")
+    val good = Pdf.genPdfs(ids, "id", "n", "flate")
+    val bad = Seq((9L, "not a pdf".getBytes(ISO_8859_1))).toDF("id", "content")
+    val mixed = good.unionByName(bad)
+    val out = Pdf.pdfTextLenient(mixed, "id", "content")
+      .orderBy("id", "stream_idx").collect()
+    assert(out.count(_.getBoolean(1)) == 2)
+    val q = out.filter(!_.getBoolean(1))
+    assert(q.length == 1 && q.head.getLong(0) == 9L &&
+      q.head.getString(2) == "IllegalArgumentException")
+    val strict = Pdf.pdfText(good, "id", "content")
+      .orderBy("id", "stream_idx").collect().toSeq
+    val lenientGood = Pdf.pdfTextLenient(good, "id", "content")
+      .filter(col("decode_ok")).drop("decode_ok", "decode_err")
+      .orderBy("id", "stream_idx").collect().toSeq
+    assert(strict.map(_.toSeq) == lenientGood.map(_.toSeq))
+    intercept[org.apache.spark.SparkException] {
+      Pdf.pdfText(mixed, "id", "content").collect()
+    }
+  }
+
+  test("extracted text flows into the text tier (token counts)") {
+    val ids = Seq((5L, 3, false)).toDF("id", "n", "flate")
+    val toks = Pdf.pdfText(Pdf.genPdfs(ids, "id", "n", "flate"), "id", "content")
+      .select(graft.functions.TextFunctions.tokenCount(col("text")).as("tc"))
+      .as[Long].collect()
+    assert(toks.toSeq == Seq(6L, 6L, 6L)) // "Doc 5 page i" + "alpha(m) beta"
+  }
+}
