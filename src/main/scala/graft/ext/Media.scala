@@ -1036,6 +1036,54 @@ object Media {
     }, outSchema)
   }
 
+  /** Video-level near-duplicate pairs from a frame table ([[videoFrames]]
+    * output): two videos are near-dups when they share at least
+    * `minShared` distinct frame signatures (identical frame dHash — the
+    * right primitive for trims, re-containered copies, and
+    * prefix/suffix clips, where frames survive bit-identical after
+    * normalization; re-ENCODED copies compose by first clustering the
+    * frame table with [[dhashNearPairs]] and joining on the cluster
+    * representative instead of the raw hash). Execution is one
+    * equi-join on the 64-bit frame hash — never a cross product — then
+    * a per-pair count: the shuffle carries fixed-width (hash, video)
+    * rows, and the only quadratic risk is a frame hash shared by huge
+    * numbers of videos (black/intro frames at crawl scale), which
+    * `maxHashFreq` removes up front exactly like the df-cap in
+    * [[Dedup.minhashPairs]] — a signature that common carries no
+    * discriminating evidence anyway. Returns
+    * (left_id, right_id, n_shared, n_left, n_right), left < right, with
+    * per-video DISTINCT frame-signature counts so overlap ratios
+    * (containment/Jaccard) are one projection away in integer math.
+    */
+  def videoNearPairs(frames: DataFrame, idCol: String, hashCol: String,
+                     minShared: Int = 2,
+                     maxHashFreq: Int = 1000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val f = frames.select(col(idCol).cast("long").as("__vid"),
+      col(hashCol).cast("long").as("__h")).distinct()
+    // df-cap: a frame hash appearing in > maxHashFreq videos is dropped
+    // BEFORE the self-join (quadratic in bucket size otherwise)
+    val capped = f.withColumn("__freq",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__h"))))
+      .filter(col("__freq") <= maxHashFreq)
+      .drop("__freq")
+    val counts = f.groupBy(col("__vid")).agg(count(lit(1)).as("__nf"))
+    val l = capped.select(col("__h"), col("__vid").as("left_id"))
+    val r = capped.select(col("__h"), col("__vid").as("right_id"))
+    l.join(r, Seq("__h"))
+      .filter(col("left_id") < col("right_id"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(counts.select(col("__vid").as("left_id"), col("__nf").as("n_left")),
+        Seq("left_id"))
+      .join(counts.select(col("__vid").as("right_id"), col("__nf").as("n_right")),
+        Seq("right_id"))
+      .select(col("left_id"), col("right_id"), col("n_shared"),
+        col("n_left"), col("n_right"))
+  }
+
   /** Deterministic multi-frame AVI fixtures: frame f of row (k =
     * `patternCol`) is the [[genPatternPngs]] formula grid with pattern
     * k·8+f (perturb 0), encoded as a lossless PNG payload in a `00dc`
