@@ -211,6 +211,18 @@ object Bench {
       val shMb = if (okQ) (settledShuffleBytes() - sh0) / 1e6 else -1.0
       (sec, shMb, loadAtStart, gcMillis() - gc0)
     }
+    // load-gate (r14 replay lesson: a sustained-load driver session
+    // inflated the near-dedup family ~2-3x and defeated min-of-2 — both
+    // runs inflate together). A run that STARTS hot can't produce a
+    // canonical artifact; record the fact in the artifact itself instead
+    // of requiring a next-round replay to notice.
+    val loadStart = math.max(0.0, osBean.getSystemLoadAverage)
+    val canonicalLoadCeiling =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_CEILING", "3.0").toDouble
+    val canonical = loadStart < canonicalLoadCeiling
+    if (!canonical)
+      System.err.println(f"[bench] load $loadStart%.2f >= ceiling " +
+        f"$canonicalLoadCeiling%.1f at start — artifact marked non-canonical")
     val firstPass = selected.map { case (name, fn) =>
       val (sec, shMb, ld, gc) = runOne(name, fn)
       (name, fn, sec, shMb, ld, gc)
@@ -287,6 +299,7 @@ object Bench {
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","schema":2,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,""" +
       s""""mean_per_query":${r3(mean)},"load_max":${r3(loadMax)},""" +
+      s""""load_start":${r3(loadStart)},"canonical":$canonical,""" +
       s""""env":$env,"stream":$stream,""" +
       s""""queries":$fullQs,"queries_shuffle_mb":$fullSh,""" +
       s""""queries_load":$fullLoad,"queries_gc_ms":$fullGc,""" +
@@ -300,6 +313,7 @@ object Bench {
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","schema":2,""" +
       s""""sf":${jsonStr(sfDir)},"n_queries":${results.size},"n_ok":${ok.size},"n_failed":$nFailed,""" +
       s""""mean_per_query":${r3(mean)},"load_max":${r3(loadMax)},""" +
+      s""""load_start":${r3(loadStart)},"canonical":$canonical,""" +
       s""""env":$env,"stream":$stream,""" +
       s""""queries":$slowest,"queries_truncated":true,""" +
       s""""queries_file":${jsonStr(outFile)}}""")
