@@ -170,11 +170,29 @@ object Bloom {
     } finally bc.destroy()
   }
 
+  /** Read a persisted bitmap back into the primitive long[] the driver
+    * must hold anyway. The [[writeBits]] counterpart: each partition packs
+    * its (idx, word) rows into two PRIMITIVE arrays before collect, so the
+    * driver materializes a handful of array chunks (~2.5× the bitmap,
+    * transient) instead of one boxed Row per word — at the 2^33-bit
+    * ceiling the old Row collect was ~134M boxed Rows (several GB heap)
+    * to rebuild a 1 GiB long[].
+    */
   def readBits(spark: org.apache.spark.sql.SparkSession, path: String): Array[Long] = {
-    val rows = spark.read.parquet(path).select("idx", "word")
-      .collect()
-    val out = new Array[Long](rows.length)
-    rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+    import spark.implicits._
+    val chunks = spark.read.parquet(path).select("idx", "word")
+      .as[(Int, Long)]
+      .mapPartitions { it =>
+        val idxs = Array.newBuilder[Int]
+        val words = Array.newBuilder[Long]
+        it.foreach { case (i, w) => idxs += i; words += w }
+        Iterator.single((idxs.result(), words.result()))
+      }.collect()
+    val out = new Array[Long](chunks.iterator.map(_._2.length).sum)
+    chunks.foreach { case (is, ws) =>
+      var i = 0
+      while (i < ws.length) { out(is(i)) = ws(i); i += 1 }
+    }
     out
   }
 

@@ -60,6 +60,19 @@ class BloomSpec extends SparkSpec {
       .filter(!col("maybe_dup")).count() == 0)
   }
 
+  test("readBits reassembles shuffled multi-partition chunks by idx") {
+    // the primitive-chunk read path must place words by idx, not file
+    // order: rewrite the persisted bitmap across 4 partitions in hashed
+    // (non-sequential) row order and demand bit-exact reassembly
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomrd_").toString
+    val bits = Bloom.build(Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("id", "text"), "text", K, M)
+    Bloom.writeBits(spark, s"$dir/seq", bits)
+    spark.read.parquet(s"$dir/seq").repartition(4, col("word"))
+      .write.parquet(s"$dir/shuffled")
+    assert(Bloom.readBits(spark, s"$dir/shuffled").toSeq == bits.toSeq)
+  }
+
   test("batch columns named like the probe temp survive untouched") {
     // regression: flagDuplicates used a hardcoded __probes temp column and
     // a positional read — a batch already carrying __probes (or the new
