@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   * the PNG corpus and audioEnergy over a WAV corpus (base = 2,000 clips,
   * 16 kHz mono ~0.5 s each) — both shuffle-free per-row scans whose cost
   * must stay linear in payload bytes.
-  * Prints one SCALE_MEDIA (or SCALE_MEDIA_AUDIO) line.
+  * `video` measures [[graft.ext.Media.videoNearPairs]] on its real input
+  * shape (a frame-hash table; base = 20,000 videos × 8 frames): groups
+  * of 4 share all content frames (emitted pairs linear in N) and every
+  * video carries one N-frequency intro frame that must die in the
+  * broadcast-anti-join df-cap — the claim is pair cost tracks candidate
+  * pairs, and the hot key never reaches the self-join.
+  * Prints one SCALE_MEDIA (or SCALE_MEDIA_AUDIO / SCALE_MEDIA_VIDEO) line.
   */
 object ScaleMedia {
   def main(args: Array[String]): Unit = {
@@ -70,6 +76,34 @@ object ScaleMedia {
       println(f"SCALE_MEDIA_AUDIO label=$label images=$n stats_sec=$statsSec%.2f " +
         f"stats_imgs_per_sec=${nStats / statsSec}%.0f clips=$n windows=$nWin " +
         f"energy_sec=$energySec%.2f samples_per_sec=${n * 8000 / energySec}%.0f")
+      spark.stop()
+      return
+    }
+    if (mode == "video") {
+      // frame-TABLE scaling for videoNearPairs (decode cost is the other
+      // legs' story — this measures the pairing operator on its real
+      // input shape): base 20,000 videos × 8 frames. Groups of 4 videos
+      // share all 7 content frames (posting lists bounded at 4, emitted
+      // pairs = 6·N/4 — LINEAR in N), and every video opens with the
+      // SAME intro frame — the crawl black-frame case — whose posting
+      // list is N long and must die in the broadcast-anti-join df-cap,
+      // never reach the self-join (a count-window cap would funnel all N
+      // rows through one task here). Hashes go through xxhash64 so the
+      // synthetic keys spread like real dHashes.
+      val nV = nBase * 10 * mult
+      val frames = spark.range(nV).select(col("id").as("vid"),
+          explode(sequence(lit(0), lit(7))).as("f"))
+        .select(col("vid"),
+          when(col("f") === 0, xxhash64(lit(-1L)))
+            .otherwise(xxhash64((floor(col("vid") / 4) * 8).cast("long")
+              + col("f"))).as("h"))
+        .repartition(cpus.toInt).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val nPairs = graft.ext.Media.videoNearPairs(frames, "vid", "h",
+        minShared = 2, maxHashFreq = 1000).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE_MEDIA_VIDEO label=$label videos=$nV frames=${nV * 8} " +
+        f"pairs=$nPairs pair_sec=$sec%.2f pairs_per_sec=${nPairs / sec}%.0f")
       spark.stop()
       return
     }

@@ -2231,6 +2231,30 @@ object SparkEntry {
           T.htmlToText(col("http_body")).as("page_text"))
     }),
 
+    // the END-TO-END crawl pipeline in ONE shuffle-minimal plan: .warc.gz
+    // bytes → response records → visible text → C4 clean + page gate →
+    // canonical-URL dedup (tracking params stripped; same-site re-crawls
+    // collapse) → exact content dedup (mirror sites collapse) — the first
+    // pipeline a real crawl user builds; every stage is individually
+    // oracled above and the composition is re-derived wholesale here
+    "src_warc_pipeline" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 60)
+        .withColumn("n", (col("doc_id") % 3 + 2).cast("int"))
+        .withColumn("gz", col("doc_id") % 2 === 0)
+      val files = graft.sources.Warc.genCrawlWarcs(ids, "doc_id", "n", "gz")
+      val pages = graft.sources.Warc.warcResponses(files, "doc_id", "content")
+        .filter(col("http_status") === 200)
+        .select((col("doc_id") * 1000 + col("rec_idx")).as("page_id"),
+          col("target_uri"), T.htmlToText(col("http_body")).as("raw_text"))
+      val gated = pages
+        .withColumn("clean_text", T.c4CleanLines(col("raw_text")))
+        .filter(T.c4Keep(col("clean_text")))
+      val urlDeduped = graft.ext.Urls.dedupByUrl(gated, "page_id", "target_uri")
+      Dedup.exact(urlDeduped, Seq("clean_text"), "page_id")
+        .select(col("page_id"), col("url_norm"), col("clean_text"))
+    }),
+
     // PDF text extraction (ISO 32000): object/stream walk + FlateDecode
     // + content-stream tokenizer; the fixture rotates show syntax per
     // page (hex+T*, split-TJ+', plain Tj+T*) and toggles Flate per doc —
@@ -2244,6 +2268,26 @@ object SparkEntry {
       graft.ext.Pdf.pdfText(files, "doc_id", "content")
         .select(col("doc_id").as("media_id"), col("stream_idx"),
           col("pdf_version"), col("text"))
+    }),
+
+    // PDF → text tier END-TO-END in one plan: object walk + FlateDecode +
+    // content-stream tokenize, then token-window chunking and per-chunk
+    // quality scoring — extraction feeding curation, all per-row
+    // expressions after the decode, zero shuffles
+    "mm_pdf_pipeline" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+        .withColumn("n", (col("doc_id") % 4 + 1).cast("int"))
+        .withColumn("flate", col("doc_id") % 2 === 0)
+      val files = graft.ext.Pdf.genPdfs(ids, "doc_id", "n", "flate")
+      val pages = graft.ext.Pdf.pdfText(files, "doc_id", "content")
+        .select((col("doc_id") * 10 + col("stream_idx")).as("page_id"),
+          col("text"))
+      Curation.chunkByTokens(pages, "page_id", "text",
+          chunkTokens = 4, overlapTokens = 1)
+        .select(col("page_id"), col("chunk_idx"), col("chunk"),
+          T.tokenCount(col("chunk")).as("n_tokens"),
+          T.qualityPerMille(col("chunk")).as("quality_pm"))
     }),
 
     // dirty-corpus quarantine: odd ids carry garbage bytes; the lenient
@@ -2332,6 +2376,22 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"), col("window_idx"),
           col("start_ms"), col("n_samples"), col("sum_sq"), col("peak_abs"),
           (col("sum_sq") < col("n_samples").cast("long") * 5440L).as("silent"))
+    }),
+
+    // AUDIO near-dup pairs — the third modality joins the Hamming dedup
+    // tier: energy-delta-sign fingerprint (gain-invariant), banded pair
+    // join reused verbatim from the image tier. Odd ids are modeled
+    // re-encodes of their even sibling (exactly one fingerprint bit
+    // flipped — never identical, always in band reach)
+    "mm_audio_dedup" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("k", floor(col("doc_id") / 2).cast("long"))
+        .withColumn("p", (col("doc_id") % 2).cast("int"))
+        .withColumn("nw", lit(65).cast("int"))
+      val media = Media.genToneWavs(ids, "doc_id", "k", "p", "nw")
+      val fp = Media.audioFingerprint(media, "doc_id", "content", windowMs = 20)
+      Media.dhashNearPairs(fp, "doc_id", "afp", maxDist = 3)
     }),
 
     // image+caption pair curation end-to-end: decode → dHash near-dup
@@ -2449,6 +2509,41 @@ object SparkEntry {
       Media.videoFrames(media, "doc_id", "content")
         .select(col("doc_id").as("media_id"), col("frame_idx"),
           col("width"), col("height"), col("dhash"))
+    }),
+
+    // frame-level video DEDUP over the real container decode: groups of 4
+    // videos share a pattern (trims — frame counts vary, so n_shared =
+    // min frame count), and one 24-video mega-group drives its common
+    // frame hashes past maxHashFreq=10 — those must contribute NO pair
+    // evidence (the hot-frame cap), while n_left/n_right keep true counts
+    "mm_video_dedup" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 96)
+        .withColumn("k", when(col("doc_id") < 24, 0L)
+          .otherwise(floor(col("doc_id") / 4)).cast("long"))
+        .withColumn("n", (col("doc_id") % 3 + 2).cast("int"))
+      val media = Media.genPatternAvis(ids, "doc_id", "k", "n", w = 9, h = 8)
+      val frames = Media.videoFrames(media, "doc_id", "content")
+      Media.videoNearPairs(frames, "doc_id", "dhash",
+        minShared = 2, maxHashFreq = 10)
+    }),
+
+    // RE-ENCODED video copies: each group of 3 = [original | lossy
+    // re-encode (every frame perturbed — dHashes near but never equal) |
+    // trim]. Plain exact-hash pairing misses the re-encode; clustering
+    // the frame-hash vocabulary (Hamming ≤ 3 components) and pairing on
+    // cluster representatives finds all three pairs per group
+    "mm_video_dedup_reenc" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 36)
+        .withColumn("k", floor(col("doc_id") / 3).cast("long"))
+        .withColumn("p", when(col("doc_id") % 3 === 1, 1).otherwise(0).cast("int"))
+        .withColumn("n", when(col("doc_id") % 3 === 2, 2).otherwise(3).cast("int"))
+      val media = Media.genPatternAvisPerturbed(ids, "doc_id", "k", "p", "n",
+        w = 9, h = 8)
+      val frames = Media.videoFrames(media, "doc_id", "content")
+      Media.videoNearPairsClustered(frames, "doc_id", "dhash",
+        maxDist = 3, minShared = 2)
     }),
 
     // ---- streaming (file stream over the events table, AvailableNow) ----
@@ -3946,6 +4041,57 @@ object SparkEntry {
         |    ' gamma' || ((k*7 + i) % 100) AS page_text
         |FROM ids, unnest(range(0, n)) t(i)""".stripMargin,
 
+    // the composed crawl pipeline, re-derived stage by stage: status
+    // filter by the 404 formula, visible text from (m, i), the C4 line
+    // rule + page gate replayed token-for-token (NOT by plant residue —
+    // the rules themselves run in SQL), canonical URL from (s, i) with
+    // tracking params gone, then min-page_id winners per URL and per
+    // distinct clean text
+    "src_warc_pipeline" ->
+      """WITH ids AS (SELECT doc_id AS k, doc_id % 10 AS s, doc_id % 5 AS m,
+        |    CAST(doc_id % 3 + 2 AS INT) AS n
+        |  FROM documents WHERE doc_id < 60),
+        |  pg AS (SELECT k, s, m, CAST(i AS INT) AS i, (m*3 + i) % 5 AS v,
+        |      k * 1000 + 2 + 2*i AS page_id
+        |    FROM ids, unnest(range(0, 4)) t(i)
+        |    WHERE i < n AND (k*3 + i) % 7 <> 0),
+        |  txt AS (SELECT page_id, s, m, i,
+        |      'Crawl ' || m || ' ' || i || ' Site ' || m || ' page ' || i ||
+        |      ' carries crawl words number ' || ((m*7 + i) % 50) ||
+        |      '. Another sentence follows with plenty of words here. ' ||
+        |      CASE WHEN v = 0 THEN 'Closing remark has lorem ipsum inside.'
+        |           WHEN v = 1 THEN 'Closing remark is {styled} badly today.'
+        |           WHEN v = 2 THEN 'unpunctuated tail'
+        |           ELSE 'Closing remark ends the page cleanly.' END AS text
+        |    FROM pg),
+        |  cl AS (SELECT page_id, s, m, i, array_to_string(list_filter(
+        |      string_split(text, chr(10)), l ->
+        |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |      AND len(list_filter(string_split(trim(l), ' '), w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')), chr(10)) AS clean_text
+        |    FROM txt),
+        |  sen AS (SELECT page_id, s, m, i, clean_text,
+        |      len(list_filter(list_transform(
+        |        string_split(regexp_replace(clean_text, '([.!?]+)\s+', '\1' || chr(1), 'g'), chr(1)),
+        |        x -> trim(x)), x -> length(x) > 0)) AS ns
+        |    FROM cl),
+        |  gate AS (SELECT page_id, s, i, clean_text FROM sen
+        |    WHERE ns >= 3 AND NOT contains(lower(clean_text), 'lorem ipsum')
+        |      AND NOT contains(clean_text, '{')
+        |      AND NOT list_has_any(
+        |        list_filter(string_split_regex(lower(clean_text), '[ \n]'),
+        |          t -> len(t) > 0), ['viagra', 'casino', 'xxx'])),
+        |  urld AS (SELECT page_id, clean_text,
+        |      'http://site' || s || '.example/page' || i || '?q=' || (i % 3) AS url_norm,
+        |      row_number() OVER (PARTITION BY s, i ORDER BY page_id) AS rk
+        |    FROM gate),
+        |  u1 AS (SELECT page_id, url_norm, clean_text FROM urld WHERE rk = 1),
+        |  ex AS (SELECT page_id, url_norm, clean_text,
+        |      row_number() OVER (PARTITION BY clean_text ORDER BY page_id) AS rk2
+        |    FROM u1)
+        |SELECT page_id, url_norm, clean_text FROM ex WHERE rk2 = 1""".stripMargin,
+
     // page text re-derived from the fixture formula with zero parsing —
     // the hash match proves the object walk, FlateDecode (even k), and
     // all three show-syntax variants extract the identical text
@@ -3957,6 +4103,32 @@ object SparkEntry {
         |  'Doc ' || k || ' page ' || i || chr(10) ||
         |    'alpha(' || ((k*13 + i) % 97) || ') beta' AS text
         |FROM ids, unnest(range(0, n)) t(i)""".stripMargin,
+
+    // the PDF→curation composition: page text from the fixture formula,
+    // token-window chunks (size 4, stride 3 — the curate_chunk algebra),
+    // then the text_quality formula per CHUNK
+    "mm_pdf_pipeline" ->
+      """WITH ids AS (SELECT doc_id AS k, CAST(doc_id % 4 + 1 AS INT) AS n
+        |  FROM documents WHERE doc_id < 120),
+        |  pages AS (SELECT k * 10 + i AS page_id,
+        |      'Doc ' || k || ' page ' || i || chr(10) ||
+        |      'alpha(' || ((k*13 + i) % 97) || ') beta' AS text
+        |    FROM ids, unnest(range(0, n)) t(i)),
+        |  tok AS (SELECT page_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS w FROM pages),
+        |  ch AS (SELECT page_id, CAST(i AS BIGINT) AS chunk_idx,
+        |      array_to_string(w[(i*3+1):(i*3+4)], ' ') AS chunk
+        |    FROM tok, unnest(range(0, CAST(ceil(len(w) / 3.0) AS BIGINT))) AS t(i)),
+        |  st AS (SELECT page_id, chunk_idx, chunk,
+        |      CASE WHEN length(trim(chunk)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(chunk), '\s+')) END AS nt,
+        |      CASE WHEN length(chunk) = 0 THEN 0
+        |        ELSE floor((length(chunk) - length(regexp_replace(chunk, '[!-/:-@\[-`{-~]', '', 'g'))) * 1000.0 / length(chunk) + 0.5) END AS punct_pm
+        |    FROM ch)
+        |SELECT page_id, chunk_idx, chunk, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(floor(least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+        |    * (1.0 - least(CAST(punct_pm AS DOUBLE) / 300.0, 1.0)) * 1000 + 0.5) AS BIGINT) AS quality_pm
+        |FROM st""".stripMargin,
 
     // even ids decode (dhash re-derived from the pattern formula, perturb
     // p=0); odd ids are sniffed as octet-stream and quarantined with the
@@ -4071,6 +4243,35 @@ object SparkEntry {
         |  CAST(pk AS INT) AS peak_abs,
         |  ss < nsamp * 5440 AS silent
         |FROM s""".stripMargin,
+
+    // audio dedup: every window amplitude re-derived (window 0 forced to
+    // 127/0 by the original first delta sign when p<>0 — the guaranteed
+    // one-bit flip), delta-sign bits assembled into the signed 64-bit
+    // fingerprint (equal window sizes make the energy comparison a pure
+    // amplitude comparison), then the all-pairs Hamming filter the banded
+    // join must equal exactly
+    "mm_audio_dedup" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 2 AS k, doc_id % 2 AS p
+        |  FROM documents WHERE doc_id < 150),
+        |  amp AS (SELECT id, CAST(w AS INT) AS w,
+        |      CASE WHEN p <> 0 AND w = 0 THEN
+        |        CASE WHEN (k*31 + 10) % 120 > (k*31) % 120 THEN 127 ELSE 0 END
+        |      ELSE (k*31 + w*w*7 + w*3) % 120 + 1 END AS a
+        |    FROM ids, unnest(range(0, 65)) t(w)),
+        |  bits AS (SELECT a1.id, a1.w AS bit
+        |    FROM amp a1 JOIN amp a2 ON a2.id = a1.id AND a2.w = a1.w + 1
+        |    WHERE a1.w < 64 AND a2.a > a1.a),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM ids i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id),
+        |  h AS (SELECT id, CASE WHEN hi >= 2147483648
+        |      THEN (hi - 4294967296) * 4294967296 + lo
+        |      ELSE hi * 4294967296 + lo END AS fp FROM hs)
+        |SELECT a.id AS left_id, b.id AS right_id,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hdist
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
 
     // dHash pair suppression (all-pairs filter ≡ the band join) + the
     // caption token gate, composed exactly as the Spark plan does
@@ -4220,6 +4421,90 @@ object SparkEntry {
         |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
         |       ELSE hi * 4294967296 + lo END AS dhash
         |FROM hs""".stripMargin,
+
+    // video dedup: re-derive every frame's dHash from the formula, then
+    // replay the operator's algebra exactly — per-video DISTINCT hashes,
+    // hot-hash df-cap (freq > 10 drops BEFORE pairing; the 24-video
+    // mega-group's common frames die here), equi-join pair counts with
+    // minShared=2, and TRUE pre-cap per-video sizes
+    "mm_video_dedup" ->
+      """WITH ids AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id < 24 THEN 0 ELSE doc_id // 4 END AS k,
+        |    doc_id % 3 + 2 AS n
+        |  FROM documents WHERE doc_id < 96),
+        |  fr AS (SELECT id, k * 8 + f AS kf, CAST(f AS INT) AS f
+        |    FROM ids, unnest(range(0, 4)) tf(f) WHERE f < n),
+        |  g AS (SELECT id, f, x, y,
+        |      (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f),
+        |  vh AS (SELECT DISTINCT id,
+        |      CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |           ELSE hi * 4294967296 + lo END AS dh FROM hs),
+        |  freq AS (SELECT dh, count(*) AS c FROM vh GROUP BY 1),
+        |  capped AS (SELECT vh.id, vh.dh FROM vh JOIN freq ON vh.dh = freq.dh
+        |    WHERE freq.c <= 10),
+        |  sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS nf FROM vh GROUP BY 1),
+        |  pairs AS (SELECT a.id AS l, b.id AS r, CAST(count(*) AS BIGINT) AS sh
+        |    FROM capped a JOIN capped b ON a.dh = b.dh AND a.id < b.id
+        |    GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT l AS left_id, r AS right_id, sh AS n_shared,
+        |  sa.nf AS n_left, sb.nf AS n_right
+        |FROM pairs JOIN sizes sa ON sa.id = l JOIN sizes sb ON sb.id = r""".stripMargin,
+
+    // re-encoded copies: the perturbed frame re-derived (pixel (0,0)
+    // forced to 255/0 by the original (0,0)→(1,0) gradient sign when
+    // p<>0 — the guaranteed one-bit dHash flip), all-pairs Hamming ≤ 3
+    // over the hash VOCABULARY, recursive-CTE closure to min-hash
+    // representatives (the operator's banded candidates +
+    // connectedComponents are exact, so the all-pairs replay must
+    // agree), then the videoNearPairs algebra on representatives
+    "mm_video_dedup_reenc" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id AS id, doc_id // 3 AS k,
+        |    CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS p,
+        |    CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 3 END AS n
+        |  FROM documents WHERE doc_id < 36),
+        |  fr AS (SELECT id, p, k * 8 + f AS kf, CAST(f AS INT) AS f
+        |    FROM ids, unnest(range(0, 3)) tf(f) WHERE f < n),
+        |  g AS (SELECT id, f, x, y,
+        |      CASE WHEN p <> 0 AND x = 0 AND y = 0 THEN
+        |        CASE WHEN (kf*31 + 3) % 256 > (kf*31) % 256 THEN 255 ELSE 0 END
+        |      ELSE (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 END AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f),
+        |  vh AS (SELECT DISTINCT id,
+        |      CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |           ELSE hi * 4294967296 + lo END AS dh FROM hs),
+        |  vocab AS (SELECT DISTINCT dh FROM vh),
+        |  hp AS (SELECT a.dh AS ha, b.dh AS hb FROM vocab a JOIN vocab b
+        |    ON a.dh < b.dh AND bit_count(xor(a.dh, b.dh)) <= 3),
+        |  edges AS (SELECT ha AS s, hb AS d FROM hp UNION SELECT hb, ha FROM hp),
+        |  walk AS (SELECT s AS h, s AS comp FROM edges
+        |    UNION SELECT e.s, w.comp FROM edges e JOIN walk w ON e.d = w.h),
+        |  rep AS (SELECT h, min(comp) AS r FROM walk GROUP BY h),
+        |  vr AS (SELECT DISTINCT vh.id, COALESCE(rep.r, vh.dh) AS rp
+        |    FROM vh LEFT JOIN rep ON vh.dh = rep.h),
+        |  sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS nf FROM vr GROUP BY 1),
+        |  pairs AS (SELECT a.id AS l, b.id AS r2, CAST(count(*) AS BIGINT) AS sh
+        |    FROM vr a JOIN vr b ON a.rp = b.rp AND a.id < b.id
+        |    GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT l AS left_id, r2 AS right_id, sh AS n_shared,
+        |  sa.nf AS n_left, sb.nf AS n_right
+        |FROM pairs JOIN sizes sa ON sa.id = l JOIN sizes sb ON sb.id = r2""".stripMargin,
 
     // the C4 line-keep rule replayed token-for-token: terminal punct,
     // ≥5 space-separated words, no 'javascript'

@@ -690,6 +690,19 @@ object Config {
       // per-frame video decode: LIST(movi) walk -> codec decode -> dHash
       case "videoFrames" =>
         graft.ext.Media.videoFrames(df, str(n, "id"), str(n, "column"))
+      // frame-hash video dedup over a videoFrames table: exact shared
+      // frames (trims/re-containered copies) or Hamming-clustered
+      // representatives (re-encoded copies, clustered=true)
+      case "videoDedupPairs" =>
+        val id = str(n, "id"); val hash = str(n, "hash")
+        val minShared = Option(n.get("minShared")).map(_.asInt).getOrElse(2)
+        val maxHashFreq = Option(n.get("maxHashFreq")).map(_.asInt).getOrElse(1000)
+        if (Option(n.get("clustered")).exists(_.asBoolean))
+          graft.ext.Media.videoNearPairsClustered(df, id, hash,
+            maxDist = Option(n.get("maxDist")).map(_.asInt).getOrElse(3),
+            minShared = minShared, maxHashFreq = maxHashFreq)
+        else graft.ext.Media.videoNearPairs(df, id, hash,
+          minShared = minShared, maxHashFreq = maxHashFreq)
       case "imageStats" =>
         graft.ext.Media.imageStats(df, str(n, "id"), str(n, "column"))
       case "imageAHash" =>
@@ -697,6 +710,12 @@ object Config {
       case "audioEnergy" =>
         graft.ext.Media.audioEnergy(df, str(n, "id"), str(n, "column"),
           windowMs = n.get("windowMs").asInt)
+      // gain-invariant acoustic fingerprint: the 64-bit `afp` column pairs
+      // with `imageDedupPairs` (hash: afp) — the Hamming tier is
+      // modality-agnostic
+      case "audioFingerprint" =>
+        graft.ext.Media.audioFingerprint(df, str(n, "id"), str(n, "column"),
+          windowMs = Option(n.get("windowMs")).map(_.asInt).getOrElse(20))
       // WARC crawl ingestion (sources/Warc): explode archive files (from a
       // binaryFile source) into records / HTTP page responses — one row
       // per record, gzip members inflated in place, no shuffle

@@ -931,6 +931,105 @@ object Media {
     }, outSchema)
   }
 
+  /** 64-bit acoustic fingerprint from window-energy DELTA SIGNS: bit w
+    * (w = 0..63) is 1 iff energy(window w+1) > energy(window w), windows
+    * cut exactly as [[audioEnergy]]. The sign-of-energy-derivative trick
+    * is the core of published audio fingerprinting (Haitsma & Kalker
+    * 2002 use band-energy differences): comparisons are invariant under
+    * uniform gain (both energies scale together), so a re-levelled copy
+    * of a clip fingerprints identically and a lightly re-encoded one
+    * lands a few Hamming bits away — dropping audio STRAIGHT into the
+    * existing 64-bit Hamming dedup tier ([[dhashNearPairs]] /
+    * [[dhashDupIds]] pair ANY 64-bit signature column). Clips shorter
+    * than 65 windows leave their upper bits 0. Output adds
+    * (n_windows, afp). Per-row scan, no shuffle, same economics as
+    * [[audioEnergy]].
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, contentCol: String,
+                       windowMs: Int = 20): DataFrame = {
+    require(windowMs > 0)
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_windows", IntegerType, nullable = false),
+      StructField("afp", LongType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val m = parseWav(bytes)
+        require(m.bitsPerSample == 16,
+          s"audioFingerprint reads 16-bit PCM, got ${m.bitsPerSample}-bit")
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val wBytes = math.max(m.blockAlign,
+          m.byteRate.toLong * windowMs / 1000 / m.blockAlign * m.blockAlign).toInt
+        val nW = ((m.dataBytes + wBytes - 1L) / wBytes).toInt
+        val e = new Array[Long](nW)
+        var i = 0
+        while (i < nW) {
+          val off = i.toLong * wBytes
+          val n = math.min(wBytes.toLong, m.dataBytes - off).toInt
+          var sumSq = 0L
+          var j = 0
+          while (j < n / 2) {
+            val v = bb.getShort(m.dataOff + off.toInt + j * 2).toInt
+            sumSq += v.toLong * v
+            j += 1
+          }
+          e(i) = sumSq
+          i += 1
+        }
+        var fp = 0L
+        var w = 0
+        while (w < 64 && w + 1 < nW) {
+          if (e(w + 1) > e(w)) fp |= 1L << w
+          w += 1
+        }
+        Row(r.get(0), nW, fp)
+      }
+    }, outSchema)
+  }
+
+  /** Deterministic constant-amplitude-per-window WAV fixtures for the
+    * audio-dedup oracle (`mm_audio_dedup`): row (k = `patternCol`,
+    * p = `perturbCol`, nw = `windowsCol`) is an 8 kHz mono clip of
+    * exactly nw 20 ms windows (160 samples each, no ragged tail), window
+    * w filled with the constant amplitude `((k·31 + w·w·7 + w·3) % 120)
+    * + 1` — so every window energy, every [[audioFingerprint]] delta
+    * sign, and every pair distance re-derives in SQL from (k, w) alone
+    * (equal window sizes make the energy comparison a pure amplitude
+    * comparison). perturb ≠ 0 is the modeled re-encode: window 0's
+    * amplitude is forced to 127 when the original first delta is
+    * positive, else to 0 — pixel-(0,0)-style, window 0 feeds only bit 0,
+    * so the fingerprint flips EXACTLY that bit (amplitudes cap at 120 <
+    * 127 and start at 1 > 0, so the flip is total).
+    */
+  def genToneWavs(df: DataFrame, idCol: String, patternCol: String,
+                  perturbCol: String, windowsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(perturbCol).cast("int"), col(windowsCol).cast("int"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1); val p = r.getInt(2); val nw = r.getInt(3)
+        def amp(w: Int): Int = ((k * 31 + w.toLong * w * 7 + w * 3) % 120).toInt + 1
+        val a0 = if (p != 0) { if (amp(1) > amp(0)) 127 else 0 } else amp(0)
+        val samples = new Array[Short](nw * 160)
+        var w = 0
+        while (w < nw) {
+          val a = (if (w == 0) a0 else amp(w)).toShort
+          var j = 0
+          while (j < 160) { samples(w * 160 + j) = a; j += 1 }
+          w += 1
+        }
+        Row(r.get(0), encodeWav(8000, 1, samples))
+      }
+    }, outSchema)
+  }
+
   // ----------------------------------------------------------------- video
 
   /** Parsed AVI facts from the `avih` main header. */
@@ -1043,17 +1142,22 @@ object Media {
     * prefix/suffix clips, where frames survive bit-identical after
     * normalization; re-ENCODED copies compose by first clustering the
     * frame table with [[dhashNearPairs]] and joining on the cluster
-    * representative instead of the raw hash). Execution is one
-    * equi-join on the 64-bit frame hash — never a cross product — then
-    * a per-pair count: the shuffle carries fixed-width (hash, video)
-    * rows, and the only quadratic risk is a frame hash shared by huge
-    * numbers of videos (black/intro frames at crawl scale), which
-    * `maxHashFreq` removes up front exactly like the df-cap in
-    * [[Dedup.minhashPairs]] — a signature that common carries no
-    * discriminating evidence anyway. Returns
+    * representative instead of the raw hash — see [[videoNearPairsClustered]]).
+    * Execution is one equi-join on the 64-bit frame hash — never a cross
+    * product — then a per-pair count: the shuffle carries fixed-width
+    * (hash, video) rows, and the only quadratic risk is a frame hash
+    * shared by huge numbers of videos (black/intro frames at crawl
+    * scale), which `maxHashFreq` removes up front exactly like the
+    * df-cap in [[Dedup.ngramJaccardPairs]] — a signature that common
+    * carries no discriminating evidence anyway. Returns
     * (left_id, right_id, n_shared, n_left, n_right), left < right, with
     * per-video DISTINCT frame-signature counts so overlap ratios
     * (containment/Jaccard) are one projection away in integer math.
+    * Count semantics under the cap: n_left/n_right are the TRUE pre-cap
+    * per-video distinct counts, while dropped hot hashes under-count
+    * n_shared for affected pairs — so derived containment/Jaccard are
+    * conservative (never inflated), the same documented trade-off as
+    * `inter` in [[Dedup.ngramJaccardPairs]].
     */
   def videoNearPairs(frames: DataFrame, idCol: String, hashCol: String,
                      minShared: Int = 2,
@@ -1061,13 +1165,13 @@ object Media {
     require(minShared >= 1, "minShared must be >= 1")
     val f = frames.select(col(idCol).cast("long").as("__vid"),
       col(hashCol).cast("long").as("__h")).distinct()
-    // df-cap: a frame hash appearing in > maxHashFreq videos is dropped
-    // BEFORE the self-join (quadratic in bucket size otherwise)
-    val capped = f.withColumn("__freq",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__h"))))
-      .filter(col("__freq") <= maxHashFreq)
-      .drop("__freq")
+    // df-cap BEFORE the self-join (quadratic in bucket size otherwise) via
+    // partial-agg + broadcast anti-join, then repartition on the join key
+    // AFTER the cap — a count-window here would funnel the hottest hash's
+    // entire posting list through one task before dropping it (see
+    // Dedup.dropHotKeys), exactly the skew this cap exists to prevent
+    val capped = Dedup.dropHotKeys(f, Seq("__h"), maxHashFreq)
+      .repartition(col("__h"))
     val counts = f.groupBy(col("__vid")).agg(count(lit(1)).as("__nf"))
     val l = capped.select(col("__h"), col("__vid").as("left_id"))
     val r = capped.select(col("__h"), col("__vid").as("right_id"))
@@ -1084,6 +1188,43 @@ object Media {
         col("n_left"), col("n_right"))
   }
 
+  /** Re-encoded-copy video near-dup pairs — the composition
+    * [[videoNearPairs]]'s doc promises: a lossy re-encode perturbs every
+    * frame's pixels, so frame dHashes land a few Hamming bits from the
+    * original and the exact-hash equi-join finds nothing. Fix: cluster
+    * the DISTINCT frame-hash vocabulary with [[dhashNearPairs]]
+    * (Hamming ≤ `maxDist`, lossless banded candidates — never
+    * all-pairs), take connected components over those hash pairs
+    * ([[Dedup.connectedComponents]] — min-label propagation, O(log
+    * diameter) rounds), and replace each frame's hash by its cluster
+    * representative (min hash; singleton hashes represent themselves via
+    * a left join + coalesce, no row lost). Then [[videoNearPairs]] on
+    * the representative column does the rest unchanged. Scale shape: the
+    * clustering runs over the distinct hash VOCABULARY (≪ frame count —
+    * crawl frame tables repeat hashes heavily), the component table
+    * joins back on the 64-bit hash (shuffle of fixed-width rows), and
+    * the final stage inherits videoNearPairs' df-cap. Output schema
+    * identical to [[videoNearPairs]]; n_shared counts shared DISTINCT
+    * cluster representatives.
+    */
+  def videoNearPairsClustered(frames: DataFrame, idCol: String,
+                              hashCol: String, maxDist: Int = 3,
+                              minShared: Int = 2,
+                              maxHashFreq: Int = 1000): DataFrame = {
+    val f = frames.select(col(idCol).cast("long").as("__vid"),
+      col(hashCol).cast("long").as("__h"))
+    val vocab = f.select(col("__h")).distinct()
+    // the hash IS the node id: dhashNearPairs keys pairs by value, and
+    // min-hash-of-component is then a deterministic representative
+    val hashPairs = dhashNearPairs(vocab, "__h", "__h", maxDist)
+    val comps = Dedup.connectedComponents(hashPairs, "left_id", "right_id")
+    val withRep = f
+      .join(comps.select(col("id").as("__h"), col("comp").as("__rep")),
+        Seq("__h"), "left")
+      .select(col("__vid"), coalesce(col("__rep"), col("__h")).as("__reph"))
+    videoNearPairs(withRep, "__vid", "__reph", minShared, maxHashFreq)
+  }
+
   /** Deterministic multi-frame AVI fixtures: frame f of row (k =
     * `patternCol`) is the [[genPatternPngs]] formula grid with pattern
     * k·8+f (perturb 0), encoded as a lossless PNG payload in a `00dc`
@@ -1092,15 +1233,37 @@ object Media {
     * Output (idCol, content AVI binary).
     */
   def genPatternAvis(df: DataFrame, idCol: String, patternCol: String,
-                     framesCol: String, w: Int, h: Int): DataFrame = {
+                     framesCol: String, w: Int, h: Int): DataFrame =
+    genPatternAvisPerturbed(df.withColumn("__p0", lit(0)),
+      idCol, patternCol, "__p0", framesCol, w, h)
+
+  /** [[genPatternAvis]] with a per-row perturb column — the modeled
+    * "lossy re-encode" for [[videoNearPairsClustered]]: perturb ≠ 0
+    * replaces pixel (0,0) of EVERY frame with 255 when the frame's
+    * original (0,0)→(1,0) gradient is positive, else 0. Pixel (0,0) is
+    * the LEFT operand of exactly one dHash comparison (x=0, y=0; it is
+    * never anyone's right operand), so this flips exactly that one hash
+    * bit: the perturbed frame's dHash sits at Hamming distance EXACTLY 1
+    * from the original — deterministically never bit-identical (a small
+    * additive bump would leave most gradient signs, hence the hash,
+    * unchanged) yet always within the band join's maxDist. Exactly the
+    * case the clustered pairing exists for and plain [[videoNearPairs]]
+    * provably misses. One documented edge: a frame whose (1,0) pixel is 0
+    * (a single kf residue class mod 256, unused by any fixture) cannot
+    * flip its negative gradient and stays identical — the SQL oracle
+    * replays the same rule, so even that frame stays oracle-consistent.
+    */
+  def genPatternAvisPerturbed(df: DataFrame, idCol: String,
+                              patternCol: String, perturbCol: String,
+                              framesCol: String, w: Int, h: Int): DataFrame = {
     val spark = df.sparkSession
     val in = df.select(col(idCol), col(patternCol).cast("long"),
-      col(framesCol).cast("int"))
+      col(perturbCol).cast("int"), col(framesCol).cast("int"))
     val outSchema = StructType(Seq(in.schema.head,
       StructField("content", BinaryType, nullable = false)))
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val k = r.getLong(1); val n = r.getInt(2)
+        val k = r.getLong(1); val p = r.getInt(2); val n = r.getInt(3)
         val movi = new ByteArrayOutputStream()
         var f = 0
         while (f < n) {
@@ -1116,6 +1279,7 @@ object Media {
             }
             y += 1
           }
+          if (p != 0) px(0) = if (px(1) > px(0)) 255 else 0
           val png = encodeGrayPng(px, w, h)
           val hdr = java.nio.ByteBuffer.allocate(8)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -357,9 +357,72 @@ object Warc {
     * Output (idCol, content).
     */
   def genWarcs(df: DataFrame, idCol: String, nRecsCol: String,
-               gzCol: String): DataFrame = {
+               gzCol: String): DataFrame =
+    genFromRecords(df, idCol, nRecsCol, gzCol, fixtureRecords)
+
+  /** Crawl-corpus fixtures for the end-to-end pipeline oracle
+    * (`src_warc_pipeline`): file k crawls site s = k%10, whose page TEXT
+    * comes from mirror group m = k%5 — files sharing s duplicate pages
+    * URL-exactly (identical canonical URL once the planted
+    * `utm_source`/`ref` tracking params strip), while sites s and s+5
+    * are content MIRRORS (identical visible text under distinct
+    * canonical URLs) that only exact content dedup catches. Page i
+    * plants one C4 violation by v = (m·3+i) % 5: v=0 a lorem-ipsum
+    * sentence, v=1 a curly brace, v=2 an unterminated tail (the whole
+    * single-line page then fails the C4 line rule); pages with
+    * (k·3+i) % 7 == 0 answer 404. Every page's `<script>` body contains
+    * the literal word "javascript", so a broken script-strip would kill
+    * every page at the line rule — the composed oracle proves HTML
+    * stripping, C4 cleaning + gating, URL dedup, and content dedup in
+    * one plan. Visible text after htmlToText derives from (m, i) alone:
+    * `"Crawl {m} {i} Site {m} page {i} carries crawl words number
+    * {(m·7+i)%50}. Another sentence follows with plenty of words here.
+    * {tail(v)}"`.
+    */
+  private[graft] def crawlRecords(k: Long, n: Int): Seq[(String, String, String, Option[String], String, Array[Byte])] = {
+    val s = k % 10; val m = k % 5
+    val day = f"${k % 28 + 1}%02d"
+    val info = ("warcinfo", s"<urn:uuid:$k-info>", s"2026-02-${day}T00:00:00Z",
+      None, "application/warc-fields",
+      s"software: graft crawl $k\r\n".getBytes(ISO_8859_1))
+    info +: (0 until n).flatMap { i =>
+      val uri = Some(s"http://site$s.example/page$i?utm_source=feed&ref=$k&q=${i % 3}")
+      val sec = f"${i % 60}%02d"
+      val req = ("request", s"<urn:uuid:$k-$i-req>",
+        s"2026-02-${day}T00:01:${sec}Z", uri,
+        "application/http; msgtype=request",
+        s"GET /page$i HTTP/1.1\r\nHost: site$s.example\r\n\r\n".getBytes(ISO_8859_1))
+      val status = if ((k * 3 + i) % 7 == 0) 404 else 200
+      val reason = if (status == 404) "Not Found" else "OK"
+      val tail = ((m * 3 + i) % 5) match {
+        case 0 => "Closing remark has lorem ipsum inside."
+        case 1 => "Closing remark is {styled} badly today."
+        case 2 => "unpunctuated tail"
+        case _ => "Closing remark ends the page cleanly."
+      }
+      val html = s"<html><head><title>Crawl $m $i</title></head><body>" +
+        s"<p>Site $m page $i carries crawl words number ${(m * 7 + i) % 50}.</p>" +
+        "<p>Another sentence follows with plenty of words here.</p>" +
+        s"<p>$tail</p><script>var lang=\"javascript\";</script></body></html>"
+      val resp = ("response", s"<urn:uuid:$k-$i-resp>",
+        s"2026-02-${day}T00:02:${sec}Z", uri,
+        "application/http; msgtype=response",
+        (s"HTTP/1.1 $status $reason\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          s"Content-Length: ${html.length}\r\n\r\n" + html).getBytes(ISO_8859_1))
+      Seq(req, resp)
+    }
+  }
+
+  /** [[genWarcs]] over the [[crawlRecords]] formula. */
+  def genCrawlWarcs(df: DataFrame, idCol: String, nPagesCol: String,
+                    gzCol: String): DataFrame =
+    genFromRecords(df, idCol, nPagesCol, gzCol, crawlRecords)
+
+  private def genFromRecords(df: DataFrame, idCol: String, nCol: String,
+                             gzCol: String,
+                             recs: (Long, Int) => Seq[(String, String, String, Option[String], String, Array[Byte])]): DataFrame = {
     val spark = df.sparkSession
-    val in = df.select(col(idCol).cast("long"), col(nRecsCol).cast("int"),
+    val in = df.select(col(idCol).cast("long"), col(nCol).cast("int"),
       col(gzCol).cast("boolean"))
     val outSchema = StructType(Seq(
       in.schema.head.copy(name = idCol),
@@ -367,7 +430,7 @@ object Warc {
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.map { r =>
         val k = r.getLong(0)
-        val encoded = fixtureRecords(k, r.getInt(1)).map {
+        val encoded = recs(k, r.getInt(1)).map {
           case (t, rid, date, uri, ct, body) =>
             encodeWarcRecord(t, rid, date, uri, ct, body)
         }

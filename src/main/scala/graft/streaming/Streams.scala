@@ -389,6 +389,88 @@ object Streams {
       }
     }
 
+  /** Streaming WARC CRAWL ingest — crawls arrive as daily `.warc.gz`
+    * segment drops, so the batch tier ([[graft.sources.Warc.warcRecords]])
+    * needs this arrival-driven sibling: each micro-batch of
+    * (id, content) WARC files parses leniently
+    * ([[graft.sources.Warc.warcRecordsLenient]] — one rotten segment
+    * lands as ONE quarantine row instead of failing a 100 TB ingest),
+    * healthy files explode to records, and records admit by exact content
+    * identity `md5(json(target_uri, body))` — a re-crawl of an unchanged
+    * page appends nothing — first within the batch (min `rec_uid` wins),
+    * then against the PERSISTED identity table at `indexDir/hashes`
+    * (a column-pruned scan of fixed-width hashes; corpus record bodies
+    * are never re-read).
+    *
+    * Exactly-once discipline, mirroring [[ingestImageDedup]]:
+    *  - branch dispatch keys off hash DATA presence, never the stamp;
+    *  - an all-quarantined first batch does NOT bootstrap (an empty write
+    *    would leave a schema-less hashes dir the next batch cannot read);
+    *  - bootstrap writes corpus + hashes with Overwrite (a replayed
+    *    bootstrap rewrites identical content);
+    *  - incremental appends run inside one commit-marker window over
+    *    corpus + hashes (invalidate → append both → restamp) so a torn
+    *    append fails the next batch loudly via
+    *    [[graft.ext.IndexFormat.check]];
+    *  - a replayed COMMITTED batch re-classifies its own rows as dups and
+    *    appends nothing;
+    *  - quarantine writes go to `quarantinePath/batch_id=N` with
+    *    Overwrite — a replay rewrites the same partition, O(batch), no
+    *    scan of the existing quarantine.
+    */
+  def ingestWarc(stream: DataFrame, corpusPath: String, indexDir: String,
+                 quarantinePath: String, idCol: String, contentCol: String,
+                 checkpoint: String,
+                 trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val fmt = "warcingest:v1:md5(uri,body)"
+      val hashesPath = s"$indexDir/hashes"
+      val parsed = graft.sources.Warc
+        .warcRecordsLenient(batch, idCol, contentCol).localCheckpoint(true)
+      parsed.filter(!col("decode_ok"))
+        .select(col(idCol), col("decode_err"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$quarantinePath/batch_id=$batchId")
+      val outCols = Seq("rec_uid", "file_id", "rec_idx", "warc_type",
+        "record_id", "target_uri", "warc_date", "content_type", "body", "__h")
+      val recs = parsed.filter(col("decode_ok"))
+        .select(
+          concat_ws(":", col(idCol).cast("string"), col("rec_idx")).as("rec_uid"),
+          col(idCol).as("file_id"), col("rec_idx"), col("warc_type"),
+          col("record_id"), col("target_uri"), col("warc_date"),
+          col("content_type"), col("body"))
+        .withColumn("__h", graft.ext.Dedup.contentHash(Seq("target_uri", "body")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__h")).orderBy(col("rec_uid"))
+      val fresh = recs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      if (!graft.ext.Dedup.nearIndexDataExists(spark, hashesPath)) {
+        val kept = fresh.localCheckpoint(true)
+        if (!kept.isEmpty) {
+          kept.select(outCols.map(col): _*)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpusPath)
+          kept.select("__h")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(hashesPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
+        }
+      } else {
+        graft.ext.IndexFormat.check(spark, indexDir, fmt)
+        val admitted = fresh.join(
+            spark.read.parquet(hashesPath).select("__h").distinct(),
+            Seq("__h"), "left_anti")
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          graft.ext.IndexFormat.invalidate(spark, indexDir)
+          admitted.select(outCols.map(col): _*)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+          admitted.select("__h")
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(hashesPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
+        }
+      }
+    }
+
   /** Streaming corpus ingest with LM QUALITY GATING before the
     * [[ingestDedup]] admission: each micro-batch is scored against the
     * persisted unigram model at `modelDir` ([[graft.ext.Lm.readModel]] →

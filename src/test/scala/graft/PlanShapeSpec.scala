@@ -197,6 +197,27 @@ class PlanShapeSpec extends SparkSpec {
       s"batch side not broadcast:\n$plan")
   }
 
+  test("videoNearPairs is a capped equi-join on the frame hash — no window, never cross") {
+    // video dedup's scale contract: pair evidence comes from an equi-join
+    // on the 64-bit frame hash; the hot-hash df-cap must be a partial-agg
+    // + broadcast anti-join (a count window would funnel the hottest
+    // frame hash's whole posting list through one task), and nothing may
+    // degenerate to a cartesian/BNLJ
+    val frames = spark.range(500).select(($"id" / 5).cast("long").as("vid"),
+      xxhash64($"id" % 40).as("dhash"))
+    val d = graft.ext.Media.videoNearPairs(frames, "vid", "dhash")
+    val windows = d.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"df-cap still uses a Window:\n$windows")
+    val plan = physical(d)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"frame-hash join degenerated to all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-hash cap is not a broadcast anti-join:\n$plan")
+  }
+
   test("tokenStats aggregates with exactly one exchange (map-side combine)") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select($"lang", lit(1L).as("t"))

@@ -70,8 +70,15 @@ class SparkEntrySpec extends SparkSpec {
     // +src_warc_http (ISO 28500 WARC parse incl. multi-member gzip,
     // full formula oracles), +mm_pdf_text (ISO 32000 object walk +
     // FlateDecode + content-stream text extraction)
-    assert(SparkEntry.queries.size == 197,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 197); " +
+    // 202 round 15: +mm_video_dedup (frame-hash video near-dup pairs,
+    // df-cap replayed), +mm_video_dedup_reenc (re-encoded copies via
+    // Hamming-clustered representatives, recursive-CTE closure oracle),
+    // +src_warc_pipeline (crawl→curated-corpus END-TO-END: C4 rules +
+    // URL dedup + content dedup replayed wholesale), +mm_pdf_pipeline
+    // (PDF extraction → chunking → per-chunk quality), +mm_audio_dedup
+    // (energy-delta-sign fingerprint — audio joins the Hamming tier)
+    assert(SparkEntry.queries.size == 202,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 202); " +
         "if intentional, update this pin")
   }
 

@@ -1202,6 +1202,36 @@ class ConfigSpec extends SparkSpec {
       Seq(0, 1))
   }
 
+  test("videoDedupPairs composes from config, exact and clustered") {
+    val dir = Files.createTempDirectory("graft_cfg_vdedup_").toString
+    // ids 0,1 = same pattern (1 re-encoded), 2 = unrelated pattern
+    graft.ext.Media.genPatternAvisPerturbed(
+      Seq((0L, 0L, 0, 3), (1L, 0L, 1, 3), (2L, 7L, 0, 3)).toDF("id", "k", "p", "n"),
+      "id", "k", "p", "n", 9, 8)
+      .write.parquet(s"$dir/avis")
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: frames
+         |    source: {type: parquet, path: $dir/avis}
+         |    transforms:
+         |      - {op: videoFrames, id: id, column: content}
+         |  - name: exact
+         |    source: {type: task, name: frames}
+         |    transforms:
+         |      - {op: videoDedupPairs, id: id, hash: dhash, minShared: 2}
+         |  - name: reenc
+         |    source: {type: task, name: frames}
+         |    transforms:
+         |      - {op: videoDedupPairs, id: id, hash: dhash, minShared: 2,
+         |         clustered: true, maxDist: 3}
+         |""".stripMargin)
+    // perturbed frames are never bit-identical: exact pairing finds nothing
+    assert(out("exact").count() == 0)
+    val got = out("reenc").select("left_id", "right_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 3L)))
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")

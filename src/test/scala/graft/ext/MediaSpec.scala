@@ -384,4 +384,111 @@ class MediaSpec extends SparkSpec {
     // stereo: samples per window = 2 x frames per window
     assert(en.map(_._3) == wins.map(w => w._3 * 2))
   }
+
+  test("audioFingerprint is the energy-delta sign word; perturb flips bit 0 only") {
+    val df = Seq((1L, 4L, 0, 65), (2L, 4L, 1, 65), (3L, 9L, 0, 65))
+      .toDF("id", "k", "p", "nw")
+    val fps = Media.audioFingerprint(
+      Media.genToneWavs(df, "id", "k", "p", "nw"), "id", "content")
+      .select($"id", $"n_windows", $"afp")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(fps.forall(_._2 == 65))
+    // hand-compute the expected fingerprint from the amplitude formula
+    def amp(k: Long, w: Int): Int = ((k * 31 + w.toLong * w * 7 + w * 3) % 120).toInt + 1
+    def fpOf(k: Long): Long =
+      (0 until 64).foldLeft(0L)((acc, w) =>
+        if (amp(k, w + 1) > amp(k, w)) acc | (1L << w) else acc)
+    assert(fps(0)._3 == fpOf(4L))
+    assert(fps(2)._3 == fpOf(9L))
+    // the re-encode model: exactly bit 0 differs from the original
+    assert((fps(0)._3 ^ fps(1)._3) == 1L)
+    // gain invariance: doubling every sample leaves the fingerprint alone
+    val loud = Media.genToneWavs(Seq((9L, 4L, 0, 65)).toDF("id", "k", "p", "nw"),
+      "id", "k", "p", "nw")
+    // (regenerate at double amplitude by hand: scale the PCM payload)
+    val scaled = loud.select($"id", $"content").as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = bytes.clone()
+        val bb = java.nio.ByteBuffer.wrap(m).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var off = m.length - 65 * 160 * 2
+        while (off < m.length) {
+          bb.putShort(off, (bb.getShort(off) * 2).toShort); off += 2
+        }
+        (id, m)
+      }.toDF("id", "content")
+    val fpLoud = Media.audioFingerprint(scaled, "id", "content")
+      .select($"afp").as[Long].head()
+    assert(fpLoud == fpOf(4L))
+  }
+
+  test("videoNearPairs counts shared distinct frame hashes with true sizes") {
+    // vid 1 = {10,20,30}; vid 2 = {10,20} (prefix clip); vid 3 = {20}
+    // (one shared frame, below minShared); vid 4 = {10,20,30} (exact copy;
+    // frame 20 appears twice — DISTINCT per video, so n_right stays 3)
+    val frames = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 20L),
+      (4L, 10L), (4L, 20L), (4L, 20L), (4L, 30L)).toDF("vid", "h")
+    val got = Media.videoNearPairs(frames, "vid", "h", minShared = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq((1L, 2L, 2L, 3L, 2L), (1L, 4L, 3L, 3L, 3L),
+      (2L, 4L, 2L, 2L, 3L)))
+    // minShared boundary: at 3 only the full copy survives
+    val strict = Media.videoNearPairs(frames, "vid", "h", minShared = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(strict == Seq((1L, 4L, 3L, 3L, 3L)))
+  }
+
+  test("videoNearPairs maxHashFreq drops hot hashes from pairing, not sizes") {
+    // hash 99 appears in all 5 videos (an intro/black frame); vids 1,2
+    // also share {1,2}. At maxHashFreq=4 the hot hash contributes no pair
+    // evidence: (1,2) pairs on n_shared=2 (under-count by design, doc'd),
+    // while n_left/n_right keep the TRUE pre-cap distinct counts (3 each);
+    // vids 3,4,5 shared only the hot frame and pair with nobody
+    val frames = (1L to 5L).map(v => (v, 99L)).toDF("vid", "h")
+      .unionByName(Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("vid", "h"))
+    val capped = Media.videoNearPairs(frames, "vid", "h",
+      minShared = 2, maxHashFreq = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(capped == Seq((1L, 2L, 2L, 3L, 3L)))
+    // cap boundary: at maxHashFreq=5 the hot hash survives and every
+    // video pairs with 1 and 2 at minShared=1
+    val loose = Media.videoNearPairs(frames, "vid", "h",
+      minShared = 1, maxHashFreq = 5)
+    assert(loose.count() == 10L) // C(5,2): all videos share hash 99
+  }
+
+  test("videoNearPairsClustered pairs re-encoded copies exact hashing misses") {
+    // vid 1 = pattern 0 original; vid 2 = pattern 0 RE-ENCODED (perturb:
+    // every frame's pixels bumped, dhash a few bits off); vid 3 unrelated
+    // pattern; vid 4 = trim of pattern 0 (bit-identical frames)
+    val df = Seq((1L, 0L, 0, 3), (2L, 0L, 1, 3), (3L, 9L, 0, 3),
+      (4L, 0L, 0, 2)).toDF("id", "k", "p", "n")
+    val avis = Media.genPatternAvisPerturbed(df, "id", "k", "p", "n", 9, 8)
+    val frames = Media.videoFrames(avis, "id", "content")
+    // the perturb is a guaranteed ONE-bit dHash flip: never identical,
+    // always inside the band join's maxDist
+    val hs = frames.select($"id", $"frame_idx", $"dhash")
+      .as[(Long, Int, Long)].collect()
+    val h1 = hs.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val h2 = hs.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(h1.zip(h2).forall { case (a, b) =>
+      java.lang.Long.bitCount(a ^ b) == 1 })
+    val exact = Media.videoNearPairs(frames, "id", "dhash", minShared = 2)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 4L))) // only the trim pairs on raw hashes
+    val clustered = Media.videoNearPairsClustered(frames, "id", "dhash",
+      maxDist = 3, minShared = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // re-encode joins the family; the unrelated video stays out
+    assert(clustered.map(t => (t._1, t._2)) ==
+      Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // counts are cluster-representative counts: 3-frame videos have 3
+    clustered.foreach { case (l, r, sh, nl, nr) =>
+      assert(nl == (if (l == 4L) 2L else 3L) &&
+        nr == (if (r == 4L) 2L else 3L) &&
+        sh == math.min(nl, nr), s"($l,$r,$sh,$nl,$nr)")
+    }
+  }
 }

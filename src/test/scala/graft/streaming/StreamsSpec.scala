@@ -388,6 +388,74 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestWarc admits records by content identity, quarantines rotten segments") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_warc_").toString
+    def warc(k: Long, n: Int): Array[Byte] = graft.sources.Warc.genWarcs(
+      Seq((k, n, true)).toDF("id", "n", "gz"), "id", "n", "gz")
+      .select("content").as[Array[Byte]].head()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestWarc(mem.toDF().toDF("wid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "wid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps: file 1 (1 warcinfo + 2x(req,resp) = 5 records)
+      // plus one rotten segment that must quarantine, not fail the stream
+      mem.addData((1L, warc(1, 2)), (99L, "not a warc".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 5L)
+      val quar = spark.read.parquet(s"$dir/quarantine")
+        .select("wid", "decode_err").as[(Long, String)].collect().toSeq
+      assert(quar == Seq((99L, "IllegalArgumentException")))
+      // batch 2: a RE-CRAWL of file 1's bytes under a new file id (every
+      // record's (uri, body) identity already stored → appends nothing)
+      // plus a genuinely new file (appends its 7 records)
+      mem.addData((2L, warc(1, 2)), (3L, warc(3, 3)))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/corpus")
+      assert(stored.count() == 12L)
+      assert(stored.select("file_id").distinct().as[Long].collect().sorted
+        .toSeq == Seq(1L, 3L))
+      assert(spark.read.parquet(s"$dir/idx/hashes").count() == 12L)
+      // batch 3: replay of committed content → classified dup, no-op
+      mem.addData((4L, warc(3, 3)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 12L)
+      assert(spark.read.parquet(s"$dir/idx/hashes").count() == 12L)
+    } finally q.stop()
+  }
+
+  test("ingestWarc replayed quarantine rewrites its partition; bootstrap defers") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_warcq_").toString
+    // a quarantine write that committed while the batch did not: the
+    // replayed micro-batch must REWRITE batch_id=0, not double-append
+    Seq((99L, "IllegalArgumentException"))
+      .toDF("wid", "decode_err")
+      .write.parquet(s"$dir/quarantine/batch_id=0")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestWarc(mem.toDF().toDF("wid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "wid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((99L, "not a warc".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/quarantine").count() == 1L)
+      // an all-quarantined first batch must NOT bootstrap
+      assert(!graft.ext.Dedup.nearIndexDataExists(spark, s"$dir/idx/hashes"))
+      // the first healthy batch still bootstraps normally afterwards
+      val good = graft.sources.Warc.genWarcs(
+        Seq((7L, 1, false)).toDF("id", "n", "gz"), "id", "n", "gz")
+        .select("content").as[Array[Byte]].head()
+      mem.addData((7L, good))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 3L)
+      assert(spark.read.parquet(s"$dir/idx/hashes").count() == 3L)
+    } finally q.stop()
+  }
+
   test("appendCorpusAndNearIndex keeps corpus+index under one commit marker") {
     val dir = java.nio.file.Files.createTempDirectory("graft_append_both_").toString
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
