@@ -389,6 +389,88 @@ object Streams {
       }
     }
 
+  /** Streaming VIDEO ingest with frame-level dedup — the video member of
+    * the exactly-once ingest family: each micro-batch of (id, content)
+    * AVI payloads decodes leniently ([[graft.ext.Media.decodeVideoMetaLenient]]
+    * — a dirty crawl must not fail the stream; undecodable rows land in
+    * the per-batch quarantine partition), healthy videos explode to
+    * per-frame dHashes ([[graft.ext.Media.videoFrames]]), the batch
+    * in-dedups via [[graft.ext.Media.videoNearPairs]] (min-id
+    * representative per ≥`minShared`-shared-frame group), and
+    * representatives admit against the PERSISTED frame-signature table at
+    * `indexDir/sigs`: a batch video sharing ≥ `minShared` distinct frame
+    * hashes with ANY stored video is a dup. The admission join BROADCASTS
+    * the batch's distinct (vid, hash) frames — bounded per micro-batch —
+    * so the signature table pays a column-pruned scan and never shuffles;
+    * only matched (batch vid, stored vid) rows reach the counting
+    * aggregate, which is bounded by matches, not corpus size. Admitted videos append (id, content, n_frames) to `corpusPath`
+    * and their (id, dhash) frames to the signature table, so the NEXT
+    * batch dedups against them too.
+    *
+    * Exactly-once discipline: identical to [[ingestImageDedup]] (data-
+    * presence bootstrap dispatch, deferred bootstrap on an all-quarantined
+    * first batch, one commit-marker window over corpus + sigs, replayed
+    * committed batches re-classify as dups, quarantine partitions
+    * Overwrite per batch id).
+    */
+  def ingestVideoDedup(stream: DataFrame, corpusPath: String, indexDir: String,
+                       quarantinePath: String, idCol: String, contentCol: String,
+                       checkpoint: String, minShared: Int = 2,
+                       maxHashFreq: Int = 1000,
+                       trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val fmt = s"videodedup:v1:minShared=$minShared"
+      val sigsPath = s"$indexDir/sigs"
+      val decoded = graft.ext.Media
+        .decodeVideoMetaLenient(batch, idCol, contentCol).localCheckpoint(true)
+      decoded.filter(!col("decode_ok"))
+        .select(col(idCol), col("decode_err"), col("mime"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$quarantinePath/batch_id=$batchId")
+      val good = decoded.filter(col("decode_ok"))
+        .select(col(idCol), col(contentCol), col("n_frames"))
+      val frames = graft.ext.Media.videoFrames(
+          good.select(col(idCol), col(contentCol)), idCol, contentCol)
+        .select(col(idCol), col("dhash")).distinct().localCheckpoint(true)
+      // in-batch representatives: drop the larger id of every pair
+      val losers = graft.ext.Media.videoNearPairs(frames, idCol, "dhash",
+          minShared, maxHashFreq)
+        .select(col("right_id").cast(good.schema(idCol).dataType).as(idCol))
+      val reps = good.join(losers, Seq(idCol), "left_anti")
+      val repFrames = frames.join(reps.select(col(idCol)), Seq(idCol), "left_semi")
+      if (!graft.ext.Dedup.nearIndexDataExists(spark, sigsPath)) {
+        val kept = reps.localCheckpoint(true)
+        if (!kept.isEmpty) {
+          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpusPath)
+          repFrames.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sigsPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
+        }
+      } else {
+        graft.ext.IndexFormat.check(spark, indexDir, fmt)
+        // batch frames broadcast; stored sigs scan (id, hash) only
+        val stored = spark.read.parquet(sigsPath)
+          .select(col(idCol).as("__sid"), col("dhash"))
+        val dupIds = stored
+          .join(broadcast(repFrames.select(col(idCol).as("__bid"), col("dhash"))),
+            Seq("dhash"))
+          .groupBy(col("__bid"), col("__sid"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= minShared)
+          .select(col("__bid").as(idCol)).distinct()
+        val admitted = reps.join(dupIds, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          graft.ext.IndexFormat.invalidate(spark, indexDir)
+          admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(corpusPath)
+          repFrames.join(admitted.select(col(idCol)), Seq(idCol), "left_semi")
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
+        }
+      }
+    }
+
   /** Streaming WARC CRAWL ingest — crawls arrive as daily `.warc.gz`
     * segment drops, so the batch tier ([[graft.sources.Warc.warcRecords]])
     * needs this arrival-driven sibling: each micro-batch of

@@ -388,6 +388,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestVideoDedup admits one video per shared-frame group across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_vid_").toString
+    // pattern AVIs: same k → identical frame set; k and k' disjoint
+    def avi(k: Long, n: Int): Array[Byte] = graft.ext.Media.genPatternAvis(
+      Seq((0L, k, n)).toDF("id", "k", "n"), "id", "k", "n", 9, 8)
+      .select("content").as[Array[Byte]].head()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestVideoDedup(mem.toDF().toDF("vid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "vid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps: videos 1,2 share all 3 frames (same k) → min
+      // id 1 kept; 3 is a distinct pattern; 4 is garbage → quarantined
+      mem.addData((1L, avi(5, 3)), (2L, avi(5, 3)), (3L, avi(40, 3)),
+        (4L, "not a video".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("vid").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      assert(spark.read.parquet(s"$dir/quarantine")
+        .select("vid", "decode_err").as[(Long, String)].collect().toSeq ==
+        Seq((4L, "IllegalArgumentException")))
+      // batch 2: a TRIM of stored pattern 5 (2 of its 3 frames → dup at
+      // minShared=2) + genuinely new content
+      mem.addData((5L, avi(5, 2)), (6L, avi(90, 3)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("vid").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 6L))
+      // batch 3: replay of committed content → dup against own sigs, no-op
+      mem.addData((7L, avi(40, 3)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 3L)
+      // signature table holds the admitted videos' distinct frames: 3+3+3
+      assert(spark.read.parquet(s"$dir/idx/sigs").count() == 9L)
+    } finally q.stop()
+  }
+
   test("ingestWarc admits records by content identity, quarantines rotten segments") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_warc_").toString
