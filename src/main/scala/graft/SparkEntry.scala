@@ -2528,6 +2528,23 @@ object SparkEntry {
         minShared = 2, maxHashFreq = 10)
     }),
 
+    // scene-cut detection over real frame decode: fixtures hold
+    // bit-identical frames within a scene (prev_dist 0) and formula-
+    // divergent hashes at each boundary; the running cut count is the
+    // scene index — "one frame per scene" sampling is a filter away
+    "mm_video_scenes" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 60)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", ((col("doc_id") % 3 + 2) * 2).cast("int"))
+        .withColumn("len", lit(2).cast("int"))
+      val media = Media.genSceneAvis(ids, "doc_id", "k", "n", "len", w = 9, h = 8)
+      val frames = Media.videoFrames(media, "doc_id", "content")
+      Media.videoScenes(frames, "doc_id", "frame_idx", "dhash", cutDist = 8)
+        .select(col("doc_id").as("media_id"), col("frame_idx"),
+          col("prev_dist"), col("is_cut"), col("scene_idx"))
+    }),
+
     // RE-ENCODED video copies: each group of 3 = [original | lossy
     // re-encode (every frame perturbed — dHashes near but never equal) |
     // trim]. Plain exact-hash pairing misses the re-encode; clustering
@@ -4458,6 +4475,39 @@ object SparkEntry {
         |SELECT l AS left_id, r AS right_id, sh AS n_shared,
         |  sa.nf AS n_left, sb.nf AS n_right
         |FROM pairs JOIN sizes sa ON sa.id = l JOIN sizes sb ON sb.id = r""".stripMargin,
+
+    // scene cuts: per-frame hashes re-derived with kf = k*16 + f//2 (two
+    // identical frames per scene), lag-distance via self-join on f-1,
+    // the same cut rule, and a running-sum window for the scene index
+    "mm_video_scenes" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k,
+        |    CAST((doc_id % 3 + 2) * 2 AS INT) AS n
+        |  FROM documents WHERE doc_id < 60),
+        |  fr AS (SELECT id, k * 16 + f // 2 AS kf, CAST(f AS INT) AS f
+        |    FROM ids, unnest(range(0, 8)) tf(f) WHERE f < n),
+        |  g AS (SELECT id, f, x, y,
+        |      (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f),
+        |  h AS (SELECT id, f,
+        |      CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |           ELSE hi * 4294967296 + lo END AS dh FROM hs),
+        |  d AS (SELECT a.id, a.f,
+        |      CAST(bit_count(xor(a.dh, b.dh)) AS BIGINT) AS prev_dist
+        |    FROM h a LEFT JOIN h b ON b.id = a.id AND b.f = a.f - 1),
+        |  c AS (SELECT id, f, prev_dist,
+        |      COALESCE(prev_dist > 8, FALSE) AS is_cut FROM d)
+        |SELECT id AS media_id, f AS frame_idx, prev_dist, is_cut,
+        |  CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY id ORDER BY f) AS INT) AS scene_idx
+        |FROM c""".stripMargin,
 
     // re-encoded copies: the perturbed frame re-derived (pixel (0,0)
     // forced to 255/0 by the original (0,0)→(1,0) gradient sign when

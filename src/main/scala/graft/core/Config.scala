@@ -690,6 +690,11 @@ object Config {
       // per-frame video decode: LIST(movi) walk -> codec decode -> dHash
       case "videoFrames" =>
         graft.ext.Media.videoFrames(df, str(n, "id"), str(n, "column"))
+      // scene-cut detection + scene index over a videoFrames table
+      case "videoScenes" =>
+        graft.ext.Media.videoScenes(df, str(n, "id"), str(n, "frameIdx"),
+          str(n, "hash"),
+          cutDist = Option(n.get("cutDist")).map(_.asInt).getOrElse(16))
       // frame-hash video dedup over a videoFrames table: exact shared
       // frames (trims/re-containered copies) or Hamming-clustered
       // representatives (re-encoded copies, clustered=true)

@@ -1225,6 +1225,91 @@ object Media {
     videoNearPairs(withRep, "__vid", "__reph", minShared, maxHashFreq)
   }
 
+  /** Scene-cut detection over a [[videoFrames]] table: a cut is a frame
+    * whose dHash sits more than `cutDist` Hamming bits from its
+    * predecessor (gradient-sign hashes move a few bits within a shot and
+    * tens of bits across one — the standard shot-boundary signal), and
+    * `scene_idx` is the running cut count, so "sample one frame per
+    * scene" — the frame-sampling a vision-language pipeline actually
+    * wants, instead of every-nth-frame — is a `row_number() == 1` filter
+    * away. Adds (prev_dist nullable — null on frame 0, is_cut,
+    * scene_idx). Execution is two window functions partitioned BY VIDEO:
+    * the shuffle carries fixed-width rows keyed on the video id, and a
+    * video's frames land in one task — bounded by the longest single
+    * video (an hour at 30 fps is ~100k fixed-width rows), never by the
+    * corpus.
+    */
+  def videoScenes(frames: DataFrame, idCol: String, frameIdxCol: String,
+                  hashCol: String, cutDist: Int = 16): DataFrame = {
+    require(cutDist >= 0 && cutDist < 64, "cutDist must be in [0, 64)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(frameIdxCol))
+    frames
+      .withColumn("__prev", lag(col(hashCol), 1).over(w))
+      .withColumn("prev_dist",
+        when(col("__prev").isNull, lit(null).cast("long"))
+          .otherwise(bit_count(col(hashCol).bitwiseXOR(col("__prev")))
+            .cast("long")))
+      .withColumn("is_cut", coalesce(col("prev_dist") > cutDist, lit(false)))
+      .withColumn("scene_idx",
+        sum(when(col("is_cut"), 1L).otherwise(0L))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)).cast("int"))
+      .drop("__prev")
+  }
+
+  /** Multi-SCENE AVI fixtures for the scene-cut oracle: frame f of row
+    * (k = `patternCol`, n = `framesCol`, len = `sceneLenCol`) is the
+    * pattern grid for kf = k·16 + f/len — so frames within a scene are
+    * BIT-IDENTICAL (prev_dist 0) and scene boundaries land exactly at
+    * f % len == 0. Whether a given boundary's hash distance clears a
+    * cut threshold is a property of the pattern formula that the oracle
+    * re-derives bit-exactly (both sides apply the same rule to the same
+    * hashes), and the unit spec pins it for the fixtures it plants.
+    */
+  def genSceneAvis(df: DataFrame, idCol: String, patternCol: String,
+                   framesCol: String, sceneLenCol: String,
+                   w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(framesCol).cast("int"), col(sceneLenCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1); val n = r.getInt(2); val len = r.getInt(3)
+        require(len > 0, "scene length must be positive")
+        val movi = new ByteArrayOutputStream()
+        var f = 0
+        while (f < n) {
+          val kf = k * 16 + f / len
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = ((kf * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
+                x.toLong * y * 7) % 256).toInt
+              x += 1
+            }
+            y += 1
+          }
+          val png = encodeGrayPng(px, w, h)
+          val hdr = java.nio.ByteBuffer.allocate(8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          hdr.put("00dc".getBytes("US-ASCII")).putInt(png.length)
+          movi.write(hdr.array())
+          movi.write(png)
+          if ((png.length & 1) == 1) movi.write(0) // word-align
+          f += 1
+        }
+        Row(r.get(0), encodeAvi(usPerFrame = 33333, totalFrames = n,
+          streams = 1, width = w, height = h, movi.toByteArray))
+      }
+    }, outSchema)
+  }
+
   /** Deterministic multi-frame AVI fixtures: frame f of row (k =
     * `patternCol`) is the [[genPatternPngs]] formula grid with pattern
     * k·8+f (perturb 0), encoded as a lossless PNG payload in a `00dc`

@@ -76,9 +76,11 @@ class SparkEntrySpec extends SparkSpec {
     // +src_warc_pipeline (crawl→curated-corpus END-TO-END: C4 rules +
     // URL dedup + content dedup replayed wholesale), +mm_pdf_pipeline
     // (PDF extraction → chunking → per-chunk quality), +mm_audio_dedup
-    // (energy-delta-sign fingerprint — audio joins the Hamming tier)
-    assert(SparkEntry.queries.size == 202,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 202); " +
+    // (energy-delta-sign fingerprint — audio joins the Hamming tier),
+    // +mm_video_scenes (shot-boundary detection + scene index — the
+    // one-frame-per-scene sampling primitive)
+    assert(SparkEntry.queries.size == 203,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 203); " +
         "if intentional, update this pin")
   }
 

@@ -1224,12 +1224,21 @@ class ConfigSpec extends SparkSpec {
          |    transforms:
          |      - {op: videoDedupPairs, id: id, hash: dhash, minShared: 2,
          |         clustered: true, maxDist: 3}
+         |  - name: scenes
+         |    source: {type: task, name: frames}
+         |    transforms:
+         |      - {op: videoScenes, id: id, frameIdx: frame_idx, hash: dhash,
+         |         cutDist: 8}
          |""".stripMargin)
     // perturbed frames are never bit-identical: exact pairing finds nothing
     assert(out("exact").count() == 0)
     val got = out("reenc").select("left_id", "right_id", "n_shared")
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 1L, 3L)))
+    // every genPatternAvis frame is a fresh pattern → each non-first
+    // frame of each video is its own scene cut at this threshold
+    assert(out("scenes").columns.contains("scene_idx"))
+    assert(out("scenes").filter($"prev_dist".isNull).count() == 3)
   }
 
   test("unknown op fails fast with a clear message") {

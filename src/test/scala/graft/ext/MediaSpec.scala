@@ -421,6 +421,28 @@ class MediaSpec extends SparkSpec {
     assert(fpLoud == fpOf(4L))
   }
 
+  test("videoScenes cuts at planted boundaries and numbers scenes") {
+    // k=3, 6 frames, scene length 2 → scenes 0,0,1,1,2,2: within-scene
+    // frames are bit-identical (prev_dist 0), boundaries diverge
+    val df = Seq((1L, 3L, 6, 2)).toDF("id", "k", "n", "len")
+    val avis = Media.genSceneAvis(df, "id", "k", "n", "len", 9, 8)
+    val frames = Media.videoFrames(avis, "id", "content")
+    val got = Media.videoScenes(frames, "id", "frame_idx", "dhash", cutDist = 8)
+      .select($"frame_idx", $"prev_dist", $"is_cut", $"scene_idx")
+      .as[(Int, Option[Long], Boolean, Int)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) ==
+      Seq(None, Some(0L), got(2)._2, Some(0L), got(4)._2, Some(0L)))
+    // the planted boundaries really clear the threshold for this pattern
+    assert(got(2)._2.exists(_ > 8) && got(4)._2.exists(_ > 8))
+    assert(got.map(_._4) == Seq(0, 0, 1, 1, 2, 2))
+    assert(got.map(_._3) == Seq(false, false, true, false, true, false))
+    // one-frame-per-scene sampling: scene starts = frame 0 + every cut
+    val sampled = Media.videoScenes(frames, "id", "frame_idx", "dhash", 8)
+      .filter($"prev_dist".isNull || $"is_cut")
+      .select($"frame_idx").as[Int].collect().sorted.toSeq
+    assert(sampled == Seq(0, 2, 4))
+  }
+
   test("videoNearPairs counts shared distinct frame hashes with true sizes") {
     // vid 1 = {10,20,30}; vid 2 = {10,20} (prefix clip); vid 3 = {20}
     // (one shared frame, below minShared); vid 4 = {10,20,30} (exact copy;
