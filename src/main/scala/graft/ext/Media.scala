@@ -1280,34 +1280,46 @@ object Media {
       rows.map { r =>
         val k = r.getLong(1); val n = r.getInt(2); val len = r.getInt(3)
         require(len > 0, "scene length must be positive")
-        val movi = new ByteArrayOutputStream()
-        var f = 0
-        while (f < n) {
-          val kf = k * 16 + f / len
-          val px = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              px(y * w + x) = ((kf * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
-                x.toLong * y * 7) % 256).toInt
-              x += 1
-            }
-            y += 1
-          }
-          val png = encodeGrayPng(px, w, h)
-          val hdr = java.nio.ByteBuffer.allocate(8)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          hdr.put("00dc".getBytes("US-ASCII")).putInt(png.length)
-          movi.write(hdr.array())
-          movi.write(png)
-          if ((png.length & 1) == 1) movi.write(0) // word-align
-          f += 1
-        }
-        Row(r.get(0), encodeAvi(usPerFrame = 33333, totalFrames = n,
-          streams = 1, width = w, height = h, movi.toByteArray))
+        Row(r.get(0), patternAviBytes(n, w, h,
+          kfOf = f => k * 16 + f / len, flipFirstGradient = false))
       }
     }, outSchema)
+  }
+
+  /** One pattern-grid AVI payload: frame f's pixels from the shared
+    * formula at `kfOf(f)`; `flipFirstGradient` applies the guaranteed
+    * one-bit dHash perturbation documented on [[genPatternAvisPerturbed]].
+    * The single encode path behind all three AVI fixture families.
+    */
+  private def patternAviBytes(n: Int, w: Int, h: Int, kfOf: Int => Long,
+                              flipFirstGradient: Boolean): Array[Byte] = {
+    val movi = new ByteArrayOutputStream()
+    var f = 0
+    while (f < n) {
+      val kf = kfOf(f)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = ((kf * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
+            x.toLong * y * 7) % 256).toInt
+          x += 1
+        }
+        y += 1
+      }
+      if (flipFirstGradient) px(0) = if (px(1) > px(0)) 255 else 0
+      val png = encodeGrayPng(px, w, h)
+      val hdr = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put("00dc".getBytes("US-ASCII")).putInt(png.length)
+      movi.write(hdr.array())
+      movi.write(png)
+      if ((png.length & 1) == 1) movi.write(0) // word-align
+      f += 1
+    }
+    encodeAvi(usPerFrame = 33333, totalFrames = n,
+      streams = 1, width = w, height = h, movi.toByteArray)
   }
 
   /** Deterministic multi-frame AVI fixtures: frame f of row (k =
@@ -1349,33 +1361,8 @@ object Media {
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.map { r =>
         val k = r.getLong(1); val p = r.getInt(2); val n = r.getInt(3)
-        val movi = new ByteArrayOutputStream()
-        var f = 0
-        while (f < n) {
-          val kf = k * 8 + f
-          val px = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              px(y * w + x) = ((kf * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
-                x.toLong * y * 7) % 256).toInt
-              x += 1
-            }
-            y += 1
-          }
-          if (p != 0) px(0) = if (px(1) > px(0)) 255 else 0
-          val png = encodeGrayPng(px, w, h)
-          val hdr = java.nio.ByteBuffer.allocate(8)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          hdr.put("00dc".getBytes("US-ASCII")).putInt(png.length)
-          movi.write(hdr.array())
-          movi.write(png)
-          if ((png.length & 1) == 1) movi.write(0) // word-align
-          f += 1
-        }
-        Row(r.get(0), encodeAvi(usPerFrame = 33333, totalFrames = n,
-          streams = 1, width = w, height = h, movi.toByteArray))
+        Row(r.get(0), patternAviBytes(n, w, h,
+          kfOf = f => k * 8 + f, flipFirstGradient = p != 0))
       }
     }, outSchema)
   }

@@ -389,6 +389,75 @@ object Streams {
       }
     }
 
+  /** Streaming AUDIO ingest with fingerprint dedup — the audio member of
+    * the exactly-once ingest family, completing the modality triple
+    * ([[ingestImageDedup]] / [[ingestVideoDedup]] / this): each
+    * micro-batch of (id, content) WAV payloads decodes leniently
+    * (undecodable rows → per-batch quarantine partition), healthy clips
+    * get the gain-invariant energy-delta-sign fingerprint
+    * ([[graft.ext.Media.audioFingerprint]] — a re-levelled copy
+    * fingerprints identically), the batch in-dedups via the banded
+    * Hamming pair join (min-id representative), and representatives
+    * admit against the persisted fingerprint table via
+    * [[graft.ext.Media.dhashDupIds]] — the batch side broadcast, the
+    * signature table never shuffled, classify cost flat as it grows.
+    * Same exactly-once discipline as the siblings (data-presence
+    * bootstrap, deferred bootstrap on all-quarantined first batch, one
+    * commit-marker window over corpus + sigs, replay no-op, quarantine
+    * Overwrite per batch id).
+    */
+  def ingestAudioDedup(stream: DataFrame, corpusPath: String, indexDir: String,
+                       quarantinePath: String, idCol: String, contentCol: String,
+                       checkpoint: String, windowMs: Int = 20, maxDist: Int = 3,
+                       bandBits: Int = 16,
+                       trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      require(!batch.columns.contains("afp"),
+        "'afp' is a reserved corpus column — rename it upstream")
+      val fmt = s"audiodedup:v1:windowMs=$windowMs:maxDist=$maxDist:bandBits=$bandBits"
+      val sigsPath = s"$indexDir/sigs"
+      val decoded = graft.ext.Media
+        .decodeAudioMetaLenient(batch, idCol, contentCol).localCheckpoint(true)
+      decoded.filter(!col("decode_ok"))
+        .select(col(idCol), col("decode_err"), col("mime"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$quarantinePath/batch_id=$batchId")
+      val clips = decoded.filter(col("decode_ok"))
+        .select(col(idCol), col(contentCol))
+      val good = graft.ext.Media
+        .audioFingerprint(clips, idCol, contentCol, windowMs)
+        .select(col(idCol), col("afp"))
+        .join(clips, Seq(idCol))
+      val losers = graft.ext.Media
+        .dhashNearPairs(good, idCol, "afp", maxDist, bandBits)
+        .select(col("right_id").cast(good.schema(idCol).dataType).as(idCol))
+      val reps = good.join(losers, Seq(idCol), "left_anti")
+      if (!graft.ext.Dedup.nearIndexDataExists(spark, sigsPath)) {
+        val kept = reps.localCheckpoint(true)
+        if (!kept.isEmpty) {
+          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpusPath)
+          kept.select(col(idCol), col("afp"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sigsPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
+        }
+      } else {
+        graft.ext.IndexFormat.check(spark, indexDir, fmt)
+        val dups = graft.ext.Media.dhashDupIds(reps, idCol, "afp",
+          spark.read.parquet(sigsPath), "afp", maxDist, bandBits)
+        val admitted = reps.join(dups, Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          graft.ext.IndexFormat.invalidate(spark, indexDir)
+          admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(corpusPath)
+          admitted.select(col(idCol), col("afp"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sigsPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
+        }
+      }
+    }
+
   /** Streaming VIDEO ingest with frame-level dedup — the video member of
     * the exactly-once ingest family: each micro-batch of (id, content)
     * AVI payloads decodes leniently ([[graft.ext.Media.decodeVideoMetaLenient]]

@@ -388,6 +388,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestAudioDedup admits one clip per fingerprint group across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_aud_").toString
+    // tone WAVs: same k → near-identical fingerprints (perturbed = 1 bit
+    // off); distinct k → distant
+    def wav(k: Long, p: Int): Array[Byte] = graft.ext.Media.genToneWavs(
+      Seq((0L, k, p, 65)).toDF("id", "k", "p", "nw"), "id", "k", "p", "nw")
+      .select("content").as[Array[Byte]].head()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestAudioDedup(mem.toDF().toDF("aid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "aid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps: 1 ≈ 2 (same tone, re-encoded) → min id 1
+      // kept; 3 distinct; 4 undecodable → quarantined
+      mem.addData((1L, wav(5, 0)), (2L, wav(5, 1)), (3L, wav(7, 0)),
+        (4L, "not audio".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("aid").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      assert(spark.read.parquet(s"$dir/quarantine")
+        .select("aid", "decode_err").as[(Long, String)].collect().toSeq ==
+        Seq((4L, "IllegalArgumentException")))
+      // batch 2: re-encode of an INDEXED tone (dup) + genuinely new tone
+      // (patterns 0/5/7 are pairwise 22-31 fingerprint bits apart)
+      mem.addData((5L, wav(7, 1)), (6L, wav(0, 0)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("aid").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 6L))
+      // batch 3: replay of committed content → hamming 0 vs index, no-op
+      mem.addData((7L, wav(0, 0)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 3L)
+      assert(spark.read.parquet(s"$dir/idx/sigs").count() == 3L)
+    } finally q.stop()
+  }
+
   test("ingestVideoDedup admits one video per shared-frame group across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_vid_").toString
