@@ -2523,7 +2523,10 @@ object SparkEntry {
           .otherwise(floor(col("doc_id") / 4)).cast("long"))
         .withColumn("n", (col("doc_id") % 3 + 2).cast("int"))
       val media = Media.genPatternAvis(ids, "doc_id", "k", "n", w = 9, h = 8)
+      // materialize: the pairing plan references frames from 5 branches,
+      // each of which would otherwise re-decode every video (r15 audit)
       val frames = Media.videoFrames(media, "doc_id", "content")
+        .localCheckpoint(true)
       Media.videoNearPairs(frames, "doc_id", "dhash",
         minShared = 2, maxHashFreq = 10)
     }),
@@ -2559,6 +2562,7 @@ object SparkEntry {
       val media = Media.genPatternAvisPerturbed(ids, "doc_id", "k", "p", "n",
         w = 9, h = 8)
       val frames = Media.videoFrames(media, "doc_id", "content")
+        .localCheckpoint(true)
       Media.videoNearPairsClustered(frames, "doc_id", "dhash",
         maxDist = 3, minShared = 2)
     }),

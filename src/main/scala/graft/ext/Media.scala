@@ -1158,6 +1158,13 @@ object Media {
     * n_shared for affected pairs — so derived containment/Jaccard are
     * conservative (never inflated), the same documented trade-off as
     * `inter` in [[Dedup.ngramJaccardPairs]].
+    *
+    * MATERIALIZE the frame table before calling (cache/localCheckpoint/
+    * write): the plan references `frames` from up to five branches (two
+    * self-join sides, the cap's count branch, the size counts), and when
+    * it is a live [[videoFrames]] pipeline each branch re-decodes every
+    * video — plan-audited in r15; the registered queries and
+    * [[graft.streaming.Streams.ingestVideoDedup]] checkpoint first.
     */
   def videoNearPairs(frames: DataFrame, idCol: String, hashCol: String,
                      minShared: Int = 2,
