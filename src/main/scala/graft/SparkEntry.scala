@@ -2548,6 +2548,37 @@ object SparkEntry {
           col("prev_dist"), col("is_cut"), col("scene_idx"))
     }),
 
+    // the A/V tier END-TO-END (the video mirror of src_warc_pipeline):
+    // dirty AVI corpus → lenient quarantine gate → REAL frame decode →
+    // scene cuts → keyframe sampling (one frame per scene) → video
+    // near-dup pairs over the sampled keyframes — every stage
+    // individually oracled above, the composition replayed wholesale
+    "mm_video_pipeline" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 90)
+        .withColumn("k", floor(col("doc_id") / 4).cast("long"))
+        .withColumn("n", lit(6).cast("int"))
+        .withColumn("len", lit(2).cast("int"))
+      val good = Media.genSceneAvis(ids.filter(col("doc_id") % 2 === 0),
+        "doc_id", "k", "n", "len", w = 9, h = 8)
+      val bad = ids.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          concat(lit("junk #"), col("doc_id").cast("string"))
+            .cast("binary").as("content"))
+      val decoded = Media.decodeVideoMetaLenient(
+        good.unionByName(bad), "doc_id", "content")
+      val healthy = good.join(decoded.filter(col("decode_ok"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      val frames = Media.videoFrames(healthy, "doc_id", "content")
+        .localCheckpoint(true)
+      val keyframes = Media
+        .videoScenes(frames, "doc_id", "frame_idx", "dhash", cutDist = 8)
+        .filter(col("prev_dist").isNull || col("is_cut"))
+        .select(col("doc_id"), col("dhash"))
+      Media.videoNearPairs(keyframes, "doc_id", "dhash",
+        minShared = 2, maxHashFreq = 1000)
+    }),
+
     // RE-ENCODED video copies: each group of 3 = [original | lossy
     // re-encode (every frame perturbed — dHashes near but never equal) |
     // trim]. Plain exact-hash pairing misses the re-encode; clustering
@@ -4475,6 +4506,41 @@ object SparkEntry {
         |  sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS nf FROM vh GROUP BY 1),
         |  pairs AS (SELECT a.id AS l, b.id AS r, CAST(count(*) AS BIGINT) AS sh
         |    FROM capped a JOIN capped b ON a.dh = b.dh AND a.id < b.id
+        |    GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT l AS left_id, r AS right_id, sh AS n_shared,
+        |  sa.nf AS n_left, sb.nf AS n_right
+        |FROM pairs JOIN sizes sa ON sa.id = l JOIN sizes sb ON sb.id = r""".stripMargin,
+
+    // the A/V composite: even ids (odd ids quarantine and never reach
+    // output) re-derive frames with kf = k*16 + f//2, keyframes = frame 0
+    // + every >8-bit cut, then the videoNearPairs algebra over keyframe
+    // hashes — pairs of videos sharing k must pair on their full
+    // keyframe set
+    "mm_video_pipeline" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id // 4 AS k
+        |  FROM documents WHERE doc_id < 90 AND doc_id % 2 = 0),
+        |  fr AS (SELECT id, k * 16 + f // 2 AS kf, CAST(f AS INT) AS f
+        |    FROM ids, unnest(range(0, 6)) tf(f)),
+        |  g AS (SELECT id, f, x, y,
+        |      (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f),
+        |  h AS (SELECT id, f,
+        |      CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |           ELSE hi * 4294967296 + lo END AS dh FROM hs),
+        |  d AS (SELECT a.id, a.f, a.dh, bit_count(xor(a.dh, b.dh)) AS pd
+        |    FROM h a LEFT JOIN h b ON b.id = a.id AND b.f = a.f - 1),
+        |  vh AS (SELECT DISTINCT id, dh FROM d WHERE pd IS NULL OR pd > 8),
+        |  sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS nf FROM vh GROUP BY 1),
+        |  pairs AS (SELECT a.id AS l, b.id AS r, CAST(count(*) AS BIGINT) AS sh
+        |    FROM vh a JOIN vh b ON a.dh = b.dh AND a.id < b.id
         |    GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT l AS left_id, r AS right_id, sh AS n_shared,
         |  sa.nf AS n_left, sb.nf AS n_right

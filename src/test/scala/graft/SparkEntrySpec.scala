@@ -78,9 +78,11 @@ class SparkEntrySpec extends SparkSpec {
     // (PDF extraction → chunking → per-chunk quality), +mm_audio_dedup
     // (energy-delta-sign fingerprint — audio joins the Hamming tier),
     // +mm_video_scenes (shot-boundary detection + scene index — the
-    // one-frame-per-scene sampling primitive)
-    assert(SparkEntry.queries.size == 203,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 203); " +
+    // one-frame-per-scene sampling primitive), +mm_video_pipeline (the
+    // A/V end-to-end composite: quarantine → frames → scenes → keyframe
+    // sample → near-dup pairs)
+    assert(SparkEntry.queries.size == 204,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 204); " +
         "if intentional, update this pin")
   }
 
