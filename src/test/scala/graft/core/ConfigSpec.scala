@@ -1241,6 +1241,38 @@ class ConfigSpec extends SparkSpec {
     assert(out("scenes").filter($"prev_dist".isNull).count() == 3)
   }
 
+  test("the full video pipeline declares in YAML: frames → scenes → keyframes → pairs") {
+    val dir = Files.createTempDirectory("graft_cfg_vpipe_").toString
+    // videos 0,1 share pattern 4 (scene-identical), 2 is unrelated
+    graft.ext.Media.genSceneAvis(
+      Seq((0L, 4L, 6, 2), (1L, 4L, 6, 2), (2L, 9L, 6, 2)).toDF("id", "k", "n", "len"),
+      "id", "k", "n", "len", 9, 8)
+      .write.parquet(s"$dir/avis")
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: frames
+         |    source: {type: parquet, path: $dir/avis}
+         |    transforms:
+         |      - {op: videoFrames, id: id, column: content}
+         |  - name: keyframes
+         |    source: {type: task, name: frames}
+         |    transforms:
+         |      - {op: videoScenes, id: id, frameIdx: frame_idx, hash: dhash,
+         |         cutDist: 8}
+         |      - {op: filter, expr: "prev_dist IS NULL OR is_cut"}
+         |      - {op: include, columns: {id: id, dhash: dhash}}
+         |  - name: pairs
+         |    source: {type: task, name: keyframes}
+         |    transforms:
+         |      - {op: videoDedupPairs, id: id, hash: dhash, minShared: 2}
+         |""".stripMargin)
+    // scene-identical videos pair on their shared keyframe set; the
+    // unrelated video stays out
+    val got = out("pairs").select("left_id", "right_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L)))
+  }
+
   test("unknown op fails fast with a clear message") {
     val dir = Files.createTempDirectory("graft_cfg_").toString
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/in")
