@@ -690,6 +690,15 @@ object Config {
       // per-frame video decode: LIST(movi) walk -> codec decode -> dHash
       case "videoFrames" =>
         graft.ext.Media.videoFrames(df, str(n, "id"), str(n, "column"))
+      // media-dedup signature-index lifecycle (the streaming ingest
+      // families): compaction under daily appends; erasure by id
+      case "mediaSigCompact" =>
+        graft.ext.Media.compactSigIndex(df.sparkSession, str(n, "path"))
+        df
+      case "mediaSigErase" =>
+        graft.ext.Media.eraseSigIndex(df.sparkSession, str(n, "path"),
+          str(n, "id"), df.select(str(n, "id")))
+        df
       // scene-cut detection + scene index over a videoFrames table
       case "videoScenes" =>
         graft.ext.Media.videoScenes(df, str(n, "id"), str(n, "frameIdx"),

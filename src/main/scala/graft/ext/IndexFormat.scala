@@ -48,6 +48,17 @@ object IndexFormat {
     ()
   }
 
+  /** The stamped format id, if any — for maintenance passes that accept a
+    * format FAMILY (a stamp prefix, e.g. any `imagededup:v1:` parameterization)
+    * and must restamp the exact original id after the rewrite.
+    */
+  def readFormat(spark: SparkSession, path: String): Option[String] =
+    try spark.read.parquet(s"$path/_meta").select("format")
+      .collect().headOption.map(_.getString(0))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
   /** Require `path/_meta` to carry exactly `expected`; a missing stamp is
     * treated as an incompatible (pre-versioning) index, not a pass — that
     * is the case the stamp exists to catch.

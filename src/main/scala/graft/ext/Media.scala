@@ -1030,6 +1030,55 @@ object Media {
     }, outSchema)
   }
 
+  // The streaming media-dedup signature indexes
+  // ([[graft.streaming.Streams.ingestImageDedup]] / ingestVideoDedup /
+  // ingestAudioDedup) are stamped single-dir layouts; these two passes give
+  // them the same maintenance lifecycle as every other persisted index
+  // family (compaction under daily appends, erasure for
+  // right-to-be-forgotten). The family check accepts ANY parameterization
+  // of the three stamp families and restamps the exact original id.
+  private val SigStampFamilies =
+    Seq("imagededup:v1:", "videodedup:v1:", "audiodedup:v1:")
+
+  private def sigFormat(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): String = {
+    val fmt = IndexFormat.readFormat(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"index at $indexDir has no _meta format stamp — refusing to " +
+          "maintain an unstamped (possibly torn) index; repair or rebuild it"))
+    require(SigStampFamilies.exists(fmt.startsWith),
+      s"index at $indexDir has format '$fmt' — not a media-dedup " +
+        "signature index; use the owning family's maintenance pass")
+    fmt
+  }
+
+  /** Compact a media-dedup signature index after daily streaming appends
+    * (one small parquet file lands per admitting batch — after a year a
+    * classify scan is listing-bound before it is data-bound). Same staged
+    * rewrite + commit-marker discipline as [[Dedup.compactNearIndex]]
+    * (delegates to [[IndexMaintenance.compactStamped]]).
+    */
+  def compactSigIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String,
+                      targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.compactStamped(spark, indexDir,
+      sigFormat(spark, indexDir), Seq("sigs" -> Nil), targetRowsPerFile)
+
+  /** Erase ids from a media-dedup signature index — the
+    * right-to-be-forgotten pass: a filtered compaction (delete list
+    * broadcast, index streamed) with the rewrite outside the commit-marker
+    * window. Erases SIGNATURES only: the corpus rows at the ingest's
+    * `corpusPath` (which hold the payloads) are caller-owned plain parquet
+    * and must be rewritten by the caller in the same maintenance job.
+    */
+  def eraseSigIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String, idCol: String,
+                    ids: DataFrame,
+                    targetRowsPerFile: Long = 4000000L): Unit =
+    IndexMaintenance.deleteStamped(spark, indexDir,
+      sigFormat(spark, indexDir), Seq(("sigs", Nil, idCol)), ids,
+      targetRowsPerFile)
+
   // ----------------------------------------------------------------- video
 
   /** Parsed AVI facts from the `avih` main header. */

@@ -1241,6 +1241,28 @@ class ConfigSpec extends SparkSpec {
     assert(out("scenes").filter($"prev_dist".isNull).count() == 3)
   }
 
+  test("media sig maintenance from config: mediaSigCompact + mediaSigErase") {
+    val dir = Files.createTempDirectory("graft_cfg_sigm_").toString
+    // hand-build a stamped audio-sig index (the streaming ingest's layout)
+    Seq((1L, 11L), (2L, 22L), (3L, 33L)).toDF("aid", "afp")
+      .repartition(3).write.parquet(s"$dir/idx/sigs")
+    graft.ext.IndexFormat.stamp(spark, s"$dir/idx",
+      "audiodedup:v1:windowMs=20:maxDist=3:bandBits=16")
+    Seq(2L).toDF("aid").write.parquet(s"$dir/del")
+    Config.runAll(spark,
+      s"""tasks:
+         |  - name: maintain
+         |    source: {type: parquet, path: $dir/del}
+         |    transforms:
+         |      - {op: mediaSigErase, path: $dir/idx, id: aid}
+         |      - {op: mediaSigCompact, path: $dir/idx}
+         |""".stripMargin)
+    assert(spark.read.parquet(s"$dir/idx/sigs")
+      .select("aid").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(new java.io.File(s"$dir/idx/sigs")
+      .listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("the full video pipeline declares in YAML: frames → scenes → keyframes → pairs") {
     val dir = Files.createTempDirectory("graft_cfg_vpipe_").toString
     // videos 0,1 share pattern 4 (scene-identical), 2 is unrelated

@@ -388,6 +388,58 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("media sig index compacts and erases with the stamped lifecycle") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigmaint_").toString
+    def wav(k: Long): Array[Byte] = graft.ext.Media.genToneWavs(
+      Seq((0L, k, 0, 65)).toDF("id", "k", "p", "nw"), "id", "k", "p", "nw")
+      .select("content").as[Array[Byte]].head()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestAudioDedup(mem.toDF().toDF("aid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "aid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // several appending batches → several small sig files
+      mem.addData((1L, wav(0))); q.processAllAvailable()
+      mem.addData((2L, wav(5))); q.processAllAvailable()
+      mem.addData((3L, wav(7))); q.processAllAvailable()
+    } finally q.stop()
+    val sigFiles0 = new java.io.File(s"$dir/idx/sigs")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(sigFiles0 >= 3)
+    graft.ext.Media.compactSigIndex(spark, s"$dir/idx")
+    val sigFiles1 = new java.io.File(s"$dir/idx/sigs")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(sigFiles1 == 1)
+    assert(spark.read.parquet(s"$dir/idx/sigs").count() == 3L)
+    // erasure: drop clip 2's signature; the stamp survives and a NEW
+    // ingest of the same tone is admitted again (right to be forgotten
+    // means forgotten — not remembered as a dup)
+    graft.ext.Media.eraseSigIndex(spark, s"$dir/idx", "aid",
+      Seq(2L).toDF("aid"))
+    assert(spark.read.parquet(s"$dir/idx/sigs")
+      .select("aid").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val mem2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = Streams.ingestAudioDedup(mem2.toDF().toDF("aid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "aid", contentCol = "content", checkpoint = s"$dir/ckpt2",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem2.addData((9L, wav(5))); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/idx/sigs")
+      .select("aid").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 9L))
+    // family guard: a near-dedup index refuses the media maintenance pass
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    graft.ext.Dedup.buildNearIndex(
+      Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text", s"$dir/near")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Media.compactSigIndex(spark, s"$dir/near")
+    }
+    assert(e.getMessage.contains("not a media-dedup"))
+  }
+
   test("ingestAudioDedup admits one clip per fingerprint group across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_aud_").toString
