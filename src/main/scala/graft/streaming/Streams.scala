@@ -622,6 +622,74 @@ object Streams {
       }
     }
 
+  /** Streaming PDF ingest — document drops arrive as files, so the batch
+    * extraction tier ([[graft.ext.Pdf.pdfText]]) gets the same
+    * arrival-driven sibling as WARC ([[ingestWarc]]): each micro-batch of
+    * (id, content) PDF payloads extracts leniently
+    * ([[graft.ext.Pdf.pdfTextLenient]] — a corrupt document lands as ONE
+    * quarantine row, never failing the stream), healthy documents explode
+    * to per-content-stream page text, and pages admit by exact content
+    * identity `md5(json(text))` — a re-dropped or mirrored document's
+    * pages append nothing — first within the batch (min `page_uid` wins),
+    * then against the persisted identity table at `indexDir/hashes`
+    * (column-pruned fixed-width scan; corpus text never re-read).
+    * Exactly-once discipline identical to [[ingestWarc]] (data-presence
+    * bootstrap, deferred bootstrap on an all-quarantined first batch, one
+    * commit-marker window over corpus + hashes, replay no-op, quarantine
+    * partitions Overwrite per batch id).
+    */
+  def ingestPdf(stream: DataFrame, corpusPath: String, indexDir: String,
+                quarantinePath: String, idCol: String, contentCol: String,
+                checkpoint: String,
+                trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val fmt = "pdfingest:v1:md5(text)"
+      val hashesPath = s"$indexDir/hashes"
+      val parsed = graft.ext.Pdf
+        .pdfTextLenient(batch, idCol, contentCol).localCheckpoint(true)
+      parsed.filter(!col("decode_ok"))
+        .select(col(idCol), col("decode_err"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$quarantinePath/batch_id=$batchId")
+      val outCols = Seq("page_uid", "doc_id", "stream_idx", "pdf_version",
+        "text", "__h")
+      val pages = parsed.filter(col("decode_ok"))
+        .select(
+          concat_ws(":", col(idCol).cast("string"), col("stream_idx")).as("page_uid"),
+          col(idCol).as("doc_id"), col("stream_idx"), col("pdf_version"),
+          col("text"))
+        .withColumn("__h", graft.ext.Dedup.contentHash(Seq("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__h")).orderBy(col("page_uid"))
+      val fresh = pages.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      if (!graft.ext.Dedup.nearIndexDataExists(spark, hashesPath)) {
+        val kept = fresh.localCheckpoint(true)
+        if (!kept.isEmpty) {
+          kept.select(outCols.map(col): _*)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(corpusPath)
+          kept.select("__h")
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(hashesPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
+        }
+      } else {
+        graft.ext.IndexFormat.check(spark, indexDir, fmt)
+        val admitted = fresh.join(
+            spark.read.parquet(hashesPath).select("__h").distinct(),
+            Seq("__h"), "left_anti")
+          .localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          graft.ext.IndexFormat.invalidate(spark, indexDir)
+          admitted.select(outCols.map(col): _*)
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusPath)
+          admitted.select("__h")
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(hashesPath)
+          graft.ext.IndexFormat.stamp(spark, indexDir, fmt)
+        }
+      }
+    }
+
   /** Streaming corpus ingest with LM QUALITY GATING before the
     * [[ingestDedup]] admission: each micro-batch is scored against the
     * persisted unigram model at `modelDir` ([[graft.ext.Lm.readModel]] →

@@ -516,6 +516,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestPdf admits pages by text identity, quarantines corrupt documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_pdf_").toString
+    def pdf(k: Long, n: Int): Array[Byte] = graft.ext.Pdf.genPdfs(
+      Seq((k, n, true)).toDF("id", "n", "flate"), "id", "n", "flate")
+      .select("content").as[Array[Byte]].head()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestPdf(mem.toDF().toDF("pid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "pid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 1 bootstraps: doc 1's 2 pages; a corrupt doc quarantines
+      mem.addData((1L, pdf(1, 2)), (99L, "not a pdf".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 2L)
+      assert(spark.read.parquet(s"$dir/quarantine")
+        .select("pid").as[Long].collect().toSeq == Seq(99L))
+      // batch 2: a RE-DROP of doc 1 under a new file id (page text
+      // identical → nothing appends) + a new doc (3 pages append)
+      mem.addData((2L, pdf(1, 2)), (3L, pdf(3, 3)))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/corpus")
+      assert(stored.count() == 5L)
+      assert(stored.select("doc_id").distinct().as[Long].collect().sorted
+        .toSeq == Seq(1L, 3L))
+      // batch 3: replay → classified dup, no-op
+      mem.addData((4L, pdf(3, 3)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 5L)
+      assert(spark.read.parquet(s"$dir/idx/hashes").count() == 5L)
+    } finally q.stop()
+  }
+
   test("ingestWarc admits records by content identity, quarantines rotten segments") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_warc_").toString
