@@ -92,12 +92,12 @@ object Config {
         java.nio.file.Files.createTempDirectory("graft_cfg_ckpt_").toString)
       val trigger = graft.streaming.Streams.triggerOf(task.cron.getOrElse(-1))
       val q = graft.streaming.Streams.foreachBatchSink(df, ckpt, trigger) {
-        (batch, _) =>
+        (batch, batchId) =>
           // same compute-once fan-out guarantee as the batch branch below:
           // without the persist each extra sink re-executes the batch plan
           // (and can observe recomputation of non-replayable sources)
           val b = if (task.sinks.length > 1) batch.persist() else batch
-          try task.sinks.foreach(sink(b, _, streaming = true))
+          try task.sinks.foreach(sink(b, _, streaming = true, batchId))
           finally if (task.sinks.length > 1) b.unpersist()
       }
       if (task.cron.getOrElse(-1) == -1) q.awaitTermination()
@@ -185,6 +185,16 @@ object Config {
       case "queue" =>
         spark.readStream.format("graft.streaming.QueueSourceProvider")
           .option("queue", str(n, "name")).load()
+      // arrival-driven file stream (Streams.fileStream): new files under
+      // `path` become new micro-batches — the daily-drop crawl shape the
+      // ingest sinks below pair with. The schema comes from the files
+      // already present (streaming reads need one up front), so the dir
+      // must hold at least one file when the task starts.
+      case "fileStream" =>
+        val path = str(n, "path")
+        val fmt = strOpt(n, "format").getOrElse("parquet")
+        graft.streaming.Streams.fileStream(spark, path,
+          spark.read.format(fmt).load(path).schema, fmt)
       // Kafka consumer (jar-guarded: fails fast naming the connector jar
       // when spark-sql-kafka isn't on the classpath — see Sinks.kafkaSource)
       case "kafka" =>
@@ -699,6 +709,16 @@ object Config {
         graft.ext.Media.eraseSigIndex(df.sparkSession, str(n, "path"),
           str(n, "id"), df.select(str(n, "id")))
         df
+      // WARC/PDF ingest identity-index lifecycle: compaction under daily
+      // appends; erasure by content hash (the task's input relation IS the
+      // __h list, like every other erase op here)
+      case "hashIndexCompact" =>
+        graft.streaming.Streams.compactHashIndex(df.sparkSession, str(n, "path"))
+        df
+      case "hashIndexErase" =>
+        graft.streaming.Streams.eraseHashIndex(df.sparkSession, str(n, "path"),
+          df.select(str(n, "hash")))
+        df
       // scene-cut detection + scene index over a videoFrames table
       case "videoScenes" =>
         graft.ext.Media.videoScenes(df, str(n, "id"), str(n, "frameIdx"),
@@ -800,7 +820,8 @@ object Config {
       case other => throw new IllegalArgumentException(s"unknown transform op: $other")
     }
 
-  private def sink(df: DataFrame, n: JsonNode, streaming: Boolean = false): Unit = {
+  private def sink(df: DataFrame, n: JsonNode, streaming: Boolean = false,
+                   batchId: Long = 0L): Unit = {
     // micro-batches APPEND by default (overwrite would keep only the last
     // batch); batch tasks default to overwrite, the reference's semantics
     val mode = strOpt(n, "mode").map(SaveMode.valueOf)
@@ -828,6 +849,42 @@ object Config {
         graft.sources.JdbcSink.append(df, str(n, "url"), str(n, "table"),
           mode = if (mode == SaveMode.Overwrite && !streaming) SaveMode.Overwrite
                  else SaveMode.Append)
+      // ---- exactly-once ingest sinks (streaming/Streams *Batch bodies):
+      // the reference's whole identity is pipeline-as-config
+      // (`src/Scheduler.php:27-30`), so the best tier of the engine — the
+      // persisted-identity crawl ingests — must be declarable, not
+      // API-only. Each sink delivers THIS micro-batch through the
+      // idempotent batch function; the surrounding foreachBatch +
+      // checkpoint (deliver() above) supplies the replay loop, and
+      // replayed batches admit nothing by construction. In a batch task
+      // the same sink is a one-shot ingest at batch_id=0.
+      case "ingestWarc" =>
+        graft.streaming.Streams.ingestWarcBatch(df, batchId,
+          str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
+          str(n, "id"), str(n, "column"))
+      case "ingestPdf" =>
+        graft.streaming.Streams.ingestPdfBatch(df, batchId,
+          str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
+          str(n, "id"), str(n, "column"))
+      case "ingestImageDedup" =>
+        graft.streaming.Streams.ingestImageDedupBatch(df, batchId,
+          str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
+          str(n, "id"), str(n, "column"),
+          maxDist = Option(n.get("maxDist")).map(_.asInt).getOrElse(3),
+          bandBits = Option(n.get("bandBits")).map(_.asInt).getOrElse(16))
+      case "ingestAudioDedup" =>
+        graft.streaming.Streams.ingestAudioDedupBatch(df, batchId,
+          str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
+          str(n, "id"), str(n, "column"),
+          windowMs = Option(n.get("windowMs")).map(_.asInt).getOrElse(20),
+          maxDist = Option(n.get("maxDist")).map(_.asInt).getOrElse(3),
+          bandBits = Option(n.get("bandBits")).map(_.asInt).getOrElse(16))
+      case "ingestVideoDedup" =>
+        graft.streaming.Streams.ingestVideoDedupBatch(df, batchId,
+          str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
+          str(n, "id"), str(n, "column"),
+          minShared = Option(n.get("minShared")).map(_.asInt).getOrElse(2),
+          maxHashFreq = Option(n.get("maxHashFreq")).map(_.asInt).getOrElse(1000))
       // Sinks\RdKafka producer (jar-guarded both ways; streaming tasks get
       // the checkpointed writeStream form)
       case "kafka" =>

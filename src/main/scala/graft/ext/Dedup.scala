@@ -403,20 +403,48 @@ object Dedup {
           floor(col("dup_shingles") * 1000.0 / col("n_shingles") + 0.5).cast("bigint")))
   }
 
+  /** Drop every `fresh` row whose `keyCol` value already exists in
+    * `stored` — the exact-identity admission primitive every continuous
+    * ingest shares, shaped so the STORED side is scanned, never shuffled:
+    * the bounded batch keys broadcast INTO the stored table (semi join →
+    * the stored rows that hit), the surviving hit set — at most one row
+    * per distinct batch key after the distinct — broadcasts back as the
+    * anti-join's right side. A direct `fresh LEFT ANTI stored` cannot
+    * broadcast (anti cannot broadcast its left, and the stored side
+    * outgrows the threshold on day one), so it degenerates to a
+    * sort-merge join that re-shuffles the whole persisted key column
+    * every micro-batch — ~16 GB moved per batch at 1B stored 16-byte
+    * hashes, daily, forever. This shape moves O(batch) bytes at any
+    * corpus size; the same economics as [[graft.ext.Media.dhashDupIds]]
+    * on the media side. NULL keys never equi-match on either side, so
+    * null-keyed fresh rows are always admitted — same semantics as the
+    * plain anti-join it replaces (callers relying on that: URL ingest's
+    * unparseable-URL passthrough).
+    */
+  def admitNewByKey(fresh: DataFrame, stored: DataFrame,
+                    keyCol: String): DataFrame = {
+    val hits = stored.select(col(keyCol))
+      .join(broadcast(fresh.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_semi")
+      .distinct()
+    fresh.join(broadcast(hits), Seq(keyCol), "left_anti")
+  }
+
   /** Incremental exact dedup: admit only the rows of `batch` whose content
     * is new — not already in `corpus`, and not earlier in the batch itself
     * (first-by-`idCol` wins, as in [[exact]]). This is the daily-ingest
-    * shape: the corpus never rescans, only its content-hash column joins.
-    * At 100 TB the corpus side is a stored 16-byte-hash table (write
-    * `__h` once, bucket it by hash); each increment then shuffles only the
-    * BATCH, and the anti-join streams the corpus hashes partition-aligned.
+    * shape: the corpus never rescans its content, only its content-hash
+    * column is read, and that column is never shuffled — the admission
+    * goes through [[admitNewByKey]] (batch hashes broadcast into the
+    * stored side, bounded hit set broadcast back), so each increment
+    * moves O(batch) bytes at any corpus size.
     */
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
                        contentCols: Seq[String], idCol: String): DataFrame = {
     val fresh = exact(batch, contentCols, idCol)
       .withColumn("__h", contentHash(contentCols))
-    val seen = corpus.select(contentHash(contentCols).as("__h")).distinct()
-    fresh.join(seen, Seq("__h"), "left_anti").drop("__h")
+    val seen = corpus.select(contentHash(contentCols).as("__h"))
+    admitNewByKey(fresh, seen, "__h").drop("__h")
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash split into `bands`

@@ -1184,6 +1184,51 @@ object Media {
     }, outSchema)
   }
 
+  /** [[videoFrames]] for DIRTY corpora — the frame-level twin of
+    * [[decodeVideoMetaLenient]], which validates only the CONTAINER
+    * header: a valid-container AVI can still carry an undecodable frame
+    * payload (truncated JPEG, codec ImageIO lacks), and in a continuous
+    * ingest that single frame must quarantine the VIDEO, not fail the
+    * micro-batch — a failed batch replays on restart and the stream is
+    * permanently wedged. Per video: the whole frame walk + decode runs
+    * under one try; success emits the [[videoFrames]] rows with
+    * `frame_ok=true`, any failure emits ONE row for the video with
+    * `frame_ok=false` and the failure class in `frame_err` (null frame
+    * facts). A zero-frame valid container emits nothing, same as the
+    * strict path. Good rows carry facts bit-equal to [[videoFrames]].
+    */
+  def videoFramesLenient(df: DataFrame, idCol: String,
+                         contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("frame_ok", BooleanType, nullable = false),
+      StructField("frame_err", StringType, nullable = true),
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("dhash", LongType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(0)
+        try {
+          // decode EVERY frame before emitting any: a video is healthy
+          // only as a whole (emitting a prefix of its frames would admit
+          // a truncated signature set into the dedup tier)
+          aviFramePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
+            case (payload, i) =>
+              val (w, h, _, px) = decodeLuma(payload)
+              Row(id, true, null, i, w, h, dHash64(px, w, h))
+          }.toVector
+        } catch {
+          case e: Exception =>
+            Seq(Row(id, false, e.getClass.getSimpleName,
+              null, null, null, null))
+        }
+      }
+    }, outSchema)
+  }
+
   /** Video-level near-duplicate pairs from a frame table ([[videoFrames]]
     * output): two videos are near-dups when they share at least
     * `minShared` distinct frame signatures (identical frame dHash — the

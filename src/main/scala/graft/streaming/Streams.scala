@@ -343,6 +343,22 @@ object Streams {
                        checkpoint: String, maxDist: Int = 3, bandBits: Int = 16,
                        trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      ingestImageDedupBatch(batch, batchId, corpusPath, indexDir,
+        quarantinePath, idCol, contentCol, maxDist, bandBits)
+    }
+
+  /** One micro-batch of [[ingestImageDedup]] — the idempotent unit the
+    * stream repeats, exposed so the config layer
+    * ([[graft.core.Config]] sink `ingestImageDedup`) can ride its own
+    * `foreachBatch` delivery (or run a one-shot batch ingest at
+    * `batchId=0`). All exactly-once guarantees live HERE; the streaming
+    * wrapper adds only the checkpointed trigger loop.
+    */
+  def ingestImageDedupBatch(batch: DataFrame, batchId: Long,
+                            corpusPath: String, indexDir: String,
+                            quarantinePath: String, idCol: String,
+                            contentCol: String, maxDist: Int = 3,
+                            bandBits: Int = 16): Unit = {
       val spark = batch.sparkSession
       require(!batch.columns.contains("dhash"),
         "'dhash' is a reserved corpus column — rename it upstream")
@@ -393,7 +409,9 @@ object Streams {
     * the exactly-once ingest family, completing the modality triple
     * ([[ingestImageDedup]] / [[ingestVideoDedup]] / this): each
     * micro-batch of (id, content) WAV payloads decodes leniently
-    * (undecodable rows → per-batch quarantine partition), healthy clips
+    * (undecodable rows AND clips at any PCM depth other than the 16-bit
+    * the fingerprint reads → per-batch quarantine partition, payloads
+    * included — never a batch failure), healthy clips
     * get the gain-invariant energy-delta-sign fingerprint
     * ([[graft.ext.Media.audioFingerprint]] — a re-levelled copy
     * fingerprints identically), the batch in-dedups via the banded
@@ -412,6 +430,18 @@ object Streams {
                        bandBits: Int = 16,
                        trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      ingestAudioDedupBatch(batch, batchId, corpusPath, indexDir,
+        quarantinePath, idCol, contentCol, windowMs, maxDist, bandBits)
+    }
+
+  /** One micro-batch of [[ingestAudioDedup]] — see
+    * [[ingestImageDedupBatch]] for the batch-function contract.
+    */
+  def ingestAudioDedupBatch(batch: DataFrame, batchId: Long,
+                            corpusPath: String, indexDir: String,
+                            quarantinePath: String, idCol: String,
+                            contentCol: String, windowMs: Int = 20,
+                            maxDist: Int = 3, bandBits: Int = 16): Unit = {
       val spark = batch.sparkSession
       require(!batch.columns.contains("afp"),
         "'afp' is a reserved corpus column — rename it upstream")
@@ -419,11 +449,21 @@ object Streams {
       val sigsPath = s"$indexDir/sigs"
       val decoded = graft.ext.Media
         .decodeAudioMetaLenient(batch, idCol, contentCol).localCheckpoint(true)
-      decoded.filter(!col("decode_ok"))
-        .select(col(idCol), col("decode_err"), col("mime"))
+      // the fingerprint reads 16-bit PCM only — a clip at any other depth
+      // is a QUARANTINE row, not a batch failure (a failed batch replays
+      // forever: one 24-bit WAV must not wedge the stream). The payload
+      // rides along so quarantined clips stay triage-able after the
+      // source batch is gone.
+      decoded.filter(!col("decode_ok") ||
+          !(col("bits") <=> lit(16)))
+        .select(col(idCol), col(contentCol),
+          coalesce(col("decode_err"),
+            format_string("UnsupportedBitDepth(%d)", col("bits")))
+            .as("decode_err"),
+          col("mime"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$quarantinePath/batch_id=$batchId")
-      val clips = decoded.filter(col("decode_ok"))
+      val clips = decoded.filter(col("decode_ok") && col("bits") === 16)
         .select(col(idCol), col(contentCol))
       val good = graft.ext.Media
         .audioFingerprint(clips, idCol, contentCol, windowMs)
@@ -460,21 +500,28 @@ object Streams {
 
   /** Streaming VIDEO ingest with frame-level dedup — the video member of
     * the exactly-once ingest family: each micro-batch of (id, content)
-    * AVI payloads decodes leniently ([[graft.ext.Media.decodeVideoMetaLenient]]
-    * — a dirty crawl must not fail the stream; undecodable rows land in
-    * the per-batch quarantine partition), healthy videos explode to
-    * per-frame dHashes ([[graft.ext.Media.videoFrames]]), the batch
+    * AVI payloads decodes leniently at BOTH levels — container
+    * ([[graft.ext.Media.decodeVideoMetaLenient]]) and frame payloads
+    * ([[graft.ext.Media.videoFramesLenient]]; a valid-container AVI with
+    * one rotten frame quarantines the video, never the batch) — with all
+    * failures landing in the per-batch quarantine partition WITH their
+    * payloads. Healthy videos explode to per-frame dHashes, the batch
     * in-dedups via [[graft.ext.Media.videoNearPairs]] (min-id
     * representative per ≥`minShared`-shared-frame group), and
-    * representatives admit against the PERSISTED frame-signature table at
+    * representatives admit in two stages: first by EXACT ID against the
+    * corpus (so a replayed committed batch — including degenerate videos
+    * with fewer than `minShared` distinct frames, which the shared-frame
+    * rule could never re-classify — admits nothing), then by shared
+    * frames against the PERSISTED frame-signature table at
     * `indexDir/sigs`: a batch video sharing ≥ `minShared` distinct frame
-    * hashes with ANY stored video is a dup. The admission join BROADCASTS
-    * the batch's distinct (vid, hash) frames — bounded per micro-batch —
-    * so the signature table pays a column-pruned scan and never shuffles;
-    * only matched (batch vid, stored vid) rows reach the counting
-    * aggregate, which is bounded by matches, not corpus size. Admitted videos append (id, content, n_frames) to `corpusPath`
-    * and their (id, dhash) frames to the signature table, so the NEXT
-    * batch dedups against them too.
+    * hashes with ANY stored video is a dup. Both stored tables (corpus
+    * ids, frame signatures) are scanned with the bounded batch side
+    * broadcast into them — never shuffled — and the stored sigs carry
+    * the same `maxHashFreq` hot-hash cap as the in-batch pairing, so a
+    * corpus-frequent black/intro frame cannot multiply the admission
+    * join. Admitted videos append (id, content, n_frames) to
+    * `corpusPath` and their (id, dhash) frames to the signature table,
+    * so the NEXT batch dedups against them too.
     *
     * Exactly-once discipline: identical to [[ingestImageDedup]] (data-
     * presence bootstrap dispatch, deferred bootstrap on an all-quarantined
@@ -488,19 +535,51 @@ object Streams {
                        maxHashFreq: Int = 1000,
                        trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      ingestVideoDedupBatch(batch, batchId, corpusPath, indexDir,
+        quarantinePath, idCol, contentCol, minShared, maxHashFreq)
+    }
+
+  /** One micro-batch of [[ingestVideoDedup]] — see
+    * [[ingestImageDedupBatch]] for the batch-function contract.
+    */
+  def ingestVideoDedupBatch(batch: DataFrame, batchId: Long,
+                            corpusPath: String, indexDir: String,
+                            quarantinePath: String, idCol: String,
+                            contentCol: String, minShared: Int = 2,
+                            maxHashFreq: Int = 1000): Unit = {
       val spark = batch.sparkSession
       val fmt = s"videodedup:v1:minShared=$minShared"
       val sigsPath = s"$indexDir/sigs"
       val decoded = graft.ext.Media
         .decodeVideoMetaLenient(batch, idCol, contentCol).localCheckpoint(true)
+      val container = decoded.filter(col("decode_ok"))
+        .select(col(idCol), col(contentCol), col("n_frames"), col("mime"))
+      // frame payloads decode under their OWN lenient pass: the container
+      // check above validates only the avih header, and a valid-container
+      // AVI carrying one rotten frame payload must quarantine the VIDEO,
+      // never fail the batch (a failed batch replays on restart, wedging
+      // the stream permanently)
+      val framesL = graft.ext.Media.videoFramesLenient(
+          container.select(col(idCol), col(contentCol)), idCol, contentCol)
+        .localCheckpoint(true)
+      val badFrames = framesL.filter(!col("frame_ok"))
+        .select(col(idCol), col("frame_err"))
+      // one quarantine partition per batch: container failures and frame
+      // failures together, each WITH its payload so quarantined rows stay
+      // re-processable after the source batch is gone
       decoded.filter(!col("decode_ok"))
-        .select(col(idCol), col("decode_err"), col("mime"))
+        .select(col(idCol), col(contentCol), col("decode_err"), col("mime"))
+        .unionByName(container.join(broadcast(badFrames), Seq(idCol))
+          .select(col(idCol), col(contentCol),
+            col("frame_err").as("decode_err"), col("mime")))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$quarantinePath/batch_id=$batchId")
-      val good = decoded.filter(col("decode_ok"))
+      val good = container
+        .join(broadcast(badFrames.select(col(idCol))), Seq(idCol), "left_anti")
         .select(col(idCol), col(contentCol), col("n_frames"))
-      val frames = graft.ext.Media.videoFrames(
-          good.select(col(idCol), col(contentCol)), idCol, contentCol)
+      // a failed video emits ONLY its one frame_ok=false row, so the
+      // healthy frame table is a plain filter
+      val frames = framesL.filter(col("frame_ok"))
         .select(col(idCol), col("dhash")).distinct().localCheckpoint(true)
       // in-batch representatives: drop the larger id of every pair
       val losers = graft.ext.Media.videoNearPairs(frames, idCol, "dhash",
@@ -517,17 +596,41 @@ object Streams {
         }
       } else {
         graft.ext.IndexFormat.check(spark, indexDir, fmt)
-        // batch frames broadcast; stored sigs scan (id, hash) only
+        // exact-id admission FIRST: a replayed COMMITTED batch's videos are
+        // already in the corpus BY ID — including degenerate ones (fewer
+        // than minShared distinct frames, or zero frames) that the
+        // shared-frame rule can never re-classify against their own stored
+        // signatures. The corpus id column is scanned with the batch ids
+        // broadcast into it (Dedup.admitNewByKey), never shuffled.
+        val novel = graft.ext.Dedup.admitNewByKey(reps,
+          spark.read.parquet(corpusPath).select(col(idCol)), idCol)
+        val novelFrames = repFrames
+          .join(broadcast(novel.select(col(idCol))), Seq(idCol), "left_semi")
+        // batch frames broadcast; stored sigs scan (id, hash) only. The
+        // stored side carries the same hot-hash cap as the in-batch
+        // pairing: a black/intro frame hash present in the batch AND in
+        // millions of stored videos would multiply the join output by its
+        // corpus frequency. Counting the cap costs a second column-pruned
+        // scan of the sig table — two bounded scans beat one unbounded
+        // join blow-up; dropped hot hashes under-count n_shared, so the
+        // admission is conservative exactly like videoNearPairs' cap.
         val stored = spark.read.parquet(sigsPath)
           .select(col(idCol).as("__sid"), col("dhash"))
-        val dupIds = stored
-          .join(broadcast(repFrames.select(col(idCol).as("__bid"), col("dhash"))),
+        val batchHashes = broadcast(novelFrames.select(col("dhash")).distinct())
+        val matched = stored.join(batchHashes, Seq("dhash"), "left_semi")
+        val hot = matched.groupBy(col("dhash"))
+          .agg(count(lit(1)).as("__sf"))
+          .filter(col("__sf") > maxHashFreq)
+          .select(col("dhash"))
+        val dupIds = matched
+          .join(broadcast(hot), Seq("dhash"), "left_anti")
+          .join(broadcast(novelFrames.select(col(idCol).as("__bid"), col("dhash"))),
             Seq("dhash"))
           .groupBy(col("__bid"), col("__sid"))
           .agg(count(lit(1)).as("__n"))
           .filter(col("__n") >= minShared)
           .select(col("__bid").as(idCol)).distinct()
-        val admitted = reps.join(dupIds, Seq(idCol), "left_anti")
+        val admitted = novel.join(broadcast(dupIds), Seq(idCol), "left_anti")
           .localCheckpoint(true)
         if (!admitted.isEmpty) {
           graft.ext.IndexFormat.invalidate(spark, indexDir)
@@ -574,13 +677,27 @@ object Streams {
                  checkpoint: String,
                  trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      ingestWarcBatch(batch, batchId, corpusPath, indexDir, quarantinePath,
+        idCol, contentCol)
+    }
+
+  /** One micro-batch of [[ingestWarc]] — see [[ingestImageDedupBatch]]
+    * for the batch-function contract.
+    */
+  def ingestWarcBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+                      indexDir: String, quarantinePath: String,
+                      idCol: String, contentCol: String): Unit = {
       val spark = batch.sparkSession
       val fmt = "warcingest:v1:md5(uri,body)"
       val hashesPath = s"$indexDir/hashes"
       val parsed = graft.sources.Warc
         .warcRecordsLenient(batch, idCol, contentCol).localCheckpoint(true)
-      parsed.filter(!col("decode_ok"))
-        .select(col(idCol), col("decode_err"))
+      // quarantine keeps the raw segment bytes (joined back from the
+      // batch — the lenient record schema deliberately drops them): a
+      // rotten segment stays triage-able after the source batch is gone
+      batch.select(col(idCol), col(contentCol))
+        .join(broadcast(parsed.filter(!col("decode_ok"))
+          .select(col(idCol), col("decode_err"))), Seq(idCol))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$quarantinePath/batch_id=$batchId")
       val outCols = Seq("rec_uid", "file_id", "rec_idx", "warc_type",
@@ -607,9 +724,10 @@ object Streams {
         }
       } else {
         graft.ext.IndexFormat.check(spark, indexDir, fmt)
-        val admitted = fresh.join(
-            spark.read.parquet(hashesPath).select("__h").distinct(),
-            Seq("__h"), "left_anti")
+        // batch hashes broadcast into the stored table; the hit set comes
+        // back bounded — the identity table is scanned, never shuffled
+        val admitted = graft.ext.Dedup.admitNewByKey(
+            fresh, spark.read.parquet(hashesPath), "__h")
           .localCheckpoint(true)
         if (!admitted.isEmpty) {
           graft.ext.IndexFormat.invalidate(spark, indexDir)
@@ -643,13 +761,26 @@ object Streams {
                 checkpoint: String,
                 trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
+      ingestPdfBatch(batch, batchId, corpusPath, indexDir, quarantinePath,
+        idCol, contentCol)
+    }
+
+  /** One micro-batch of [[ingestPdf]] — see [[ingestImageDedupBatch]]
+    * for the batch-function contract.
+    */
+  def ingestPdfBatch(batch: DataFrame, batchId: Long, corpusPath: String,
+                     indexDir: String, quarantinePath: String,
+                     idCol: String, contentCol: String): Unit = {
       val spark = batch.sparkSession
       val fmt = "pdfingest:v1:md5(text)"
       val hashesPath = s"$indexDir/hashes"
       val parsed = graft.ext.Pdf
         .pdfTextLenient(batch, idCol, contentCol).localCheckpoint(true)
-      parsed.filter(!col("decode_ok"))
-        .select(col(idCol), col("decode_err"))
+      // quarantine keeps the raw document bytes, same rationale as
+      // ingestWarc's quarantine join
+      batch.select(col(idCol), col(contentCol))
+        .join(broadcast(parsed.filter(!col("decode_ok"))
+          .select(col(idCol), col("decode_err"))), Seq(idCol))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$quarantinePath/batch_id=$batchId")
       val outCols = Seq("page_uid", "doc_id", "stream_idx", "pdf_version",
@@ -675,9 +806,10 @@ object Streams {
         }
       } else {
         graft.ext.IndexFormat.check(spark, indexDir, fmt)
-        val admitted = fresh.join(
-            spark.read.parquet(hashesPath).select("__h").distinct(),
-            Seq("__h"), "left_anti")
+        // same admission shape as ingestWarc: stored hashes scanned, never
+        // shuffled — see Dedup.admitNewByKey
+        val admitted = graft.ext.Dedup.admitNewByKey(
+            fresh, spark.read.parquet(hashesPath), "__h")
           .localCheckpoint(true)
         if (!admitted.isEmpty) {
           graft.ext.IndexFormat.invalidate(spark, indexDir)
@@ -689,6 +821,52 @@ object Streams {
         }
       }
     }
+
+  private val HashStampFamilies = Seq("warcingest:v1:", "pdfingest:v1:")
+
+  private def hashIndexFormat(spark: SparkSession, indexDir: String): String = {
+    val fmt = graft.ext.IndexFormat.readFormat(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"index at $indexDir has no _meta format stamp — refusing to " +
+          "maintain an unstamped (possibly torn) index; repair or rebuild it"))
+    require(HashStampFamilies.exists(fmt.startsWith),
+      s"index at $indexDir has format '$fmt' — not a WARC/PDF ingest " +
+        "identity index; use the owning family's maintenance pass")
+    fmt
+  }
+
+  /** Compact a WARC/PDF ingest identity index ([[ingestWarc]] /
+    * [[ingestPdf]]'s `indexDir/hashes`) after daily streaming appends —
+    * the same one-small-file-per-batch accretion every other persisted
+    * family already compacts ([[graft.ext.Media.compactSigIndex]]):
+    * after a year a classify scan is listing-bound before it is
+    * data-bound. Staged rewrite + commit-marker discipline via
+    * [[graft.ext.IndexMaintenance.compactStamped]].
+    */
+  def compactHashIndex(spark: SparkSession, indexDir: String,
+                       targetRowsPerFile: Long = 4000000L): Unit =
+    graft.ext.IndexMaintenance.compactStamped(spark, indexDir,
+      hashIndexFormat(spark, indexDir), Seq("hashes" -> Nil),
+      targetRowsPerFile)
+
+  /** Erase content hashes from a WARC/PDF ingest identity index — the
+    * right-to-be-forgotten pass for the crawl ingests: `hashes` is a
+    * single-column frame of `__h` values (compute them from the corpus
+    * rows being erased with [[graft.ext.Dedup.contentHash]] over the SAME
+    * columns the ingest hashed — (target_uri, body) for WARC, (text) for
+    * PDF). A filtered compaction (delete list broadcast, index streamed)
+    * outside the commit-marker window. Erases IDENTITY only: the corpus
+    * rows at the ingest's `corpusPath` are caller-owned plain parquet and
+    * must be rewritten in the same maintenance job. Post-erasure, the
+    * erased content would be re-ADMITTED if it arrives again — that is
+    * what forgetting means here.
+    */
+  def eraseHashIndex(spark: SparkSession, indexDir: String,
+                     hashes: DataFrame,
+                     targetRowsPerFile: Long = 4000000L): Unit =
+    graft.ext.IndexMaintenance.deleteStamped(spark, indexDir,
+      hashIndexFormat(spark, indexDir), Seq(("hashes", Nil, "__h")), hashes,
+      targetRowsPerFile)
 
   /** Streaming corpus ingest with LM QUALITY GATING before the
     * [[ingestDedup]] admission: each micro-batch is scored against the
@@ -767,17 +945,20 @@ object Streams {
       // legacy corpora stay legacy (hashes recomputed from content each
       // batch — the documented slow path) and only corpora created by this
       // version get the pruned fixed-width-hash scan.
+      // both admission paths go through Dedup.admitNewByKey: the stored
+      // hash column (or the recomputed legacy hashes) is scanned with the
+      // bounded batch hashes broadcast into it, never shuffled per batch
       val (admitted, outCols) =
         if (!hasCorpus) (fresh, batch.columns :+ "__h")
         else {
           val corpus = spark.read.parquet(corpusPath)
           if (corpus.columns.contains("__h"))
-            (fresh.join(corpus.select("__h").distinct(), Seq("__h"), "left_anti"),
+            (graft.ext.Dedup.admitNewByKey(fresh, corpus.select("__h"), "__h"),
               batch.columns :+ "__h")
           else
-            (fresh.join(
-              corpus.select(graft.ext.Dedup.contentHash(contentCols).as("__h"))
-                .distinct(), Seq("__h"), "left_anti").drop("__h"),
+            (graft.ext.Dedup.admitNewByKey(fresh,
+              corpus.select(graft.ext.Dedup.contentHash(contentCols).as("__h")),
+              "__h").drop("__h"),
               batch.columns)
         }
       // fixed column order (the using-column join reorders __h first):
@@ -829,10 +1010,12 @@ object Streams {
             s"corpus at $corpusPath lacks the stored __u/__h columns — it was " +
               "not created by ingestUrlDedup (refusing to silently re-ingest)")
           // NULL __u never equi-joins → malformed-URL rows pass to the
-          // content stage on both sides, by construction
-          fresh
-            .join(corpus.select("__u").distinct(), Seq("__u"), "left_anti")
-            .join(corpus.select("__h").distinct(), Seq("__h"), "left_anti")
+          // content stage on both sides, by construction (admitNewByKey
+          // preserves that); stored __u/__h columns are scanned with the
+          // batch keys broadcast into them, never shuffled per batch
+          graft.ext.Dedup.admitNewByKey(
+            graft.ext.Dedup.admitNewByKey(fresh, corpus.select("__u"), "__u"),
+            corpus.select("__h"), "__h")
         }
       val outCols = batch.columns :+ "__u" :+ "__h"
       admitted.select(outCols.map(col): _*)
@@ -994,9 +1177,9 @@ object Streams {
           graft.ext.Ivf.build(seed, idCol, vecCol, nLists = k, maxIter = 3),
           indexDir)
       } else {
-        val fresh = perId.join(
-            spark.read.parquet(corpusPath).select(col(idCol)),
-            Seq(idCol), "left_anti")
+        // stored id column scanned, never shuffled (Dedup.admitNewByKey)
+        val fresh = graft.ext.Dedup.admitNewByKey(perId,
+            spark.read.parquet(corpusPath).select(col(idCol)), idCol)
           .localCheckpoint(true)
         if (!fresh.isEmpty)
           graft.ext.Ivf.appendCorpusAndIndex(fresh, corpusPath, idCol, vecCol,
@@ -1033,7 +1216,8 @@ object Streams {
       else {
         val indexed = spark.read.parquet(s"$indexDir/docs")
           .select(col("id").as(idCol))
-        val fresh = perId.join(indexed, Seq(idCol), "left_anti")
+        // stored doc-id column scanned, never shuffled (Dedup.admitNewByKey)
+        val fresh = graft.ext.Dedup.admitNewByKey(perId, indexed, idCol)
         if (!fresh.isEmpty)
           graft.ext.SearchIndex.append(fresh, idCol, textCol, indexDir)
       }

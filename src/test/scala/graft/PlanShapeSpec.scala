@@ -218,6 +218,30 @@ class PlanShapeSpec extends SparkSpec {
       s"hot-hash cap is not a broadcast anti-join:\n$plan")
   }
 
+  test("exact-identity admission broadcasts both legs — stored hashes never shuffle") {
+    // the continuous-ingest scale contract (r15 verdict #1): a direct
+    // `fresh LEFT ANTI stored` cannot broadcast its left side, so past the
+    // broadcast threshold it sort-merge-joins — re-shuffling the whole
+    // persisted hash column every micro-batch, forever. Dedup.admitNewByKey
+    // must plan two BroadcastHashJoins (batch keys semi INTO the stored
+    // scan; bounded hit set anti back) and no SortMergeJoin even with
+    // auto-broadcast off (the threshold can't save a corpus-sized table).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = spark.range(5000)
+        .select($"id", ($"id" % 97).cast("string").as("text"))
+      val batch = spark.range(30)
+        .select(($"id" + 9000).as("id"), ($"id" + 50).cast("string").as("text"))
+      val out = graft.ext.Dedup.incrementalExact(batch, corpus, Seq("text"), "id")
+      val plan = physical(out)
+      assert(!plan.contains("SortMergeJoin"),
+        s"stored hash column shuffles (SMJ) in the admission:\n$plan")
+      assert(plan.split("BroadcastHashJoin", -1).length - 1 >= 2,
+        s"admission lost its broadcast semi/anti pair:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("tokenStats aggregates with exactly one exchange (map-side combine)") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select($"lang", lit(1L).as("t"))

@@ -513,4 +513,38 @@ class MediaSpec extends SparkSpec {
         sh == math.min(nl, nr), s"($l,$r,$sh,$nl,$nr)")
     }
   }
+
+  test("videoFramesLenient: strict parity on healthy videos, one bad row per corrupt") {
+    val healthy = Media.genPatternAvis(
+      Seq((1L, 4L, 2)).toDF("id", "k", "n"), "id", "k", "n", w = 9, h = 8)
+    // a VALID container whose single frame payload is undecodable junk —
+    // exactly the case the container-level lenient decode cannot see
+    val junk = Array.tabulate[Byte](16)(i => (i * 7 + 1).toByte)
+    val movi = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("00dc".getBytes("US-ASCII")).putInt(16).put(junk)
+      bb.array()
+    }
+    val bad = Media.encodeAvi(33333, 1, 1, 9, 8, movi)
+    val badDf = Seq((2L, bad)).toDF("id", "content")
+    assert(Media.decodeVideoMetaLenient(badDf, "id", "content")
+      .select("decode_ok").as[Boolean].head(),
+      "container-level check must NOT catch a frame-payload failure " +
+        "(that's the gap videoFramesLenient exists for)")
+    val all = healthy.select($"id", $"content").union(badDf)
+    val got = Media.videoFramesLenient(all, "id", "content")
+    // healthy rows bit-equal to the strict path
+    val strict = Media.videoFrames(healthy, "id", "content")
+      .select("id", "frame_idx", "width", "height", "dhash")
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(_._2).toSeq
+    val lenientGood = got.filter($"frame_ok")
+      .select("id", "frame_idx", "width", "height", "dhash")
+      .as[(Long, Int, Int, Int, Long)].collect().sortBy(_._2).toSeq
+    assert(lenientGood == strict)
+    // the corrupt video emits exactly ONE row: no frames, a failure class
+    val badRows = got.filter(!$"frame_ok")
+      .select("id", "frame_err").as[(Long, String)].collect().toSeq
+    assert(badRows.map(_._1) == Seq(2L) && badRows.head._2 != null)
+  }
 }

@@ -516,6 +516,110 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestAudioDedup quarantines non-16-bit PCM with its payload, stream survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_aud24_").toString
+    def wav(k: Long): Array[Byte] = graft.ext.Media.genToneWavs(
+      Seq((0L, k, 0, 65)).toDF("id", "k", "p", "nw"), "id", "k", "p", "nw")
+      .select("content").as[Array[Byte]].head()
+    // a VALID PCM WAV whose bits field says 24: the lenient header decode
+    // accepts it, but the fingerprint reads 16-bit only — it must land in
+    // quarantine, never fail (and permanently wedge) the micro-batch
+    val wav24 = { val b = wav(3); b(34) = 24; b }
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestAudioDedup(mem.toDF().toDF("aid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "aid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, wav(5)), (2L, wav24), (3L, "junk".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("aid").as[Long].collect().toSeq == Seq(1L))
+      val quar = spark.read.parquet(s"$dir/quarantine")
+        .select("aid", "decode_err", "content")
+        .as[(Long, String, Array[Byte])].collect().sortBy(_._1).toSeq
+      assert(quar.map(q => (q._1, q._2)) ==
+        Seq((2L, "UnsupportedBitDepth(24)"), (3L, "IllegalArgumentException")))
+      // the payload rides along for later triage/re-processing
+      assert(quar.forall(_._3 != null) && quar.head._3.sameElements(wav24))
+      // the stream is NOT wedged: the next batch still admits
+      mem.addData((4L, wav(9)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 2L)
+    } finally q.stop()
+  }
+
+  test("ingestVideoDedup quarantines a corrupt-frame video; batch survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_vidbad_").toString
+    def avi(k: Long, n: Int): Array[Byte] = graft.ext.Media.genPatternAvis(
+      Seq((0L, k, n)).toDF("id", "k", "n"), "id", "k", "n", 9, 8)
+      .select("content").as[Array[Byte]].head()
+    // valid container, undecodable frame payload — the case the container
+    // header check cannot see; it must quarantine the video, not replay-
+    // poison the stream
+    val junk = Array.tabulate[Byte](16)(i => (i * 7 + 1).toByte)
+    val movi = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("00dc".getBytes("US-ASCII")).putInt(16).put(junk)
+      bb.array()
+    }
+    val badFrame = graft.ext.Media.encodeAvi(33333, 1, 1, 9, 8, movi)
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestVideoDedup(mem.toDF().toDF("vid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "vid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, avi(5, 3)), (2L, badFrame), (3L, "junk".getBytes))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("vid").as[Long].collect().toSeq == Seq(1L))
+      val quar = spark.read.parquet(s"$dir/quarantine")
+        .select("vid", "decode_err", "content")
+        .as[(Long, String, Array[Byte])].collect().sortBy(_._1).toSeq
+      assert(quar.map(_._1) == Seq(2L, 3L))
+      // both failure classes carry their payloads for triage
+      assert(quar.forall(_._3 != null) && quar.head._3.sameElements(badFrame))
+      // next batch still flows
+      mem.addData((4L, avi(90, 3)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 2L)
+    } finally q.stop()
+  }
+
+  test("ingestVideoDedup replay of a DEGENERATE video (n_frames < minShared) appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_viddgn_").toString
+    def avi(k: Long, n: Int): Array[Byte] = graft.ext.Media.genPatternAvis(
+      Seq((0L, k, n)).toDF("id", "k", "n"), "id", "k", "n", 9, 8)
+      .select("content").as[Array[Byte]].head()
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestVideoDedup(mem.toDF().toDF("vid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "vid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      // bootstrap: a healthy 3-frame video + a SINGLE-frame video (below
+      // minShared=2 — it can never re-classify against its own stored
+      // signatures) + a ZERO-frame valid container (no signatures at all)
+      mem.addData((1L, avi(5, 3)), (2L, avi(7, 1)), (3L, avi(9, 0)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("vid").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(spark.read.parquet(s"$dir/idx/sigs").count() == 4L) // 3 + 1 + 0
+      // a replayed COMMITTED batch re-delivers the same rows: the exact-id
+      // admission must classify ALL of them as dups — the shared-frame
+      // rule alone could never catch 2 (one frame) or 3 (zero frames)
+      mem.addData((1L, avi(5, 3)), (2L, avi(7, 1)), (3L, avi(9, 0)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 3L)
+      assert(spark.read.parquet(s"$dir/idx/sigs").count() == 4L)
+    } finally q.stop()
+  }
+
   test("ingestPdf admits pages by text identity, quarantines corrupt documents") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_pdf_").toString
