@@ -286,6 +286,11 @@ object Media {
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
       "video/avi"
+    // ISO-BMFF: the first box of a conforming file is ftyp (ISO 14496-12
+    // §4.3) — the type field at bytes 4..7 is the sniff every file tool uses
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p')
+      "video/mp4"
     else "application/octet-stream"
 
   /** Exact block-mean resample of a luma grid to `tw`×`th`: target cell
