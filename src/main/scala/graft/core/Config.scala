@@ -193,8 +193,18 @@ object Config {
       case "fileStream" =>
         val path = str(n, "path")
         val fmt = strOpt(n, "format").getOrElse("parquet")
-        graft.streaming.Streams.fileStream(spark, path,
-          spark.read.format(fmt).load(path).schema, fmt)
+        // explicit contract check: the eager schema-inference read below
+        // dies with an opaque AnalysisException on an empty/missing dir
+        val seed =
+          try spark.read.format(fmt).load(path).schema
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"fileStream source: '$path' must exist and hold at least " +
+                  s"one .$fmt file when the task starts (the stream's " +
+                  s"schema is inferred from it): ${e.getMessage}")
+          }
+        graft.streaming.Streams.fileStream(spark, path, seed, fmt)
       // Kafka consumer (jar-guarded: fails fast naming the connector jar
       // when spark-sql-kafka isn't on the classpath — see Sinks.kafkaSource)
       case "kafka" =>
@@ -426,11 +436,20 @@ object Config {
         graft.ext.Dedup.spanStats(df, str(n, "key"), str(n, "column"),
           Option(n.get("shingleN")).map(_.asInt).getOrElse(3),
           Option(n.get("minDf")).map(_.asInt).getOrElse(2))
-      // incremental ingest dedup against a stored corpus (parquet path)
+      // incremental ingest dedup against a stored corpus (parquet path).
+      // Unlike the streaming ingests (micro-batches, bounded by
+      // construction), a batch task's increment is an arbitrary input, so
+      // the broadcast admission is guarded: past `broadcastKeyLimit`
+      // distinct content hashes (default 50M ≈ 800 MB of md5s, well under
+      // Spark's 8 GB broadcast hard limit) it falls back to the shuffled
+      // anti-join — slower, but a huge daily increment completes instead
+      // of failing the broadcast
       case "dedupIncremental" =>
         val corpus = df.sparkSession.read.parquet(str(n, "target"))
         graft.ext.Dedup.incrementalExact(df, corpus,
-          strSeq(n, "columns"), str(n, "key"))
+          strSeq(n, "columns"), str(n, "key"),
+          maxBroadcastKeys = Option(n.get("broadcastKeyLimit"))
+            .map(_.asLong).getOrElse(50000000L))
       // near-dup twin of dedupIncremental: build the corpus signature
       // index once (pass-through like ivfBuild, so a sink can follow),
       // then classify each day's batch against it by index alone
@@ -826,6 +845,21 @@ object Config {
     // batch); batch tasks default to overwrite, the reference's semantics
     val mode = strOpt(n, "mode").map(SaveMode.valueOf)
       .getOrElse(if (streaming) SaveMode.Append else SaveMode.Overwrite)
+    // Ingest-sink quarantine partition id. A streaming replay must rewrite
+    // the SAME partition (the checkpointed micro-batch id — that is what
+    // makes replays idempotent instead of double-appending), but a
+    // one-shot batch task has no checkpoint: at a fixed batchId=0 every
+    // rerun would Overwrite quarantine/batch_id=0 and destroy the prior
+    // run's quarantined payloads — the exact triage data the
+    // payload-carrying quarantine exists to keep. Batch tasks therefore
+    // get a per-run id: YAML `batchId` when pinned (reproducible reruns
+    // that SHOULD replace their own quarantine), else the run's wall-clock
+    // millis. Admission stays idempotent either way — replayed content
+    // re-classifies as a dup regardless of the quarantine partition name.
+    lazy val ingestBatchId =
+      if (streaming) batchId
+      else Option(n.get("batchId")).map(_.asLong)
+        .getOrElse(System.currentTimeMillis())
     str(n, "type") match {
       case "parquet" => FileSink.parquet(df, str(n, "path"), mode)
       // partition-pruned keyed MERGE into a partitioned parquet table
@@ -859,28 +893,28 @@ object Config {
       // replayed batches admit nothing by construction. In a batch task
       // the same sink is a one-shot ingest at batch_id=0.
       case "ingestWarc" =>
-        graft.streaming.Streams.ingestWarcBatch(df, batchId,
+        graft.streaming.Streams.ingestWarcBatch(df, ingestBatchId,
           str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
           str(n, "id"), str(n, "column"))
       case "ingestPdf" =>
-        graft.streaming.Streams.ingestPdfBatch(df, batchId,
+        graft.streaming.Streams.ingestPdfBatch(df, ingestBatchId,
           str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
           str(n, "id"), str(n, "column"))
       case "ingestImageDedup" =>
-        graft.streaming.Streams.ingestImageDedupBatch(df, batchId,
+        graft.streaming.Streams.ingestImageDedupBatch(df, ingestBatchId,
           str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
           str(n, "id"), str(n, "column"),
           maxDist = Option(n.get("maxDist")).map(_.asInt).getOrElse(3),
           bandBits = Option(n.get("bandBits")).map(_.asInt).getOrElse(16))
       case "ingestAudioDedup" =>
-        graft.streaming.Streams.ingestAudioDedupBatch(df, batchId,
+        graft.streaming.Streams.ingestAudioDedupBatch(df, ingestBatchId,
           str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
           str(n, "id"), str(n, "column"),
           windowMs = Option(n.get("windowMs")).map(_.asInt).getOrElse(20),
           maxDist = Option(n.get("maxDist")).map(_.asInt).getOrElse(3),
           bandBits = Option(n.get("bandBits")).map(_.asInt).getOrElse(16))
       case "ingestVideoDedup" =>
-        graft.streaming.Streams.ingestVideoDedupBatch(df, batchId,
+        graft.streaming.Streams.ingestVideoDedupBatch(df, ingestBatchId,
           str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
           str(n, "id"), str(n, "column"),
           minShared = Option(n.get("minShared")).map(_.asInt).getOrElse(2),

@@ -420,14 +420,35 @@ object Dedup {
     * null-keyed fresh rows are always admitted — same semantics as the
     * plain anti-join it replaces (callers relying on that: URL ingest's
     * unparseable-URL passthrough).
+    *
+    * The force-broadcast assumes `fresh` is BOUNDED (a micro-batch): its
+    * distinct key set must fit the driver and Spark's 8 GB broadcast hard
+    * limit. Streaming call sites satisfy that by construction; for batch
+    * callers whose increment is an arbitrary input, pass a finite
+    * `maxBroadcastKeys` — the fresh side is then pinned
+    * (`localCheckpoint`) and its distinct keys counted once, and past the
+    * threshold the admission falls back to the plain shuffled left-anti
+    * join: slower (the stored key column shuffles once) but it completes
+    * on any increment size instead of failing the broadcast.
     */
-  def admitNewByKey(fresh: DataFrame, stored: DataFrame,
-                    keyCol: String): DataFrame = {
-    val hits = stored.select(col(keyCol))
-      .join(broadcast(fresh.select(col(keyCol)).distinct()),
-        Seq(keyCol), "left_semi")
-      .distinct()
-    fresh.join(broadcast(hits), Seq(keyCol), "left_anti")
+  def admitNewByKey(fresh: DataFrame, stored: DataFrame, keyCol: String,
+                    maxBroadcastKeys: Long = Long.MaxValue): DataFrame = {
+    def broadcastShape(f: DataFrame): DataFrame = {
+      val hits = stored.select(col(keyCol))
+        .join(broadcast(f.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_semi")
+        .distinct()
+      f.join(broadcast(hits), Seq(keyCol), "left_anti")
+    }
+    if (maxBroadcastKeys == Long.MaxValue) broadcastShape(fresh)
+    else {
+      // pin fresh so the guard count and the admission read one
+      // computation (fresh is often a non-trivial dedup plan)
+      val f = fresh.localCheckpoint(true)
+      if (f.select(col(keyCol)).distinct().count() <= maxBroadcastKeys)
+        broadcastShape(f)
+      else f.join(stored.select(col(keyCol)), Seq(keyCol), "left_anti")
+    }
   }
 
   /** Incremental exact dedup: admit only the rows of `batch` whose content
@@ -437,14 +458,19 @@ object Dedup {
     * column is read, and that column is never shuffled — the admission
     * goes through [[admitNewByKey]] (batch hashes broadcast into the
     * stored side, bounded hit set broadcast back), so each increment
-    * moves O(batch) bytes at any corpus size.
+    * moves O(batch) bytes at any corpus size. The broadcast assumes the
+    * increment is micro-batch-sized; when it is an arbitrary batch input,
+    * pass a finite `maxBroadcastKeys` to fall back to the shuffled
+    * anti-join past that many distinct content hashes (see
+    * [[admitNewByKey]]).
     */
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
-                       contentCols: Seq[String], idCol: String): DataFrame = {
+                       contentCols: Seq[String], idCol: String,
+                       maxBroadcastKeys: Long = Long.MaxValue): DataFrame = {
     val fresh = exact(batch, contentCols, idCol)
       .withColumn("__h", contentHash(contentCols))
     val seen = corpus.select(contentHash(contentCols).as("__h"))
-    admitNewByKey(fresh, seen, "__h").drop("__h")
+    admitNewByKey(fresh, seen, "__h", maxBroadcastKeys).drop("__h")
   }
 
   /** SimHash near-dup candidate pairs: 64-bit simhash split into `bands`

@@ -337,6 +337,14 @@ object Streams {
     *    Overwrite — a replay rewrites the same partition instead of
     *    double-appending, and the write is O(batch) with no scan of the
     *    existing quarantine.
+    *
+    * Upgrade note (applies to every ingest's quarantine): the quarantine
+    * schema has evolved (payload column added; WARC/PDF column order
+    * changed), so a quarantine root holding pre-upgrade `batch_id=N`
+    * partitions next to new ones has mixed parquet schemas — read such a
+    * root with `option("mergeSchema", true)` (plain `read.parquet` infers
+    * from one sampled footer and can silently drop the payload column), or
+    * rewrite it once, or point upgraded ingests at a fresh quarantine path.
     */
   def ingestImageDedup(stream: DataFrame, corpusPath: String, indexDir: String,
                        quarantinePath: String, idCol: String, contentCol: String,

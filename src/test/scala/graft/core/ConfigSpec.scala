@@ -1431,6 +1431,53 @@ class ConfigSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 6L))
   }
 
+  test("batch-task ingest reruns keep prior quarantine (per-run batch id)") {
+    val dir = Files.createTempDirectory("graft_cfg_requar_").toString
+    def yaml(in: String) =
+      s"""source: {type: parquet, path: $in}
+         |sink: {type: ingestPdf, corpus: $dir/corpus, index: $dir/idx,
+         |       quarantine: $dir/quar, id: pid, column: content}
+         |""".stripMargin
+    def pdf(k: Long): Array[Byte] = graft.ext.Pdf.genPdfs(
+      Seq((k, 1L, true)).toDF("id", "n", "flate"), "id", "n", "flate")
+      .select("content").as[Array[Byte]].head()
+    // run 1: one good doc + one rotten payload → quarantine row for 91
+    Seq((1L, pdf(1)), (91L, "rot1".getBytes))
+      .toDF("pid", "content").write.parquet(s"$dir/in1")
+    Config.run(spark, yaml(s"$dir/in1"))
+    // run 2 (same task, new day): another rotten payload. At a fixed
+    // batch_id=0 this would Overwrite run 1's quarantine; per-run ids
+    // must preserve BOTH rows
+    Seq((2L, pdf(2)), (92L, "rot2".getBytes))
+      .toDF("pid", "content").write.parquet(s"$dir/in2")
+    Config.run(spark, yaml(s"$dir/in2"))
+    assert(spark.read.parquet(s"$dir/quar").select("pid")
+      .as[Long].collect().sorted.toSeq == Seq(91L, 92L))
+    // a pinned YAML batchId reproduces the old replace-my-own-run shape
+    Seq((93L, "rot3".getBytes)).toDF("pid", "content")
+      .write.parquet(s"$dir/in3")
+    val pinned =
+      s"""source: {type: parquet, path: $dir/in3}
+         |sink: {type: ingestPdf, corpus: $dir/corpus, index: $dir/idx,
+         |       quarantine: $dir/quar2, id: pid, column: content, batchId: 7}
+         |""".stripMargin
+    Config.run(spark, pinned)
+    Config.run(spark, pinned)
+    assert(spark.read.parquet(s"$dir/quar2").select("pid")
+      .as[Long].collect().toSeq == Seq(93L))
+  }
+
+  test("fileStream source fails fast on an empty or missing arrivals dir") {
+    val dir = Files.createTempDirectory("graft_cfg_fsempty_").toString
+    val e = intercept[IllegalArgumentException] {
+      Config.run(spark,
+        s"""source: {type: fileStream, path: $dir/nowhere, format: parquet}
+           |sink: {type: parquet, path: $dir/out}
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("at least one .parquet file"))
+  }
+
   test("hash-index maintenance from config: hashIndexCompact + hashIndexErase") {
     val dir = Files.createTempDirectory("graft_cfg_hashm_").toString
     def pdf(k: Long, n: Int): Array[Byte] = graft.ext.Pdf.genPdfs(

@@ -187,6 +187,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(11L, 13L))
   }
 
+  test("admitNewByKey guard: over-limit increments fall back, same results") {
+    val stored = Seq((1L, "aa"), (2L, "bb")).toDF("id", "k")
+      .select($"k")
+    val fresh = Seq((10L, "aa"), (11L, "cc"), (12L, "dd"), (13L, null))
+      .toDF("id", "k")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("id").as[Long].collect().sorted.toSeq
+    val expected = Seq(11L, 12L, 13L) // null key admits (no equi-match)
+    // unguarded broadcast shape (the streaming default)
+    assert(ids(Dedup.admitNewByKey(fresh, stored, "k")) == expected)
+    // guarded, under the limit → broadcast shape
+    assert(ids(Dedup.admitNewByKey(fresh, stored, "k",
+      maxBroadcastKeys = 100L)) == expected)
+    // guarded, OVER the limit (4 distinct keys > 2) → shuffled anti-join
+    // fallback, bit-identical admission semantics
+    assert(ids(Dedup.admitNewByKey(fresh, stored, "k",
+      maxBroadcastKeys = 2L)) == expected)
+    // incrementalExact threads the guard through
+    val corpus = Seq((1L, "aa")).toDF("id", "text")
+    val batch = Seq((10L, "aa"), (11L, "cc"), (12L, "cc")).toDF("id", "text")
+    assert(ids(Dedup.incrementalExact(batch, corpus, Seq("text"), "id",
+      maxBroadcastKeys = 1L)) == Seq(11L))
+  }
+
   test("nearDedup keeps one representative per near-dup cluster, all singletons") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
