@@ -2198,6 +2198,45 @@ object SparkEntry {
           col("duration_ms"))
     }),
 
+    // ISO-BMFF (MP4) metadata — the container the dominant share of crawl
+    // video arrives in: real box walk over ftyp/mvhd/tkhd/stts/stsz; the
+    // fixture writes a real sample table (fixed-size stsz branch) and an
+    // optional dimensionless audio track, and every output field is
+    // re-derived integer math in the oracle
+    "mm_mp4_meta" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("ts", when(col("doc_id") % 3 === 0, 90000L)
+          .when(col("doc_id") % 3 === 1, 30000L).otherwise(12800L))
+        .withColumn("dl", when(col("doc_id") % 3 === 0, 3000L)
+          .when(col("doc_id") % 3 === 1, 1001L).otherwise(512L))
+        .withColumn("n", (lit(24) + (col("doc_id") % 40) * 3).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+        .withColumn("audio", col("doc_id") % 2 === 0)
+      val media = Media.genMp4s(ids, "doc_id", "ts", "dl", "n", "w", "h",
+        "audio")
+      Media.decodeMp4Meta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("major_brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"), col("n_frames"), col("fps_x1000"))
+    }),
+
+    // MP4 frame walk: stsz/stsc/stco sample extraction + PNG decode —
+    // the same pixel formula as mm_video_frames, proving the frame-dedup
+    // tier is container-independent (an MP4 re-container of an AVI
+    // classifies as a dup because these hashes match)
+    "mm_mp4_frames" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 3 + 2).cast("int"))
+      val media = Media.genPatternMp4s(ids, "doc_id", "k", "n", w = 9, h = 8)
+      Media.videoFrames(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("frame_idx"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
     // WARC crawl ingestion (ISO 28500 — the Common Crawl container):
     // file k holds a warcinfo record + per page i a (request, response)
     // pair; even-k files use the per-record-gzip-member layout, so one
@@ -4031,6 +4070,49 @@ object SparkEntry {
         |  CAST(1000000000 // uspf AS BIGINT) AS fps_x1000,
         |  CAST(uspf * frames // 1000 AS BIGINT) AS duration_ms
         |FROM ids""".stripMargin,
+
+    // every MP4 field re-derived from the fixture formula: brand constant,
+    // integer-floor duration/fps, track count from the audio toggle
+    "mm_mp4_meta" ->
+      """WITH ids AS (SELECT doc_id AS d,
+        |    CASE WHEN doc_id % 3 = 0 THEN 90000 WHEN doc_id % 3 = 1 THEN 30000 ELSE 12800 END AS ts,
+        |    CASE WHEN doc_id % 3 = 0 THEN 3000 WHEN doc_id % 3 = 1 THEN 1001 ELSE 512 END AS dl,
+        |    24 + (doc_id % 40) * 3 AS n,
+        |    320 + (doc_id % 4) * 160 AS w,
+        |    240 + (doc_id % 4) * 120 AS h
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT d AS media_id, 'isom' AS major_brand,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  CAST(n * dl * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN d % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000
+        |FROM ids""".stripMargin,
+
+    // identical dHash re-derivation as mm_video_frames — same pixel
+    // formula, different container: the hash match proves the MP4 sample
+    // walk yields byte-identical frame payloads
+    "mm_mp4_frames" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k, doc_id % 3 + 2 AS n
+        |    FROM documents WHERE doc_id < 80),
+        |  fr AS (SELECT id, k * 8 + f AS kf, CAST(f AS INT) AS f
+        |    FROM ids, unnest(range(0, 5)) tf(f) WHERE f < n),
+        |  g AS (SELECT id, f, x, y,
+        |      (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f)
+        |SELECT id AS media_id, f AS frame_idx, 9 AS width, 8 AS height,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs""".stripMargin,
 
     // every WARC field re-derived from the fixture formula with ZERO
     // parsing: the hash match proves version/header/content-block walk

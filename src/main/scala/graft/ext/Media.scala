@@ -1159,9 +1159,10 @@ object Media {
     frames.toSeq
   }
 
-  /** Explode every AVI payload to its decoded frames: one row per video
-    * frame, (idCol, frame_idx, width, height, dhash) — the frame walk of
-    * [[aviFramePayloads]] composed with the image decode path (EXIF-
+  /** Explode every video payload (AVI or MP4, sniff-dispatched through
+    * [[framePayloads]]) to its decoded frames: one row per video frame,
+    * (idCol, frame_idx, width, height, dhash) — the container frame walk
+    * composed with the image decode path (EXIF-
     * normalized [[decodeLuma]] + [[dHash64]]), so frame-level dedup drops
     * straight into the existing dHash band-join tier. One container walk +
     * one codec instance per partition, no shuffle; row count multiplies by
@@ -1180,7 +1181,7 @@ object Media {
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.get(0)
-        aviFramePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
+        framePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
           case (payload, i) =>
             val (w, h, _, px) = decodeLuma(payload)
             Row(id, i, w, h, dHash64(px, w, h))
@@ -1220,7 +1221,7 @@ object Media {
           // decode EVERY frame before emitting any: a video is healthy
           // only as a whole (emitting a prefix of its frames would admit
           // a truncated signature set into the dedup tier)
-          aviFramePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
+          framePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
             case (payload, i) =>
               val (w, h, _, px) = decodeLuma(payload)
               Row(id, true, null, i, w, h, dHash64(px, w, h))
@@ -1402,20 +1403,7 @@ object Media {
     val movi = new ByteArrayOutputStream()
     var f = 0
     while (f < n) {
-      val kf = kfOf(f)
-      val px = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          px(y * w + x) = ((kf * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
-            x.toLong * y * 7) % 256).toInt
-          x += 1
-        }
-        y += 1
-      }
-      if (flipFirstGradient) px(0) = if (px(1) > px(0)) 255 else 0
-      val png = encodeGrayPng(px, w, h)
+      val png = patternFramePng(kfOf(f), w, h, flipFirstGradient)
       val hdr = java.nio.ByteBuffer.allocate(8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       hdr.put("00dc".getBytes("US-ASCII")).putInt(png.length)
@@ -1426,6 +1414,29 @@ object Media {
     }
     encodeAvi(usPerFrame = 33333, totalFrames = n,
       streams = 1, width = w, height = h, movi.toByteArray)
+  }
+
+  /** One pattern-formula frame as a lossless gray PNG — the shared encode
+    * unit under every multi-frame fixture family (AVI movi sub-chunks and
+    * MP4 mdat samples), so the same `kf` yields BYTE-IDENTICAL payloads in
+    * either container and the frame-dedup oracles stay
+    * container-independent.
+    */
+  private def patternFramePng(kf: Long, w: Int, h: Int,
+                              flipFirstGradient: Boolean): Array[Byte] = {
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = ((kf * 31 + x.toLong * x * 3 + y.toLong * y * 5 +
+          x.toLong * y * 7) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    if (flipFirstGradient) px(0) = if (px(1) > px(0)) 255 else 0
+    encodeGrayPng(px, w, h)
   }
 
   /** Deterministic multi-frame AVI fixtures: frame f of row (k =
@@ -1532,9 +1543,12 @@ object Media {
 
   /** [[decodeVideoMeta]] for DIRTY corpora — the video twin of
     * [[decodeImageMetaLenient]]: malformed payloads (wrong container,
-    * missing `avih`) quarantine in place with `decode_ok=false` and the
-    * failure class in `decode_err`; good rows carry facts bit-equal to
-    * the strict path.
+    * missing `avih`/`mvhd`) quarantine in place with `decode_ok=false` and
+    * the failure class in `decode_err`; good rows carry facts bit-equal to
+    * the strict paths. Sniff-dispatched per container: AVI through
+    * [[parseAvi]], MP4 through [[parseMp4]] (n_streams = track count,
+    * n_frames/fps from the sample table when present, duration from
+    * `mvhd` — the same integer-floor math as [[decodeMp4Meta]]).
     */
   def decodeVideoMetaLenient(df: DataFrame, idCol: String,
                              contentCol: String): DataFrame = {
@@ -1556,10 +1570,23 @@ object Media {
         val mime = if (bytes == null) "application/octet-stream" else sniffMime(bytes)
         try {
           require(bytes != null, "null payload")
-          val m = parseAvi(bytes)
-          Row(r.get(0), r.get(1), true, null, mime, m.width, m.height,
-            m.totalFrames, m.streams, 1000000000L / m.usPerFrame,
-            m.usPerFrame.toLong * m.totalFrames / 1000)
+          mime match {
+            case "video/avi" =>
+              val m = parseAvi(bytes)
+              Row(r.get(0), r.get(1), true, null, mime, m.width, m.height,
+                m.totalFrames, m.streams, 1000000000L / m.usPerFrame,
+                m.usPerFrame.toLong * m.totalFrames / 1000)
+            case "video/mp4" =>
+              val m = parseMp4(bytes)
+              Row(r.get(0), r.get(1), true, null, mime, m.width, m.height,
+                if (m.nSamples > 0) m.nSamples else null, m.nTracks,
+                if (m.sampleDelta > 0) m.timescale * 1000L / m.sampleDelta
+                else null,
+                m.duration * 1000L / m.timescale)
+            case other =>
+              throw new IllegalArgumentException(
+                s"unsupported video container: $other")
+          }
         } catch {
           case e: Exception =>
             Row(r.get(0), r.get(1), false, e.getClass.getSimpleName, mime,
@@ -1589,6 +1616,424 @@ object Media {
         val movi = Array.tabulate[Byte](16)(i => ((id * 31 + i * 7) % 256).toByte)
         Row(id, encodeAvi(r.getInt(1), r.getInt(2), streams = 1,
           r.getInt(3), r.getInt(4), movi))
+      }
+    }, outSchema)
+  }
+
+  // ------------------------------------------------------------- ISO-BMFF
+
+  /** Parsed ISO-BMFF (MP4) facts: `ftyp` major brand, `mvhd` movie
+    * timescale/duration, track count, the first video track's pixel
+    * dimensions (`tkhd`, 16.16 fixed → integer part), and — when a sample
+    * table is present — the first sample-carrying track's sample count
+    * (`stsz`) and constant sample delta (`stts` first entry).
+    */
+  private[ext] final case class Mp4Meta(majorBrand: String, timescale: Long,
+                                        duration: Long, nTracks: Int,
+                                        width: Int, height: Int,
+                                        nSamples: Int, sampleDelta: Long)
+
+  /** Iterate the boxes of `bytes[from, until)`, calling
+    * `f(type, payloadStart, payloadEnd)` per box — the one walk primitive
+    * under every ISO 14496-12 reader here (the MP4 analogue of
+    * [[parseAvi]]'s RIFF chunk scan). Handles the spec's three size
+    * encodings: 32-bit compact, `size==1` + 64-bit largesize, and
+    * `size==0` = box extends to the end of the enclosing scope. Malformed
+    * sizes (overrunning the scope, or too small to hold the header) throw
+    * rather than silently mis-walking.
+    */
+  private[ext] def walkBoxes(bytes: Array[Byte], from: Int, until: Int)
+                            (f: (String, Int, Int) => Unit): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+    var off = from
+    while (off + 8 <= until) {
+      val size32 = bb.getInt(off)
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      var payload = off + 8
+      val end: Long =
+        if (size32 == 1) { // 64-bit largesize follows the type field
+          require(off + 16 <= until, s"box '$typ' at $off: truncated largesize")
+          payload = off + 16
+          off.toLong + bb.getLong(off + 8)
+        } else if (size32 == 0) until.toLong // to end of enclosing scope
+        else off.toLong + (size32.toLong & 0xffffffffL)
+      require(end >= payload && end <= until,
+        s"box '$typ' at $off: size overruns enclosing scope " +
+          s"(end=$end, scope ends $until)")
+      f(typ, payload, end.toInt)
+      off = end.toInt
+    }
+  }
+
+  /** Parse an ISO-BMFF container's metadata boxes — `ftyp` → `moov(mvhd,
+    * trak(tkhd, mdia(minf(stbl(stts, stsz)))))` — the MP4 member of the
+    * real-container tier ([[parseAvi]] is the RIFF member; MP4 is the
+    * container the dominant share of crawl video actually arrives in).
+    * Width/height come from the first track with nonzero `tkhd`
+    * dimensions (audio tracks carry 0×0); the sample facts from the first
+    * track carrying a sample table. Handles both FullBox versions of
+    * `mvhd` (v1 = 64-bit times). Pure JDK; throws on non-BMFF bytes or a
+    * container missing `moov`/`mvhd`.
+    */
+  private[ext] def parseMp4(bytes: Array[Byte]): Mp4Meta = {
+    require(sniffMime(bytes) == "video/mp4", "not an ISO-BMFF payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var majorBrand = ""
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var nSamples = 0
+    var sampleDelta = 0L
+    var sawMvhd = false
+    def readStbl(s: Int, e: Int): Unit = walkBoxes(bytes, s, e) { (t, ps, _) =>
+      t match {
+        case "stsz" if nSamples == 0 =>
+          nSamples = bb.getInt(ps + 8) // count (after vf + sample_size)
+        case "stts" if sampleDelta == 0L && bb.getInt(ps + 4) >= 1 =>
+          sampleDelta = bb.getInt(ps + 12).toLong & 0xffffffffL // first delta
+        case _ =>
+      }
+    }
+    walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
+      t match {
+        case "ftyp" => majorBrand = new String(bytes, s, 4, "US-ASCII")
+        case "moov" => walkBoxes(bytes, s, e) { (t2, s2, e2) =>
+          t2 match {
+            case "mvhd" =>
+              sawMvhd = true
+              // FullBox: version byte decides 32- vs 64-bit time fields
+              if ((bytes(s2) & 0xff) == 1) {
+                timescale = bb.getInt(s2 + 20).toLong & 0xffffffffL
+                duration = bb.getLong(s2 + 24)
+              } else {
+                timescale = bb.getInt(s2 + 12).toLong & 0xffffffffL
+                duration = bb.getInt(s2 + 16).toLong & 0xffffffffL
+              }
+            case "trak" =>
+              nTracks += 1
+              walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
+                t3 match {
+                  case "tkhd" =>
+                    // width/height are the LAST two fields of either
+                    // version: 16.16 fixed-point at payloadEnd-8/-4
+                    val w = bb.getInt(e3 - 8) >>> 16
+                    val h = bb.getInt(e3 - 4) >>> 16
+                    if (width == 0 && w > 0) { width = w; height = h }
+                  case "mdia" => walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+                    if (t4 == "minf") walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
+                      if (t5 == "stbl") readStbl(s5, e5)
+                    }
+                  }
+                  case _ =>
+                }
+              }
+            case _ =>
+          }
+        }
+        case _ =>
+      }
+    }
+    require(sawMvhd && timescale > 0, "MP4 missing moov/mvhd header")
+    Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
+      nSamples, sampleDelta)
+  }
+
+  /** Frame payloads from an MP4's sample table — the ISO-BMFF equivalent
+    * of [[aviFramePayloads]], one level deeper than the [[parseMp4]]
+    * header walk: `stsz` gives per-sample sizes (or the fixed-size
+    * shortcut), `stco`/`co64` the chunk file offsets, `stsc` the
+    * samples-per-chunk runs, and samples lie contiguously within each
+    * chunk — so each sample's absolute file range is pure integer
+    * arithmetic over three arrays, no codec involved. Reads the FIRST
+    * track carrying a sample table (the video track in the fixtures and
+    * in typical crawl files). Returns payload bytes in sample order; the
+    * payload is whatever codec frame the file carries (PNG in the oracle
+    * fixtures, MJPEG in the commonest ImageIO-decodable crawl case —
+    * identical walk either way).
+    */
+  private[ext] def mp4FramePayloads(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    require(sniffMime(bytes) == "video/mp4", "not an ISO-BMFF payload")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var sizes: Array[Int] = null
+    var chunkOffsets: Array[Long] = null
+    var stsc: Array[(Int, Int)] = null // (first_chunk 1-based, samples/chunk)
+    def readStbl(s: Int, e: Int): Unit = walkBoxes(bytes, s, e) { (t, ps, _) =>
+      t match {
+        case "stsz" =>
+          val fixed = bb.getInt(ps + 4)
+          val n = bb.getInt(ps + 8)
+          sizes = if (fixed != 0) Array.fill(n)(fixed)
+                  else Array.tabulate(n)(i => bb.getInt(ps + 12 + 4 * i))
+        case "stco" =>
+          val n = bb.getInt(ps + 4)
+          chunkOffsets =
+            Array.tabulate(n)(i => bb.getInt(ps + 8 + 4 * i).toLong & 0xffffffffL)
+        case "co64" =>
+          val n = bb.getInt(ps + 4)
+          chunkOffsets = Array.tabulate(n)(i => bb.getLong(ps + 8 + 8 * i))
+        case "stsc" =>
+          val n = bb.getInt(ps + 4)
+          stsc = Array.tabulate(n)(i =>
+            (bb.getInt(ps + 8 + 12 * i), bb.getInt(ps + 12 + 12 * i)))
+        case _ =>
+      }
+    }
+    walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
+      if (t == "moov") walkBoxes(bytes, s, e) { (t2, s2, e2) =>
+        if (t2 == "trak" && sizes == null) walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
+          if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+            if (t4 == "minf") walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
+              if (t5 == "stbl") readStbl(s5, e5)
+            }
+          }
+        }
+      }
+    }
+    require(sizes != null && chunkOffsets != null && stsc != null,
+      "MP4 missing sample table (stsz/stco/stsc)")
+    val out = Seq.newBuilder[Array[Byte]]
+    var sample = 0
+    var ci = 0
+    while (ci < chunkOffsets.length && sample < sizes.length) {
+      // samples-per-chunk for 1-based chunk ci+1: the last stsc run
+      // whose first_chunk is <= it (runs are ascending per spec)
+      var spc = stsc(0)._2
+      var ri = 0
+      while (ri < stsc.length && stsc(ri)._1 <= ci + 1) {
+        spc = stsc(ri)._2
+        ri += 1
+      }
+      var off = chunkOffsets(ci)
+      var j = 0
+      while (j < spc && sample < sizes.length) {
+        val sz = sizes(sample)
+        require(off + sz <= bytes.length,
+          s"sample $sample at offset $off overruns the file")
+        out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+        off += sz
+        sample += 1
+        j += 1
+      }
+      ci += 1
+    }
+    require(sample == sizes.length,
+      s"sample walk consumed $sample of ${sizes.length} declared samples " +
+        "(chunk table too short)")
+    out.result()
+  }
+
+  /** Frame payloads for any supported video container, dispatched by the
+    * magic-byte sniff — the single seam [[videoFrames]] /
+    * [[videoFramesLenient]] (and through them the streaming video ingest)
+    * decode through, so adding a container here lights up the whole
+    * frame-dedup tier for it.
+    */
+  private[ext] def framePayloads(bytes: Array[Byte]): Seq[Array[Byte]] =
+    sniffMime(bytes) match {
+      case "video/avi" => aviFramePayloads(bytes)
+      case "video/mp4" => mp4FramePayloads(bytes)
+      case m => throw new IllegalArgumentException(
+        s"unsupported video container: $m")
+    }
+
+  /** Encode a minimal canonical MP4: `ftyp(majorBrand) moov(mvhd
+    * trak(tkhd mdia(mdhd minf(stbl(stsd stts stsc stsz stco))))…)
+    * mdat(samples)` — the fixture generator and the inverse of
+    * [[parseMp4]]/[[mp4FramePayloads]] for the fields they read. One trak
+    * per `tracks` entry (width, height) — pass (0, 0) for a dimensionless
+    * audio-style track; the FIRST track carries the sample table when
+    * `samples` is non-empty, with all samples in one chunk whose `stco`
+    * offset is the real absolute file position (computed by a two-pass
+    * build: moov's length does not depend on the offset value).
+    */
+  def encodeMp4(majorBrand: String, timescale: Long, duration: Long,
+                tracks: Seq[(Int, Int)], samples: Seq[Array[Byte]] = Nil,
+                sampleDelta: Long = 1L): Array[Byte] = {
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def fullBoxPayload(bodyLen: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + bodyLen)
+      bb.putInt(0) // version 0, flags 0
+      fill(bb)
+      bb.array()
+    }
+    val identityMatrix = {
+      val bb = java.nio.ByteBuffer.allocate(36)
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put(majorBrand.getBytes("US-ASCII")).putInt(0x200)
+        .put("iso2".getBytes("US-ASCII"))
+      bb.array()
+    })
+    val mvhd = box("mvhd", fullBoxPayload(96) { bb =>
+      bb.putInt(0).putInt(0) // creation, modification
+        .putInt(timescale.toInt).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, vol
+        .putLong(0) // reserved
+        .put(identityMatrix)
+      (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(tracks.length + 1) // next_track_ID
+    })
+    def tkhd(trackId: Int, w: Int, h: Int) = box("tkhd", fullBoxPayload(80) { bb =>
+      bb.putInt(0).putInt(0).putInt(trackId).putInt(0).putInt(duration.toInt)
+        .putLong(0) // reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/rsv
+        .put(identityMatrix)
+        .putInt(w << 16).putInt(h << 16)
+    })
+    val mdhd = box("mdhd", fullBoxPayload(20) { bb =>
+      bb.putInt(0).putInt(0).putInt(timescale.toInt).putInt(duration.toInt)
+        .putShort(0x55c4.toShort).putShort(0) // language "und", pre_defined
+    })
+    def stblBox(stcoOffset: Long): Array[Byte] = {
+      val n = samples.length
+      val stsd = box("stsd", fullBoxPayload(4 + 16) { bb =>
+        bb.putInt(1) // entry_count: one generic 16-byte sample entry
+        bb.putInt(16).put("gpng".getBytes("US-ASCII"))
+          .putInt(0).putShort(0).putShort(1) // reserved, data_ref_index
+      })
+      val stts = box("stts", fullBoxPayload(12) { bb =>
+        bb.putInt(1).putInt(n).putInt(sampleDelta.toInt)
+      })
+      val stsc = box("stsc", fullBoxPayload(16) { bb =>
+        bb.putInt(1).putInt(1).putInt(n).putInt(1) // one chunk holds all
+      })
+      val allSame = samples.nonEmpty &&
+        samples.forall(_.length == samples.head.length)
+      val stsz =
+        if (allSame) box("stsz", fullBoxPayload(8) { bb =>
+          bb.putInt(samples.head.length).putInt(n)
+        })
+        else box("stsz", fullBoxPayload(8 + 4 * n) { bb =>
+          bb.putInt(0).putInt(n)
+          samples.foreach(s => bb.putInt(s.length))
+        })
+      val stco = box("stco", fullBoxPayload(8) { bb =>
+        bb.putInt(1).putInt(stcoOffset.toInt)
+      })
+      box("stbl", stsd, stts, stsc, stsz, stco)
+    }
+    def moovBox(stcoOffset: Long): Array[Byte] = {
+      val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
+        if (i == 0 && samples.nonEmpty)
+          box("trak", tkhd(i + 1, w, h),
+            box("mdia", mdhd, box("minf", stblBox(stcoOffset))))
+        else box("trak", tkhd(i + 1, w, h), box("mdia", mdhd))
+      }
+      box("moov", (mvhd +: traks): _*)
+    }
+    // two-pass: moov's length is independent of the stco VALUE, so build
+    // once to measure, then rebuild with the real first-sample offset
+    val moovLen = moovBox(0L).length
+    val firstSample = ftyp.length + moovLen + 8 // + mdat header
+    val moov = moovBox(firstSample.toLong)
+    val mdat = box("mdat", samples: _*)
+    val out = new Array[Byte](ftyp.length + moov.length + mdat.length)
+    System.arraycopy(ftyp, 0, out, 0, ftyp.length)
+    System.arraycopy(moov, 0, out, ftyp.length, moov.length)
+    System.arraycopy(mdat, 0, out, ftyp.length + moov.length, mdat.length)
+    out
+  }
+
+  /** Decode every MP4 payload's metadata: REAL box-walk facts from
+    * `ftyp`/`mvhd`/`tkhd`/`stts`/`stsz` plus the integer-floor derived
+    * fields the oracle replays (`duration_ms = duration·1000/timescale`,
+    * `fps_x1000 = timescale·1000/sampleDelta`). Input (idCol, contentCol);
+    * output (idCol, major_brand, timescale, duration_ms, n_tracks, width,
+    * height, n_frames, fps_x1000) — n_frames/fps null when the container
+    * carries no sample table.
+    */
+  def decodeMp4Meta(df: DataFrame, idCol: String,
+                    contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("major_brand", StringType, nullable = false),
+      StructField("timescale", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("n_tracks", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("fps_x1000", LongType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parseMp4(r.getAs[Array[Byte]](1))
+        Row(r.get(0), m.majorBrand, m.timescale,
+          m.duration * 1000L / m.timescale, m.nTracks, m.width, m.height,
+          if (m.nSamples > 0) m.nSamples else null,
+          if (m.sampleDelta > 0) m.timescale * 1000L / m.sampleDelta else null)
+      }
+    }, outSchema)
+  }
+
+  /** Deterministic MP4 metadata fixtures, one per input row:
+    * `encodeMp4("isom", ts, frames·delta, video + optional audio track,
+    * frames tiny fixed-size samples, delta)` — so every [[decodeMp4Meta]]
+    * output field is re-derivable integer math, and the walk reads a real
+    * `stbl` (fixed-size `stsz` branch; [[genPatternMp4s]] exercises the
+    * per-sample-size branch).
+    */
+  def genMp4s(df: DataFrame, idCol: String, tsCol: String, deltaCol: String,
+              framesCol: String, widthCol: String, heightCol: String,
+              audioCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(tsCol).cast("long"),
+      col(deltaCol).cast("long"), col(framesCol).cast("int"),
+      col(widthCol).cast("int"), col(heightCol).cast("int"),
+      col(audioCol).cast("boolean"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getInt(3)
+        val samples = (0 until n).map(i => Array[Byte](
+          ((id * 31 + i) % 256).toByte, ((id * 7 + i * 3) % 256).toByte))
+        val tracks =
+          if (r.getBoolean(6)) Seq((r.getInt(4), r.getInt(5)), (0, 0))
+          else Seq((r.getInt(4), r.getInt(5)))
+        Row(id, encodeMp4("isom", r.getLong(1), r.getLong(2) * n,
+          tracks, samples, r.getLong(2)))
+      }
+    }, outSchema)
+  }
+
+  /** [[genPatternAvis]] in an MP4 container: frame f of row (k =
+    * `patternCol`) is the same [[patternFramePng]] grid with pattern
+    * k·8+f, carried as an `mdat` sample — byte-identical payloads to the
+    * AVI fixtures, so the frame-dedup oracles are container-independent
+    * (and an MP4 re-container of an AVI classifies as a dup). Output
+    * (idCol, content MP4 binary).
+    */
+  def genPatternMp4s(df: DataFrame, idCol: String, patternCol: String,
+                     framesCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(framesCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1)
+        val n = r.getInt(2)
+        val samples = (0 until n).map(f =>
+          patternFramePng(k * 8 + f, w, h, flipFirstGradient = false))
+        Row(r.get(0), encodeMp4("isom", 30000L, 1001L * n,
+          Seq((w, h)), samples, 1001L))
       }
     }, outSchema)
   }

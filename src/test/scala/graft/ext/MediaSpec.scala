@@ -547,4 +547,160 @@ class MediaSpec extends SparkSpec {
       .select("id", "frame_err").as[(Long, String)].collect().toSeq
     assert(badRows.map(_._1) == Seq(2L) && badRows.head._2 != null)
   }
+
+  test("MP4 encode→parse round-trips ftyp/mvhd/tkhd/stts/stsz facts") {
+    val bytes = Media.encodeMp4("isom", timescale = 90000L,
+      duration = 90000L * 4, tracks = Seq((640, 480), (0, 0)),
+      samples = (0 until 120).map(i => Array[Byte](i.toByte, (i + 1).toByte)),
+      sampleDelta = 3000L)
+    assert(Media.sniffMime(bytes) == "video/mp4")
+    val m = Media.parseMp4(bytes)
+    assert(m == Media.Mp4Meta("isom", 90000L, 360000L, 2, 640, 480, 120, 3000L))
+    intercept[IllegalArgumentException] { Media.parseMp4("nope".getBytes) }
+    // an AVI is a container but not ISO-BMFF — the sniff keeps them apart
+    val avi = Media.encodeAvi(33333, 10, 1, 320, 240)
+    intercept[IllegalArgumentException] { Media.parseMp4(avi) }
+    // ftyp alone (no moov) is sniffable but not parseable
+    val ftypOnly = java.util.Arrays.copyOfRange(bytes, 0, 20)
+    intercept[IllegalArgumentException] { Media.parseMp4(ftypOnly) }
+  }
+
+  test("MP4 walk handles largesize, to-EOF boxes, and v1 mvhd times") {
+    // hand-built: ftyp, then a moov whose mvhd is VERSION 1 (64-bit
+    // creation/modification/duration) and whose own size uses the
+    // size==1 + largesize encoding; trailing box with size==0 (to EOF)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put("mp42".getBytes("US-ASCII")).putInt(0)
+        .put("mp42".getBytes("US-ASCII")); bb.array()
+    })
+    val mvhdV1 = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 + 8 + 8 + 4 + 8)
+      bb.putInt(bb.capacity()).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0x01000000)      // version 1, flags 0
+        .putLong(0L).putLong(0L) // creation, modification (64-bit)
+        .putInt(600)             // timescale
+        .putLong(3001L)          // duration (64-bit)
+      bb.array()
+    }
+    val moovLarge = {
+      val bb = java.nio.ByteBuffer.allocate(16 + mvhdV1.length)
+      bb.putInt(1).put("moov".getBytes("US-ASCII"))
+        .putLong(16L + mvhdV1.length).put(mvhdV1)
+      bb.array()
+    }
+    val freeToEof = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(0).put("free".getBytes("US-ASCII")).putInt(0)
+      bb.array()
+    }
+    val bytes = ftyp ++ moovLarge ++ freeToEof
+    val m = Media.parseMp4(bytes)
+    assert(m.majorBrand == "mp42")
+    assert(m.timescale == 600L && m.duration == 3001L)
+    assert(m.nTracks == 0 && m.nSamples == 0)
+    // a box whose size overruns its scope must throw, not mis-walk
+    val torn = bytes.clone()
+    java.nio.ByteBuffer.wrap(torn).putInt(0, 1 << 30)
+    intercept[IllegalArgumentException] { Media.parseMp4(torn) }
+  }
+
+  test("mp4FramePayloads walks stsz/stsc/stco across multiple chunks") {
+    // hand-built sample table: 3 variable-size samples split 2+1 over two
+    // chunks (stsc runs: chunk 1 → 2 samples, chunk 2 → 1)
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def full(body: Array[Byte]): Array[Byte] = Array[Byte](0, 0, 0, 0) ++ body
+    def ints(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    val samples = Seq("AA".getBytes, "BBB".getBytes, "C".getBytes)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), ints(0),
+      "isom".getBytes("US-ASCII"))
+    val stsz = box("stsz", full(ints(0, 3, 2, 3, 1)))
+    val stsc = box("stsc", full(ints(2, 1, 2, 1, 2, 1, 1)))
+    def fileOf(off1: Int, off2: Int) = ftyp ++
+      box("moov", box("trak", box("mdia", box("minf",
+        box("stbl", stsz, stsc, box("stco", full(ints(2, off1, off2)))))))) ++
+      box("mdat", samples.flatten.toArray)
+    val mdatPayload = fileOf(0, 0).length - 6 // samples are the last 6 bytes
+    val bytes = fileOf(mdatPayload, mdatPayload + 5)
+    assert(Media.mp4FramePayloads(bytes).map(new String(_)) ==
+      Seq("AA", "BBB", "C"))
+  }
+
+  test("videoFrames decodes MP4 samples to the same hashes as AVI frames") {
+    val df = Seq((1L, 3L, 2), (2L, 9L, 3)).toDF("id", "k", "n")
+    val mp4s = Media.genPatternMp4s(df, "id", "k", "n", w = 9, h = 8)
+    val got = Media.videoFrames(mp4s, "id", "content")
+      .select("id", "frame_idx", "dhash")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val avis = Media.genPatternAvis(df, "id", "k", "n", w = 9, h = 8)
+    val fromAvi = Media.videoFrames(avis, "id", "content")
+      .select("id", "frame_idx", "dhash")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == fromAvi) // container-independent frame signatures
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (2L, 2)))
+  }
+
+  test("decodeVideoMetaLenient dispatches AVI and MP4, quarantines the rest") {
+    val avi = Media.genAvis(
+      Seq((1L, 33333, 300, 320, 240)).toDF("id", "uspf", "frames", "w", "h"),
+      "id", "uspf", "frames", "w", "h").select("content").as[Array[Byte]].head()
+    val mp4 = Media.encodeMp4("isom", 30000L, 1001L * 60, Seq((640, 360)),
+      (0 until 60).map(i => Array[Byte](i.toByte)), 1001L)
+    val df = Seq((1L, avi), (2L, mp4), (3L, "junk".getBytes))
+      .toDF("id", "content")
+    val out = Media.decodeVideoMetaLenient(df, "id", "content")
+      .select("id", "decode_ok", "mime", "width", "height", "n_frames",
+        "n_streams", "fps_x1000", "duration_ms")
+      .as[(Long, Boolean, String, Option[Int], Option[Int], Option[Int],
+        Option[Int], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, true, "video/avi", Some(320), Some(240), Some(300),
+      Some(1), Some(30000L), Some(9999L))))
+    // mp4: fps_x1000 = 30000·1000/1001 = 29970; duration = 60060·1000/30000
+    assert(out(1) == ((2L, true, "video/mp4", Some(640), Some(360), Some(60),
+      Some(1), Some(29970L), Some(2002L))))
+    assert(!out(2)._2 && out(2)._3 == "application/octet-stream")
+  }
+
+  test("videoFramesLenient quarantines a torn MP4 with its failure class") {
+    val good = Media.genPatternMp4s(Seq((1L, 4L, 2)).toDF("id", "k", "n"),
+      "id", "k", "n", 9, 8).select("content").as[Array[Byte]].head()
+    val torn = java.util.Arrays.copyOfRange(good, 0, good.length - 10)
+    val out = Media.videoFramesLenient(
+      Seq((1L, good), (2L, torn)).toDF("id", "content"), "id", "content")
+      .select("id", "frame_ok", "frame_err")
+      .as[(Long, Boolean, Option[String])].collect().sortBy(_._1).toSeq
+    assert(out.filter(_._1 == 1L).forall(_._2))
+    assert(out.count(_._1 == 1L) == 2)
+    val bad = out.filter(_._1 == 2L)
+    assert(bad.length == 1 && !bad.head._2 && bad.head._3.nonEmpty)
+  }
+
+  test("decodeMp4Meta derives floor duration and fps from the box walk") {
+    val ids = Seq((7L, 12800L, 512L, 25, 480, 360, false))
+      .toDF("id", "ts", "dl", "n", "w", "h", "audio")
+    val out = Media.decodeMp4Meta(
+      Media.genMp4s(ids, "id", "ts", "dl", "n", "w", "h", "audio"),
+      "id", "content")
+      .select("major_brand", "timescale", "duration_ms", "n_tracks",
+        "width", "height", "n_frames", "fps_x1000")
+      .as[(String, Long, Long, Int, Int, Int, Int, Long)].head()
+    // duration_ms = 25·512·1000/12800 = 1000; fps = 12800·1000/512 = 25000
+    assert(out == (("isom", 12800L, 1000L, 1, 480, 360, 25, 25000L)))
+  }
 }

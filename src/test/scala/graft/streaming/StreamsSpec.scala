@@ -550,6 +550,24 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestVideoDedup: MP4 re-container of stored AVI content is a dup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vid_xcont_").toString
+    def avi(id: Long, k: Long, n: Int) = graft.ext.Media.genPatternAvis(
+      Seq((id, k, n)).toDF("id", "k", "n"), "id", "k", "n", 9, 8)
+    def mp4(id: Long, k: Long, n: Int) = graft.ext.Media.genPatternMp4s(
+      Seq((id, k, n)).toDF("id", "k", "n"), "id", "k", "n", 9, 8)
+    // day 1: an AVI of pattern 5 bootstraps the frame-signature index
+    Streams.ingestVideoDedupBatch(avi(1L, 5L, 3), 0L, s"$dir/corpus",
+      s"$dir/idx", s"$dir/quar", "id", "content")
+    // day 2: the SAME frames re-containered as MP4 (dup — frame dHashes
+    // are container-independent) + a genuinely new MP4 (admits)
+    Streams.ingestVideoDedupBatch(
+      mp4(2L, 5L, 3).unionByName(mp4(3L, 90L, 3)), 1L, s"$dir/corpus",
+      s"$dir/idx", s"$dir/quar", "id", "content")
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("ingestVideoDedup quarantines a corrupt-frame video; batch survives") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_vidbad_").toString
