@@ -2309,6 +2309,22 @@ object SparkEntry {
           col("pdf_version"), col("text"))
     }),
 
+    // PDF /ToUnicode CMap (ISO 32000 §9.10.3): glyph codes in hex show
+    // strings decode through the font's bfchar/bfrange map (UTF-16BE
+    // destinations) — the non-Latin extraction path; each page mixes a
+    // Latin-1 standard font and a CMap'd CID font mid-stream, and the
+    // oracle re-derives every Greek codepoint from the fixture formula
+    "mm_pdf_unicode" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("n", (col("doc_id") % 3 + 1).cast("int"))
+        .withColumn("flate", col("doc_id") % 2 === 0)
+      val files = graft.ext.Pdf.genPdfsUnicode(ids, "doc_id", "n", "flate")
+      graft.ext.Pdf.pdfText(files, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("stream_idx"),
+          col("pdf_version"), col("text"))
+    }),
+
     // PDF → text tier END-TO-END in one plan: object walk + FlateDecode +
     // content-stream tokenize, then token-window chunking and per-chunk
     // quality scoring — extraction feeding curation, all per-row
@@ -4236,6 +4252,20 @@ object SparkEntry {
         |  '1.4' AS pdf_version,
         |  'Doc ' || k || ' page ' || i || chr(10) ||
         |    'alpha(' || ((k*13 + i) % 97) || ') beta' AS text
+        |FROM ids, unnest(range(0, n)) t(i)""".stripMargin,
+
+    // the CMap'd line re-derived codepoint-by-codepoint: chr() over the
+    // fixture's bfrange base (0x0390 = 912) + offset, the bfchar space at
+    // j=6 — the hash match proves bfchar/bfrange/UTF-16BE decode exactly
+    "mm_pdf_unicode" ->
+      """WITH ids AS (SELECT doc_id AS k, CAST(doc_id % 3 + 1 AS INT) AS n
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT k AS media_id, CAST(i AS INT) AS stream_idx,
+        |  '1.4' AS pdf_version,
+        |  'Doc ' || k || ' page ' || i || ':' || chr(10) ||
+        |  array_to_string([CASE WHEN j = 6 THEN ' '
+        |      ELSE chr(CAST(912 + (k*13 + i*7 + j*3) % 64 AS INT)) END
+        |    for j in range(0, 13)], '') AS text
         |FROM ids, unnest(range(0, n)) t(i)""".stripMargin,
 
     // the PDF→curation composition: page text from the fixture formula,

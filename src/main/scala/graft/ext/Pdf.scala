@@ -31,11 +31,13 @@ import org.apache.spark.sql.types._
   *    operators `Tj`, `TJ` (kerning numbers ignored), `'` and `"` (which
   *    imply a line break), with `Td`/`TD`/`T*` emitting newlines.
   *
-  * Documented boundary: bytes in strings are decoded as Latin-1, which is
-  * exact for the standard-encoding standard-14-font PDFs this targets;
-  * font-specific CMaps (Identity-H CJK etc.) are out of scope — a row
-  * whose text needs them extracts with wrong glyph bytes, the same
-  * boundary every lightweight extractor (pdftotext -raw) draws.
+  * String decoding: show-string bytes under a font that declares a
+  * /ToUnicode CMap decode through it ([[fontCMaps]] + the `Tf`-tracking
+  * tokenizer — bfchar/bfrange, UTF-16BE destinations, the non-Latin CJK/
+  * Cyrillic/Greek path); all other fonts keep the Latin-1 read, which is
+  * exact for standard-encoding standard-14-font PDFs. Remaining boundary:
+  * a CMap-less CID font (no /ToUnicode to recover text by) extracts raw
+  * glyph bytes — the same line every lightweight extractor draws.
   *
   * Scale: one input row = one PDF, one output row per content stream
   * (≈ page), no shuffle — embarrassingly parallel over a 100 TB crawl,
@@ -81,12 +83,55 @@ object Pdf {
     -1
   }
 
+  /** Decode the one stream whose `stream` keyword starts at byte `s`:
+    * read the governing dict (nearest preceding `<<`…`>>` — nested dicts
+    * don't occur in content stream dicts; a Resources dict lives on the
+    * page object instead), cut the data by direct `/Length` when present
+    * (falling back to an `endstream` scan), and apply the filter. Returns
+    * (decoded bytes, position just past the data). Shared by the in-order
+    * [[contentStreams]] scan and the object-addressed reads
+    * ([[fontCMaps]]' /ToUnicode streams). Strict: a non-Flate filter or
+    * corrupt deflate data throws with the stream's byte offset.
+    */
+  private def decodeStreamAt(bytes: Array[Byte], s: Int): (Array[Byte], Int) = {
+    val dictStart = {
+      var q = s - 1; var found = -1
+      while (found < 0 && q > 0) {
+        if (bytes(q - 1) == '<' && bytes(q) == '<') found = q - 1
+        q -= 1
+      }
+      require(found >= 0, s"stream at byte $s: no governing dictionary")
+      found
+    }
+    val dict = new String(bytes, dictStart, s - dictStart, ISO_8859_1)
+    val filterIdx = dict.indexOf("/Filter")
+    val flate = dict.contains("/FlateDecode")
+    require(filterIdx < 0 || flate,
+      s"stream at byte $s: unsupported filter in $dict")
+    // data starts after the keyword's EOL (CRLF or LF per spec)
+    var d = s + 6
+    if (d < bytes.length && bytes(d) == '\r') d += 1
+    if (d < bytes.length && bytes(d) == '\n') d += 1
+    val lenRe = "/Length\\s+(\\d+)(?!\\s+0\\s+R)".r
+    val end = lenRe.findFirstMatchIn(dict) match {
+      case Some(m) => d + m.group(1).toInt
+      case None =>
+        val e = indexOf(bytes, "endstream", d)
+        require(e >= 0, s"stream at byte $s: no endstream")
+        // strip the EOL preceding the keyword
+        var e2 = e
+        if (e2 > d && bytes(e2 - 1) == '\n') e2 -= 1
+        if (e2 > d && bytes(e2 - 1) == '\r') e2 -= 1
+        e2
+    }
+    require(end <= bytes.length, s"stream at byte $s: declared /Length " +
+      s"overruns the file (${end - bytes.length} bytes short)")
+    val data = java.util.Arrays.copyOfRange(bytes, d, end)
+    (if (flate) inflate(data) else data, end)
+  }
+
   /** Decoded content streams of a PDF, in file order: scan for
-    * `stream` keywords, read the governing dict (nearest preceding
-    * `<<`…`>>`), cut the data by direct `/Length` when present (falling
-    * back to an `endstream` scan), and apply the filter. Strict: a
-    * non-Flate filter or corrupt deflate data throws with the stream's
-    * byte offset.
+    * `stream` keywords and decode each through [[decodeStreamAt]].
     */
   private[ext] def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
     require(bytes != null, "null payload")
@@ -102,45 +147,181 @@ object Pdf {
       else if (s + 6 <= bytes.length &&
         // reject "endstream" matches: require non-letter before
         (s == 0 || !Character.isLetter((bytes(s - 1) & 0xff).toChar))) {
-        // dict governing this stream: nearest preceding "<<" … the text
-        // between it and the keyword (nested dicts don't occur in content
-        // stream dicts; a Resources dict lives on the page object instead)
-        val dictStart = {
-          var q = s - 1; var found = -1
-          while (found < 0 && q > 0) {
-            if (bytes(q - 1) == '<' && bytes(q) == '<') found = q - 1
-            q -= 1
-          }
-          require(found >= 0, s"stream at byte $s: no governing dictionary")
-          found
-        }
-        val dict = new String(bytes, dictStart, s - dictStart, ISO_8859_1)
-        val filterIdx = dict.indexOf("/Filter")
-        val flate = dict.contains("/FlateDecode")
-        require(filterIdx < 0 || flate,
-          s"stream at byte $s: unsupported filter in $dict")
-        // data starts after the keyword's EOL (CRLF or LF per spec)
-        var d = s + 6
-        if (d < bytes.length && bytes(d) == '\r') d += 1
-        if (d < bytes.length && bytes(d) == '\n') d += 1
-        val lenRe = "/Length\\s+(\\d+)(?!\\s+0\\s+R)".r
-        val end = lenRe.findFirstMatchIn(dict) match {
-          case Some(m) => d + m.group(1).toInt
-          case None =>
-            val e = indexOf(bytes, "endstream", d)
-            require(e >= 0, s"stream at byte $s: no endstream")
-            // strip the EOL preceding the keyword
-            var e2 = e
-            if (e2 > d && bytes(e2 - 1) == '\n') e2 -= 1
-            if (e2 > d && bytes(e2 - 1) == '\r') e2 -= 1
-            e2
-        }
-        require(end <= bytes.length, s"stream at byte $s: declared /Length " +
-          s"overruns the file (${end - bytes.length} bytes short)")
-        val data = java.util.Arrays.copyOfRange(bytes, d, end)
-        out += (if (flate) inflate(data) else data)
+        val (data, end) = decodeStreamAt(bytes, s)
+        out += data
         p = end
       } else p = s + 6
+    }
+    out.result()
+  }
+
+  /** A font's /ToUnicode mapping: glyph-code byte width (from the
+    * codespace range) and code → Unicode string.
+    */
+  private[ext] final case class CMap(codeBytes: Int, map: Map[Int, String])
+
+  /** Parse a /ToUnicode CMap stream (ISO 32000 §9.10.3, Adobe CMap
+    * syntax): `begincodespacerange` fixes the glyph-code byte width
+    * (derived from the first bfchar/bfrange source when absent),
+    * `beginbfchar` maps single codes, `beginbfrange` maps runs — both the
+    * scalar destination form (the destination's last UTF-16 code unit
+    * increments across the run) and the array form (one destination per
+    * code, multi-char strings allowed). Destinations are UTF-16BE.
+    */
+  private[ext] def parseToUnicodeCMap(data: Array[Byte]): CMap = {
+    val text = new String(data, ISO_8859_1)
+    def utf16(hex: String): String = {
+      val clean = hex.filterNot(_.isWhitespace)
+      val bs = clean.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    def codeOf(hex: String): Int =
+      java.lang.Long.parseLong(hex.filterNot(_.isWhitespace), 16).toInt
+    def sections(kw: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var p = 0
+      var go = true
+      while (go) {
+        val b = text.indexOf("begin" + kw, p)
+        if (b < 0) go = false
+        else {
+          val e = text.indexOf("end" + kw, b)
+          require(e > b, s"unterminated $kw section in CMap")
+          out += text.substring(b + 5 + kw.length, e)
+          p = e + 3 + kw.length
+        }
+      }
+      out.result()
+    }
+    // tokens of a section: <hex> strings and [ <hex> … ] arrays
+    sealed trait Tok
+    final case class H(hex: String) extends Tok
+    final case class A(items: Seq[String]) extends Tok
+    def tokens(s: String): Seq[Tok] = {
+      val out = Seq.newBuilder[Tok]
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '<' =>
+            val e = s.indexOf('>', i + 1)
+            require(e > i, "unterminated hex string in CMap")
+            out += H(s.substring(i + 1, e)); i = e + 1
+          case '[' =>
+            val e = s.indexOf(']', i + 1)
+            require(e > i, "unterminated array in CMap")
+            out += A(tokens(s.substring(i + 1, e)).collect { case H(h) => h })
+            i = e + 1
+          case _ => i += 1
+        }
+      }
+      out.result()
+    }
+    var codeBytes = 0
+    def widthFrom(hex: String): Unit =
+      if (codeBytes == 0) codeBytes = hex.filterNot(_.isWhitespace).length / 2
+    sections("codespacerange").foreach { sec =>
+      tokens(sec).headOption.foreach {
+        case H(h) => widthFrom(h)
+        case _ =>
+      }
+    }
+    val m = Map.newBuilder[Int, String]
+    sections("bfchar").foreach { sec =>
+      tokens(sec).grouped(2).foreach {
+        case Seq(H(src), H(dst)) =>
+          widthFrom(src)
+          m += codeOf(src) -> utf16(dst)
+        case other =>
+          throw new IllegalArgumentException(s"malformed bfchar pair: $other")
+      }
+    }
+    sections("bfrange").foreach { sec =>
+      val ts = tokens(sec)
+      require(ts.length % 3 == 0, s"bfrange wants triples, got ${ts.length} tokens")
+      var i = 0
+      while (i < ts.length) {
+        (ts(i), ts(i + 1), ts(i + 2)) match {
+          case (H(lo), H(hi), H(dst)) =>
+            widthFrom(lo)
+            val l = codeOf(lo); val h = codeOf(hi); val base = utf16(dst)
+            require(h >= l, s"descending bfrange <$lo> <$hi>")
+            var c = l
+            while (c <= h) {
+              m += c -> (if (base.isEmpty) ""
+                         else base.init + (base.last + (c - l)).toChar)
+              c += 1
+            }
+          case (H(lo), H(hi), A(items)) =>
+            widthFrom(lo)
+            val l = codeOf(lo); val h = codeOf(hi)
+            require(items.length == h - l + 1,
+              s"bfrange array arity ${items.length} != ${h - l + 1}")
+            items.zipWithIndex.foreach { case (d, k) => m += (l + k) -> utf16(d) }
+          case other =>
+            throw new IllegalArgumentException(s"malformed bfrange triple: $other")
+        }
+        i += 3
+      }
+    }
+    require(codeBytes >= 1 && codeBytes <= 4,
+      s"CMap code width $codeBytes bytes unsupported")
+    CMap(codeBytes, m.result())
+  }
+
+  /** Font-resource name → ToUnicode CMap for every font declared in any
+    * `/Font << /Name N 0 R … >>` resource group of the file (inline page
+    * Resources and indirect Resources objects both land here — the scan
+    * covers every object dict). Documented boundary, same family as
+    * [[contentStreams]]' dict heuristics: font entries must be indirect
+    * references (the universal encoder convention; a whole font dict
+    * written inline inside /Font is out of scope). Fonts without
+    * /ToUnicode simply don't appear — their strings keep the Latin-1
+    * standard-encoding read, so pre-CMap corpora extract unchanged.
+    */
+  private[ext] def fontCMaps(bytes: Array[Byte]): Map[String, CMap] = {
+    val text = new String(bytes, ISO_8859_1)
+    // object number → offset just past its "N 0 obj" header
+    val objRe = "(?<![0-9])(\\d+)\\s+0\\s+obj".r
+    lazy val objAt =
+      objRe.findAllMatchIn(text).map(m => m.group(1).toInt -> m.end).toMap
+    def dictOf(objNum: Int): String = objAt.get(objNum).fold("") { p =>
+      val stop = Seq(text.indexOf("endobj", p), text.indexOf("stream", p))
+        .filter(_ >= 0).minOption.getOrElse(text.length)
+      text.substring(p, stop)
+    }
+    // the object's own stream keyword (if any), skipping "endstream"
+    def streamKeywordOf(objNum: Int): Option[Int] = objAt.get(objNum).flatMap { p =>
+      val stop = text.indexOf("endobj", p)
+      var s = indexOf(bytes, "stream", p)
+      while (s > 0 && Character.isLetter((bytes(s - 1) & 0xff).toChar))
+        s = indexOf(bytes, "stream", s + 6)
+      if (s >= 0 && (stop < 0 || s < stop)) Some(s) else None
+    }
+    val fontEntryRe = "/([A-Za-z0-9]+)\\s+(\\d+)\\s+0\\s+R".r
+    val toUniRe = "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r
+    val out = Map.newBuilder[String, CMap]
+    var p = 0
+    var go = true
+    while (go) {
+      val f = text.indexOf("/Font", p)
+      if (f < 0) go = false
+      else {
+        var q = f + 5
+        while (q < text.length && text.charAt(q).isWhitespace) q += 1
+        if (q + 1 < text.length && text.charAt(q) == '<' &&
+          text.charAt(q + 1) == '<') {
+          val e = text.indexOf(">>", q + 2)
+          if (e > 0) fontEntryRe.findAllMatchIn(text.substring(q + 2, e))
+            .foreach { fm =>
+              toUniRe.findFirstMatchIn(dictOf(fm.group(2).toInt)).foreach { um =>
+                streamKeywordOf(um.group(1).toInt).foreach { s =>
+                  out += fm.group(1) -> parseToUnicodeCMap(decodeStreamAt(bytes, s)._1)
+                }
+              }
+            }
+        }
+        p = f + 5
+      }
     }
     out.result()
   }
@@ -150,8 +331,17 @@ object Pdf {
     * from `Td`/`TD`/`T*` and the implicit line break of `'`/`"`;
     * consecutive line breaks collapse and a leading break is suppressed,
     * so the result is exactly the lines a viewer paints, joined by \n.
+    *
+    * `fonts` carries the file's /ToUnicode CMaps by resource name
+    * ([[fontCMaps]]): the tokenizer tracks the current font through `Tf`,
+    * and a show string under a CMap'd font decodes its bytes as
+    * fixed-width glyph codes through the map (unmapped code → U+FFFD,
+    * same for a trailing partial code) instead of Latin-1 — the non-Latin
+    * extraction path. With no entry for the current font the historical
+    * Latin-1 read applies unchanged.
     */
-  private[ext] def streamText(data: Array[Byte]): String = {
+  private[ext] def streamText(data: Array[Byte],
+                              fonts: Map[String, CMap] = Map.empty): String = {
     val sb = new StringBuilder
     var pendingNl = false
     def emit(s: String): Unit = {
@@ -163,6 +353,33 @@ object Pdf {
     }
     var lastStr: String = null
     var arrayBuf: StringBuilder = null
+    var lastName: String = null
+    var curFont: String = null
+    // raw show-string chars are BYTES (each 0-255); a CMap'd current font
+    // re-reads them as fixed-width glyph codes
+    def decodeStr(raw: String): String =
+      (if (curFont == null) None else fonts.get(curFont)) match {
+        case Some(cm) =>
+          val out = new StringBuilder
+          var k = 0
+          while (k < raw.length) {
+            if (k + cm.codeBytes <= raw.length) {
+              var code = 0
+              var j = 0
+              while (j < cm.codeBytes) {
+                code = (code << 8) | (raw.charAt(k + j) & 0xff)
+                j += 1
+              }
+              out.append(cm.map.getOrElse(code, "�"))
+              k += cm.codeBytes
+            } else { // trailing partial glyph code
+              out.append('�')
+              k = raw.length
+            }
+          }
+          out.toString
+        case None => raw
+      }
     var i = 0
     val n = data.length
     def isDelim(c: Char): Boolean =
@@ -205,7 +422,7 @@ object Pdf {
             depth -= 1; if (depth > 0) s.append(ch); i += 1
           } else { s.append(ch); i += 1 }
         }
-        lastStr = s.toString
+        lastStr = decodeStr(s.toString)
         if (arrayBuf != null) arrayBuf.append(lastStr)
       } else if (c == '<' && i + 1 < n && data(i + 1) == '<') {
         i += 2 // dict open — inline dicts (BDC properties) carry no text
@@ -223,13 +440,15 @@ object Pdf {
           s.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar)
           k += 2
         }
-        lastStr = s.toString
+        lastStr = decodeStr(s.toString)
         if (arrayBuf != null) arrayBuf.append(lastStr)
         i = e + 1
       } else if (c == '[') { arrayBuf = new StringBuilder; i += 1 }
       else if (c == ']') { lastStr = arrayBuf.toString; arrayBuf = null; i += 1 }
-      else if (c == '/') { // name
+      else if (c == '/') { // name — remembered for the Tf font selector
+        val start = i + 1
         i += 1; while (i < n && !isDelim((data(i) & 0xff).toChar)) i += 1
+        lastName = new String(data, start, i - start, ISO_8859_1)
       } else if (c.isDigit || c == '+' || c == '-' || c == '.') { // number
         i += 1; while (i < n && !isDelim((data(i) & 0xff).toChar)) i += 1
       } else { // operator
@@ -240,7 +459,8 @@ object Pdf {
           case "'" => pendingNl = true; emit(lastStr)
           case "\"" => pendingNl = true; emit(lastStr)
           case "Td" | "TD" | "T*" => pendingNl = true
-          case _ => // Tf, Tm, BT, ET, graphics ops — no text effect
+          case "Tf" => curFont = lastName // /Name size Tf
+          case _ => // Tm, BT, ET, graphics ops — no text effect
         }
       }
     }
@@ -267,7 +487,9 @@ object Pdf {
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val texts = contentStreams(bytes).map(streamText).filter(_.nonEmpty)
+        val fonts = fontCMaps(bytes)
+        val texts = contentStreams(bytes).map(streamText(_, fonts))
+          .filter(_.nonEmpty)
         val ver = versionOf(bytes)
         texts.zipWithIndex.map { case (t, idx) => Row(r.get(0), idx, ver, t) }
       }
@@ -292,7 +514,9 @@ object Pdf {
       rows.flatMap { r =>
         try {
           val bytes = r.getAs[Array[Byte]](1)
-          val texts = contentStreams(bytes).map(streamText).filter(_.nonEmpty)
+          val fonts = fontCMaps(bytes)
+          val texts = contentStreams(bytes).map(streamText(_, fonts))
+            .filter(_.nonEmpty)
           val ver = versionOf(bytes)
           texts.zipWithIndex.map { case (t, idx) =>
             Row(r.get(0), true, null, idx, ver, t) }
@@ -306,6 +530,15 @@ object Pdf {
   }
 
   // ---- fixture generation (encode side) ----------------------------------
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end(); bos.toByteArray
+  }
 
   /** Serialize a complete single-font PDF — catalog, page tree, one
     * content stream per page, a real xref table with byte offsets and a
@@ -337,14 +570,7 @@ object Pdf {
       }
       obj {
         val raw = content.getBytes(ISO_8859_1)
-        val data = if (flate) {
-          val d = new Deflater()
-          d.setInput(raw); d.finish()
-          val bos = new ByteArrayOutputStream()
-          val buf = new Array[Byte](4096)
-          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-          d.end(); bos.toByteArray
-        } else raw
+        val data = if (flate) deflateBytes(raw) else raw
         w(s"<< /Length ${data.length}" +
           (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
         out.write(data)
@@ -359,6 +585,85 @@ object Pdf {
       s"startxref\n$xref\n%%EOF\n")
     out.toByteArray
   }
+
+  /** [[encodePdf]] with a second, CMap'd font: every page's Resources
+    * declare `/F1` (Helvetica, Latin-1) and `/F2` (a Type0/Identity-H CID
+    * font whose /ToUnicode is the caller's CMap, serialized as a real
+    * stream object — optionally FlateDecode'd like the page streams).
+    * The encode side of the non-Latin extraction path.
+    */
+  def encodePdfCmap(pageContents: Seq[String], cmap: String,
+                    flate: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def obj(body: => Unit): Unit = {
+      offsets += out.size()
+      val num = offsets.length
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+    }
+    def streamObj(raw: Array[Byte]): Unit = {
+      val data = if (flate) deflateBytes(raw) else raw
+      w(s"<< /Length ${data.length}" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      out.write(data)
+      w("\nendstream\n")
+    }
+    val nPages = pageContents.length
+    val f1 = 3 + 2 * nPages
+    val f2 = f1 + 1
+    val cm = f1 + 2
+    w("%PDF-1.4\n")
+    obj { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj {
+      val kids = (0 until nPages).map(p => s"${3 + 2 * p} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n")
+    }
+    pageContents.zipWithIndex.foreach { case (content, p) =>
+      obj {
+        w(s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * p} 0 R " +
+          s"/MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 $f1 0 R /F2 $f2 0 R >> >> >>\n")
+      }
+      obj { streamObj(content.getBytes(ISO_8859_1)) }
+    }
+    obj { w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n") }
+    obj {
+      w(s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+        s"/Encoding /Identity-H /ToUnicode $cm 0 R >>\n")
+    }
+    obj { streamObj(cmap.getBytes(ISO_8859_1)) }
+    val xref = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The fixture ToUnicode CMap: 2-byte codespace, a bfchar for the space
+    * code, and one bfrange mapping codes 0x0100–0x013F onto the Greek
+    * block at U+0390 — so both section kinds sit on the oracle path.
+    */
+  private[graft] val FixtureCMap: String =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |/CMapName /Graft-UCS def
+      |/CMapType 2 def
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |1 beginbfchar
+      |<0020> <0020>
+      |endbfchar
+      |1 beginbfrange
+      |<0100> <013F> <0390>
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end""".stripMargin
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
@@ -404,6 +709,44 @@ object Pdf {
         val k = r.getLong(0)
         val pages = (0 until r.getInt(1)).map(i => fixturePage(k, i))
         Row(k, encodePdf(pages, r.getBoolean(2)))
+      }
+    }, outSchema)
+  }
+
+  /** The non-Latin fixture formula shared with the DuckDB oracle: doc k
+    * page i paints a Latin line through /F1 (`"Doc {k} page {i}:"`), a
+    * `T*` line break, then 13 two-byte glyph codes through the CMap'd
+    * /F2 as ONE hex string — code j is the bfchar space at j=6, else
+    * `0x0100 + (k·13 + i·7 + j·3) mod 64`, decoding to
+    * `chr(0x0390 + same offset)` via the bfrange.
+    */
+  private[graft] def fixturePageUnicode(k: Long, i: Int): String = {
+    val line1 = s"Doc $k page $i:"
+    val hex = (0 until 13).map { j =>
+      val code = if (j == 6) 0x20 else 0x0100 + ((k * 13 + i * 7 + j * 3) % 64)
+      f"$code%04X"
+    }.mkString
+    s"BT /F1 12 Tf 72 720 Td (${esc(line1)}) Tj T* /F2 12 Tf <$hex> Tj ET"
+  }
+
+  /** Deterministic CMap'd PDF fixtures, one per input row:
+    * [[fixturePageUnicode]] content for id k over `nPagesCol` pages with
+    * [[FixtureCMap]] as every page's /F2 ToUnicode; `flateCol` toggles
+    * FlateDecode on the page AND CMap streams. Output (idCol, content).
+    */
+  def genPdfsUnicode(df: DataFrame, idCol: String, nPagesCol: String,
+                     flateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(nPagesCol).cast("int"),
+      col(flateCol).cast("boolean"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        val pages = (0 until r.getInt(1)).map(i => fixturePageUnicode(k, i))
+        Row(k, encodePdfCmap(pages, FixtureCMap, r.getBoolean(2)))
       }
     }, outSchema)
   }

@@ -16,7 +16,7 @@ class PdfSpec extends SparkSpec {
     for (flate <- Seq(false, true)) {
       val pdf = Pdf.encodePdf(Seq(Pdf.fixturePage(7L, 0), Pdf.fixturePage(7L, 1),
         Pdf.fixturePage(7L, 2)), flate)
-      val texts = Pdf.contentStreams(pdf).map(Pdf.streamText)
+      val texts = Pdf.contentStreams(pdf).map(Pdf.streamText(_))
       assert(texts == Seq(
         "Doc 7 page 0\nalpha(91) beta",
         "Doc 7 page 1\nalpha(92) beta",
@@ -27,30 +27,30 @@ class PdfSpec extends SparkSpec {
   test("literal-string escapes: named, octal, nested parens, line continuation") {
     val content = "BT (a\\(b\\)c \\\\ \\101\\12 (nested) d) Tj ET"
     val pdf = Pdf.encodePdf(Seq(content), flate = false)
-    assert(Pdf.contentStreams(pdf).map(Pdf.streamText) ==
+    assert(Pdf.contentStreams(pdf).map(Pdf.streamText(_)) ==
       Seq("a(b)c \\ A\n (nested) d"))
     // backslash-EOL is a line continuation: the break vanishes
     val cont = "BT (one\\\ntwo) Tj ET"
     val pdf2 = Pdf.encodePdf(Seq(cont), flate = false)
-    assert(Pdf.contentStreams(pdf2).map(Pdf.streamText) == Seq("onetwo"))
+    assert(Pdf.contentStreams(pdf2).map(Pdf.streamText(_)) == Seq("onetwo"))
   }
 
   test("hex strings decode, odd length zero-padded; whitespace inside ignored") {
     val content = "BT <48 656C6C 6F> Tj <7> Tj ET" // "Hello" then 0x70='p'
     val pdf = Pdf.encodePdf(Seq(content), flate = false)
-    assert(Pdf.contentStreams(pdf).map(Pdf.streamText) == Seq("Hellop"))
+    assert(Pdf.contentStreams(pdf).map(Pdf.streamText(_)) == Seq("Hellop"))
   }
 
   test("TJ kerning numbers are ignored; quote operators imply a line break") {
     val content = "BT [(ab) -250 (cd) 40 (ef)] TJ (gh) ' (ij) \" ET"
     val pdf = Pdf.encodePdf(Seq(content), flate = false)
-    assert(Pdf.contentStreams(pdf).map(Pdf.streamText) == Seq("abcdef\ngh\nij"))
+    assert(Pdf.contentStreams(pdf).map(Pdf.streamText(_)) == Seq("abcdef\ngh\nij"))
   }
 
   test("Td/TD/T* emit newlines; leading break suppressed, runs collapse") {
     val content = "BT 72 720 Td (l1) Tj T* T* (l2) Tj 0 -14 TD (l3) Tj ET"
     val pdf = Pdf.encodePdf(Seq(content), flate = false)
-    assert(Pdf.contentStreams(pdf).map(Pdf.streamText) == Seq("l1\nl2\nl3"))
+    assert(Pdf.contentStreams(pdf).map(Pdf.streamText(_)) == Seq("l1\nl2\nl3"))
   }
 
   test("strict failures are named: not a PDF, unsupported filter, corrupt deflate") {
@@ -70,7 +70,7 @@ class PdfSpec extends SparkSpec {
     }
     corrupt(streamAt) = (corrupt(streamAt) ^ 0x55).toByte
     val e = intercept[Exception](
-      Pdf.contentStreams(corrupt).map(Pdf.streamText))
+      Pdf.contentStreams(corrupt).map(Pdf.streamText(_)))
     assert(e.getMessage.contains("FlateDecode"))
   }
 
@@ -113,5 +113,86 @@ class PdfSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.tokenCount(col("text")).as("tc"))
       .as[Long].collect()
     assert(toks.toSeq == Seq(6L, 6L, 6L)) // "Doc 5 page i" + "alpha(m) beta"
+  }
+
+  test("parseToUnicodeCMap: codespace width, bfchar, scalar + array bfrange") {
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0020> <0020>
+        |<0041> <00E9>
+        |endbfchar
+        |2 beginbfrange
+        |<0100> <0102> <0390>
+        |<0200> <0201> [<05D0> <05D105D2>]
+        |endbfrange""".stripMargin
+    val m = Pdf.parseToUnicodeCMap(cmap.getBytes(ISO_8859_1))
+    assert(m.codeBytes == 2)
+    assert(m.map(0x20) == " " && m.map(0x41) == "é")
+    // scalar range: the destination's last UTF-16 unit increments
+    assert(m.map(0x100) == "ΐ" && m.map(0x101) == "Α" &&
+      m.map(0x102) == "Β")
+    // array range: one destination per code, multi-char strings allowed
+    assert(m.map(0x200) == "א" && m.map(0x201) == "בג")
+    assert(!m.map.contains(0x103))
+    // width falls back to the first source token when codespace is absent
+    val one = Pdf.parseToUnicodeCMap(
+      "1 beginbfchar\n<61> <0041>\nendbfchar".getBytes(ISO_8859_1))
+    assert(one.codeBytes == 1 && one.map(0x61) == "A")
+  }
+
+  test("ToUnicode fonts decode hex show strings; unmapped codes → U+FFFD") {
+    for (flate <- Seq(false, true)) {
+      val pdf = Pdf.encodePdfCmap(
+        Seq(Pdf.fixturePageUnicode(7L, 0)), Pdf.FixtureCMap, flate)
+      val texts = Pdf.pdfText(
+        Seq((1L, pdf)).toDF("id", "content"), "id", "content")
+        .select("text").as[String].collect().toSeq
+      val greek = (0 until 13).map { j =>
+        if (j == 6) ' ' else (0x390 + ((7 * 13 + j * 3) % 64)).toChar
+      }.mkString
+      assert(texts == Seq(s"Doc 7 page 0:\n$greek"))
+    }
+    // a code outside every bfchar/bfrange decodes to the replacement char
+    val pdf = Pdf.encodePdfCmap(
+      Seq("BT /F2 12 Tf <0EEE0100> Tj ET"), Pdf.FixtureCMap, flate = false)
+    val got = Pdf.pdfText(Seq((1L, pdf)).toDF("id", "content"),
+      "id", "content").select("text").as[String].head()
+    assert(got == "�ΐ")
+  }
+
+  test("fonts WITHOUT ToUnicode keep the Latin-1 read; F1/F2 mix per Tf") {
+    // the same show syntax through F1 (no CMap) reads Latin-1, through F2
+    // as 2-byte glyph codes — the Tf state machine switches mid-stream
+    val pdf = Pdf.encodePdfCmap(
+      Seq("BT /F1 12 Tf (AB) Tj /F2 12 Tf <01000101> Tj /F1 9 Tf (C) Tj ET"),
+      Pdf.FixtureCMap, flate = false)
+    val got = Pdf.pdfText(Seq((1L, pdf)).toDF("id", "content"),
+      "id", "content").select("text").as[String].head()
+    assert(got == "ABΐΑC")
+  }
+
+  test("strict/lenient parity on CMap fixtures; corrupt CMap quarantines") {
+    val good = Pdf.encodePdfCmap(Seq(Pdf.fixturePageUnicode(3L, 0),
+      Pdf.fixturePageUnicode(3L, 1)), Pdf.FixtureCMap, flate = true)
+    // corrupt the CMap stream's deflate bytes: its object is emitted last,
+    // so target the final " >>\nstream\n" keyword's data
+    val bad = good.clone()
+    val streamPos =
+      new String(bad, ISO_8859_1).lastIndexOf(" >>\nstream\n") + 12
+    (0 until 8).foreach(i => bad(streamPos + i) = 0x7f)
+    val df = Seq((1L, good), (2L, bad)).toDF("id", "content")
+    val strict = Pdf.pdfText(df.filter($"id" === 1L), "id", "content")
+      .select("stream_idx", "text").as[(Int, String)].collect().sortBy(_._1)
+    val lenient = Pdf.pdfTextLenient(df, "id", "content")
+    val lenGood = lenient.filter($"id" === 1L && $"decode_ok")
+      .select("stream_idx", "text").as[(Int, String)].collect().sortBy(_._1)
+    assert(strict.toSeq == lenGood.toSeq && strict.length == 2)
+    val q = lenient.filter($"id" === 2L)
+      .select("decode_ok", "decode_err").as[(Boolean, String)].collect().toSeq
+    assert(q.length == 1 && !q.head._1 && q.head._2.nonEmpty)
+    intercept[Exception] { Pdf.pdfText(df, "id", "content").collect() }
   }
 }
