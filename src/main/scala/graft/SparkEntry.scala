@@ -2586,6 +2586,27 @@ object SparkEntry {
         minShared = 2, maxHashFreq = 10)
     }),
 
+    // the SAME shared-frame dedup over a MIXED-container corpus: even ids
+    // arrive as AVI, odd as MP4 — identical pattern frames hash
+    // identically through both walks, so every group pairs ACROSS
+    // containers (each group of 4 is 2 AVI + 2 MP4); the oracle is the
+    // mm_video_dedup SQL verbatim — container never enters the algebra
+    "mm_video_dedup_mixed" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 96)
+        .withColumn("k", when(col("doc_id") < 24, 0L)
+          .otherwise(floor(col("doc_id") / 4)).cast("long"))
+        .withColumn("n", (col("doc_id") % 3 + 2).cast("int"))
+      val avis = Media.genPatternAvis(ids.filter(col("doc_id") % 2 === 0),
+        "doc_id", "k", "n", w = 9, h = 8)
+      val mp4s = Media.genPatternMp4s(ids.filter(col("doc_id") % 2 === 1),
+        "doc_id", "k", "n", w = 9, h = 8)
+      val frames = Media.videoFrames(avis.unionByName(mp4s),
+        "doc_id", "content").localCheckpoint(true)
+      Media.videoNearPairs(frames, "doc_id", "dhash",
+        minShared = 2, maxHashFreq = 10)
+    }),
+
     // scene-cut detection over real frame decode: fixtures hold
     // bit-identical frames within a scene (prev_dist 0) and formula-
     // divergent hashes at each boundary; the running cut count is the
@@ -3253,7 +3274,14 @@ object SparkEntry {
   /** DuckDB oracle SQL per query (same parquet tables, bare table names).
     * Omitted keys (xxhash64/sign-LSH-based ops) get a rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // the mixed-container dedup replays the mm_video_dedup algebra
+    // verbatim — the container never enters the SQL (that's the point)
+    m + ("mm_video_dedup_mixed" -> m("mm_video_dedup"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

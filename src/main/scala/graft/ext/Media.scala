@@ -1399,22 +1399,10 @@ object Media {
     * The single encode path behind all three AVI fixture families.
     */
   private def patternAviBytes(n: Int, w: Int, h: Int, kfOf: Int => Long,
-                              flipFirstGradient: Boolean): Array[Byte] = {
-    val movi = new ByteArrayOutputStream()
-    var f = 0
-    while (f < n) {
-      val png = patternFramePng(kfOf(f), w, h, flipFirstGradient)
-      val hdr = java.nio.ByteBuffer.allocate(8)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      hdr.put("00dc".getBytes("US-ASCII")).putInt(png.length)
-      movi.write(hdr.array())
-      movi.write(png)
-      if ((png.length & 1) == 1) movi.write(0) // word-align
-      f += 1
-    }
-    encodeAvi(usPerFrame = 33333, totalFrames = n,
-      streams = 1, width = w, height = h, movi.toByteArray)
-  }
+                              flipFirstGradient: Boolean): Array[Byte] =
+    framesToAvi((0 until n).map(f =>
+      patternFramePng(kfOf(f), w, h, flipFirstGradient)),
+      usPerFrame = 33333, w, h)
 
   /** One pattern-formula frame as a lossless gray PNG — the shared encode
     * unit under every multi-frame fixture family (AVI movi sub-chunks and
@@ -1437,6 +1425,106 @@ object Media {
     }
     if (flipFirstGradient) px(0) = if (px(1) > px(0)) 255 else 0
     encodeGrayPng(px, w, h)
+  }
+
+  /** SplitMix64 finalizer — the bit-mixer behind the NOISE fixture
+    * generators ([[genNoiseVideos]]/[[genNoiseWavs]]). Public algorithm
+    * (Steele, Lea & Flood, OOPSLA 2014; java.util.SplittableRandom).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Wrap already-encoded PNG frame payloads as a canonical AVI (one
+    * `00dc` movi sub-chunk per frame, word-aligned) — the container
+    * assembly shared by the pattern and noise fixture families.
+    */
+  private def framesToAvi(frames: Seq[Array[Byte]], usPerFrame: Int,
+                          w: Int, h: Int): Array[Byte] = {
+    val movi = new ByteArrayOutputStream()
+    frames.foreach { png =>
+      val hdr = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put("00dc".getBytes("US-ASCII")).putInt(png.length)
+      movi.write(hdr.array())
+      movi.write(png)
+      if ((png.length & 1) == 1) movi.write(0) // word-align
+    }
+    encodeAvi(usPerFrame, frames.length, streams = 1, w, h, movi.toByteArray)
+  }
+
+  /** NOISE-frame video fixtures for scale soaks: frame f of row (seed =
+    * `seedCol`) is a w×h PNG whose pixels are [[mix64]] of
+    * (seed, f, pixel index) — so frame dHashes are effectively unique
+    * across any soak-sized corpus. The PATTERN fixtures deliberately
+    * compress to a ≤256-value hash space (their additive constant folds
+    * mod 256 so a SQL oracle can replay them) and therefore CANNOT feed a
+    * soak that asserts exact admission counts; these can, and the same
+    * seed yields byte-identical frames in either container (`mp4Col`
+    * picks AVI vs MP4 per row) so cross-container re-drops classify dup.
+    */
+  def genNoiseVideos(df: DataFrame, idCol: String, seedCol: String,
+                     framesCol: String, mp4Col: String,
+                     w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(seedCol).cast("long"),
+      col(framesCol).cast("int"), col(mp4Col).cast("boolean"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(1)
+        val n = r.getInt(2)
+        val frames = (0 until n).map { f =>
+          val px = Array.tabulate(w * h)(i =>
+            (mix64(seed * 0x100000001B3L + f * 0x9E3779B97F4A7C15L + i)
+              & 0xff).toInt)
+          encodeGrayPng(px, w, h)
+        }
+        Row(r.get(0),
+          if (r.getBoolean(3)) encodeMp4("isom", 30000L, 1001L * n,
+            Seq((w, h)), frames, 1001L)
+          else framesToAvi(frames, usPerFrame = 33333, w, h))
+      }
+    }, outSchema)
+  }
+
+  /** NOISE-window WAV fixtures for scale soaks — [[genToneWavs]] with
+    * [[mix64]] amplitudes (1..120) instead of the oracle-replayable tone
+    * formula (whose fingerprint space folds to ≤120 values): each clip's
+    * [[audioFingerprint]] is effectively unique at soak scale. `perturb ≠
+    * 0` keeps genToneWavs' modeled re-encode exactly (window 0 forced to
+    * 127/0 against window 1's amplitude → fingerprint flips bit 0 only).
+    */
+  def genNoiseWavs(df: DataFrame, idCol: String, seedCol: String,
+                   perturbCol: String, windowsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(seedCol).cast("long"),
+      col(perturbCol).cast("int"), col(windowsCol).cast("int"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(1); val p = r.getInt(2); val nw = r.getInt(3)
+        def amp(w: Int): Int =
+          (java.lang.Math.floorMod(
+            mix64(seed * 0x100000001B3L + w), 120L) + 1L).toInt
+        val a0 = if (p != 0) { if (amp(1) > amp(0)) 127 else 0 } else amp(0)
+        val samples = new Array[Short](nw * 160)
+        var w = 0
+        while (w < nw) {
+          val a = (if (w == 0) a0 else amp(w)).toShort
+          var j = 0
+          while (j < 160) { samples(w * 160 + j) = a; j += 1 }
+          w += 1
+        }
+        Row(r.get(0), encodeWav(8000, 1, samples))
+      }
+    }, outSchema)
   }
 
   /** Deterministic multi-frame AVI fixtures: frame f of row (k =

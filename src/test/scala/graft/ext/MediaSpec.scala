@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.lit
 
 /** Real-codec media tier: JDK ImageIO decode (PNG lossless round-trip,
   * JPEG/RGB band handling), dHash invariants, band-join near-dup pairs,
@@ -689,6 +690,40 @@ class MediaSpec extends SparkSpec {
     assert(out.count(_._1 == 1L) == 2)
     val bad = out.filter(_._1 == 2L)
     assert(bad.length == 1 && !bad.head._2 && bad.head._3.nonEmpty)
+  }
+
+  test("noise fixtures: unique signatures at scale, containers agree, perturb flips bit 0") {
+    // the PATTERN fixtures fold to a ≤256-value hash space (oracle
+    // design); the noise generators must NOT — 200 seeds → 600 distinct
+    // frame hashes / 200 distinct fingerprints
+    val vids = spark.range(200).select($"id".as("mid"), $"id".as("k"))
+      .withColumn("n", lit(3)).withColumn("mp4", $"mid" % 2 === 0)
+    val frames = Media.videoFrames(
+      Media.genNoiseVideos(vids, "mid", "k", "n", "mp4", 9, 8),
+      "mid", "content")
+    assert(frames.count() == 600)
+    assert(frames.select("dhash").distinct().count() == 600)
+    // same seed → byte-identical frames in either container
+    val both = spark.range(2).select(lit(7L).as("k"), $"id".as("mid"))
+      .withColumn("n", lit(2)).withColumn("mp4", $"mid" === 0)
+    val hs = Media.videoFrames(
+      Media.genNoiseVideos(both, "mid", "k", "n", "mp4", 9, 8),
+      "mid", "content")
+      .select("mid", "frame_idx", "dhash")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(hs(0L).sortBy(_._2).map(_._3).toSeq ==
+      hs(1L).sortBy(_._2).map(_._3).toSeq)
+    val wavs = spark.range(200).select($"id".as("mid"), $"id".as("k"))
+      .withColumn("p", lit(0)).withColumn("nw", lit(65))
+    val fps = Media.audioFingerprint(
+      Media.genNoiseWavs(wavs, "mid", "k", "p", "nw"), "mid", "content")
+    assert(fps.select("afp").distinct().count() == 200)
+    // the modeled re-encode still flips exactly fingerprint bit 0
+    val pair = Seq((0L, 9L, 0, 65), (1L, 9L, 1, 65)).toDF("mid", "k", "p", "nw")
+    val two = Media.audioFingerprint(
+      Media.genNoiseWavs(pair, "mid", "k", "p", "nw"), "mid", "content")
+      .select("mid", "afp").as[(Long, Long)].collect().sortBy(_._1)
+    assert((two(0)._2 ^ two(1)._2) == 1L)
   }
 
   test("decodeMp4Meta derives floor duration and fps from the box walk") {
