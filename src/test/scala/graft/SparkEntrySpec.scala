@@ -81,8 +81,14 @@ class SparkEntrySpec extends SparkSpec {
     // one-frame-per-scene sampling primitive), +mm_video_pipeline (the
     // A/V end-to-end composite: quarantine → frames → scenes → keyframe
     // sample → near-dup pairs)
-    assert(SparkEntry.queries.size == 204,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 204); " +
+    // 208 round 17: +mm_mp4_meta (ISO-BMFF box walk: ftyp/mvhd/tkhd/
+    // stts/stsz), +mm_mp4_frames (stsz/stsc/stco sample walk — same
+    // dHash oracle as mm_video_frames, different container),
+    // +mm_pdf_unicode (/ToUnicode CMap: bfchar/bfrange → UTF-16BE,
+    // Greek codepoints re-derived via chr()), +mm_video_dedup_mixed
+    // (AVI+MP4 mixed corpus through the mm_video_dedup SQL verbatim)
+    assert(SparkEntry.queries.size == 208,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 208); " +
         "if intentional, update this pin")
   }
 
