@@ -710,6 +710,10 @@ object Config {
           windowMs = n.get("windowMs").asInt)
       case "videoMeta" =>
         graft.ext.Media.decodeVideoMeta(df, str(n, "id"), str(n, "column"))
+      // ISO-BMFF metadata (ftyp/mvhd/tkhd/stts/stsz box walk); MP4 files
+      // also flow through videoMetaLenient/videoFrames via the sniff
+      case "mp4Meta" =>
+        graft.ext.Media.decodeMp4Meta(df, str(n, "id"), str(n, "column"))
       // dirty-crawl twins: malformed payloads quarantine in place
       // (decode_ok/decode_err) instead of failing the task
       case "audioMetaLenient" =>

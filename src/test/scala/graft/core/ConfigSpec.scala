@@ -976,6 +976,23 @@ class ConfigSpec extends SparkSpec {
       assert(pairs.contains((2 * k, 2 * k + 1)), s"missing planted pair $k")
   }
 
+  test("mp4Meta op: ISO-BMFF box walk declares in YAML") {
+    val dir = Files.createTempDirectory("graft_cfg_mp4_").toString
+    graft.ext.Media.genMp4s(
+      Seq((1L, 12800L, 512L, 25, 480, 360, false))
+        .toDF("id", "ts", "dl", "n", "w", "h", "audio"),
+      "id", "ts", "dl", "n", "w", "h", "audio")
+      .write.parquet(s"$dir/in")
+    val out = Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms:
+         |  - {op: mp4Meta, id: id, column: content}
+         |""".stripMargin)
+    val got = out.select("major_brand", "duration_ms", "n_frames", "fps_x1000")
+      .as[(String, Long, Int, Long)].head()
+    assert(got == (("isom", 1000L, 25, 25000L)))
+  }
+
   test("WARC crawl pipeline from config: binaryFile → responses → page text") {
     val dir = Files.createTempDirectory("graft_cfg_warc_").toString
     new java.io.File(s"$dir/warcs").mkdirs()

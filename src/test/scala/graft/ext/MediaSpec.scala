@@ -639,6 +639,19 @@ class MediaSpec extends SparkSpec {
     val bytes = fileOf(mdatPayload, mdatPayload + 5)
     assert(Media.mp4FramePayloads(bytes).map(new String(_)) ==
       Seq("AA", "BBB", "C"))
+    // co64 (64-bit chunk offsets) must walk identically to stco
+    def longs(vs: Long*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 * vs.length)
+      vs.foreach(bb.putLong); bb.array()
+    }
+    def fileOf64(off1: Long, off2: Long) = ftyp ++
+      box("moov", box("trak", box("mdia", box("minf",
+        box("stbl", stsz, stsc,
+          box("co64", full(ints(2) ++ longs(off1, off2)))))))) ++
+      box("mdat", samples.flatten.toArray)
+    val mdat64 = fileOf64(0, 0).length - 6
+    assert(Media.mp4FramePayloads(fileOf64(mdat64, mdat64 + 5))
+      .map(new String(_)) == Seq("AA", "BBB", "C"))
   }
 
   test("videoFrames decodes MP4 samples to the same hashes as AVI frames") {
