@@ -2325,6 +2325,22 @@ object SparkEntry {
           col("pdf_version"), col("text"))
     }),
 
+    // PDF 1.5+ object streams: the same unicode fixtures with page and
+    // font dicts PACKED inside a deflated /Type /ObjStm — invisible to a
+    // raw-byte scan, how modern writers emit them; the oracle is the
+    // mm_pdf_unicode SQL verbatim (same page-text formula), so the hash
+    // match proves packed dicts resolve exactly like top-level ones
+    "mm_pdf_objstm" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("n", (col("doc_id") % 3 + 1).cast("int"))
+        .withColumn("flate", col("doc_id") % 2 === 0)
+      val files = graft.ext.Pdf.genPdfsObjStm(ids, "doc_id", "n", "flate")
+      graft.ext.Pdf.pdfText(files, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("stream_idx"),
+          col("pdf_version"), col("text"))
+    }),
+
     // PDF → text tier END-TO-END in one plan: object walk + FlateDecode +
     // content-stream tokenize, then token-window chunking and per-chunk
     // quality scoring — extraction feeding curation, all per-row
@@ -3276,9 +3292,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = {
     val m = oracleSqlBase
-    // the mixed-container dedup replays the mm_video_dedup algebra
-    // verbatim — the container never enters the SQL (that's the point)
-    m + ("mm_video_dedup_mixed" -> m("mm_video_dedup"))
+    // layout-variant keys replay their base key's SQL verbatim — the
+    // varied dimension (video container / PDF object layout) never enters
+    // the algebra, and that is exactly what the shared oracle proves
+    m + ("mm_video_dedup_mixed" -> m("mm_video_dedup")) +
+      // same page-text formula; only the header version differs (ObjStm
+      // is a PDF 1.5 feature, and the fixture headers say so)
+      ("mm_pdf_objstm" -> m("mm_pdf_unicode").replace("'1.4'", "'1.5'"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

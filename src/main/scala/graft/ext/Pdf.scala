@@ -88,12 +88,29 @@ object Pdf {
     * don't occur in content stream dicts; a Resources dict lives on the
     * page object instead), cut the data by direct `/Length` when present
     * (falling back to an `endstream` scan), and apply the filter. Returns
-    * (decoded bytes, position just past the data). Shared by the in-order
-    * [[contentStreams]] scan and the object-addressed reads
-    * ([[fontCMaps]]' /ToUnicode streams). Strict: a non-Flate filter or
+    * (governing dict text, decoded bytes, position just past the data).
+    * Shared by the in-order [[contentStreams]] scan, the object-addressed
+    * reads ([[fontCMaps]]' /ToUnicode streams), and the [[objStmObjects]]
+    * ObjStm walk. Strict: a non-Flate filter or
     * corrupt deflate data throws with the stream's byte offset.
     */
-  private def decodeStreamAt(bytes: Array[Byte], s: Int): (Array[Byte], Int) = {
+  private def decodeStreamAt(bytes: Array[Byte],
+                             s: Int): (String, Array[Byte], Int) = {
+    val (dict, d, end) = cutStreamAt(bytes, s)
+    val filterIdx = dict.indexOf("/Filter")
+    val flate = dict.contains("/FlateDecode")
+    require(filterIdx < 0 || flate,
+      s"stream at byte $s: unsupported filter in $dict")
+    val data = java.util.Arrays.copyOfRange(bytes, d, end)
+    (dict, if (flate) inflate(data) else data, end)
+  }
+
+  /** The raw cut under [[decodeStreamAt]]: (dict text, data start, data
+    * end) with no filter applied — lets [[objStmObjects]] peek at a
+    * stream's dict and skip past non-ObjStm data without paying (or
+    * requiring support for) its decode.
+    */
+  private def cutStreamAt(bytes: Array[Byte], s: Int): (String, Int, Int) = {
     val dictStart = {
       var q = s - 1; var found = -1
       while (found < 0 && q > 0) {
@@ -104,10 +121,6 @@ object Pdf {
       found
     }
     val dict = new String(bytes, dictStart, s - dictStart, ISO_8859_1)
-    val filterIdx = dict.indexOf("/Filter")
-    val flate = dict.contains("/FlateDecode")
-    require(filterIdx < 0 || flate,
-      s"stream at byte $s: unsupported filter in $dict")
     // data starts after the keyword's EOL (CRLF or LF per spec)
     var d = s + 6
     if (d < bytes.length && bytes(d) == '\r') d += 1
@@ -126,8 +139,7 @@ object Pdf {
     }
     require(end <= bytes.length, s"stream at byte $s: declared /Length " +
       s"overruns the file (${end - bytes.length} bytes short)")
-    val data = java.util.Arrays.copyOfRange(bytes, d, end)
-    (if (flate) inflate(data) else data, end)
+    (dict, d, end)
   }
 
   /** Decoded content streams of a PDF, in file order: scan for
@@ -147,10 +159,59 @@ object Pdf {
       else if (s + 6 <= bytes.length &&
         // reject "endstream" matches: require non-letter before
         (s == 0 || !Character.isLetter((bytes(s - 1) & 0xff).toChar))) {
-        val (data, end) = decodeStreamAt(bytes, s)
+        val (_, data, end) = decodeStreamAt(bytes, s)
         out += data
         p = end
       } else p = s + 6
+    }
+    out.result()
+  }
+
+  /** Objects packed inside PDF 1.5+ object streams (`/Type /ObjStm`,
+    * ISO 32000 §7.5.7) — modern writers store page and font DICTS there
+    * (deflated), which hides them from any raw-byte scan: without this
+    * walk a 1.5+ file's /Font resources and /ToUnicode refs are invisible
+    * and CMap'd text silently degrades to the Latin-1 fallback. Each
+    * ObjStm decodes to `N` (objnum, offset) header pairs followed by the
+    * serialized objects at `/First`+offset; streams cannot live inside an
+    * ObjStm (spec), so everything here is dict/scalar text. Returns
+    * objnum → serialized body for every contained object.
+    */
+  private[ext] def objStmObjects(bytes: Array[Byte]): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    var p = 0
+    var go = true
+    while (go) {
+      val s = indexOf(bytes, "stream", p)
+      if (s < 0) go = false
+      else if (s > 0 && Character.isLetter((bytes(s - 1) & 0xff).toChar))
+        p = s + 6
+      else {
+        val (dict, _, end) = cutStreamAt(bytes, s)
+        if (dict.contains("/ObjStm")) {
+          val txt = new String(decodeStreamAt(bytes, s)._2, ISO_8859_1)
+          def intField(name: String): Int =
+            (name + "\\s+(\\d+)").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+              .getOrElse(throw new IllegalArgumentException(
+                s"ObjStm at byte $s missing $name"))
+          val n = intField("/N")
+          val first = intField("/First")
+          require(first <= txt.length, s"ObjStm at byte $s: /First overruns")
+          val header = txt.substring(0, first).trim
+            .split("\\s+").filter(_.nonEmpty)
+          require(header.length >= 2 * n,
+            s"ObjStm at byte $s: header holds ${header.length} ints, wants ${2 * n}")
+          val pairs = (0 until n)
+            .map(i => (header(2 * i).toInt, header(2 * i + 1).toInt))
+          pairs.zipWithIndex.foreach { case ((num, off), i) =>
+            val to = if (i + 1 < n) first + pairs(i + 1)._2 else txt.length
+            require(first + off <= to && to <= txt.length,
+              s"ObjStm at byte $s: object $num offsets out of order")
+            out += num -> txt.substring(first + off, to)
+          }
+        }
+        p = end
+      }
     }
     out.result()
   }
@@ -269,10 +330,11 @@ object Pdf {
   }
 
   /** Font-resource name → ToUnicode CMap for every font declared in any
-    * `/Font << /Name N 0 R … >>` resource group of the file (inline page
-    * Resources and indirect Resources objects both land here — the scan
-    * covers every object dict). Documented boundary, same family as
-    * [[contentStreams]]' dict heuristics: font entries must be indirect
+    * `/Font << /Name N 0 R … >>` resource group of the file — inline page
+    * Resources, indirect Resources objects, AND objects packed inside
+    * PDF 1.5+ object streams ([[objStmObjects]] — where modern writers
+    * put page/font dicts) all land here. Documented boundary, same family
+    * as [[contentStreams]]' dict heuristics: font entries must be indirect
     * references (the universal encoder convention; a whole font dict
     * written inline inside /Font is out of scope). Fonts without
     * /ToUnicode simply don't appear — their strings keep the Latin-1
@@ -284,12 +346,16 @@ object Pdf {
     val objRe = "(?<![0-9])(\\d+)\\s+0\\s+obj".r
     lazy val objAt =
       objRe.findAllMatchIn(text).map(m => m.group(1).toInt -> m.end).toMap
-    def dictOf(objNum: Int): String = objAt.get(objNum).fold("") { p =>
-      val stop = Seq(text.indexOf("endobj", p), text.indexOf("stream", p))
-        .filter(_ >= 0).minOption.getOrElse(text.length)
-      text.substring(p, stop)
-    }
-    // the object's own stream keyword (if any), skipping "endstream"
+    val stmObjs = objStmObjects(bytes)
+    def dictOf(objNum: Int): String = stmObjs.getOrElse(objNum,
+      objAt.get(objNum).fold("") { p =>
+        val stop = Seq(text.indexOf("endobj", p), text.indexOf("stream", p))
+          .filter(_ >= 0).minOption.getOrElse(text.length)
+        text.substring(p, stop)
+      })
+    // the object's own stream keyword (if any), skipping "endstream";
+    // ToUnicode CMaps are STREAMS, which the spec keeps OUT of ObjStm —
+    // so they always resolve through the raw top-level scan
     def streamKeywordOf(objNum: Int): Option[Int] = objAt.get(objNum).flatMap { p =>
       val stop = text.indexOf("endobj", p)
       var s = indexOf(bytes, "stream", p)
@@ -300,29 +366,35 @@ object Pdf {
     val fontEntryRe = "/([A-Za-z0-9]+)\\s+(\\d+)\\s+0\\s+R".r
     val toUniRe = "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r
     val out = Map.newBuilder[String, CMap]
-    var p = 0
-    var go = true
-    while (go) {
-      val f = text.indexOf("/Font", p)
-      if (f < 0) go = false
-      else {
-        var q = f + 5
-        while (q < text.length && text.charAt(q).isWhitespace) q += 1
-        if (q + 1 < text.length && text.charAt(q) == '<' &&
-          text.charAt(q + 1) == '<') {
-          val e = text.indexOf(">>", q + 2)
-          if (e > 0) fontEntryRe.findAllMatchIn(text.substring(q + 2, e))
-            .foreach { fm =>
-              toUniRe.findFirstMatchIn(dictOf(fm.group(2).toInt)).foreach { um =>
-                streamKeywordOf(um.group(1).toInt).foreach { s =>
-                  out += fm.group(1) -> parseToUnicodeCMap(decodeStreamAt(bytes, s)._1)
+    def scanGroups(t: String): Unit = {
+      var p = 0
+      var go = true
+      while (go) {
+        val f = t.indexOf("/Font", p)
+        if (f < 0) go = false
+        else {
+          var q = f + 5
+          while (q < t.length && t.charAt(q).isWhitespace) q += 1
+          if (q + 1 < t.length && t.charAt(q) == '<' &&
+            t.charAt(q + 1) == '<') {
+            val e = t.indexOf(">>", q + 2)
+            if (e > 0) fontEntryRe.findAllMatchIn(t.substring(q + 2, e))
+              .foreach { fm =>
+                toUniRe.findFirstMatchIn(dictOf(fm.group(2).toInt)).foreach { um =>
+                  streamKeywordOf(um.group(1).toInt).foreach { s =>
+                    out += fm.group(1) ->
+                      parseToUnicodeCMap(decodeStreamAt(bytes, s)._2)
+                  }
                 }
               }
-            }
+          }
+          p = f + 5
         }
-        p = f + 5
       }
     }
+    scanGroups(text)
+    // deterministic order over the packed objects (Map order is not)
+    stmObjs.toSeq.sortBy(_._1).foreach { case (_, body) => scanGroups(body) }
     out.result()
   }
 
@@ -641,6 +713,75 @@ object Pdf {
     out.toByteArray
   }
 
+  /** [[encodePdfCmap]] in PDF 1.5+ layout: the page dicts AND both font
+    * dicts are packed (deflated when `flate`) inside ONE `/Type /ObjStm`
+    * object stream — invisible to any raw-byte scan, exactly how modern
+    * writers emit them — while the content streams and the ToUnicode CMap
+    * stream stay top-level (the spec keeps streams out of ObjStm). The
+    * encode side of the [[objStmObjects]] walk.
+    */
+  def encodePdfObjStm(pageContents: Seq[String], cmap: String,
+                      flate: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def obj(body: => Unit): Int = {
+      offsets += out.size()
+      val num = offsets.length
+      w(s"$num 0 obj\n"); body; w("endobj\n")
+      num
+    }
+    def streamBody(raw: Array[Byte], extraDict: String): Unit = {
+      val data = if (flate) deflateBytes(raw) else raw
+      w(s"<< $extraDict/Length ${data.length}" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      out.write(data)
+      w("\nendstream\n")
+    }
+    val nPages = pageContents.length
+    // top-level object numbers: 1 catalog, 2 pages tree, 3..2+n content
+    // streams, 3+n the ObjStm, 4+n the CMap stream; PACKED object numbers
+    // (live only inside the ObjStm): 10+n.. pages, then the two fonts
+    val objStmNum = 3 + nPages
+    val cmNum = 4 + nPages
+    val pageNum0 = 10 + nPages
+    val f1 = pageNum0 + nPages
+    val f2 = f1 + 1
+    w("%PDF-1.5\n")
+    obj { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj {
+      val kids = (0 until nPages).map(p => s"${pageNum0 + p} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\n")
+    }
+    pageContents.foreach { content =>
+      obj { streamBody(content.getBytes(ISO_8859_1), "") }
+    }
+    obj { // the ObjStm: pages + fonts, serialized back to back
+      val bodies = (0 until nPages).map { p =>
+        (pageNum0 + p,
+          s"<< /Type /Page /Parent 2 0 R /Contents ${3 + p} 0 R " +
+            s"/MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 $f1 0 R /F2 $f2 0 R >> >> >>")
+      } :+
+        (f1, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") :+
+        (f2, s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+          s"/Encoding /Identity-H /ToUnicode $cmNum 0 R >>")
+      val offs = bodies.scanLeft(0)(_ + _._2.length + 1).init
+      val header = bodies.zip(offs)
+        .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+      val payload = header + bodies.map(_._2 + "\n").mkString
+      streamBody(payload.getBytes(ISO_8859_1),
+        s"/Type /ObjStm /N ${bodies.length} /First ${header.length} ")
+    }
+    obj { streamBody(cmap.getBytes(ISO_8859_1), "") }
+    val xref = out.size()
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** The fixture ToUnicode CMap: 2-byte codespace, a bfchar for the space
     * code, and one bfrange mapping codes 0x0100–0x013F onto the Greek
     * block at U+0390 — so both section kinds sit on the oracle path.
@@ -747,6 +888,28 @@ object Pdf {
         val k = r.getLong(0)
         val pages = (0 until r.getInt(1)).map(i => fixturePageUnicode(k, i))
         Row(k, encodePdfCmap(pages, FixtureCMap, r.getBoolean(2)))
+      }
+    }, outSchema)
+  }
+
+  /** [[genPdfsUnicode]] in the PDF 1.5+ `/Type /ObjStm` layout
+    * ([[encodePdfObjStm]]) — identical page text, so its oracle is the
+    * `mm_pdf_unicode` SQL verbatim: the hash match proves the packed
+    * page/font dicts resolve exactly like top-level ones.
+    */
+  def genPdfsObjStm(df: DataFrame, idCol: String, nPagesCol: String,
+                    flateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(nPagesCol).cast("int"),
+      col(flateCol).cast("boolean"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(0)
+        val pages = (0 until r.getInt(1)).map(i => fixturePageUnicode(k, i))
+        Row(k, encodePdfObjStm(pages, FixtureCMap, r.getBoolean(2)))
       }
     }, outSchema)
   }

@@ -87,8 +87,10 @@ class SparkEntrySpec extends SparkSpec {
     // +mm_pdf_unicode (/ToUnicode CMap: bfchar/bfrange → UTF-16BE,
     // Greek codepoints re-derived via chr()), +mm_video_dedup_mixed
     // (AVI+MP4 mixed corpus through the mm_video_dedup SQL verbatim)
-    assert(SparkEntry.queries.size == 208,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 208); " +
+    // 209 round 17: +mm_pdf_objstm (PDF 1.5+ /Type /ObjStm packed
+    // page/font dicts, mm_pdf_unicode SQL verbatim)
+    assert(SparkEntry.queries.size == 209,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 209); " +
         "if intentional, update this pin")
   }
 

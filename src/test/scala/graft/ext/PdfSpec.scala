@@ -174,6 +174,36 @@ class PdfSpec extends SparkSpec {
     assert(got == "ABΐΑC")
   }
 
+  test("ObjStm-packed page/font dicts resolve CMaps like top-level ones") {
+    for (flate <- Seq(false, true)) {
+      val packed = Pdf.encodePdfObjStm(
+        Seq(Pdf.fixturePageUnicode(7L, 0), Pdf.fixturePageUnicode(7L, 1)),
+        Pdf.FixtureCMap, flate)
+      // the packed objects parse out of the ObjStm by number
+      val objs = Pdf.objStmObjects(packed)
+      assert(objs.size == 4) // 2 page dicts + 2 font dicts
+      assert(objs.values.count(_.contains("/Type /Page")) == 2)
+      assert(objs.values.exists(_.contains("/ToUnicode")))
+      // and extraction lands on EXACTLY the top-level layout's text
+      val flat = Pdf.encodePdfCmap(
+        Seq(Pdf.fixturePageUnicode(7L, 0), Pdf.fixturePageUnicode(7L, 1)),
+        Pdf.FixtureCMap, flate)
+      def texts(pdf: Array[Byte]) = Pdf.pdfText(
+        Seq((1L, pdf)).toDF("id", "content"), "id", "content")
+        .select("stream_idx", "text").as[(Int, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(texts(packed) == texts(flat))
+      assert(texts(packed).head._2.startsWith("Doc 7 page 0:\n"))
+    }
+    // a raw-scan-only reader would fall back to mojibake: prove the greek
+    // line actually contains non-Latin codepoints (the scan found the CMap)
+    val t = Pdf.pdfText(Seq((1L, Pdf.encodePdfObjStm(
+      Seq(Pdf.fixturePageUnicode(3L, 0)), Pdf.FixtureCMap, flate = true)))
+      .toDF("id", "content"), "id", "content")
+      .select("text").as[String].head()
+    assert(t.exists(c => c >= 0x390 && c < 0x3D0))
+  }
+
   test("strict/lenient parity on CMap fixtures; corrupt CMap quarantines") {
     val good = Pdf.encodePdfCmap(Seq(Pdf.fixturePageUnicode(3L, 0),
       Pdf.fixturePageUnicode(3L, 1)), Pdf.FixtureCMap, flate = true)
