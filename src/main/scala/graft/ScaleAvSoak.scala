@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   *  - `audio` → [[graft.streaming.Streams.ingestAudioDedupBatch]]: plants
   *    are 1-bit-perturbed re-levelled copies (Hamming 1 ≤ maxDist);
   *  - `pdf` → [[graft.streaming.Streams.ingestPdfBatch]]: plants are
-  *    re-COMPRESSED copies (flate toggled — page-text identity unchanged),
-  *    soaking the WARC/PDF hash index the r16 lifecycle ops added.
+  *    re-COMPRESSED copies (flate toggled — page-text identity unchanged);
+  *  - `warc` → [[graft.streaming.Streams.ingestWarcBatch]]: plants are
+  *    re-compressed re-crawls (per-record gzip toggled — record identity
+  *    `(target_uri, body)` unchanged). Together with `pdf` this soaks
+  *    both families of the WARC/PDF hash index the r16 lifecycle ops
+  *    added, through their real per-record/per-page explode paths.
   *
   * Claims under test, asserted not just measured: (1) per-day ingest cost
   * is flat at fixed batch size while the index grows ~100× (the admission
@@ -32,7 +36,7 @@ import org.apache.spark.sql.functions._
   * day-1 plants still reject (forgotten means forgotten, and ONLY the
   * forgotten).
   *
-  * Usage: runMain graft.ScaleAvSoak <video|audio|pdf> <days> <perDay> <label>
+  * Usage: runMain graft.ScaleAvSoak <video|audio|pdf|warc> <days> <perDay> <label>
   * Prints one SOAK_AV line per sampled day + a SOAK_AV_SUMMARY line.
   */
 object ScaleAvSoak {
@@ -80,15 +84,24 @@ object ScaleAvSoak {
         ids(day, n, idBase).withColumn("p", lit(perturb))
           .withColumn("nw", lit(65)),
         "mid", "k", "p", "nw")
-    // genPdfs derives page TEXT from its id column, so generate keyed on
-    // the day-disjoint pattern k (plants re-use day-0/1 k's → identical
-    // text → dup), then attach the fresh doc id
+    // genPdfs/genWarcs derive their CONTENT from the id column, so
+    // generate keyed on the day-disjoint pattern k (plants re-use
+    // day-0/1 k's → identical content → dup), then attach the fresh id
     def pdfs(day: Int, n: Long, idBase: Long, flipFlate: Boolean): DataFrame = {
       val base = ids(day, n, idBase).withColumn("np", lit(2))
         .withColumn("flate",
           if (flipFlate) col("mid") % 2 === 1 else col("mid") % 2 === 0)
       graft.ext.Pdf.genPdfs(base.select(col("k"), col("np"), col("flate")),
           "k", "np", "flate")
+        .join(base.select(col("mid"), col("k")), Seq("k"))
+        .select(col("mid"), col("content"))
+    }
+    def warcs(day: Int, n: Long, idBase: Long, flipGz: Boolean): DataFrame = {
+      val base = ids(day, n, idBase).withColumn("nr", lit(2))
+        .withColumn("gz",
+          if (flipGz) col("mid") % 2 === 1 else col("mid") % 2 === 0)
+      graft.sources.Warc.genWarcs(base.select(col("k"), col("nr"), col("gz")),
+          "k", "nr", "gz")
         .join(base.select(col("mid"), col("k")), Seq("k"))
         .select(col("mid"), col("content"))
     }
@@ -118,6 +131,13 @@ object ScaleAvSoak {
         if (day == 0) novel
         else if (day == 1) novel.unionByName(p0)
         else novel.unionByName(p0).unionByName(p1)
+      case "warc" => // plants are re-COMPRESSED re-crawls (gz toggled)
+        val novel = warcs(day, perDay, day.toLong * 1000000L, flipGz = false)
+        val p0 = warcs(0, nPlant, 900000000L + day * 10000L, flipGz = true)
+        val p1 = warcs(1, nPlant, 910000000L + day * 10000L, flipGz = true)
+        if (day == 0) novel
+        else if (day == 1) novel.unionByName(p0)
+        else novel.unionByName(p0).unionByName(p1)
       case other => throw new IllegalArgumentException(s"modality $other")
     }
 
@@ -128,10 +148,17 @@ object ScaleAvSoak {
         batch, batchId, corpus, idx, quar, "mid", "content")
       case "pdf" => graft.streaming.Streams.ingestPdfBatch(
         batch, batchId, corpus, idx, quar, "mid", "content")
+      case "warc" => graft.streaming.Streams.ingestWarcBatch(
+        batch, batchId, corpus, idx, quar, "mid", "content")
     }
-    // corpus rows per novel item: PDF stores one row per PAGE
-    val rowsPerItem = if (modality == "pdf") 2L else 1L
-    val indexSub = if (modality == "pdf") "hashes" else "sigs"
+    // corpus rows per novel item: PDF stores one row per PAGE (2),
+    // WARC one per RECORD (warcinfo + 2 request/response pairs = 5)
+    val rowsPerItem = modality match {
+      case "pdf" => 2L
+      case "warc" => 5L
+      case _ => 1L
+    }
+    val indexSub = if (modality == "pdf" || modality == "warc") "hashes" else "sigs"
     def corpusRows(): Long = spark.read.parquet(corpus).count()
     def indexRows(): Long = spark.read.parquet(s"$idx/$indexSub").count()
 
@@ -154,7 +181,8 @@ object ScaleAvSoak {
 
     // ---- maintenance: compact → classify → erase day-0 → re-admit -------
     val tC = System.nanoTime()
-    if (modality == "pdf") graft.streaming.Streams.compactHashIndex(spark, idx)
+    if (modality == "pdf" || modality == "warc")
+      graft.streaming.Streams.compactHashIndex(spark, idx)
     else graft.ext.Media.compactSigIndex(spark, idx)
     val compactSec = (System.nanoTime() - tC) / 1e9
     val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/$indexSub"))
@@ -170,11 +198,12 @@ object ScaleAvSoak {
 
     // erase day-0, then day-0 plants must RE-ADMIT while day-1 still reject
     val tE = System.nanoTime()
-    if (modality == "pdf")
+    if (modality == "pdf" || modality == "warc") {
+      val idc = if (modality == "pdf") "doc_id" else "file_id"
       graft.streaming.Streams.eraseHashIndex(spark, idx,
-        spark.read.parquet(corpus).filter(col("doc_id") < 1000000L)
+        spark.read.parquet(corpus).filter(col(idc) < 1000000L)
           .select("__h"))
-    else graft.ext.Media.eraseSigIndex(spark, idx, "mid",
+    } else graft.ext.Media.eraseSigIndex(spark, idx, "mid",
       spark.range(perDay).select(col("id").as("mid")))
     val eraseSec = (System.nanoTime() - tE) / 1e9
     ingest(dayBatch(math.max(days, 2)).filter(col("mid") >= 900000000L)
