@@ -2126,6 +2126,29 @@ object SparkEntry {
           col("channels"), col("mime"), col("dhash"))
     }),
 
+    // image metadata scrub (the image-side PII redaction: EXIF GPS/serial/
+    // XMP live in metadata): every fixture carries an eXIf orientation tag
+    // the scrub must REMOVE — afterwards decode sees the raw stored grid
+    // (no EXIF rotation), so dims/dhash re-derive from the plain pattern
+    // formula, and meta_stripped proves bytes actually left every payload
+    "mm_image_scrub" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("p", lit(0))
+        .withColumn("o", (col("doc_id") % 8 + 1).cast("int"))
+      val media = Media.genPatternPngs(ids, "doc_id", "k", "p", w = 9, h = 8)
+      val tagged = Media.genTaggedPngs(
+        media.join(ids.select(col("doc_id"), col("o")), Seq("doc_id")),
+        "doc_id", "content", "o")
+      val scrubbed = Media.stripImageMetadata(tagged, "doc_id", "content")
+      Media.decodeImageMeta(scrubbed, "doc_id", "content")
+        .join(scrubbed.select(col("doc_id"), col("bytes_removed")), Seq("doc_id"))
+        .select(col("doc_id").as("media_id"), col("width"), col("height"),
+          col("channels"), col("mime"), col("dhash"),
+          (col("bytes_removed") > 0).as("meta_stripped"))
+    }),
+
     // perceptual near-dup image pairs: dHash + lossless band join (output
     // == the all-pairs Hamming≤3 filter, at band-bucket cost)
     "mm_image_dedup" -> ((s, dir) => {
@@ -4057,6 +4080,29 @@ object SparkEntry {
         |  'image/png' AS mime,
         |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
         |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs""".stripMargin,
+
+    // the scrub oracle is the RAW pattern decode (p=0, k=id): eXIf gone →
+    // no orientation transform → dims stay 9×8 and the hash is the plain
+    // formula grid's; meta_stripped TRUE for every row (all carried eXIf)
+    "mm_image_scrub" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k
+        |    FROM documents WHERE doc_id < 150),
+        |  g AS (SELECT id, x, y,
+        |      (k*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM ids, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT DISTINCT id FROM ids) i LEFT JOIN bits b ON b.id = i.id GROUP BY i.id)
+        |SELECT id AS media_id, 9 AS width, 8 AS height, 1 AS channels,
+        |  'image/png' AS mime,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash,
+        |  TRUE AS meta_stripped
         |FROM hs""".stripMargin,
 
     // band-join pair set == the all-pairs Hamming filter (lossless by

@@ -272,6 +272,106 @@ object Media {
     out
   }
 
+  /** Strip all metadata from an image payload — the image-side PII scrub
+    * (the metadata is where the PII lives: EXIF GPS positions, camera
+    * serial numbers, XMP author records, embedded thumbnails that survive
+    * crops). PNG keeps only the chunks that determine pixels (IHDR, PLTE,
+    * IDAT, IEND, tRNS — eXIf/tEXt/iTXt/zTXt/tIME/pHYs all drop); JPEG
+    * keeps the structural segments and drops APP1–APP15 and COM (Exif,
+    * XMP, ICC, comments; APP0/JFIF stays — structural for some decoders).
+    * Pixels are byte-untouched: the entropy-coded data is copied verbatim,
+    * so a scrubbed JPEG is NOT re-compressed. Note the interaction with
+    * [[decodeLuma]]'s EXIF normalization: scrubbing removes the
+    * orientation tag, so a rotated-by-metadata image decodes as its RAW
+    * stored grid afterwards — scrub BEFORE hashing, or re-orient first.
+    */
+  private[ext] def stripImageMeta(bytes: Array[Byte]): Array[Byte] =
+    sniffMime(bytes) match {
+      case "image/png" =>
+        val keep = Set("IHDR", "PLTE", "IDAT", "IEND", "tRNS")
+        val bb = java.nio.ByteBuffer.wrap(bytes) // PNG lengths are BE
+        val out = new ByteArrayOutputStream(bytes.length)
+        out.write(bytes, 0, 8) // signature
+        var p = 8
+        var done = false
+        while (!done && p + 8 <= bytes.length) {
+          val len = bb.getInt(p)
+          val typ = new String(bytes, p + 4, 4, "US-ASCII")
+          val tot = 12 + len // len + type + data + crc
+          require(len >= 0 && p + tot <= bytes.length,
+            s"PNG chunk $typ at $p overruns the payload")
+          if (keep(typ)) out.write(bytes, p, tot)
+          if (typ == "IEND") done = true
+          p += tot
+        }
+        out.toByteArray
+      case "image/jpeg" =>
+        val out = new ByteArrayOutputStream(bytes.length)
+        out.write(0xff); out.write(0xd8) // SOI
+        var p = 2
+        var done = false
+        while (!done) {
+          require(p + 2 <= bytes.length && (bytes(p) & 0xff) == 0xff,
+            s"JPEG marker expected at byte $p")
+          val m = bytes(p + 1) & 0xff
+          if (m == 0xd9) { out.write(0xff); out.write(0xd9); done = true }
+          else if (m == 0xda) {
+            // SOS: entropy-coded data follows to EOI — copy verbatim
+            out.write(bytes, p, bytes.length - p)
+            done = true
+          } else {
+            require(p + 4 <= bytes.length, s"truncated JPEG segment at $p")
+            val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+            val tot = 2 + len
+            require(len >= 2 && p + tot <= bytes.length,
+              s"JPEG segment at $p overruns the payload")
+            val drop = (m >= 0xe1 && m <= 0xef) || m == 0xfe // APPn>0, COM
+            if (!drop) out.write(bytes, p, tot)
+            p += tot
+          }
+        }
+        out.toByteArray
+      case m => throw new IllegalArgumentException(
+        s"unsupported image container: $m")
+    }
+
+  /** [[stripImageMeta]] over a frame: output (idCol, content scrubbed,
+    * bytes_removed). One byte walk per row, pixels untouched, no shuffle —
+    * the PII-scrub stage of an image ingest runs at scan cost.
+    */
+  def stripImageMetadata(df: DataFrame, idCol: String,
+                         contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false),
+      StructField("bytes_removed", IntegerType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val scrubbed = stripImageMeta(bytes)
+        Row(r.get(0), scrubbed, bytes.length - scrubbed.length)
+      }
+    }, outSchema)
+  }
+
+  /** Insert an eXIf orientation chunk into every PNG payload (pixels
+    * untouched) — the df form of [[pngWithOrientation]], the fixture side
+    * of the metadata scrub oracle.
+    */
+  def genTaggedPngs(df: DataFrame, idCol: String, contentCol: String,
+                    orientCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol), col(orientCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.get(0), pngWithOrientation(r.getAs[Array[Byte]](1), r.getInt(2)))
+      }
+    }, outSchema)
+  }
+
   /** Container sniff from magic bytes — decode-independent, so a payload
     * that LIES about its type still reports what it actually is.
     */

@@ -89,8 +89,10 @@ class SparkEntrySpec extends SparkSpec {
     // (AVI+MP4 mixed corpus through the mm_video_dedup SQL verbatim)
     // 209 round 17: +mm_pdf_objstm (PDF 1.5+ /Type /ObjStm packed
     // page/font dicts, mm_pdf_unicode SQL verbatim)
-    assert(SparkEntry.queries.size == 209,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 209); " +
+    // 210 round 17: +mm_image_scrub (metadata PII scrub: eXIf/APPn strip,
+    // scrubbed decode = raw grid — plain-pattern dhash oracle)
+    assert(SparkEntry.queries.size == 210,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 210); " +
         "if intentional, update this pin")
   }
 

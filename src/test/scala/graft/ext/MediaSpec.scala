@@ -739,6 +739,48 @@ class MediaSpec extends SparkSpec {
     assert((two(0)._2 ^ two(1)._2) == 1L)
   }
 
+  test("stripImageMeta removes EXIF from PNG and JPEG, pixels untouched") {
+    // PNG: eXIf orientation tag drops, decode then sees the RAW grid
+    val raw = Media.encodeGrayPng(pattern(6L, 0, 9, 8), 9, 8)
+    val tagged = Media.pngWithOrientation(raw, 6)
+    assert(Media.exifOrientation(tagged) == 6)
+    val scrubbed = Media.stripImageMeta(tagged)
+    assert(scrubbed.length < tagged.length)
+    assert(Media.sniffMime(scrubbed) == "image/png")
+    assert(Media.exifOrientation(scrubbed) == 1) // absent → default
+    val (w, h, _, px) = Media.decodeLuma(scrubbed)
+    assert((w, h) == ((9, 8)) && px.sameElements(pattern(6L, 0, 9, 8)))
+    // the TAGGED original decodes rotated (6 = 90° CW: dims swap) — the
+    // scrub genuinely changed observable behavior, not just bytes
+    val (tw, th, _, _) = Media.decodeLuma(tagged)
+    assert((tw, th) == ((8, 9)))
+    // JPEG: APP1 Exif drops, entropy data copied verbatim (same pixels)
+    val jpegRaw = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 8).foreach(y => (0 until 9).foreach(x =>
+        img.getRaster.setSample(x, y, 0, pattern(6L, 0, 9, 8)(y * 9 + x))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    val jTagged = Media.jpegWithOrientation(jpegRaw, 3)
+    assert(Media.exifOrientation(jTagged) == 3)
+    val jScrubbed = Media.stripImageMeta(jTagged)
+    assert(Media.sniffMime(jScrubbed) == "image/jpeg")
+    assert(Media.exifOrientation(jScrubbed) == 1)
+    val (jw, jh, _, jp) = Media.decodeLuma(jScrubbed)
+    val (ow, oh, _, op) = Media.decodeLuma(jpegRaw)
+    assert((jw, jh) == ((ow, oh)) && jp.sameElements(op))
+    // frame op reports the removed byte count
+    val out = Media.stripImageMetadata(
+      Seq((1L, tagged), (2L, jTagged)).toDF("id", "content"), "id", "content")
+      .select("id", "bytes_removed").as[(Long, Int)].collect().sortBy(_._1)
+    assert(out.forall(_._2 > 0))
+    intercept[IllegalArgumentException] {
+      Media.stripImageMeta("not an image".getBytes)
+    }
+  }
+
   test("decodeMp4Meta derives floor duration and fps from the box walk") {
     val ids = Seq((7L, 12800L, 512L, 25, 480, 360, false))
       .toDF("id", "ts", "dl", "n", "w", "h", "audio")
