@@ -2204,6 +2204,31 @@ object SparkEntry {
           col("channels"), col("bits"), col("n_frames"), col("duration_ms"))
     }),
 
+    // WAV metadata scrub: every fixture carries a LIST(INFO) artist tag
+    // the scrub must remove — header facts re-derive unchanged and
+    // meta_stripped proves bytes actually left every payload
+    "mm_audio_scrub" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("rate", when(col("doc_id") % 3 === 0, 8000)
+          .when(col("doc_id") % 3 === 1, 16000).otherwise(44100))
+        .withColumn("ch", (col("doc_id") % 2 + 1).cast("int"))
+        .withColumn("frames", (lit(100) + (col("doc_id") % 50) * 10).cast("int"))
+        .withColumn("artist",
+          concat(lit("GRAFT-PII artist="), col("doc_id")))
+      val media = Media.genWavs(ids, "doc_id", "rate", "ch", "frames")
+      val tagged = Media.genInfoTagged(
+        media.join(ids.select(col("doc_id"), col("artist")), Seq("doc_id")),
+        "doc_id", "content", "artist")
+      val scrubbed = Media.stripMediaMetadata(tagged, "doc_id", "content")
+      Media.decodeAudioMeta(scrubbed, "doc_id", "content")
+        .join(scrubbed.select(col("doc_id"),
+          (col("bytes_removed") > 0).as("meta_stripped")), Seq("doc_id"))
+        .select(col("doc_id").as("media_id"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_frames"), col("duration_ms"),
+          col("meta_stripped"))
+    }),
+
     // RIFF/AVI main-header decode: the video leg of the real-container
     // triad (avih chunk nested in LIST(hdrl) — a two-level RIFF walk)
     "mm_video_meta" -> ((s, dir) => {
@@ -2243,6 +2268,61 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"), col("major_brand"),
           col("timescale"), col("duration_ms"), col("n_tracks"),
           col("width"), col("height"), col("n_frames"), col("fps_x1000"))
+    }),
+
+    // AVI metadata scrub: planted LIST(INFO) artist tag removed, avih
+    // facts re-derive unchanged (mm_video_meta fixture formulas)
+    "mm_video_scrub" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("uspf", when(col("doc_id") % 3 === 0, 41667)
+          .when(col("doc_id") % 3 === 1, 33333).otherwise(16667))
+        .withColumn("frames", (lit(100) + (col("doc_id") % 60) * 25).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+        .withColumn("artist",
+          concat(lit("GRAFT-PII artist="), col("doc_id")))
+      val media = Media.genAvis(ids, "doc_id", "uspf", "frames", "w", "h")
+      val tagged = Media.genInfoTagged(
+        media.join(ids.select(col("doc_id"), col("artist")), Seq("doc_id")),
+        "doc_id", "content", "artist")
+      val scrubbed = Media.stripMediaMetadata(tagged, "doc_id", "content")
+      Media.decodeVideoMeta(scrubbed, "doc_id", "content")
+        .join(scrubbed.select(col("doc_id"),
+          (col("bytes_removed") > 0).as("meta_stripped")), Seq("doc_id"))
+        .select(col("doc_id").as("media_id"), col("width"), col("height"),
+          col("n_frames"), col("n_streams"), col("fps_x1000"),
+          col("duration_ms"), col("meta_stripped"))
+    }),
+
+    // MP4 metadata scrub is size-PRESERVING (rewriting box lengths would
+    // shift the absolute stco offsets): the udta every genMp4s fixture
+    // plants is renamed free + zeroed in place — meta_zeroed checks the
+    // PII marker is byte-gone, size_preserved that nothing moved, and the
+    // box-walk facts re-derive unchanged
+    "mm_mp4_scrub" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("ts", when(col("doc_id") % 3 === 0, 90000L)
+          .when(col("doc_id") % 3 === 1, 30000L).otherwise(12800L))
+        .withColumn("dl", when(col("doc_id") % 3 === 0, 3000L)
+          .when(col("doc_id") % 3 === 1, 1001L).otherwise(512L))
+        .withColumn("n", (lit(24) + (col("doc_id") % 40) * 3).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+        .withColumn("audio", col("doc_id") % 2 === 0)
+      val media = Media.genMp4s(ids, "doc_id", "ts", "dl", "n", "w", "h",
+        "audio")
+      val scrubbed = Media.stripMediaMetadata(media, "doc_id", "content")
+      Media.decodeMp4Meta(scrubbed, "doc_id", "content")
+        .join(scrubbed.select(col("doc_id"),
+          (!contains(col("content"), lit("GRAFT-PII".getBytes)))
+            .as("meta_zeroed"),
+          (col("bytes_removed") === 0).as("size_preserved")), Seq("doc_id"))
+        .select(col("doc_id").as("media_id"), col("major_brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"), col("n_frames"), col("fps_x1000"),
+          col("meta_zeroed"), col("size_preserved"))
     }),
 
     // MP4 frame walk: stsz/stsc/stco sample extraction + PNG decode —
@@ -3318,10 +3398,22 @@ object SparkEntry {
     // layout-variant keys replay their base key's SQL verbatim — the
     // varied dimension (video container / PDF object layout) never enters
     // the algebra, and that is exactly what the shared oracle proves
+    // the scrub oracles are their base meta oracles + constant TRUE
+    // flags: scrubbing must leave every decode fact bit-identical, and
+    // THAT is what sharing the SQL proves
+    def withFlags(base: String, flags: String): String =
+      base.replace("\nFROM ids", s",\n  $flags\nFROM ids")
     m + ("mm_video_dedup_mixed" -> m("mm_video_dedup")) +
       // same page-text formula; only the header version differs (ObjStm
       // is a PDF 1.5 feature, and the fixture headers say so)
-      ("mm_pdf_objstm" -> m("mm_pdf_unicode").replace("'1.4'", "'1.5'"))
+      ("mm_pdf_objstm" -> m("mm_pdf_unicode").replace("'1.4'", "'1.5'")) +
+      ("mm_audio_scrub" ->
+        withFlags(m("mm_audio_meta"), "TRUE AS meta_stripped")) +
+      ("mm_video_scrub" ->
+        withFlags(m("mm_video_meta"), "TRUE AS meta_stripped")) +
+      ("mm_mp4_scrub" ->
+        withFlags(m("mm_mp4_meta"),
+          "TRUE AS meta_zeroed, TRUE AS size_preserved"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -714,6 +714,13 @@ object Config {
       // also flow through videoMetaLenient/videoFrames via the sniff
       case "mp4Meta" =>
         graft.ext.Media.decodeMp4Meta(df, str(n, "id"), str(n, "column"))
+      // metadata PII scrub for any supported container (PNG/JPEG/WAV/AVI/
+      // MP4) — composes upstream of any ingest sink: source → mediaScrub
+      // → ingestImageDedup strips EXIF GPS before payloads persist
+      case "mediaScrub" =>
+        graft.ext.Media.stripMediaMetadata(df, str(n, "id"), str(n, "column"))
+      case "imageScrub" =>
+        graft.ext.Media.stripImageMetadata(df, str(n, "id"), str(n, "column"))
       // dirty-crawl twins: malformed payloads quarantine in place
       // (decode_ok/decode_err) instead of failing the task
       case "audioMetaLenient" =>

@@ -335,6 +335,174 @@ object Media {
         s"unsupported image container: $m")
     }
 
+  /** Top-level RIFF chunks after the 12-byte form header, as
+    * (fourcc, payload) in file order — the read half of the WAV/AVI
+    * metadata scrub ([[riffBuild]] is the write half).
+    */
+  private def riffChunks(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"RIFF chunk $id at $off overruns the payload")
+      out += id -> java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+      off += 8 + size + (size & 1)
+    }
+    out.result()
+  }
+
+  /** Serialize a RIFF form (`WAVE`/`AVI `) from top-level chunks with a
+    * recomputed form size — word-aligned like every RIFF writer here.
+    */
+  private def riffBuild(form: String,
+                        chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    chunks.foreach { case (id, data) =>
+      val hdr = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hdr.put(id.getBytes("US-ASCII")).putInt(data.length)
+      body.write(hdr.array())
+      body.write(data)
+      if ((data.length & 1) == 1) body.write(0)
+    }
+    val bb = java.nio.ByteBuffer.allocate(12 + body.size())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.size())
+      .put(form.getBytes("US-ASCII")).put(body.toByteArray)
+    bb.array()
+  }
+
+  /** Strip metadata from ANY supported media payload — [[stripImageMeta]]
+    * generalized across the container tier (metadata is the PII channel
+    * in every one of them: EXIF GPS in images, `LIST(INFO)` artist/
+    * copyright/device tags in WAV and AVI, `udta`/`meta` atoms — GPS
+    * coordinates included, ©xyz on phones — in MP4):
+    *  - PNG/JPEG → [[stripImageMeta]];
+    *  - WAV → keep only `fmt ` and `data` chunks (INFO lists, cue points,
+    *    broadcast-WAV `bext` all drop), form size recomputed;
+    *  - AVI → keep only `LIST(hdrl)`, `LIST(movi)` and the `idx1` index
+    *    (INFO lists and `JUNK` padding drop), form size recomputed;
+    *  - MP4 → size-PRESERVING neutralization: `udta`/`meta`/`skip`/`free`
+    *    boxes (top-level, in `moov`, and in each `trak`) are renamed to
+    *    `free` with their payloads zeroed — rewriting lengths would shift
+    *    the absolute `stco` chunk offsets and corrupt the sample walk, so
+    *    the scrub overwrites in place instead (the exiftool approach).
+    * Decode facts are untouched in all five — asserted by the
+    * `mm_audio_scrub`/`mm_video_scrub`/`mm_mp4_scrub` oracles.
+    */
+  private[ext] def stripMediaMeta(bytes: Array[Byte]): Array[Byte] =
+    sniffMime(bytes) match {
+      case "image/png" | "image/jpeg" => stripImageMeta(bytes)
+      case "audio/wav" =>
+        riffBuild("WAVE", riffChunks(bytes)
+          .filter { case (id, _) => id == "fmt " || id == "data" })
+      case "video/avi" =>
+        riffBuild("AVI ", riffChunks(bytes).filter {
+          case ("LIST", data) =>
+            data.length >= 4 && {
+              val lt = new String(data, 0, 4, "US-ASCII")
+              lt == "hdrl" || lt == "movi"
+            }
+          case ("idx1", _) => true
+          case _ => false
+        })
+      case "video/mp4" =>
+        val out = bytes.clone()
+        val bb = java.nio.ByteBuffer.wrap(out)
+        val drop = Set("udta", "meta", "skip", "free")
+        def scrub(from: Int, until: Int): Unit = {
+          var off = from
+          while (off + 8 <= until) {
+            val size32 = bb.getInt(off)
+            val typ = new String(out, off + 4, 4, "US-ASCII")
+            val end: Long =
+              if (size32 == 1) off.toLong + bb.getLong(off + 8)
+              else if (size32 == 0) until.toLong
+              else off.toLong + (size32.toLong & 0xffffffffL)
+            require(end > off && end <= until,
+              s"box '$typ' at $off overruns enclosing scope")
+            val payload = if (size32 == 1) off + 16 else off + 8
+            if (drop(typ)) {
+              System.arraycopy("free".getBytes("US-ASCII"), 0, out, off + 4, 4)
+              java.util.Arrays.fill(out, payload, end.toInt, 0.toByte)
+            } else if (typ == "moov" || typ == "trak") scrub(payload, end.toInt)
+            off = end.toInt
+          }
+        }
+        scrub(0, out.length)
+        out
+      case m => throw new IllegalArgumentException(
+        s"unsupported media container: $m")
+    }
+
+  /** [[stripMediaMeta]] over a frame: output (idCol, content scrubbed,
+    * bytes_removed — 0 for the size-preserving MP4 neutralization, whose
+    * effect the `meta_zeroed` check in the oracle observes instead). One
+    * byte walk per row, pixels/samples untouched, no shuffle — the
+    * PII-scrub stage of an ingest runs at scan cost.
+    */
+  def stripMediaMetadata(df: DataFrame, idCol: String,
+                         contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false),
+      StructField("bytes_removed", IntegerType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val scrubbed = stripMediaMeta(bytes)
+        Row(r.get(0), scrubbed, bytes.length - scrubbed.length)
+      }
+    }, outSchema)
+  }
+
+  /** A RIFF `LIST(INFO)` payload holding one IART (artist) tag — the
+    * metadata the WAV/AVI scrub exists to remove, as fixtures plant it.
+    */
+  private def infoList(artist: String): Array[Byte] = {
+    val t = artist.getBytes("US-ASCII")
+    val padded = if ((t.length & 1) == 1) t :+ 0.toByte else t
+    val bb = java.nio.ByteBuffer.allocate(12 + padded.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("INFO".getBytes("US-ASCII")).put("IART".getBytes("US-ASCII"))
+      .putInt(t.length).put(padded)
+    bb.array()
+  }
+
+  /** Insert a `LIST(INFO)` artist tag into every WAV/AVI payload
+    * (samples/frames untouched; WAV gets it before `data`, AVI appended —
+    * the positions real taggers use) — the fixture side of the media
+    * scrub oracles.
+    */
+  def genInfoTagged(df: DataFrame, idCol: String, contentCol: String,
+                    artistCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol), col(artistCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val tag = "LIST" -> infoList(r.getString(2))
+        val tagged = sniffMime(bytes) match {
+          case "audio/wav" => riffBuild("WAVE", riffChunks(bytes).flatMap {
+            case c @ ("data", _) => Seq(tag, c)
+            case c => Seq(c)
+          })
+          case "video/avi" => riffBuild("AVI ", riffChunks(bytes) :+ tag)
+          case m => throw new IllegalArgumentException(
+            s"genInfoTagged supports WAV/AVI, got $m")
+        }
+        Row(r.get(0), tagged)
+      }
+    }, outSchema)
+  }
+
   /** [[stripImageMeta]] over a frame: output (idCol, content scrubbed,
     * bytes_removed). One byte walk per row, pixels untouched, no shuffle —
     * the PII-scrub stage of an image ingest runs at scan cost.
@@ -2038,7 +2206,8 @@ object Media {
     */
   def encodeMp4(majorBrand: String, timescale: Long, duration: Long,
                 tracks: Seq[(Int, Int)], samples: Seq[Array[Byte]] = Nil,
-                sampleDelta: Long = 1L): Array[Byte] = {
+                sampleDelta: Long = 1L,
+                udta: Array[Byte] = Array.empty): Array[Byte] = {
     def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
       val len = 8 + payloads.map(_.length).sum
       val bb = java.nio.ByteBuffer.allocate(len)
@@ -2120,7 +2289,9 @@ object Media {
             box("mdia", mdhd, box("minf", stblBox(stcoOffset))))
         else box("trak", tkhd(i + 1, w, h), box("mdia", mdhd))
       }
-      box("moov", (mvhd +: traks): _*)
+      val kids = (mvhd +: traks) ++
+        (if (udta.nonEmpty) Seq(box("udta", udta)) else Nil)
+      box("moov", kids: _*)
     }
     // two-pass: moov's length is independent of the stco VALUE, so build
     // once to measure, then rebuild with the real first-sample offset
@@ -2194,8 +2365,12 @@ object Media {
         val tracks =
           if (r.getBoolean(6)) Seq((r.getInt(4), r.getInt(5)), (0, 0))
           else Seq((r.getInt(4), r.getInt(5)))
+        // every fixture carries a udta metadata atom — the PII channel
+        // the scrub oracle (mm_mp4_scrub) must provably neutralize;
+        // parseMp4 never reads it, so the meta oracles are unaffected
         Row(id, encodeMp4("isom", r.getLong(1), r.getLong(2) * n,
-          tracks, samples, r.getLong(2)))
+          tracks, samples, r.getLong(2),
+          udta = s"GRAFT-PII artist=$id gps=+0.0+0.0/".getBytes("US-ASCII")))
       }
     }, outSchema)
   }

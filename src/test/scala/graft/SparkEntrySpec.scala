@@ -91,8 +91,11 @@ class SparkEntrySpec extends SparkSpec {
     // page/font dicts, mm_pdf_unicode SQL verbatim)
     // 210 round 17: +mm_image_scrub (metadata PII scrub: eXIf/APPn strip,
     // scrubbed decode = raw grid — plain-pattern dhash oracle)
-    assert(SparkEntry.queries.size == 210,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 210); " +
+    // 213 round 17: +mm_audio_scrub, +mm_video_scrub (LIST(INFO) strip,
+    // base meta oracles + stripped flag), +mm_mp4_scrub (size-preserving
+    // udta neutralization — stco offsets survive)
+    assert(SparkEntry.queries.size == 213,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 213); " +
         "if intentional, update this pin")
   }
 

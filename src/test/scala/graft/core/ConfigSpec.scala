@@ -993,6 +993,32 @@ class ConfigSpec extends SparkSpec {
     assert(got == (("isom", 1000L, 25, 25000L)))
   }
 
+  test("mediaScrub op strips metadata upstream of a sink") {
+    val dir = Files.createTempDirectory("graft_cfg_scrub_").toString
+    val wav = graft.ext.Media.encodeWav(8000, 1,
+      Array.tabulate[Short](160)(_.toShort))
+    graft.ext.Media.genInfoTagged(
+      Seq((1L, wav)).toDF("id", "content")
+        .withColumn("a", org.apache.spark.sql.functions.lit("GRAFT-PII X")),
+      "id", "content", "a")
+      .write.parquet(s"$dir/in")
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms:
+         |  - {op: mediaScrub, id: id, column: content}
+         |sink: {type: parquet, path: $dir/out}
+         |""".stripMargin)
+    val got = spark.read.parquet(s"$dir/out")
+      .select("content", "bytes_removed")
+      .as[(Array[Byte], Int)].head()
+    assert(got._2 > 0)
+    assert(!new String(got._1, "ISO-8859-1").contains("GRAFT-PII"))
+    // the scrubbed payload still decodes with its samples intact
+    assert(graft.ext.Media.decodeAudioMeta(
+      spark.read.parquet(s"$dir/out"), "id", "content")
+      .select("n_frames").as[Long].head() == 160L)
+  }
+
   test("WARC crawl pipeline from config: binaryFile → responses → page text") {
     val dir = Files.createTempDirectory("graft_cfg_warc_").toString
     new java.io.File(s"$dir/warcs").mkdirs()

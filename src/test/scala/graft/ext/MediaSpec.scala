@@ -781,6 +781,55 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("stripMediaMeta: WAV/AVI INFO tags drop, MP4 udta zeroes in place") {
+    // WAV: LIST(INFO) removed, header facts identical
+    val wav = Media.encodeWav(16000, 2, Array.tabulate[Short](320)(_.toShort))
+    val taggedWav = Media.genInfoTagged(
+      Seq((1L, wav)).toDF("id", "content").withColumn("a",
+        lit("GRAFT-PII Artist")), "id", "content", "a")
+      .select("content").as[Array[Byte]].head()
+    assert(new String(taggedWav, "ISO-8859-1").contains("GRAFT-PII"))
+    assert(Media.parseWav(taggedWav) == Media.parseWav(wav).copy(
+      dataOff = Media.parseWav(taggedWav).dataOff)) // INFO shifts data
+    val sWav = Media.stripMediaMeta(taggedWav)
+    assert(!new String(sWav, "ISO-8859-1").contains("GRAFT-PII"))
+    assert(sWav.length < taggedWav.length)
+    val (m0, m1) = (Media.parseWav(wav), Media.parseWav(sWav))
+    assert(m1.sampleRate == m0.sampleRate && m1.channels == m0.channels &&
+      m1.dataBytes == m0.dataBytes)
+    // AVI: INFO removed, frames decode identically
+    val avi = Media.genPatternAvis(Seq((1L, 5L, 3)).toDF("id", "k", "n"),
+      "id", "k", "n", 9, 8).select("content").as[Array[Byte]].head()
+    val taggedAvi = Media.genInfoTagged(
+      Seq((1L, avi)).toDF("id", "content").withColumn("a",
+        lit("GRAFT-PII Cam")), "id", "content", "a")
+      .select("content").as[Array[Byte]].head()
+    val sAvi = Media.stripMediaMeta(taggedAvi)
+    assert(!new String(sAvi, "ISO-8859-1").contains("GRAFT-PII"))
+    assert(Media.parseAvi(sAvi) == Media.parseAvi(avi))
+    assert(Media.aviFramePayloads(sAvi).map(_.toSeq) ==
+      Media.aviFramePayloads(avi).map(_.toSeq))
+    // MP4: udta neutralized IN PLACE — same length, marker byte-gone,
+    // header facts AND the sample walk (absolute stco offsets!) intact
+    val mp4 = Media.encodeMp4("isom", 30000L, 1001L * 2, Seq((9, 8)),
+      Seq("AB".getBytes, "CDE".getBytes), 1001L,
+      udta = "GRAFT-PII gps=+1.2-3.4/".getBytes)
+    val sMp4 = Media.stripMediaMeta(mp4)
+    assert(sMp4.length == mp4.length)
+    assert(new String(mp4, "ISO-8859-1").contains("GRAFT-PII"))
+    assert(!new String(sMp4, "ISO-8859-1").contains("GRAFT-PII"))
+    assert(Media.parseMp4(sMp4) == Media.parseMp4(mp4))
+    assert(Media.mp4FramePayloads(sMp4).map(new String(_)) == Seq("AB", "CDE"))
+    // PNG/JPEG delegate to stripImageMeta; garbage throws
+    assert(Media.stripMediaMeta(Media.pngWithOrientation(
+      Media.encodeGrayPng(pattern(2L, 0, 9, 8), 9, 8), 3)).length <
+      Media.pngWithOrientation(
+        Media.encodeGrayPng(pattern(2L, 0, 9, 8), 9, 8), 3).length)
+    intercept[IllegalArgumentException] {
+      Media.stripMediaMeta("not media".getBytes)
+    }
+  }
+
   test("decodeMp4Meta derives floor duration and fps from the box walk") {
     val ids = Seq((7L, 12800L, 512L, 25, 480, 360, false))
       .toDF("id", "ts", "dl", "n", "w", "h", "audio")
