@@ -1438,7 +1438,8 @@ object Media {
     * payloads throw — use a mime filter upstream or [[decodeVideoMetaLenient]]
     * to quarantine whole files first.
     */
-  def videoFrames(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+  def videoFrames(df: DataFrame, idCol: String, contentCol: String,
+                  maxFrames: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     val in = df.select(col(idCol), col(contentCol))
     val outSchema = StructType(Seq(in.schema.head,
@@ -1449,7 +1450,15 @@ object Media {
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.get(0)
-        framePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
+        val payloads = framePayloads(r.getAs[Array[Byte]](1))
+        // one video's frames decode inside ONE task (the per-video memory
+        // bound): maxFrames is the guard rail for corpora where hour-long
+        // videos can appear — over-cap videos FAIL (or quarantine, in the
+        // lenient twin) rather than silently emitting a frame prefix,
+        // which would admit a truncated signature set into the dedup tier
+        require(payloads.length <= maxFrames,
+          s"video has ${payloads.length} frames > maxFrames=$maxFrames")
+        payloads.iterator.zipWithIndex.map {
           case (payload, i) =>
             val (w, h, _, px) = decodeLuma(payload)
             Row(id, i, w, h, dHash64(px, w, h))
@@ -1471,8 +1480,8 @@ object Media {
     * facts). A zero-frame valid container emits nothing, same as the
     * strict path. Good rows carry facts bit-equal to [[videoFrames]].
     */
-  def videoFramesLenient(df: DataFrame, idCol: String,
-                         contentCol: String): DataFrame = {
+  def videoFramesLenient(df: DataFrame, idCol: String, contentCol: String,
+                         maxFrames: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     val in = df.select(col(idCol), col(contentCol))
     val outSchema = StructType(Seq(in.schema.head,
@@ -1488,8 +1497,13 @@ object Media {
         try {
           // decode EVERY frame before emitting any: a video is healthy
           // only as a whole (emitting a prefix of its frames would admit
-          // a truncated signature set into the dedup tier)
-          framePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex.map {
+          // a truncated signature set into the dedup tier); an over-cap
+          // video (see videoFrames' maxFrames rationale) quarantines as
+          // one row, same as any other per-video failure
+          val payloads = framePayloads(r.getAs[Array[Byte]](1))
+          require(payloads.length <= maxFrames,
+            s"video has ${payloads.length} frames > maxFrames=$maxFrames")
+          payloads.iterator.zipWithIndex.map {
             case (payload, i) =>
               val (w, h, _, px) = decodeLuma(payload)
               Row(id, true, null, i, w, h, dHash64(px, w, h))

@@ -781,6 +781,22 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("maxFrames caps per-video decode: strict throws, lenient quarantines") {
+    val df = Seq((1L, 3L, 2), (2L, 9L, 4)).toDF("id", "k", "n")
+    val avis = Media.genPatternAvis(df, "id", "k", "n", w = 9, h = 8)
+    // cap above both: everything decodes
+    assert(Media.videoFrames(avis, "id", "content", maxFrames = 4).count() == 6)
+    // cap between the two: strict fails the job…
+    intercept[org.apache.spark.SparkException] {
+      Media.videoFrames(avis, "id", "content", maxFrames = 3).collect()
+    }
+    // …lenient quarantines ONLY the over-cap video (no frame prefix)
+    val out = Media.videoFramesLenient(avis, "id", "content", maxFrames = 3)
+      .select("id", "frame_ok").as[(Long, Boolean)].collect().toSeq
+    assert(out.filter(_._1 == 1L).map(_._2) == Seq(true, true))
+    assert(out.filter(_._1 == 2L) == Seq((2L, false)))
+  }
+
   test("stripMediaMeta: WAV/AVI INFO tags drop, MP4 udta zeroes in place") {
     // WAV: LIST(INFO) removed, header facts identical
     val wav = Media.encodeWav(16000, 2, Array.tabulate[Short](320)(_.toShort))
