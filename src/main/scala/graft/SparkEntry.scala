@@ -2340,6 +2340,64 @@ object SparkEntry {
           col("width"), col("height"), col("dhash"))
     }),
 
+    // audio-track-FIRST MP4s (the real-crawl track order): both traks
+    // carry sample tables, the first is 'soun' junk — the hdlr-typed
+    // track selection must land on the 'vide' trak, proven by this key
+    // sharing mm_mp4_frames' oracle SQL verbatim (identical frame hashes
+    // to the video-first twin; positional selection would decode garbage)
+    "mm_mp4_frames_avorder" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 3 + 2).cast("int"))
+      val media = Media.genPatternMp4sAvOrder(ids, "doc_id", "k", "n",
+        w = 9, h = 8)
+      Media.videoFrames(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("frame_idx"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // variable-frame-rate MP4: the stts carries TWO delta runs (first
+    // half at dl, second at 2·dl) — fps_x1000 must be the
+    // duration-WEIGHTED n·ts·1000/(n1·dl + n2·2dl), which the oracle
+    // re-derives exactly; a first-delta-only reader reports ts·1000/dl
+    // and hash-mismatches every row
+    "mm_mp4_meta_vfr" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("ts", when(col("doc_id") % 3 === 0, 90000L)
+          .when(col("doc_id") % 3 === 1, 30000L).otherwise(12800L))
+        .withColumn("dl", when(col("doc_id") % 3 === 0, 3000L)
+          .when(col("doc_id") % 3 === 1, 1001L).otherwise(512L))
+        .withColumn("n", (lit(24) + (col("doc_id") % 40) * 3).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+      val media = Media.genVfrMp4s(ids, "doc_id", "ts", "dl", "n", "w", "h")
+      Media.decodeMp4Meta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("major_brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"), col("n_frames"), col("fps_x1000"))
+    }),
+
+    // stss keyframe sampling: the sync-sample table is the container's
+    // OWN scene-start list, so the MP4 tier samples representatives
+    // WITHOUT decoding every frame (the per-file economy at 100 TB —
+    // the AVI tier must decode all frames and diff dHashes instead).
+    // Fixture plants sync samples 1, 1+step, …; oracle = the pattern
+    // dhash formula over exactly the f % step = 0 frames
+    "mm_mp4_keyframes" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("step", (col("doc_id") % 3 + 2).cast("int"))
+      val media = Media.genPatternMp4sKeyframed(ids, "doc_id", "k", "n",
+        "step", w = 9, h = 8)
+      Media.mp4Keyframes(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("frame_idx"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
     // WARC crawl ingestion (ISO 28500 — the Common Crawl container):
     // file k holds a warcinfo record + per page i a (request, response)
     // pair; even-k files use the per-record-gzip-member layout, so one
@@ -3404,6 +3462,9 @@ object SparkEntry {
     def withFlags(base: String, flags: String): String =
       base.replace("\nFROM ids", s",\n  $flags\nFROM ids")
     m + ("mm_video_dedup_mixed" -> m("mm_video_dedup")) +
+      // audio-first track order never enters the algebra: the hdlr-typed
+      // selection must yield frames identical to the video-first fixture
+      ("mm_mp4_frames_avorder" -> m("mm_mp4_frames")) +
       // same page-text formula; only the header version differs (ObjStm
       // is a PDF 1.5 feature, and the fixture headers say so)
       ("mm_pdf_objstm" -> m("mm_pdf_unicode").replace("'1.4'", "'1.5'")) +
@@ -4291,6 +4352,54 @@ object SparkEntry {
         |  CAST(n AS INT) AS n_frames,
         |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000
         |FROM ids""".stripMargin,
+
+    // VFR: duration in timescale units = (n/2)·dl + (n−n/2)·2dl; fps is
+    // the duration-weighted total — integer floors replayed exactly
+    "mm_mp4_meta_vfr" ->
+      """WITH ids AS (SELECT doc_id AS d,
+        |    CASE WHEN doc_id % 3 = 0 THEN 90000 WHEN doc_id % 3 = 1 THEN 30000 ELSE 12800 END AS ts,
+        |    CASE WHEN doc_id % 3 = 0 THEN 3000 WHEN doc_id % 3 = 1 THEN 1001 ELSE 512 END AS dl,
+        |    24 + (doc_id % 40) * 3 AS n,
+        |    320 + (doc_id % 4) * 160 AS w,
+        |    240 + (doc_id % 4) * 120 AS h
+        |  FROM documents WHERE doc_id < 150),
+        |  v AS (SELECT *, (n // 2) * dl + (n - n // 2) * 2 * dl AS dur
+        |    FROM ids)
+        |SELECT d AS media_id, 'isom' AS major_brand,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(2 AS INT) AS n_tracks,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST(n * ts * 1000 // dur AS BIGINT) AS fps_x1000
+        |FROM v""".stripMargin,
+
+    // keyframes = the f % step = 0 subset of the pattern frame walk: the
+    // planted stss table selects samples 1, 1+step, … and the dhash
+    // formula re-derives per selected frame — same grid math as
+    // mm_mp4_frames, restricted to the sync rows
+    "mm_mp4_keyframes" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k, doc_id % 5 + 4 AS n,
+        |      doc_id % 3 + 2 AS step
+        |    FROM documents WHERE doc_id < 80),
+        |  fr AS (SELECT id, k * 8 + f AS kf, CAST(f AS INT) AS f
+        |    FROM ids, unnest(range(0, 8)) tf(f)
+        |    WHERE f < n AND f % step = 0),
+        |  g AS (SELECT id, f, x, y,
+        |      (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f)
+        |SELECT id AS media_id, f AS frame_idx, 9 AS width, 8 AS height,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs""".stripMargin,
 
     // identical dHash re-derivation as mm_video_frames — same pixel
     // formula, different container: the hash match proves the MP4 sample

@@ -1950,8 +1950,7 @@ object Media {
               val m = parseMp4(bytes)
               Row(r.get(0), r.get(1), true, null, mime, m.width, m.height,
                 if (m.nSamples > 0) m.nSamples else null, m.nTracks,
-                if (m.sampleDelta > 0) m.timescale * 1000L / m.sampleDelta
-                else null,
+                m.fpsX1000.map(Long.box).orNull,
                 m.duration * 1000L / m.timescale)
             case other =>
               throw new IllegalArgumentException(
@@ -1995,13 +1994,28 @@ object Media {
   /** Parsed ISO-BMFF (MP4) facts: `ftyp` major brand, `mvhd` movie
     * timescale/duration, track count, the first video track's pixel
     * dimensions (`tkhd`, 16.16 fixed → integer part), and — when a sample
-    * table is present — the first sample-carrying track's sample count
-    * (`stsz`) and constant sample delta (`stts` first entry).
+    * table is present — the VIDEO track's sample count (`stsz`) plus the
+    * total sample count and total timescale-unit duration summed over ALL
+    * its `stts` entries (so fps is duration-weighted, correct for
+    * variable-frame-rate files, not just the first run's rate). The video
+    * track is the one whose `hdlr` handler type is `vide`; handler-less
+    * containers fall back to the first track carrying a sample table, and
+    * `stsz`/`stts` are always latched from the SAME track.
     */
   private[ext] final case class Mp4Meta(majorBrand: String, timescale: Long,
                                         duration: Long, nTracks: Int,
                                         width: Int, height: Int,
-                                        nSamples: Int, sampleDelta: Long)
+                                        nSamples: Int, sttsCount: Long,
+                                        sttsDur: Long) {
+    /** Duration-weighted frames per 1000 s: `Σcount·timescale·1000 /
+      * Σ(count·delta)` — for a single-entry `stts` this floors to exactly
+      * the old first-delta form `timescale·1000/delta` (same rational).
+      */
+    def fpsX1000: Option[Long] =
+      if (sttsCount > 0 && sttsDur > 0)
+        Some(sttsCount * timescale * 1000L / sttsDur)
+      else None
+  }
 
   /** Iterate the boxes of `bytes[from, until)`, calling
     * `f(type, payloadStart, payloadEnd)` per box — the one walk primitive
@@ -2035,15 +2049,87 @@ object Media {
     }
   }
 
+  /** Per-trak sample facts collected during one `moov` walk: the `hdlr`
+    * handler type (empty when absent), `stsz` sample count, and the sum of
+    * counts / sum of count·delta over ALL `stts` entries — both latched
+    * from the SAME trak, never mixed across tracks.
+    */
+  private final case class TrakFacts(handler: String, nSamples: Int,
+                                     sttsCount: Long, sttsDur: Long) {
+    def hasSampleTable: Boolean = nSamples > 0 || sttsCount > 0
+  }
+
+  /** Walk one `trak` box's `mdia(hdlr, minf(stbl))` subtree into its
+    * [[TrakFacts]] — the shared selection input of [[parseMp4]] and the
+    * sample-extraction walks (which re-read the full table only for the
+    * track this selection picks).
+    */
+  private def trakFacts(bytes: Array[Byte], s2: Int, e2: Int): TrakFacts = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var handler = ""
+    var nSamples = 0
+    var sttsCount = 0L
+    var sttsDur = 0L
+    walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
+      if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+        t4 match {
+          // hdlr: FullBox(4) + pre_defined(4) + handler_type(4)
+          case "hdlr" if e4 - s4 >= 12 =>
+            handler = new String(bytes, s4 + 8, 4, "US-ASCII")
+          case "minf" => walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
+            if (t5 == "stbl") walkBoxes(bytes, s5, e5) { (t6, ps, _) =>
+              t6 match {
+                case "stsz" =>
+                  nSamples = bb.getInt(ps + 8) // count (after vf + size)
+                case "stts" =>
+                  val n = bb.getInt(ps + 4)
+                  var i = 0
+                  while (i < n) {
+                    val c = bb.getInt(ps + 8 + 8 * i).toLong & 0xffffffffL
+                    val d = bb.getInt(ps + 12 + 8 * i).toLong & 0xffffffffL
+                    sttsCount += c
+                    sttsDur += c * d
+                    i += 1
+                  }
+                case _ =>
+              }
+            }
+          }
+          case _ =>
+        }
+      }
+    }
+    TrakFacts(handler, nSamples, sttsCount, sttsDur)
+  }
+
+  /** Pick the track the frame tier should read: the first trak whose
+    * `hdlr` handler type is `vide` AND that carries a sample table; when
+    * no trak declares a video handler (minimal/handler-less files), the
+    * first trak with a sample table — the pre-`hdlr` behavior. Positional
+    * selection alone is WRONG for real crawl MP4s: audio tracks also carry
+    * `stbl`, and a file that declares its audio track first would have its
+    * audio samples extracted as "frames".
+    */
+  private def pickVideoTrak(traks: Seq[TrakFacts]): Option[Int] = {
+    val byHandler = traks.indexWhere(t => t.handler == "vide" && t.hasSampleTable)
+    if (byHandler >= 0) Some(byHandler)
+    else {
+      val first = traks.indexWhere(_.hasSampleTable)
+      if (first >= 0) Some(first) else None
+    }
+  }
+
   /** Parse an ISO-BMFF container's metadata boxes — `ftyp` → `moov(mvhd,
-    * trak(tkhd, mdia(minf(stbl(stts, stsz)))))` — the MP4 member of the
-    * real-container tier ([[parseAvi]] is the RIFF member; MP4 is the
+    * trak(tkhd, mdia(hdlr, minf(stbl(stts, stsz)))))` — the MP4 member of
+    * the real-container tier ([[parseAvi]] is the RIFF member; MP4 is the
     * container the dominant share of crawl video actually arrives in).
     * Width/height come from the first track with nonzero `tkhd`
-    * dimensions (audio tracks carry 0×0); the sample facts from the first
-    * track carrying a sample table. Handles both FullBox versions of
-    * `mvhd` (v1 = 64-bit times). Pure JDK; throws on non-BMFF bytes or a
-    * container missing `moov`/`mvhd`.
+    * dimensions (audio tracks carry 0×0); the sample facts from the
+    * `hdlr`-selected video track ([[pickVideoTrak]] — falls back to the
+    * first sample-carrying track for handler-less files), with
+    * `stsz`/`stts` read from that one track only. Handles both FullBox
+    * versions of `mvhd` (v1 = 64-bit times). Pure JDK; throws on non-BMFF
+    * bytes or a container missing `moov`/`mvhd`.
     */
   private[ext] def parseMp4(bytes: Array[Byte]): Mp4Meta = {
     require(sniffMime(bytes) == "video/mp4", "not an ISO-BMFF payload")
@@ -2051,21 +2137,11 @@ object Media {
     var majorBrand = ""
     var timescale = 0L
     var duration = 0L
-    var nTracks = 0
     var width = 0
     var height = 0
-    var nSamples = 0
-    var sampleDelta = 0L
     var sawMvhd = false
-    def readStbl(s: Int, e: Int): Unit = walkBoxes(bytes, s, e) { (t, ps, _) =>
-      t match {
-        case "stsz" if nSamples == 0 =>
-          nSamples = bb.getInt(ps + 8) // count (after vf + sample_size)
-        case "stts" if sampleDelta == 0L && bb.getInt(ps + 4) >= 1 =>
-          sampleDelta = bb.getInt(ps + 12).toLong & 0xffffffffL // first delta
-        case _ =>
-      }
-    }
+    val traks = Seq.newBuilder[TrakFacts]
+    var nTracks = 0
     walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
       t match {
         case "ftyp" => majorBrand = new String(bytes, s, 4, "US-ASCII")
@@ -2083,20 +2159,14 @@ object Media {
               }
             case "trak" =>
               nTracks += 1
+              traks += trakFacts(bytes, s2, e2)
               walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
-                t3 match {
-                  case "tkhd" =>
-                    // width/height are the LAST two fields of either
-                    // version: 16.16 fixed-point at payloadEnd-8/-4
-                    val w = bb.getInt(e3 - 8) >>> 16
-                    val h = bb.getInt(e3 - 4) >>> 16
-                    if (width == 0 && w > 0) { width = w; height = h }
-                  case "mdia" => walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
-                    if (t4 == "minf") walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
-                      if (t5 == "stbl") readStbl(s5, e5)
-                    }
-                  }
-                  case _ =>
+                if (t3 == "tkhd") {
+                  // width/height are the LAST two fields of either
+                  // version: 16.16 fixed-point at payloadEnd-8/-4
+                  val w = bb.getInt(e3 - 8) >>> 16
+                  val h = bb.getInt(e3 - 4) >>> 16
+                  if (width == 0 && w > 0) { width = w; height = h }
                 }
               }
             case _ =>
@@ -2106,29 +2176,50 @@ object Media {
       }
     }
     require(sawMvhd && timescale > 0, "MP4 missing moov/mvhd header")
+    val all = traks.result()
+    val facts = pickVideoTrak(all).map(all).getOrElse(TrakFacts("", 0, 0L, 0L))
     Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
-      nSamples, sampleDelta)
+      facts.nSamples, facts.sttsCount, facts.sttsDur)
   }
 
-  /** Frame payloads from an MP4's sample table — the ISO-BMFF equivalent
-    * of [[aviFramePayloads]], one level deeper than the [[parseMp4]]
-    * header walk: `stsz` gives per-sample sizes (or the fixed-size
-    * shortcut), `stco`/`co64` the chunk file offsets, `stsc` the
-    * samples-per-chunk runs, and samples lie contiguously within each
-    * chunk — so each sample's absolute file range is pure integer
-    * arithmetic over three arrays, no codec involved. Reads the FIRST
-    * track carrying a sample table (the video track in the fixtures and
-    * in typical crawl files). Returns payload bytes in sample order; the
-    * payload is whatever codec frame the file carries (PNG in the oracle
-    * fixtures, MJPEG in the commonest ImageIO-decodable crawl case —
-    * identical walk either way).
+  /** The video track's per-sample file layout: absolute byte offset and
+    * size per sample (in sample order), plus the `stss` sync-sample
+    * numbers (1-based; EMPTY means the box is absent, which per ISO
+    * 14496-12 §8.6.2 declares every sample a sync sample).
     */
-  private[ext] def mp4FramePayloads(bytes: Array[Byte]): Seq[Array[Byte]] = {
+  private[ext] final case class Mp4Layout(offsets: Array[Long],
+                                          sizes: Array[Int],
+                                          sync: Array[Int])
+
+  /** Resolve an MP4's video-track sample table to its [[Mp4Layout]]:
+    * `stsz` gives per-sample sizes (or the fixed-size shortcut),
+    * `stco`/`co64` the chunk file offsets, `stsc` the samples-per-chunk
+    * runs, and samples lie contiguously within each chunk — so each
+    * sample's absolute file range is pure integer arithmetic over three
+    * arrays, no codec involved. The track is selected by its `hdlr`
+    * handler type (`vide`), falling back to the first sample-carrying
+    * track for handler-less files ([[pickVideoTrak]]) — positional
+    * selection would extract AUDIO samples as frames from any crawl MP4
+    * that declares its audio track first.
+    */
+  private[ext] def mp4Layout(bytes: Array[Byte]): Mp4Layout = {
     require(sniffMime(bytes) == "video/mp4", "not an ISO-BMFF payload")
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    // pass 1: per-trak facts, so selection never mixes tracks
+    val trakSpans = Seq.newBuilder[(Int, Int)]
+    walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
+      if (t == "moov") walkBoxes(bytes, s, e) { (t2, s2, e2) =>
+        if (t2 == "trak") trakSpans += ((s2, e2))
+      }
+    }
+    val spans = trakSpans.result()
+    val picked = pickVideoTrak(spans.map { case (s2, e2) => trakFacts(bytes, s2, e2) })
+    require(picked.isDefined, "MP4 missing sample table (stsz/stco/stsc)")
+    // pass 2: full sample table of the selected trak only
     var sizes: Array[Int] = null
     var chunkOffsets: Array[Long] = null
     var stsc: Array[(Int, Int)] = null // (first_chunk 1-based, samples/chunk)
+    var stss: Array[Int] = Array.emptyIntArray
     def readStbl(s: Int, e: Int): Unit = walkBoxes(bytes, s, e) { (t, ps, _) =>
       t match {
         case "stsz" =>
@@ -2147,23 +2238,23 @@ object Media {
           val n = bb.getInt(ps + 4)
           stsc = Array.tabulate(n)(i =>
             (bb.getInt(ps + 8 + 12 * i), bb.getInt(ps + 12 + 12 * i)))
+        case "stss" =>
+          val n = bb.getInt(ps + 4)
+          stss = Array.tabulate(n)(i => bb.getInt(ps + 8 + 4 * i))
         case _ =>
       }
     }
-    walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
-      if (t == "moov") walkBoxes(bytes, s, e) { (t2, s2, e2) =>
-        if (t2 == "trak" && sizes == null) walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
-          if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
-            if (t4 == "minf") walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
-              if (t5 == "stbl") readStbl(s5, e5)
-            }
-          }
+    val (ts, te) = spans(picked.get)
+    walkBoxes(bytes, ts, te) { (t3, s3, e3) =>
+      if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+        if (t4 == "minf") walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
+          if (t5 == "stbl") readStbl(s5, e5)
         }
       }
     }
     require(sizes != null && chunkOffsets != null && stsc != null,
       "MP4 missing sample table (stsz/stco/stsc)")
-    val out = Seq.newBuilder[Array[Byte]]
+    val offsets = new Array[Long](sizes.length)
     var sample = 0
     var ci = 0
     while (ci < chunkOffsets.length && sample < sizes.length) {
@@ -2181,7 +2272,7 @@ object Media {
         val sz = sizes(sample)
         require(off + sz <= bytes.length,
           s"sample $sample at offset $off overruns the file")
-        out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+        offsets(sample) = off
         off += sz
         sample += 1
         j += 1
@@ -2191,7 +2282,42 @@ object Media {
     require(sample == sizes.length,
       s"sample walk consumed $sample of ${sizes.length} declared samples " +
         "(chunk table too short)")
-    out.result()
+    Mp4Layout(offsets, sizes, stss)
+  }
+
+  /** Frame payloads from an MP4's sample table — the ISO-BMFF equivalent
+    * of [[aviFramePayloads]]: [[mp4Layout]]'s per-sample ranges copied out
+    * in sample order. The payload is whatever codec frame the file
+    * carries (PNG in the oracle fixtures, MJPEG in the commonest
+    * ImageIO-decodable crawl case — identical walk either way).
+    */
+  private[ext] def mp4FramePayloads(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val l = mp4Layout(bytes)
+    (0 until l.sizes.length).map(i => java.util.Arrays.copyOfRange(
+      bytes, l.offsets(i).toInt, (l.offsets(i) + l.sizes(i)).toInt))
+  }
+
+  /** KEYFRAME payloads from an MP4's `stss` sync-sample table, as
+    * (0-based frame index, payload): the container's own declaration of
+    * its independently-decodable samples — scene starts, in practice.
+    * This is the 100 TB economy of the MP4 tier: sampling keyframes costs
+    * byte-range copies of ONLY the sync samples (the AVI tier must decode
+    * every frame and find scene cuts from dHash distances), so an
+    * hour-long file contributes its handful of keyframes, not 10⁵ decodes.
+    * An absent `stss` means every sample is sync (ISO 14496-12 §8.6.2) —
+    * then this degrades to the full frame walk, same as AVI.
+    */
+  private[ext] def mp4KeyframePayloads(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val l = mp4Layout(bytes)
+    val idx =
+      if (l.sync.isEmpty) 0 until l.sizes.length
+      else l.sync.toIndexedSeq.map { s =>
+        require(s >= 1 && s <= l.sizes.length,
+          s"stss sync sample $s outside 1..${l.sizes.length}")
+        s - 1
+      }
+    idx.map(i => i -> java.util.Arrays.copyOfRange(
+      bytes, l.offsets(i).toInt, (l.offsets(i) + l.sizes(i)).toInt))
   }
 
   /** Frame payloads for any supported video container, dispatched by the
@@ -2208,20 +2334,33 @@ object Media {
         s"unsupported video container: $m")
     }
 
-  /** Encode a minimal canonical MP4: `ftyp(majorBrand) moov(mvhd
-    * trak(tkhd mdia(mdhd minf(stbl(stsd stts stsc stsz stco))))…)
-    * mdat(samples)` — the fixture generator and the inverse of
-    * [[parseMp4]]/[[mp4FramePayloads]] for the fields they read. One trak
-    * per `tracks` entry (width, height) — pass (0, 0) for a dimensionless
-    * audio-style track; the FIRST track carries the sample table when
-    * `samples` is non-empty, with all samples in one chunk whose `stco`
-    * offset is the real absolute file position (computed by a two-pass
-    * build: moov's length does not depend on the offset value).
+  /** One track of an [[encodeMp4Tracks]] fixture: the `hdlr` handler type
+    * (`"vide"`/`"soun"`; empty = emit no `hdlr`, modeling handler-less
+    * minimal files), `tkhd` pixel dimensions (0×0 for audio), and an
+    * optional sample table — payload bytes, `stts` (count, delta) runs
+    * (multi-entry = variable frame rate; empty defaults to one run of
+    * delta 1), and `stss` sync-sample numbers (1-based; empty = no `stss`
+    * box, i.e. every sample sync).
     */
-  def encodeMp4(majorBrand: String, timescale: Long, duration: Long,
-                tracks: Seq[(Int, Int)], samples: Seq[Array[Byte]] = Nil,
-                sampleDelta: Long = 1L,
-                udta: Array[Byte] = Array.empty): Array[Byte] = {
+  final case class Mp4Track(handler: String, width: Int, height: Int,
+                            samples: Seq[Array[Byte]] = Nil,
+                            stts: Seq[(Int, Long)] = Nil,
+                            syncSamples: Seq[Int] = Nil)
+
+  /** Encode a minimal canonical MP4: `ftyp(majorBrand) moov(mvhd
+    * trak(tkhd mdia(mdhd [hdlr] minf(stbl(stsd stts stsc stsz stco
+    * [stss]))))…) mdat(samples)` — the fixture generator and the inverse
+    * of [[parseMp4]]/[[mp4Layout]] for the fields they read. EVERY track
+    * may carry its own sample table (that's what makes audio-first track
+    * order testable: the wrong, positional selection would land on the
+    * audio table); each track's samples occupy one contiguous chunk, the
+    * chunks laid out in `mdat` in track order with real absolute `stco`
+    * offsets (two-pass build: moov's length does not depend on the offset
+    * values).
+    */
+  def encodeMp4Tracks(majorBrand: String, timescale: Long, duration: Long,
+                      tracks: Seq[Mp4Track],
+                      udta: Array[Byte] = Array.empty): Array[Byte] = {
     def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
       val len = 8 + payloads.map(_.length).sum
       val bb = java.nio.ByteBuffer.allocate(len)
@@ -2268,15 +2407,23 @@ object Media {
       bb.putInt(0).putInt(0).putInt(timescale.toInt).putInt(duration.toInt)
         .putShort(0x55c4.toShort).putShort(0) // language "und", pre_defined
     })
-    def stblBox(stcoOffset: Long): Array[Byte] = {
+    // hdlr: FullBox + pre_defined + handler_type + 3×reserved + empty name
+    def hdlr(handler: String) = box("hdlr", fullBoxPayload(4 + 4 + 12 + 1) { bb =>
+      bb.putInt(0).put(handler.getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0).put(0.toByte)
+    })
+    def stblBox(tr: Mp4Track, stcoOffset: Long): Array[Byte] = {
+      val samples = tr.samples
       val n = samples.length
+      val sttsRuns = if (tr.stts.nonEmpty) tr.stts else Seq((n, 1L))
       val stsd = box("stsd", fullBoxPayload(4 + 16) { bb =>
         bb.putInt(1) // entry_count: one generic 16-byte sample entry
         bb.putInt(16).put("gpng".getBytes("US-ASCII"))
           .putInt(0).putShort(0).putShort(1) // reserved, data_ref_index
       })
-      val stts = box("stts", fullBoxPayload(12) { bb =>
-        bb.putInt(1).putInt(n).putInt(sampleDelta.toInt)
+      val stts = box("stts", fullBoxPayload(4 + 8 * sttsRuns.length) { bb =>
+        bb.putInt(sttsRuns.length)
+        sttsRuns.foreach { case (c, d) => bb.putInt(c).putInt(d.toInt) }
       })
       val stsc = box("stsc", fullBoxPayload(16) { bb =>
         bb.putInt(1).putInt(1).putInt(n).putInt(1) // one chunk holds all
@@ -2294,25 +2441,39 @@ object Media {
       val stco = box("stco", fullBoxPayload(8) { bb =>
         bb.putInt(1).putInt(stcoOffset.toInt)
       })
-      box("stbl", stsd, stts, stsc, stsz, stco)
+      val base = Seq(stsd, stts, stsc, stsz, stco)
+      val kids =
+        if (tr.syncSamples.isEmpty) base
+        else base :+ box("stss",
+          fullBoxPayload(4 + 4 * tr.syncSamples.length) { bb =>
+            bb.putInt(tr.syncSamples.length)
+            tr.syncSamples.foreach(bb.putInt)
+          })
+      box("stbl", kids: _*)
     }
-    def moovBox(stcoOffset: Long): Array[Byte] = {
-      val traks = tracks.zipWithIndex.map { case ((w, h), i) =>
-        if (i == 0 && samples.nonEmpty)
-          box("trak", tkhd(i + 1, w, h),
-            box("mdia", mdhd, box("minf", stblBox(stcoOffset))))
-        else box("trak", tkhd(i + 1, w, h), box("mdia", mdhd))
+    // mdat layout: each sample-carrying track's chunk in track order
+    def moovBox(firstChunk: Long): Array[Byte] = {
+      var off = firstChunk
+      val traks = tracks.zipWithIndex.map { case (tr, i) =>
+        val mdiaKids = Seq(mdhd) ++
+          (if (tr.handler.nonEmpty) Seq(hdlr(tr.handler)) else Nil) ++
+          (if (tr.samples.nonEmpty) {
+            val stbl = stblBox(tr, off)
+            off += tr.samples.map(_.length).sum
+            Seq(box("minf", stbl))
+          } else Nil)
+        box("trak", tkhd(i + 1, tr.width, tr.height), box("mdia", mdiaKids: _*))
       }
       val kids = (mvhd +: traks) ++
         (if (udta.nonEmpty) Seq(box("udta", udta)) else Nil)
       box("moov", kids: _*)
     }
-    // two-pass: moov's length is independent of the stco VALUE, so build
-    // once to measure, then rebuild with the real first-sample offset
+    // two-pass: moov's length is independent of the stco VALUES, so build
+    // once to measure, then rebuild with the real first-chunk offset
     val moovLen = moovBox(0L).length
-    val firstSample = ftyp.length + moovLen + 8 // + mdat header
-    val moov = moovBox(firstSample.toLong)
-    val mdat = box("mdat", samples: _*)
+    val firstChunk = ftyp.length + moovLen + 8 // + mdat header
+    val moov = moovBox(firstChunk.toLong)
+    val mdat = box("mdat", tracks.flatMap(_.samples): _*)
     val out = new Array[Byte](ftyp.length + moov.length + mdat.length)
     System.arraycopy(ftyp, 0, out, 0, ftyp.length)
     System.arraycopy(moov, 0, out, ftyp.length, moov.length)
@@ -2320,10 +2481,30 @@ object Media {
     out
   }
 
+  /** [[encodeMp4Tracks]] in the original single-sample-table shape: one
+    * trak per `tracks` (width, height) entry, no `hdlr` boxes, the FIRST
+    * track carrying the sample table at a constant `sampleDelta` — kept
+    * as the handler-less fixture form that exercises the first-trak
+    * fallback selection.
+    */
+  def encodeMp4(majorBrand: String, timescale: Long, duration: Long,
+                tracks: Seq[(Int, Int)], samples: Seq[Array[Byte]] = Nil,
+                sampleDelta: Long = 1L,
+                udta: Array[Byte] = Array.empty): Array[Byte] =
+    encodeMp4Tracks(majorBrand, timescale, duration,
+      tracks.zipWithIndex.map { case ((w, h), i) =>
+        if (i == 0 && samples.nonEmpty)
+          Mp4Track("", w, h, samples, Seq((samples.length, sampleDelta)))
+        else Mp4Track("", w, h)
+      }, udta)
+
   /** Decode every MP4 payload's metadata: REAL box-walk facts from
     * `ftyp`/`mvhd`/`tkhd`/`stts`/`stsz` plus the integer-floor derived
     * fields the oracle replays (`duration_ms = duration·1000/timescale`,
-    * `fps_x1000 = timescale·1000/sampleDelta`). Input (idCol, contentCol);
+    * `fps_x1000` = the duration-weighted [[Mp4Meta.fpsX1000]] over all
+    * `stts` entries — exact for variable-frame-rate files, and for the
+    * constant-rate case it floors to the same value as
+    * `timescale·1000/delta`). Input (idCol, contentCol);
     * output (idCol, major_brand, timescale, duration_ms, n_tracks, width,
     * height, n_frames, fps_x1000) — n_frames/fps null when the container
     * carries no sample table.
@@ -2347,7 +2528,7 @@ object Media {
         Row(r.get(0), m.majorBrand, m.timescale,
           m.duration * 1000L / m.timescale, m.nTracks, m.width, m.height,
           if (m.nSamples > 0) m.nSamples else null,
-          if (m.sampleDelta > 0) m.timescale * 1000L / m.sampleDelta else null)
+          m.fpsX1000.map(Long.box).orNull)
       }
     }, outSchema)
   }
@@ -2411,6 +2592,132 @@ object Media {
           patternFramePng(k * 8 + f, w, h, flipFirstGradient = false))
         Row(r.get(0), encodeMp4("isom", 30000L, 1001L * n,
           Seq((w, h)), samples, 1001L))
+      }
+    }, outSchema)
+  }
+
+  /** [[genPatternMp4s]] with the AUDIO track declared FIRST — the
+    * real-crawl track order that breaks positional track selection: both
+    * tracks carry sample tables and `hdlr` handler types (`soun` first,
+    * `vide` second), the audio samples are deliberately undecodable junk,
+    * and the video samples are the same pattern PNGs as the video-first
+    * twin — so a reader that picks the first sample-carrying trak decodes
+    * garbage (throws), while the `hdlr`-dispatched walk yields frames
+    * byte-identical to [[genPatternMp4s]]'s.
+    */
+  def genPatternMp4sAvOrder(df: DataFrame, idCol: String, patternCol: String,
+                            framesCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(framesCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1)
+        val n = r.getInt(2)
+        val audio = (0 until n * 4).map(i => Array[Byte](
+          ((k * 13 + i * 7) % 256).toByte, ((k * 5 + i * 11) % 256).toByte))
+        val video = (0 until n).map(f =>
+          patternFramePng(k * 8 + f, w, h, flipFirstGradient = false))
+        Row(r.get(0), encodeMp4Tracks("isom", 30000L, 1001L * n, Seq(
+          Mp4Track("soun", 0, 0, audio, Seq((audio.length, 250L))),
+          Mp4Track("vide", w, h, video, Seq((n, 1001L))))))
+      }
+    }, outSchema)
+  }
+
+  /** [[genPatternMp4s]] with a planted `stss` sync-sample table: frame f
+    * of row k is the pattern-`(k·8+f)` PNG, and samples 1, 1+step,
+    * 1+2·step, … (1-based) are declared sync — so the keyframe walk must
+    * return exactly the frames with `f mod step = 0`, re-derivable in SQL.
+    */
+  def genPatternMp4sKeyframed(df: DataFrame, idCol: String,
+                              patternCol: String, framesCol: String,
+                              stepCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(framesCol).cast("int"), col(stepCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1)
+        val n = r.getInt(2)
+        val step = r.getInt(3)
+        require(step >= 1, s"sync step must be >= 1, got $step")
+        val samples = (0 until n).map(f =>
+          patternFramePng(k * 8 + f, w, h, flipFirstGradient = false))
+        Row(r.get(0), encodeMp4Tracks("isom", 30000L, 1001L * n, Seq(
+          Mp4Track("vide", w, h, samples, Seq((n, 1001L)),
+            syncSamples = (0 until n by step).map(_ + 1)))))
+      }
+    }, outSchema)
+  }
+
+  /** Variable-frame-rate MP4 fixtures: the video track's `stts` carries
+    * TWO runs — the first `n/2` samples at `deltaCol`, the rest at twice
+    * it — so the duration-weighted fps differs from every per-run rate
+    * and the oracle re-derives `fps_x1000 = n·ts·1000 / (n₁·d + n₂·2d)`
+    * exactly. Tracks carry real `hdlr` types (`vide` + a dimensionless
+    * `soun`), exercising the typed selection on the metadata path too.
+    */
+  def genVfrMp4s(df: DataFrame, idCol: String, tsCol: String,
+                 deltaCol: String, framesCol: String, widthCol: String,
+                 heightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(tsCol).cast("long"),
+      col(deltaCol).cast("long"), col(framesCol).cast("int"),
+      col(widthCol).cast("int"), col(heightCol).cast("int"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val ts = r.getLong(1)
+        val d = r.getLong(2)
+        val n = r.getInt(3)
+        val n1 = n / 2
+        val samples = (0 until n).map(i => Array[Byte](
+          ((id * 31 + i) % 256).toByte, ((id * 7 + i * 3) % 256).toByte))
+        val dur = n1 * d + (n - n1) * 2 * d
+        Row(id, encodeMp4Tracks("isom", ts, dur, Seq(
+          Mp4Track("vide", r.getInt(4), r.getInt(5), samples,
+            Seq((n1, d), (n - n1, 2 * d))),
+          Mp4Track("soun", 0, 0))))
+      }
+    }, outSchema)
+  }
+
+  /** Keyframe rows from every MP4 payload via its `stss` sync-sample
+    * table ([[mp4KeyframePayloads]]): output (idCol, frame_idx, width,
+    * height, dhash) where frame_idx is the 0-based SAMPLE index of the
+    * keyframe — directly comparable/joinable with the full
+    * [[videoFrames]] table. This is how the MP4 tier samples scene
+    * representatives WITHOUT decoding every frame: only the sync samples'
+    * byte ranges are copied and decoded, so cost scales with keyframe
+    * count, not duration — the per-file economy that matters when
+    * hour-long files appear at 100 TB. Same per-row, shuffle-free
+    * execution as [[videoFrames]].
+    */
+  def mp4Keyframes(df: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(0)
+        mp4KeyframePayloads(r.getAs[Array[Byte]](1)).iterator.map {
+          case (i, payload) =>
+            val (w, h, _, px) = decodeLuma(payload)
+            Row(id, i, w, h, dHash64(px, w, h))
+        }
       }
     }, outSchema)
   }

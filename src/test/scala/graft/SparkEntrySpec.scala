@@ -94,8 +94,12 @@ class SparkEntrySpec extends SparkSpec {
     // 213 round 17: +mm_audio_scrub, +mm_video_scrub (LIST(INFO) strip,
     // base meta oracles + stripped flag), +mm_mp4_scrub (size-preserving
     // udta neutralization — stco offsets survive)
-    assert(SparkEntry.queries.size == 213,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 213); " +
+    // 216 round 18: +mm_mp4_frames_avorder (audio-track-first MP4 — the
+    // hdlr 'vide' typed track selection, mm_mp4_frames SQL verbatim),
+    // +mm_mp4_meta_vfr (multi-entry stts → duration-weighted fps),
+    // +mm_mp4_keyframes (stss sync-sample table → keyframe-only decode)
+    assert(SparkEntry.queries.size == 216,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 216); " +
         "if intentional, update this pin")
   }
 

@@ -556,7 +556,9 @@ class MediaSpec extends SparkSpec {
       sampleDelta = 3000L)
     assert(Media.sniffMime(bytes) == "video/mp4")
     val m = Media.parseMp4(bytes)
-    assert(m == Media.Mp4Meta("isom", 90000L, 360000L, 2, 640, 480, 120, 3000L))
+    assert(m == Media.Mp4Meta("isom", 90000L, 360000L, 2, 640, 480,
+      120, 120L, 120L * 3000L))
+    assert(m.fpsX1000.contains(90000L * 1000L / 3000L))
     intercept[IllegalArgumentException] { Media.parseMp4("nope".getBytes) }
     // an AVI is a container but not ISO-BMFF — the sniff keeps them apart
     val avi = Media.encodeAvi(33333, 10, 1, 320, 240)
@@ -667,6 +669,74 @@ class MediaSpec extends SparkSpec {
     assert(got == fromAvi) // container-independent frame signatures
     assert(got.map(r => (r._1, r._2)) ==
       Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (2L, 2)))
+  }
+
+  test("MP4 track selection dispatches on hdlr 'vide', not trak position") {
+    // audio-FIRST file: the soun trak carries its own (junk) sample table;
+    // positional selection would decode garbage — typed selection must
+    // yield frames byte-identical to the video-first twin
+    val df = Seq((1L, 3L, 2), (2L, 9L, 3)).toDF("id", "k", "n")
+    val avOrder = Media.genPatternMp4sAvOrder(df, "id", "k", "n", w = 9, h = 8)
+    val got = Media.videoFrames(avOrder, "id", "content")
+      .select("id", "frame_idx", "dhash")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val twin = Media.videoFrames(
+      Media.genPatternMp4s(df, "id", "k", "n", w = 9, h = 8), "id", "content")
+      .select("id", "frame_idx", "dhash")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == twin)
+    // metadata facts too: nSamples/stts latch onto the vide trak (n
+    // samples), never the soun trak (4n samples at a different delta)
+    val bytes = avOrder.filter($"id" === 2L)
+      .select("content").as[Array[Byte]].head()
+    val m = Media.parseMp4(bytes)
+    assert(m.nTracks == 2 && m.nSamples == 3 && m.sttsCount == 3L)
+    assert(m.fpsX1000.contains(30000L * 1000L / 1001L))
+    assert(m.width == 9 && m.height == 8)
+  }
+
+  test("parseMp4 duration-weights fps across multi-entry stts (VFR)") {
+    // two stts runs: 10 samples at delta 100, 10 at delta 200 → the
+    // weighted fps is 20·ts·1000/3000 — NOT the first run's ts·1000/100
+    val samples = (0 until 20).map(i => Array[Byte](i.toByte))
+    val bytes = Media.encodeMp4Tracks("isom", 6000L, 3000L, Seq(
+      Media.Mp4Track("vide", 320, 240, samples,
+        Seq((10, 100L), (10, 200L)))))
+    val m = Media.parseMp4(bytes)
+    assert(m.nSamples == 20 && m.sttsCount == 20L && m.sttsDur == 3000L)
+    assert(m.fpsX1000.contains(20L * 6000L * 1000L / 3000L)) // 40000
+    // single-run files floor to exactly the old first-delta form
+    val cfr = Media.parseMp4(Media.encodeMp4("isom", 90000L, 360000L,
+      Seq((640, 480)), (0 until 120).map(i => Array[Byte](i.toByte)), 3000L))
+    assert(cfr.fpsX1000.contains(90000L * 1000L / 3000L))
+  }
+
+  test("mp4KeyframePayloads selects stss sync samples; absent stss = all") {
+    val df = Seq((1L, 4L, 6, 2), (2L, 7L, 5, 3)).toDF("id", "k", "n", "step")
+    val media = Media.genPatternMp4sKeyframed(df, "id", "k", "n", "step",
+      w = 9, h = 8)
+    val kf = Media.mp4Keyframes(media, "id", "content")
+      .select("id", "frame_idx", "dhash")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // keyframe rows are exactly the f % step == 0 subset of the full walk
+    val full = Media.videoFrames(media, "id", "content")
+      .select("id", "frame_idx", "dhash")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val steps = Map(1L -> 2, 2L -> 3)
+    assert(kf == full.filter(r => r._2 % steps(r._1) == 0))
+    assert(kf.map(r => (r._1, r._2)) ==
+      Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0), (2L, 3)))
+    // no stss box → every sample is sync (ISO 14496-12 §8.6.2)
+    val plain = Media.genPatternMp4s(Seq((5L, 2L, 3)).toDF("id", "k", "n"),
+      "id", "k", "n", w = 9, h = 8)
+    val all = Media.mp4Keyframes(plain, "id", "content")
+      .select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(all == Seq(0, 1, 2))
+    // an out-of-range sync sample number throws rather than mis-indexing
+    val bad = Media.encodeMp4Tracks("isom", 30000L, 1001L, Seq(
+      Media.Mp4Track("vide", 9, 8, Seq(Array[Byte](1, 2)),
+        Seq((1, 1001L)), syncSamples = Seq(9))))
+    intercept[IllegalArgumentException] { Media.mp4KeyframePayloads(bad) }
   }
 
   test("decodeVideoMetaLenient dispatches AVI and MP4, quarantines the rest") {
