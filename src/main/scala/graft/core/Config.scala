@@ -727,9 +727,22 @@ object Config {
         graft.ext.Media.decodeAudioMetaLenient(df, str(n, "id"), str(n, "column"))
       case "videoMetaLenient" =>
         graft.ext.Media.decodeVideoMetaLenient(df, str(n, "id"), str(n, "column"))
-      // per-frame video decode: LIST(movi) walk -> codec decode -> dHash
+      // per-frame video decode: LIST(movi)/sample-table walk -> codec
+      // decode -> dHash. maxFrames is the hour-long-outlier guard rail:
+      // a video over the cap FAILS here (strict) or quarantines in the
+      // lenient twin — never silently emits a truncated frame prefix
       case "videoFrames" =>
-        graft.ext.Media.videoFrames(df, str(n, "id"), str(n, "column"))
+        graft.ext.Media.videoFrames(df, str(n, "id"), str(n, "column"),
+          maxFrames = Option(n.get("maxFrames")).map(_.asInt)
+            .getOrElse(Int.MaxValue))
+      case "videoFramesLenient" =>
+        graft.ext.Media.videoFramesLenient(df, str(n, "id"), str(n, "column"),
+          maxFrames = Option(n.get("maxFrames")).map(_.asInt)
+            .getOrElse(Int.MaxValue))
+      // stss sync-sample (keyframe) decode: scene representatives WITHOUT
+      // decoding every frame — the MP4-side sampling economy
+      case "mp4Keyframes" =>
+        graft.ext.Media.mp4Keyframes(df, str(n, "id"), str(n, "column"))
       // media-dedup signature-index lifecycle (the streaming ingest
       // families): compaction under daily appends; erasure by id
       case "mediaSigCompact" =>
@@ -929,7 +942,12 @@ object Config {
           str(n, "corpus"), str(n, "index"), str(n, "quarantine"),
           str(n, "id"), str(n, "column"),
           minShared = Option(n.get("minShared")).map(_.asInt).getOrElse(2),
-          maxHashFreq = Option(n.get("maxHashFreq")).map(_.asInt).getOrElse(1000))
+          maxHashFreq = Option(n.get("maxHashFreq")).map(_.asInt).getOrElse(1000),
+          // hour-long-outlier guard: finite by default (over-cap videos
+          // quarantine with payload); raise per-pipeline when a corpus
+          // legitimately carries longer files
+          maxFrames = Option(n.get("maxFrames")).map(_.asInt)
+            .getOrElse(graft.streaming.Streams.DefaultMaxFramesPerVideo))
       // Sinks\RdKafka producer (jar-guarded both ways; streaming tasks get
       // the checkpointed writeStream form)
       case "kafka" =>

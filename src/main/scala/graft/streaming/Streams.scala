@@ -541,11 +541,23 @@ object Streams {
                        quarantinePath: String, idCol: String, contentCol: String,
                        checkpoint: String, minShared: Int = 2,
                        maxHashFreq: Int = 1000,
+                       maxFrames: Int = DefaultMaxFramesPerVideo,
                        trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
       ingestVideoDedupBatch(batch, batchId, corpusPath, indexDir,
-        quarantinePath, idCol, contentCol, minShared, maxHashFreq)
+        quarantinePath, idCol, contentCol, minShared, maxHashFreq, maxFrames)
     }
+
+  /** Per-video frame cap the continuous video ingest runs under BY
+    * DEFAULT: one video's frames decode inside ONE task, so an hour-long
+    * outlier in a crawl batch would otherwise balloon a single task's
+    * memory without limit (100 000 frames ≈ 55 min at 30 fps — generous
+    * for crawl video, far below the OOM cliff for the frame sizes this
+    * tier decodes). An over-cap video QUARANTINES with its payload, like
+    * every other per-video failure — it is never silently truncated,
+    * because a frame-prefix signature set would poison the dedup tier.
+    */
+  val DefaultMaxFramesPerVideo: Int = 100000
 
   /** One micro-batch of [[ingestVideoDedup]] — see
     * [[ingestImageDedupBatch]] for the batch-function contract.
@@ -554,7 +566,8 @@ object Streams {
                             corpusPath: String, indexDir: String,
                             quarantinePath: String, idCol: String,
                             contentCol: String, minShared: Int = 2,
-                            maxHashFreq: Int = 1000): Unit = {
+                            maxHashFreq: Int = 1000,
+                            maxFrames: Int = DefaultMaxFramesPerVideo): Unit = {
       val spark = batch.sparkSession
       val fmt = s"videodedup:v1:minShared=$minShared"
       val sigsPath = s"$indexDir/sigs"
@@ -567,8 +580,11 @@ object Streams {
       // AVI carrying one rotten frame payload must quarantine the VIDEO,
       // never fail the batch (a failed batch replays on restart, wedging
       // the stream permanently)
+      // maxFrames: the hour-long-outlier guard (DefaultMaxFramesPerVideo)
+      // — an over-cap video quarantines as one row WITH payload below
       val framesL = graft.ext.Media.videoFramesLenient(
-          container.select(col(idCol), col(contentCol)), idCol, contentCol)
+          container.select(col(idCol), col(contentCol)), idCol, contentCol,
+          maxFrames)
         .localCheckpoint(true)
       val badFrames = framesL.filter(!col("frame_ok"))
         .select(col(idCol), col("frame_err"))

@@ -1245,6 +1245,64 @@ class ConfigSpec extends SparkSpec {
       Seq(0, 1))
   }
 
+  test("videoFrames maxFrames guard plumbs through the config ops") {
+    val dir = Files.createTempDirectory("graft_cfg_vcap_").toString
+    // 2-frame and 4-frame videos; cap = 3 → strict op fails the task,
+    // lenient op quarantines the long video in place
+    graft.ext.Media.genPatternAvis(
+      Seq((0L, 4L, 2), (1L, 9L, 4)).toDF("id", "k", "n"),
+      "id", "k", "n", 9, 8)
+      .write.parquet(s"$dir/avis")
+    val lenient = Config.runAll(spark,
+      s"""tasks:
+         |  - name: frames
+         |    source: {type: parquet, path: $dir/avis}
+         |    transforms:
+         |      - {op: videoFramesLenient, id: id, column: content, maxFrames: 3}
+         |""".stripMargin)("frames")
+    assert(lenient.filter($"frame_ok" && $"id" === 0L).count() == 2)
+    val bad = lenient.filter(!$"frame_ok")
+      .select("id", "frame_err").as[(Long, String)].collect().toSeq
+    assert(bad.map(_._1) == Seq(1L) && bad.head._2 == "IllegalArgumentException")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Config.runAll(spark,
+        s"""tasks:
+           |  - name: frames
+           |    source: {type: parquet, path: $dir/avis}
+           |    transforms:
+           |      - {op: videoFrames, id: id, column: content, maxFrames: 3}
+           |""".stripMargin)("frames").count()
+    }
+    assert(ex.getMessage.contains("maxFrames") ||
+      String.valueOf(ex.getCause).contains("maxFrames"))
+    // no cap key → unbounded (the library default), both videos decode
+    val all = Config.runAll(spark,
+      s"""tasks:
+         |  - name: frames
+         |    source: {type: parquet, path: $dir/avis}
+         |    transforms:
+         |      - {op: videoFrames, id: id, column: content}
+         |""".stripMargin)("frames")
+    assert(all.count() == 6)
+  }
+
+  test("mp4Keyframes op: stss sync-sample decode declares in YAML") {
+    val dir = Files.createTempDirectory("graft_cfg_kf_").toString
+    graft.ext.Media.genPatternMp4sKeyframed(
+      Seq((0L, 4L, 6, 2)).toDF("id", "k", "n", "step"),
+      "id", "k", "n", "step", 9, 8)
+      .write.parquet(s"$dir/mp4s")
+    val out = Config.runAll(spark,
+      s"""tasks:
+         |  - name: keyframes
+         |    source: {type: parquet, path: $dir/mp4s}
+         |    transforms:
+         |      - {op: mp4Keyframes, id: id, column: content}
+         |""".stripMargin)("keyframes")
+    assert(out.select("frame_idx").as[Int].collect().sorted.toSeq ==
+      Seq(0, 2, 4))
+  }
+
   test("videoDedupPairs composes from config, exact and clustered") {
     val dir = Files.createTempDirectory("graft_cfg_vdedup_").toString
     // ids 0,1 = same pattern (1 re-encoded), 2 = unrelated pattern

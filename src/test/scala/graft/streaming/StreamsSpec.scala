@@ -608,6 +608,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestVideoDedup quarantines an over-maxFrames video WITH payload; stream survives replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_vidcap_").toString
+    def avi(k: Long, n: Int): Array[Byte] = graft.ext.Media.genPatternAvis(
+      Seq((0L, k, n)).toDF("id", "k", "n"), "id", "k", "n", 9, 8)
+      .select("content").as[Array[Byte]].head()
+    val long = avi(7, 5) // 5 frames > the cap below — the hour-long stand-in
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestVideoDedup(mem.toDF().toDF("vid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "vid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      maxFrames = 4, trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, avi(5, 3)), (2L, long))
+      q.processAllAvailable()
+      // the over-cap video never reaches the corpus or the sig index…
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("vid").as[Long].collect().toSeq == Seq(1L))
+      assert(spark.read.parquet(s"$dir/idx/sigs").count() == 3L)
+      // …it quarantines as ONE row WITH its payload (re-processable after
+      // the source batch is gone, e.g. under a raised cap)
+      val quar = spark.read.parquet(s"$dir/quarantine")
+        .select("vid", "decode_err", "content")
+        .as[(Long, String, Array[Byte])].collect().toSeq
+      assert(quar.map(_._1) == Seq(2L))
+      assert(quar.head._2 == "IllegalArgumentException")
+      assert(quar.head._3.sameElements(long))
+      // the stream is not wedged: the next batch flows
+      mem.addData((3L, avi(90, 3)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 2L)
+    } finally q.stop()
+  }
+
   test("ingestVideoDedup replay of a DEGENERATE video (n_frames < minShared) appends nothing") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_viddgn_").toString
