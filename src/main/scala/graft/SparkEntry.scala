@@ -2325,6 +2325,34 @@ object SparkEntry {
           col("meta_zeroed"), col("size_preserved"))
     }),
 
+    // LENIENT scrub (the form that composes upstream of ingest sinks):
+    // good WAVs lose exactly their planted LIST(INFO) tag
+    // (bytes_removed = 20 + len + pad, re-derived from the artist-string
+    // length in SQL), junk payloads flow through UNMODIFIED with
+    // scrub_ok=false + the failure class — one corrupt payload must never
+    // fail the task the way the strict op (by design) does
+    "mm_media_scrub_lenient" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("rate", lit(8000)).withColumn("ch", lit(1))
+        .withColumn("frames", lit(50))
+        .withColumn("artist",
+          concat(lit("GRAFT-PII artist="), col("doc_id")))
+      val good = Media.genInfoTagged(
+        Media.genWavs(ids.filter(col("doc_id") % 5 =!= 4),
+          "doc_id", "rate", "ch", "frames")
+          .join(ids.select(col("doc_id"), col("artist")), Seq("doc_id")),
+        "doc_id", "content", "artist")
+      val bad = ids.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id"),
+          concat(lit("junk #"), col("doc_id").cast("string"))
+            .cast("binary").as("content"))
+      Media.stripMediaMetadataLenient(good.unionByName(bad),
+        "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("scrub_ok"),
+          col("scrub_err"), col("bytes_removed"))
+    }),
+
     // MP4 frame walk: stsz/stsc/stco sample extraction + PNG decode —
     // the same pixel formula as mm_video_frames, proving the frame-dedup
     // tier is container-independent (an MP4 re-container of an AVI
@@ -4351,6 +4379,21 @@ object SparkEntry {
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(n AS INT) AS n_frames,
         |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000
+        |FROM ids""".stripMargin,
+
+    // lenient scrub: the planted LIST(INFO) size re-derives from the
+    // artist-string LENGTH (8 LIST hdr + 4 INFO + 8 IART hdr + text +
+    // word pad); junk rows keep scrub_ok=false + the failure class
+    "mm_media_scrub_lenient" ->
+      """WITH ids AS (SELECT doc_id AS id,
+        |    length('GRAFT-PII artist=' || CAST(doc_id AS VARCHAR)) AS len
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT id AS media_id,
+        |  CAST(id % 5 != 4 AS BOOLEAN) AS scrub_ok,
+        |  CASE WHEN id % 5 = 4 THEN 'IllegalArgumentException'
+        |       ELSE NULL END AS scrub_err,
+        |  CAST(CASE WHEN id % 5 = 4 THEN 0
+        |       ELSE 20 + len + (len % 2) END AS INT) AS bytes_removed
         |FROM ids""".stripMargin,
 
     // VFR: duration in timescale units = (n/2)·dl + (n−n/2)·2dl; fps is

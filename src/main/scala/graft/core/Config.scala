@@ -715,12 +715,22 @@ object Config {
       case "mp4Meta" =>
         graft.ext.Media.decodeMp4Meta(df, str(n, "id"), str(n, "column"))
       // metadata PII scrub for any supported container (PNG/JPEG/WAV/AVI/
-      // MP4) — composes upstream of any ingest sink: source → mediaScrub
-      // → ingestImageDedup strips EXIF GPS before payloads persist
+      // MP4). The strict forms THROW on malformed payloads — use the
+      // *Lenient twins upstream of ingest sinks (dirty crawls are exactly
+      // what their quarantine exists for): source → mediaScrubLenient →
+      // ingest strips EXIF GPS before payloads persist, and a corrupt
+      // payload flows on unmodified with scrub_ok=false for the ingest's
+      // own lenient decode to quarantine WITH content
       case "mediaScrub" =>
         graft.ext.Media.stripMediaMetadata(df, str(n, "id"), str(n, "column"))
       case "imageScrub" =>
         graft.ext.Media.stripImageMetadata(df, str(n, "id"), str(n, "column"))
+      case "mediaScrubLenient" =>
+        graft.ext.Media.stripMediaMetadataLenient(df, str(n, "id"),
+          str(n, "column"))
+      case "imageScrubLenient" =>
+        graft.ext.Media.stripImageMetadataLenient(df, str(n, "id"),
+          str(n, "column"))
       // dirty-crawl twins: malformed payloads quarantine in place
       // (decode_ok/decode_err) instead of failing the task
       case "audioMetaLenient" =>

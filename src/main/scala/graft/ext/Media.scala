@@ -277,14 +277,52 @@ object Media {
     * serial numbers, XMP author records, embedded thumbnails that survive
     * crops). PNG keeps only the chunks that determine pixels (IHDR, PLTE,
     * IDAT, IEND, tRNS — eXIf/tEXt/iTXt/zTXt/tIME/pHYs all drop); JPEG
-    * keeps the structural segments and drops APP1–APP15 and COM (Exif,
-    * XMP, ICC, comments; APP0/JFIF stays — structural for some decoders).
+    * keeps the structural segments and drops APPn/COM (Exif, XMP,
+    * comments) with two decode-critical exceptions, exiftool's rule:
+    * APP0/JFIF stays (structural for some decoders), APP14 stays (the
+    * Adobe color-transform marker — dropping it changes decoded COLORS
+    * for Adobe CMYK/YCCK JPEGs), and APP2 stays IFF it is an
+    * `ICC_PROFILE` segment (color-critical; non-ICC APP2 like MPF — which
+    * embeds thumbnails, a PII channel — drops). Output truncates at the
+    * EOI marker: bytes trailing EOI (a known vendor PII channel — some
+    * cameras append whole preview JPEGs there) never survive the scrub.
     * Pixels are byte-untouched: the entropy-coded data is copied verbatim,
     * so a scrubbed JPEG is NOT re-compressed. Note the interaction with
     * [[decodeLuma]]'s EXIF normalization: scrubbing removes the
     * orientation tag, so a rotated-by-metadata image decodes as its RAW
     * stored grid afterwards — scrub BEFORE hashing, or re-orient first.
     */
+  private val IccIdentifier = "ICC_PROFILE".getBytes("US-ASCII")
+
+  /** Exclusive end offset of the JPEG stream starting at the SOS segment
+    * `sos`: scans the entropy-coded data (stuffed `FF 00` and restart
+    * markers `FF D0–D7` are data; `FF FF` fill bytes skip one) for the EOI
+    * marker, skipping inter-scan marker segments (progressive JPEGs carry
+    * DHT/SOS/DNL between scans) by their declared lengths. Returns the
+    * offset just past `FF D9` — anything after it is trailer, not image —
+    * or `bytes.length` when no EOI exists (truncated file: nothing to cut).
+    */
+  private def jpegEnd(bytes: Array[Byte], sos: Int): Int = {
+    var p = sos
+    while (p + 1 < bytes.length) {
+      if ((bytes(p) & 0xff) != 0xff) p += 1
+      else (bytes(p + 1) & 0xff) match {
+        case 0xd9 => return p + 2 // EOI
+        case 0x00 => p += 2 // byte-stuffed FF in entropy data
+        case m if m >= 0xd0 && m <= 0xd7 => p += 2 // restart marker
+        case 0xff => p += 1 // fill byte
+        case 0x01 => p += 2 // TEM, standalone
+        case _ =>
+          // a real marker segment (SOS/DHT/DNL/… between scans): skip its
+          // declared length, then continue scanning the next scan's data
+          if (p + 4 > bytes.length) return bytes.length
+          val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          p += 2 + math.max(len, 2)
+      }
+    }
+    bytes.length
+  }
+
   private[ext] def stripImageMeta(bytes: Array[Byte]): Array[Byte] =
     sniffMime(bytes) match {
       case "image/png" =>
@@ -316,8 +354,10 @@ object Media {
           val m = bytes(p + 1) & 0xff
           if (m == 0xd9) { out.write(0xff); out.write(0xd9); done = true }
           else if (m == 0xda) {
-            // SOS: entropy-coded data follows to EOI — copy verbatim
-            out.write(bytes, p, bytes.length - p)
+            // SOS: entropy-coded data follows to EOI — copy verbatim up to
+            // AND INCLUDING the EOI, dropping any trailer bytes beyond it
+            val end = jpegEnd(bytes, p)
+            out.write(bytes, p, end - p)
             done = true
           } else {
             require(p + 4 <= bytes.length, s"truncated JPEG segment at $p")
@@ -325,7 +365,14 @@ object Media {
             val tot = 2 + len
             require(len >= 2 && p + tot <= bytes.length,
               s"JPEG segment at $p overruns the payload")
-            val drop = (m >= 0xe1 && m <= 0xef) || m == 0xfe // APPn>0, COM
+            // APP2 is kept only as an ICC profile carrier ("ICC_PROFILE\0"
+            // identifier) — color-critical; other APP2 payloads (MPF etc.)
+            // embed preview images and drop like the rest
+            val iccApp2 = m == 0xe2 && len >= 14 &&
+              (0 until 11).forall(i => bytes(p + 4 + i) == IccIdentifier(i)) &&
+              bytes(p + 15) == 0
+            val drop = m == 0xfe || // COM
+              (m >= 0xe1 && m <= 0xef && m != 0xee && !iccApp2) // APPn
             if (!drop) out.write(bytes, p, tot)
             p += tot
           }
@@ -457,6 +504,65 @@ object Media {
         val bytes = r.getAs[Array[Byte]](1)
         val scrubbed = stripMediaMeta(bytes)
         Row(r.get(0), scrubbed, bytes.length - scrubbed.length)
+      }
+    }, outSchema)
+  }
+
+  /** [[stripMediaMetadata]] for DIRTY corpora — the scrub twin of the
+    * `decode*Lenient` pattern: a malformed payload must not fail the task
+    * when the scrub composes upstream of an ingest sink whose quarantine
+    * exists precisely for dirty crawls. A row whose container walk throws
+    * keeps its ORIGINAL bytes with `scrub_ok=false` and the failure class
+    * in `scrub_err` (`bytes_removed=0`) — the payload stays intact so the
+    * downstream ingest can still quarantine it WITH content, and the flag
+    * makes "PII may remain" an explicit, filterable fact rather than a
+    * silent pass-through. Good rows are bit-equal to the strict path.
+    */
+  def stripMediaMetadataLenient(df: DataFrame, idCol: String,
+                                contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = true),
+      StructField("bytes_removed", IntegerType, nullable = false),
+      StructField("scrub_ok", BooleanType, nullable = false),
+      StructField("scrub_err", StringType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val scrubbed = stripMediaMeta(bytes)
+          Row(r.get(0), scrubbed, bytes.length - scrubbed.length, true, null)
+        } catch {
+          case e: Exception =>
+            Row(r.get(0), bytes, 0, false, e.getClass.getSimpleName)
+        }
+      }
+    }, outSchema)
+  }
+
+  /** [[stripImageMetadata]]'s lenient twin — same contract as
+    * [[stripMediaMetadataLenient]], restricted to the image containers.
+    */
+  def stripImageMetadataLenient(df: DataFrame, idCol: String,
+                                contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = true),
+      StructField("bytes_removed", IntegerType, nullable = false),
+      StructField("scrub_ok", BooleanType, nullable = false),
+      StructField("scrub_err", StringType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val scrubbed = stripImageMeta(bytes)
+          Row(r.get(0), scrubbed, bytes.length - scrubbed.length, true, null)
+        } catch {
+          case e: Exception =>
+            Row(r.get(0), bytes, 0, false, e.getClass.getSimpleName)
+        }
       }
     }, outSchema)
   }

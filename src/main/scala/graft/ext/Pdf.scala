@@ -125,7 +125,12 @@ object Pdf {
     var d = s + 6
     if (d < bytes.length && bytes(d) == '\r') d += 1
     if (d < bytes.length && bytes(d) == '\n') d += 1
-    val lenRe = "/Length\\s+(\\d+)(?!\\s+0\\s+R)".r
+    // \b pins the full digit run (backtracking inside \d+ could otherwise
+    // shorten "12" to "1" so the lookahead sees "2 0 R" and wrongly
+    // accepts an indirect length); \d+ in the lookahead excludes ANY
+    // object number, not just 0 — indirect /Length N G R always falls
+    // back to the endstream scan
+    val lenRe = "/Length\\s+(\\d+)\\b(?!\\s+\\d+\\s+R)".r
     val end = lenRe.findFirstMatchIn(dict) match {
       case Some(m) => d + m.group(1).toInt
       case None =>

@@ -98,8 +98,10 @@ class SparkEntrySpec extends SparkSpec {
     // hdlr 'vide' typed track selection, mm_mp4_frames SQL verbatim),
     // +mm_mp4_meta_vfr (multi-entry stts → duration-weighted fps),
     // +mm_mp4_keyframes (stss sync-sample table → keyframe-only decode)
-    assert(SparkEntry.queries.size == 216,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 216); " +
+    // 217 round 18: +mm_media_scrub_lenient (quarantine-in-place scrub
+    // twin: junk flows through unmodified with scrub_ok=false)
+    assert(SparkEntry.queries.size == 217,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 217); " +
         "if intentional, update this pin")
   }
 

@@ -1019,6 +1019,33 @@ class ConfigSpec extends SparkSpec {
       .select("n_frames").as[Long].head() == 160L)
   }
 
+  test("mediaScrubLenient op survives dirty payloads upstream of a sink") {
+    val dir = Files.createTempDirectory("graft_cfg_scrubl_").toString
+    val wav = graft.ext.Media.encodeWav(8000, 1,
+      Array.tabulate[Short](160)(_.toShort))
+    graft.ext.Media.genInfoTagged(
+      Seq((1L, wav)).toDF("id", "content")
+        .withColumn("a", org.apache.spark.sql.functions.lit("GRAFT-PII X")),
+      "id", "content", "a")
+      .unionByName(Seq((2L, "rotten".getBytes)).toDF("id", "content"))
+      .write.parquet(s"$dir/in")
+    // the STRICT op would fail this task on row 2; the lenient twin flows
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in}
+         |transforms:
+         |  - {op: mediaScrubLenient, id: id, column: content}
+         |sink: {type: parquet, path: $dir/out}
+         |""".stripMargin)
+    val got = spark.read.parquet(s"$dir/out")
+      .select("id", "scrub_ok", "scrub_err", "content")
+      .as[(Long, Boolean, Option[String], Array[Byte])]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0)._2 &&
+      !new String(got(0)._4, "ISO-8859-1").contains("GRAFT-PII"))
+    assert(!got(1)._2 && got(1)._3.contains("IllegalArgumentException") &&
+      got(1)._4.sameElements("rotten".getBytes))
+  }
+
   test("WARC crawl pipeline from config: binaryFile → responses → page text") {
     val dir = Files.createTempDirectory("graft_cfg_warc_").toString
     new java.io.File(s"$dir/warcs").mkdirs()

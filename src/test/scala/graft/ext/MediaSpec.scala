@@ -851,6 +851,84 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("JPEG scrub keeps APP14/ICC APP2, drops MPF APP2, cuts post-EOI trailer") {
+    val jpegRaw = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 8).foreach(y => (0 until 9).foreach(x =>
+        img.getRaster.setSample(x, y, 0, pattern(3L, 0, 9, 8)(y * 9 + x))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte
+      ) ++ payload
+    // APP14 Adobe (color transform — decode-critical), an ICC APP2, and a
+    // non-ICC APP2 (MPF carries embedded previews — a PII channel)
+    val app14 = seg(0xee, "Adobe".getBytes("US-ASCII") ++
+      Array[Byte](0, 100, 0, 0, 0, 0, 1))
+    val icc = seg(0xe2, "ICC_PROFILE".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1) ++ Array.fill[Byte](8)(0x42))
+    val mpf = seg(0xe2, "MPFSECRET".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(0x24))
+    val trailer = "TRAILER-PII-PREVIEW".getBytes("US-ASCII")
+    val tagged = jpegRaw.take(2) ++ app14 ++ icc ++ mpf ++
+      jpegRaw.drop(2) ++ trailer
+    val scrubbed = Media.stripImageMeta(tagged)
+    val s = new String(scrubbed, "ISO-8859-1")
+    assert(s.contains("Adobe")) // APP14 survives
+    assert(s.contains("ICC_PROFILE")) // ICC APP2 survives
+    assert(!s.contains("MPFSECRET")) // non-ICC APP2 drops
+    assert(!s.contains("TRAILER-PII")) // post-EOI trailer is cut…
+    assert((scrubbed(scrubbed.length - 2) & 0xff) == 0xff &&
+      (scrubbed(scrubbed.length - 1) & 0xff) == 0xd9) // …output ends at EOI
+    // pixels bit-identical to the untagged original
+    val (sw, sh, _, sp) = Media.decodeLuma(scrubbed)
+    val (ow, oh, _, op) = Media.decodeLuma(jpegRaw)
+    assert((sw, sh) == ((ow, oh)) && sp.sameElements(op))
+    // a trailer that itself contains FF D9 (an appended preview JPEG, the
+    // real-world case) is still fully removed: the scan stops at the
+    // FIRST structural EOI, not the last byte match
+    val taggedJpegTrailer = jpegRaw ++ jpegRaw // second JPEG = the trailer
+    val cut = Media.stripImageMeta(taggedJpegTrailer)
+    assert(cut.length <= jpegRaw.length)
+    assert(Media.decodeLuma(cut)._4.sameElements(op))
+  }
+
+  test("lenient scrub: good rows bit-equal strict, junk passes through flagged") {
+    val wav = Media.genWavs(Seq((1L, 8000, 1, 40)).toDF("id", "rate", "ch", "fr"),
+      "id", "rate", "ch", "fr").select("content").as[Array[Byte]].head()
+    val tagged = Media.genInfoTagged(
+      Seq((1L, wav, "GRAFT-PII artist=1")).toDF("id", "content", "artist"),
+      "id", "content", "artist").select("content").as[Array[Byte]].head()
+    val junk = "not a container".getBytes
+    val out = Media.stripMediaMetadataLenient(
+      Seq((1L, tagged), (2L, junk)).toDF("id", "content"), "id", "content")
+      .select("id", "content", "bytes_removed", "scrub_ok", "scrub_err")
+      .as[(Long, Array[Byte], Int, Boolean, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    // the good row is BIT-EQUAL to the strict path's output
+    assert(out(0)._4 && out(0)._5.isEmpty)
+    assert(out(0)._2.sameElements(Media.stripMediaMeta(tagged)))
+    assert(out(0)._3 == tagged.length - out(0)._2.length && out(0)._3 > 0)
+    // the junk row keeps its ORIGINAL bytes (re-quarantinable downstream)
+    // with the explicit PII-may-remain flag — and the task did not fail
+    assert(!out(1)._4 && out(1)._5.contains("IllegalArgumentException"))
+    assert(out(1)._2.sameElements(junk) && out(1)._3 == 0)
+    // image twin: same contract over the image containers
+    val png = Media.pngWithOrientation(
+      Media.encodeGrayPng(pattern(2L, 0, 9, 8), 9, 8), 3)
+    val iout = Media.stripImageMetadataLenient(
+      Seq((1L, png), (2L, junk)).toDF("id", "content"), "id", "content")
+      .select("id", "content", "scrub_ok", "scrub_err")
+      .as[(Long, Array[Byte], Boolean, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(iout(0)._3 && iout(0)._2.sameElements(Media.stripImageMeta(png)))
+    assert(!iout(1)._3 && iout(1)._2.sameElements(junk) &&
+      iout(1)._4.contains("IllegalArgumentException"))
+  }
+
   test("maxFrames caps per-video decode: strict throws, lenient quarantines") {
     val df = Seq((1L, 3L, 2), (2L, 9L, 4)).toDF("id", "k", "n")
     val avis = Media.genPatternAvis(df, "id", "k", "n", w = 9, h = 8)

@@ -74,6 +74,24 @@ class PdfSpec extends SparkSpec {
     assert(e.getMessage.contains("FlateDecode"))
   }
 
+  test("indirect /Length N G R falls back to the endstream scan") {
+    // "/Length 12 0 R": regex backtracking could shorten the digit run to
+    // "1" and read the stream as 1 byte — the \b-pinned pattern must
+    // reject ANY "N G R" reference and scan for endstream instead
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length 12 0 R >>\n" +
+      "stream\nBT (ok) Tj ET\nendstream endobj\n" +
+      "12 0 obj 14 endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.contentStreams(pdf).map(Pdf.streamText(_)) == Seq("ok"))
+    // non-zero object numbers too (the old lookahead only excluded "0 R")
+    val pdf2 = ("%PDF-1.4\n1 0 obj << /Length 7 3 R >>\n" +
+      "stream\nBT (yes) Tj ET\nendstream endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.contentStreams(pdf2).map(Pdf.streamText(_)) == Seq("yes"))
+    // a direct length is still honored exactly
+    val direct = ("%PDF-1.4\n1 0 obj << /Length 15 >>\n" +
+      "stream\nBT (dl) Tj ET\nendstream endobj\n").getBytes(ISO_8859_1)
+    assert(Pdf.contentStreams(direct).map(Pdf.streamText(_)) == Seq("dl"))
+  }
+
   test("pdfText explodes docs into per-stream rows with version") {
     val ids = Seq((2L, 3, true), (3L, 2, false)).toDF("id", "n", "flate")
     val out = Pdf.pdfText(Pdf.genPdfs(ids, "id", "n", "flate"), "id", "content")
