@@ -114,9 +114,17 @@ object ScaleAvSoak {
         // plants re-containered OPPOSITE to their origin day's container
         val p0 = videos(0, nPlant, 900000000L + day * 10000L, mp4 = true)
         val p1 = videos(1, nPlant, 910000000L + day * 10000L, mp4 = false)
+        // + AUDIO-FIRST MP4 re-containers of day-0 content (the crawl
+        // track order): each must classify dup via the hdlr-dispatched
+        // frame walk — a positional reader would quarantine these on
+        // garbage audio "frames" instead (caught by the quarantine-empty
+        // assertion after the soak)
+        val p2 = graft.ext.Media.genNoiseVideosAvOrder(
+          ids(0, nPlant, 920000000L + day * 10000L).withColumn("n", lit(3)),
+          "mid", "k", "n", 9, 8)
         if (day == 0) novel
         else if (day == 1) novel.unionByName(p0)
-        else novel.unionByName(p0).unionByName(p1)
+        else novel.unionByName(p0).unionByName(p1).unionByName(p2)
       case "audio" =>
         val novel = wavs(day, perDay, day.toLong * 1000000L, perturb = 0)
         val p0 = wavs(0, nPlant, 900000000L + day * 10000L, perturb = 1)
@@ -177,6 +185,15 @@ object ScaleAvSoak {
         println(f"SOAK_AV modality=$modality day=$day%3d ingest_sec=$sec%.2f " +
           f"corpus_rows=$got index_rows=${indexRows()}")
       sec
+    }
+
+    // the video ingest must REJECT every plant as a dup, never quarantine
+    // it: an audio-first MP4 read positionally would decode junk audio
+    // samples as frames and land here instead of classifying against the
+    // stored signatures — rejection and quarantine are different verdicts
+    if (modality == "video") {
+      val q = spark.read.parquet(quar).count()
+      assert(q == 0, s"video soak quarantined $q payloads — decode regression")
     }
 
     // ---- maintenance: compact → classify → erase day-0 → re-admit -------

@@ -2325,6 +2325,26 @@ object SparkEntry {
           col("meta_zeroed"), col("size_preserved"))
     }),
 
+    // the MP4 keyframe-economy pipeline: stss sync samples → dHash →
+    // video-level near-dup pairs — the mm_video_pipeline shape WITHOUT
+    // the full-decode + scene-diff stages (the container's own sync table
+    // plays the scene index), which is the per-file cost model that
+    // matters at 100 TB. Videos arrive in content-identical pairs; each
+    // pair must match on its 2 keyframes alone
+    "mm_mp4_pipeline" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 60)
+        .withColumn("k", floor(col("doc_id") / 2).cast("long"))
+        .withColumn("n", lit(6).cast("int"))
+        .withColumn("step", lit(3).cast("int"))
+      val media = Media.genPatternMp4sKeyframed(ids, "doc_id", "k", "n",
+        "step", w = 9, h = 8)
+      val keyframes = Media.mp4Keyframes(media, "doc_id", "content")
+        .select(col("doc_id"), col("dhash")).localCheckpoint(true)
+      Media.videoNearPairs(keyframes, "doc_id", "dhash",
+        minShared = 2, maxHashFreq = 1000)
+    }),
+
     // LENIENT scrub (the form that composes upstream of ingest sinks):
     // good WAVs lose exactly their planted LIST(INFO) tag
     // (bytes_removed = 20 + len + pad, re-derived from the artist-string
@@ -4380,6 +4400,19 @@ object SparkEntry {
         |  CAST(n AS INT) AS n_frames,
         |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000
         |FROM ids""".stripMargin,
+
+    // keyframe pipeline: pair (2i, 2i+1) shares pattern k=i → identical
+    // stss keyframes (f = 0, 3) → one pair per group with exactly 2
+    // shared signatures; cross-group kf spaces are disjoint (< 256, no
+    // pattern fold), so no other pair exists
+    "mm_mp4_pipeline" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60)
+        |SELECT CAST(id AS BIGINT) AS left_id,
+        |  CAST(id + 1 AS BIGINT) AS right_id,
+        |  CAST(2 AS BIGINT) AS n_shared,
+        |  CAST(2 AS BIGINT) AS n_left,
+        |  CAST(2 AS BIGINT) AS n_right
+        |FROM ids WHERE id % 2 = 0""".stripMargin,
 
     // lenient scrub: the planted LIST(INFO) size re-derives from the
     // artist-string LENGTH (8 LIST hdr + 4 INFO + 8 IART hdr + text +

@@ -1880,6 +1880,39 @@ object Media {
     }, outSchema)
   }
 
+  /** [[genNoiseVideos]]' MP4 form with the AUDIO track declared FIRST
+    * (junk `soun` samples + its own sample table, then the `vide` trak
+    * with the SAME noise frames) — the soak-side twin of
+    * [[genPatternMp4sAvOrder]]: an audio-first re-container of stored
+    * content must classify DUP through the `hdlr`-dispatched walk, not
+    * quarantine on garbage frames a positional reader would pick.
+    */
+  def genNoiseVideosAvOrder(df: DataFrame, idCol: String, seedCol: String,
+                            framesCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(seedCol).cast("long"),
+      col(framesCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(1)
+        val n = r.getInt(2)
+        val frames = (0 until n).map { f =>
+          val px = Array.tabulate(w * h)(i =>
+            (mix64(seed * 0x100000001B3L + f * 0x9E3779B97F4A7C15L + i)
+              & 0xff).toInt)
+          encodeGrayPng(px, w, h)
+        }
+        val audio = (0 until n * 4).map(i => Array[Byte](
+          (mix64(seed + i) & 0xff).toByte, (mix64(seed - i) & 0xff).toByte))
+        Row(r.get(0), encodeMp4Tracks("isom", 30000L, 1001L * n, Seq(
+          Mp4Track("soun", 0, 0, audio, Seq((audio.length, 250L))),
+          Mp4Track("vide", w, h, frames, Seq((n, 1001L))))))
+      }
+    }, outSchema)
+  }
+
   /** NOISE-window WAV fixtures for scale soaks — [[genToneWavs]] with
     * [[mix64]] amplitudes (1..120) instead of the oracle-replayable tone
     * formula (whose fingerprint space folds to ≤120 values): each clip's

@@ -100,8 +100,10 @@ class SparkEntrySpec extends SparkSpec {
     // +mm_mp4_keyframes (stss sync-sample table → keyframe-only decode)
     // 217 round 18: +mm_media_scrub_lenient (quarantine-in-place scrub
     // twin: junk flows through unmodified with scrub_ok=false)
-    assert(SparkEntry.queries.size == 217,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 217); " +
+    // 218 round 18: +mm_mp4_pipeline (stss keyframes → near-dup pairs —
+    // the video pipeline shape at keyframe-decode cost)
+    assert(SparkEntry.queries.size == 218,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 218); " +
         "if intentional, update this pin")
   }
 

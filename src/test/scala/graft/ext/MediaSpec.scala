@@ -896,6 +896,18 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodeLuma(cut)._4.sameElements(op))
   }
 
+  test("genNoiseVideosAvOrder frames hash identical to the video-first noise MP4") {
+    val df = Seq((1L, 42L, 3)).toDF("mid", "k", "n")
+    val avFirst = Media.genNoiseVideosAvOrder(df, "mid", "k", "n", 9, 8)
+    val vFirst = Media.genNoiseVideos(
+      df.withColumn("mp4", lit(true)), "mid", "k", "n", "mp4", 9, 8)
+    val a = Media.videoFrames(avFirst, "mid", "content")
+      .select("frame_idx", "dhash").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    val v = Media.videoFrames(vFirst, "mid", "content")
+      .select("frame_idx", "dhash").as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(a == v && a.size == 3)
+  }
+
   test("lenient scrub: good rows bit-equal strict, junk passes through flagged") {
     val wav = Media.genWavs(Seq((1L, 8000, 1, 40)).toDF("id", "rate", "ch", "fr"),
       "id", "rate", "ch", "fr").select("content").as[Array[Byte]].head()
