@@ -2325,6 +2325,33 @@ object SparkEntry {
           col("meta_zeroed"), col("size_preserved"))
     }),
 
+    // JPEG-side scrub semantics (the r18 ADVICE fix, proven per row):
+    // Exif orientation DROPS (decode sees raw un-rotated dims — 5..8
+    // would swap them), APP14 Adobe and ICC APP2 SURVIVE (decode-critical
+    // color markers), non-ICC MPF APP2 and post-EOI trailer bytes are
+    // GONE — each flag re-derived as a constant, dims varying per row
+    "mm_image_scrub_jpeg" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 120)
+        .withColumn("w", (lit(9) + col("doc_id") % 4).cast("int"))
+        .withColumn("h", (lit(8) + col("doc_id") % 3).cast("int"))
+        .withColumn("o", (col("doc_id") % 8 + 1).cast("int"))
+      val media = Media.genAdobeTaggedJpegs(ids, "doc_id", "w", "h", "o")
+      val scrubbed = Media.stripImageMetadata(media, "doc_id", "content")
+      Media.decodeImageMeta(scrubbed, "doc_id", "content")
+        .join(scrubbed.select(col("doc_id"),
+          contains(col("content"), lit("Adobe".getBytes)).as("adobe_kept"),
+          contains(col("content"), lit("ICC_PROFILE".getBytes))
+            .as("icc_kept"),
+          (!contains(col("content"), lit("MPFSECRET".getBytes)))
+            .as("mpf_gone"),
+          (!contains(col("content"), lit("TRAILER-PII".getBytes)))
+            .as("trailer_gone")), Seq("doc_id"))
+        .select(col("doc_id").as("media_id"), col("width"), col("height"),
+          col("mime"), col("adobe_kept"), col("icc_kept"), col("mpf_gone"),
+          col("trailer_gone"))
+    }),
+
     // the MP4 keyframe-economy pipeline: stss sync samples → dHash →
     // video-level near-dup pairs — the mm_video_pipeline shape WITHOUT
     // the full-decode + scene-diff stages (the container's own sync table
@@ -4399,6 +4426,18 @@ object SparkEntry {
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(n AS INT) AS n_frames,
         |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000
+        |FROM ids""".stripMargin,
+
+    // JPEG scrub: dims re-derive raw (orientation tag provably gone — a
+    // surviving 5..8 tag would swap them), marker-survival flags constant
+    "mm_image_scrub_jpeg" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 120)
+        |SELECT id AS media_id,
+        |  CAST(9 + id % 4 AS INT) AS width,
+        |  CAST(8 + id % 3 AS INT) AS height,
+        |  'image/jpeg' AS mime,
+        |  TRUE AS adobe_kept, TRUE AS icc_kept,
+        |  TRUE AS mpf_gone, TRUE AS trailer_gone
         |FROM ids""".stripMargin,
 
     // keyframe pipeline: pair (2i, 2i+1) shares pattern k=i → identical

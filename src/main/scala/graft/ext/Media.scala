@@ -646,6 +646,53 @@ object Media {
     }, outSchema)
   }
 
+  /** Adobe-style tagged JPEG fixtures, one per input row: a real
+    * ImageIO-encoded gray JPEG at (`wCol`×`hCol`) carrying EVERY channel
+    * the JPEG scrub adjudicates — APP1 Exif (orientation `orientCol`,
+    * must DROP), APP14 Adobe color-transform (must KEEP), an
+    * `ICC_PROFILE` APP2 (must KEEP), a non-ICC `MPFSECRET` APP2 (embedded
+    * previews — must DROP), and post-EOI trailer bytes (`TRAILER-PII…`,
+    * must be CUT). Pixel content is deterministic but not oracle-relevant
+    * (JPEG is lossy); the oracle replays dims + marker-survival flags.
+    */
+  def genAdobeTaggedJpegs(df: DataFrame, idCol: String, wCol: String,
+                          hCol: String, orientCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(wCol).cast("int"),
+      col(hCol).cast("int"), col(orientCol).cast("int"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var i = 0
+        while (i < w * h) {
+          img.getRaster.setSample(i % w, i / w, 0, ((id * 31 + i * 7) % 256).toInt)
+          i += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val withExif = jpegWithOrientation(bos.toByteArray, r.getInt(3))
+        def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+          Array(0xff.toByte, marker.toByte,
+            ((payload.length + 2) >> 8).toByte,
+            ((payload.length + 2) & 0xff).toByte) ++ payload
+        val app14 = seg(0xee, "Adobe".getBytes("US-ASCII") ++
+          Array[Byte](0, 100, 0, 0, 0, 0, 1))
+        val icc = seg(0xe2, IccIdentifier ++ Array[Byte](0, 1, 1) ++
+          Array.fill[Byte](8)(0x42))
+        val mpf = seg(0xe2, "MPFSECRET".getBytes("US-ASCII") ++
+          Array.fill[Byte](8)(0x24))
+        val trailer = s"TRAILER-PII preview=$id".getBytes("US-ASCII")
+        Row(id, withExif.take(2) ++ app14 ++ icc ++ mpf ++
+          withExif.drop(2) ++ trailer)
+      }
+    }, outSchema)
+  }
+
   /** Container sniff from magic bytes — decode-independent, so a payload
     * that LIES about its type still reports what it actually is.
     */

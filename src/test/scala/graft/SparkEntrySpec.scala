@@ -102,8 +102,10 @@ class SparkEntrySpec extends SparkSpec {
     // twin: junk flows through unmodified with scrub_ok=false)
     // 218 round 18: +mm_mp4_pipeline (stss keyframes → near-dup pairs —
     // the video pipeline shape at keyframe-decode cost)
-    assert(SparkEntry.queries.size == 218,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 218); " +
+    // 219 round 18: +mm_image_scrub_jpeg (Exif drops, APP14/ICC survive,
+    // MPF + post-EOI trailer gone — per-row flags + raw dims)
+    assert(SparkEntry.queries.size == 219,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 219); " +
         "if intentional, update this pin")
   }
 
