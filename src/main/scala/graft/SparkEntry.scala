@@ -2325,6 +2325,59 @@ object SparkEntry {
           col("meta_zeroed"), col("size_preserved"))
     }),
 
+    // FRAGMENTED MP4 (DASH/CMAF/streaming recorders — empty moov sample
+    // tables, per-fragment moof/tfhd/trun runs): the same metadata facts
+    // now sourced from the fragment walk + trex defaults
+    "mm_mp4_frag_meta" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("ts", when(col("doc_id") % 3 === 0, 90000L)
+          .when(col("doc_id") % 3 === 1, 30000L).otherwise(12800L))
+        .withColumn("dl", when(col("doc_id") % 3 === 0, 3000L)
+          .when(col("doc_id") % 3 === 1, 1001L).otherwise(512L))
+        .withColumn("n", (lit(24) + (col("doc_id") % 40) * 3).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+      val media = Media.genFmp4s(ids, "doc_id", "ts", "dl", "n", "w", "h")
+      Media.decodeMp4Meta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("major_brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"), col("n_frames"), col("fps_x1000"))
+    }),
+
+    // fMP4 frame walk: moof/trun sample runs yield payloads
+    // byte-identical to the plain-container fixtures, so this key shares
+    // mm_mp4_frames' oracle SQL verbatim — fragmentation never enters
+    // the frame-dedup algebra
+    "mm_mp4_frag_frames" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 3 + 2).cast("int"))
+        .withColumn("fs", lit(2).cast("int"))
+      val media = Media.genPatternFmp4s(ids, "doc_id", "k", "n", "fs",
+        w = 9, h = 8)
+      Media.videoFrames(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("frame_idx"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // fMP4 keyframes: fragment boundaries ARE the sync points a DASH
+    // packager cuts at — fragment size = the keyframed fixture's stss
+    // step, so mm_mp4_keyframes' oracle SQL replays verbatim
+    "mm_mp4_frag_keyframes" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("fs", (col("doc_id") % 3 + 2).cast("int"))
+      val media = Media.genPatternFmp4s(ids, "doc_id", "k", "n", "fs",
+        w = 9, h = 8)
+      Media.mp4Keyframes(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("frame_idx"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
     // JPEG-side scrub semantics (the r18 ADVICE fix, proven per row):
     // Exif orientation DROPS (decode sees raw un-rotated dims — 5..8
     // would swap them), APP14 Adobe and ICC APP2 SURVIVE (decode-critical
@@ -3540,6 +3593,11 @@ object SparkEntry {
       // audio-first track order never enters the algebra: the hdlr-typed
       // selection must yield frames identical to the video-first fixture
       ("mm_mp4_frames_avorder" -> m("mm_mp4_frames")) +
+      // fragmentation never enters the frame/keyframe algebra: the fMP4
+      // fixtures carry byte-identical payloads and fragment size = the
+      // planted stss step, so both SQLs replay verbatim
+      ("mm_mp4_frag_frames" -> m("mm_mp4_frames")) +
+      ("mm_mp4_frag_keyframes" -> m("mm_mp4_keyframes")) +
       // same page-text formula; only the header version differs (ObjStm
       // is a PDF 1.5 feature, and the fixture headers say so)
       ("mm_pdf_objstm" -> m("mm_pdf_unicode").replace("'1.4'", "'1.5'")) +
@@ -4466,6 +4524,25 @@ object SparkEntry {
         |       ELSE NULL END AS scrub_err,
         |  CAST(CASE WHEN id % 5 = 4 THEN 0
         |       ELSE 20 + len + (len % 2) END AS INT) AS bytes_removed
+        |FROM ids""".stripMargin,
+
+    // fMP4: one video track, constant trex duration — the same floor
+    // math as mm_mp4_meta, sourced from the fragment walk
+    "mm_mp4_frag_meta" ->
+      """WITH ids AS (SELECT doc_id AS d,
+        |    CASE WHEN doc_id % 3 = 0 THEN 90000 WHEN doc_id % 3 = 1 THEN 30000 ELSE 12800 END AS ts,
+        |    CASE WHEN doc_id % 3 = 0 THEN 3000 WHEN doc_id % 3 = 1 THEN 1001 ELSE 512 END AS dl,
+        |    24 + (doc_id % 40) * 3 AS n,
+        |    320 + (doc_id % 4) * 160 AS w,
+        |    240 + (doc_id % 4) * 120 AS h
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT d AS media_id, 'isom' AS major_brand,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  CAST(n * dl * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(1 AS INT) AS n_tracks,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000
         |FROM ids""".stripMargin,
 
     // VFR: duration in timescale units = (n/2)·dl + (n−n/2)·2dl; fps is

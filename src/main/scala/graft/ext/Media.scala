@@ -2235,57 +2235,69 @@ object Media {
     }
   }
 
-  /** Per-trak sample facts collected during one `moov` walk: the `hdlr`
+  /** Per-trak sample facts collected during one `moov` walk: the `tkhd`
+    * track_ID (the join key into `moof`-fragment `tfhd` boxes), the `hdlr`
     * handler type (empty when absent), `stsz` sample count, and the sum of
     * counts / sum of count·delta over ALL `stts` entries — both latched
     * from the SAME trak, never mixed across tracks.
     */
-  private final case class TrakFacts(handler: String, nSamples: Int,
+  private final case class TrakFacts(trackId: Int, handler: String,
+                                     nSamples: Int,
                                      sttsCount: Long, sttsDur: Long) {
     def hasSampleTable: Boolean = nSamples > 0 || sttsCount > 0
   }
 
-  /** Walk one `trak` box's `mdia(hdlr, minf(stbl))` subtree into its
-    * [[TrakFacts]] — the shared selection input of [[parseMp4]] and the
-    * sample-extraction walks (which re-read the full table only for the
-    * track this selection picks).
+  /** Walk one `trak` box's `tkhd` + `mdia(hdlr, minf(stbl))` subtree into
+    * its [[TrakFacts]] — the shared selection input of [[parseMp4]] and
+    * the sample-extraction walks (which re-read the full table only for
+    * the track this selection picks).
     */
   private def trakFacts(bytes: Array[Byte], s2: Int, e2: Int): TrakFacts = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    var trackId = 0
     var handler = ""
     var nSamples = 0
     var sttsCount = 0L
     var sttsDur = 0L
     walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
-      if (t3 == "mdia") walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
-        t4 match {
-          // hdlr: FullBox(4) + pre_defined(4) + handler_type(4)
-          case "hdlr" if e4 - s4 >= 12 =>
-            handler = new String(bytes, s4 + 8, 4, "US-ASCII")
-          case "minf" => walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
-            if (t5 == "stbl") walkBoxes(bytes, s5, e5) { (t6, ps, _) =>
-              t6 match {
-                case "stsz" =>
-                  nSamples = bb.getInt(ps + 8) // count (after vf + size)
-                case "stts" =>
-                  val n = bb.getInt(ps + 4)
-                  var i = 0
-                  while (i < n) {
-                    val c = bb.getInt(ps + 8 + 8 * i).toLong & 0xffffffffL
-                    val d = bb.getInt(ps + 12 + 8 * i).toLong & 0xffffffffL
-                    sttsCount += c
-                    sttsDur += c * d
-                    i += 1
-                  }
-                case _ =>
+      t3 match {
+        case "tkhd" =>
+          // track_ID after the FullBox header + creation/modification
+          // times (32- or 64-bit per version)
+          trackId =
+            if ((bytes(s3) & 0xff) == 1) bb.getInt(s3 + 20)
+            else bb.getInt(s3 + 12)
+        case "mdia" => walkBoxes(bytes, s3, e3) { (t4, s4, e4) =>
+          t4 match {
+            // hdlr: FullBox(4) + pre_defined(4) + handler_type(4)
+            case "hdlr" if e4 - s4 >= 12 =>
+              handler = new String(bytes, s4 + 8, 4, "US-ASCII")
+            case "minf" => walkBoxes(bytes, s4, e4) { (t5, s5, e5) =>
+              if (t5 == "stbl") walkBoxes(bytes, s5, e5) { (t6, ps, _) =>
+                t6 match {
+                  case "stsz" =>
+                    nSamples = bb.getInt(ps + 8) // count (after vf + size)
+                  case "stts" =>
+                    val n = bb.getInt(ps + 4)
+                    var i = 0
+                    while (i < n) {
+                      val c = bb.getInt(ps + 8 + 8 * i).toLong & 0xffffffffL
+                      val d = bb.getInt(ps + 12 + 8 * i).toLong & 0xffffffffL
+                      sttsCount += c
+                      sttsDur += c * d
+                      i += 1
+                    }
+                  case _ =>
+                }
               }
             }
+            case _ =>
           }
-          case _ =>
         }
+        case _ =>
       }
     }
-    TrakFacts(handler, nSamples, sttsCount, sttsDur)
+    TrakFacts(trackId, handler, nSamples, sttsCount, sttsDur)
   }
 
   /** Pick the track the frame tier should read: the first trak whose
@@ -2303,6 +2315,135 @@ object Media {
       val first = traks.indexWhere(_.hasSampleTable)
       if (first >= 0) Some(first) else None
     }
+  }
+
+  /** [[pickVideoTrak]] for FRAGMENTED files, where `moov`'s sample tables
+    * are empty by design and selection can only go by declared handler:
+    * the first `vide` trak, else the first trak.
+    */
+  private def pickVideoTrakAny(traks: Seq[TrakFacts]): Option[Int] = {
+    val byHandler = traks.indexWhere(_.handler == "vide")
+    if (byHandler >= 0) Some(byHandler)
+    else if (traks.nonEmpty) Some(0) else None
+  }
+
+  /** `mvex/trex` defaults for one track: (default_sample_duration,
+    * default_sample_size) — the fallbacks `tfhd`/`trun` omit per ISO
+    * 14496-12 §8.8.3.
+    */
+  private def trexDefaults(bytes: Array[Byte], trackId: Int): (Long, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var dur = 0L
+    var size = 0
+    walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
+      if (t == "moov") walkBoxes(bytes, s, e) { (t2, s2, e2) =>
+        if (t2 == "mvex") walkBoxes(bytes, s2, e2) { (t3, s3, _) =>
+          if (t3 == "trex" && bb.getInt(s3 + 4) == trackId) {
+            dur = bb.getInt(s3 + 12).toLong & 0xffffffffL
+            size = bb.getInt(s3 + 16)
+          }
+        }
+      }
+    }
+    (dur, size)
+  }
+
+  /** Fragmented-MP4 sample layout for `trackId` from the `moof(traf(tfhd,
+    * trun))` walk — the DASH/CMAF/streaming-recorder shape where `moov`'s
+    * sample tables are EMPTY and every fragment carries its own run:
+    * `tfhd` gives the track binding, optional explicit base_data_offset
+    * (flag 0x1; otherwise the enclosing `moof`'s own file offset — the
+    * default-base-is-moof rule, also the spec default for the profile
+    * supported here), and per-fragment defaults; `trun` gives sample
+    * count, optional data_offset (flag 0x1), and per-sample sizes (0x200)
+    * / durations (0x100), falling back tfhd → `trex`. Returns per-sample
+    * (offsets, sizes, durations) over ALL fragments in file order, plus
+    * the 0-based index of each fragment's FIRST sample — fragment
+    * boundaries are the sync points a DASH packager cuts at, so they
+    * serve as the keyframe list the un-fragmented tier reads from `stss`.
+    */
+  private def fragLayout(bytes: Array[Byte], trackId: Int, trexDur: Long,
+                         trexSize: Int):
+      (Array[Long], Array[Int], Array[Long], Array[Int]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val durs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fragStarts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // manual top-level walk: the moof's own FILE offset is the default
+    // data base, which walkBoxes' payload-only callback cannot supply
+    var off = 0
+    while (off + 8 <= bytes.length) {
+      val size32 = bb.getInt(off)
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      var payload = off + 8
+      val end: Long =
+        if (size32 == 1) { payload = off + 16; off.toLong + bb.getLong(off + 8) }
+        else if (size32 == 0) bytes.length.toLong
+        else off.toLong + (size32.toLong & 0xffffffffL)
+      require(end >= payload && end <= bytes.length,
+        s"box '$typ' at $off: size overruns the file")
+      if (typ == "moof") {
+        val moofStart = off.toLong
+        walkBoxes(bytes, payload, end.toInt) { (t2, s2, e2) =>
+          if (t2 == "traf") {
+            // tfhd: FullBox flags select which optional fields follow
+            var track = -1
+            var base = moofStart
+            var defDur = trexDur
+            var defSize = trexSize
+            var sawFirst = false
+            var cursor = 0L
+            walkBoxes(bytes, s2, e2) { (t3, s3, _) =>
+              t3 match {
+                case "tfhd" =>
+                  val flags = bb.getInt(s3) & 0xffffff
+                  track = bb.getInt(s3 + 4)
+                  var q = s3 + 8
+                  if ((flags & 0x1) != 0) { base = bb.getLong(q); q += 8 }
+                  if ((flags & 0x2) != 0) q += 4 // sample_description_index
+                  if ((flags & 0x8) != 0) {
+                    defDur = bb.getInt(q).toLong & 0xffffffffL; q += 4
+                  }
+                  if ((flags & 0x10) != 0) { defSize = bb.getInt(q); q += 4 }
+                  cursor = base
+                case "trun" if track == trackId =>
+                  val flags = bb.getInt(s3) & 0xffffff
+                  val n = bb.getInt(s3 + 4)
+                  var q = s3 + 8
+                  if ((flags & 0x1) != 0) { cursor = base + bb.getInt(q); q += 4 }
+                  if ((flags & 0x4) != 0) q += 4 // first_sample_flags
+                  if (!sawFirst && n > 0) {
+                    fragStarts += offsets.length
+                    sawFirst = true
+                  }
+                  var i = 0
+                  while (i < n) {
+                    val d =
+                      if ((flags & 0x100) != 0) {
+                        val v = bb.getInt(q).toLong & 0xffffffffL; q += 4; v
+                      } else defDur
+                    val sz =
+                      if ((flags & 0x200) != 0) {
+                        val v = bb.getInt(q); q += 4; v
+                      } else defSize
+                    if ((flags & 0x400) != 0) q += 4 // sample_flags
+                    if ((flags & 0x800) != 0) q += 4 // cts offset
+                    offsets += cursor
+                    sizes += sz
+                    durs += d
+                    cursor += sz
+                    i += 1
+                  }
+                case _ =>
+              }
+            }
+          }
+        }
+      }
+      off = end.toInt
+    }
+    (offsets.toArray, sizes.toArray, durs.toArray, fragStarts.toArray)
   }
 
   /** Parse an ISO-BMFF container's metadata boxes — `ftyp` → `moov(mvhd,
@@ -2363,9 +2504,21 @@ object Media {
     }
     require(sawMvhd && timescale > 0, "MP4 missing moov/mvhd header")
     val all = traks.result()
-    val facts = pickVideoTrak(all).map(all).getOrElse(TrakFacts("", 0, 0L, 0L))
-    Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
-      facts.nSamples, facts.sttsCount, facts.sttsDur)
+    pickVideoTrak(all).map(all) match {
+      case Some(facts) =>
+        Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
+          facts.nSamples, facts.sttsCount, facts.sttsDur)
+      case None =>
+        // FRAGMENTED fallback: no trak carries an stbl sample table (the
+        // DASH/CMAF init shape) — sample facts come from the moof/trun
+        // walk of the handler-selected track, durations tfhd→trex
+        val frag = pickVideoTrakAny(all).map { i =>
+          val (td, tsz) = trexDefaults(bytes, all(i).trackId)
+          fragLayout(bytes, all(i).trackId, td, tsz)._3
+        }.getOrElse(Array.emptyLongArray)
+        Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
+          frag.length, frag.length.toLong, frag.sum)
+    }
   }
 
   /** The video track's per-sample file layout: absolute byte offset and
@@ -2399,8 +2552,28 @@ object Media {
       }
     }
     val spans = trakSpans.result()
-    val picked = pickVideoTrak(spans.map { case (s2, e2) => trakFacts(bytes, s2, e2) })
-    require(picked.isDefined, "MP4 missing sample table (stsz/stco/stsc)")
+    val factsAll = spans.map { case (s2, e2) => trakFacts(bytes, s2, e2) }
+    val picked = pickVideoTrak(factsAll)
+    if (picked.isEmpty) {
+      // FRAGMENTED fallback: empty moov sample tables → moof/trun layout
+      // of the handler-selected track; fragment-start samples play the
+      // stss role (a DASH packager cuts fragments at sync points)
+      val j = pickVideoTrakAny(factsAll).getOrElse(throw
+        new IllegalArgumentException("MP4 missing sample table (no trak)"))
+      val (td, tsz) = trexDefaults(bytes, factsAll(j).trackId)
+      val (offs, szs, _, starts) =
+        fragLayout(bytes, factsAll(j).trackId, td, tsz)
+      require(offs.nonEmpty,
+        "MP4 missing sample table (stsz/stco/stsc or moof/trun)")
+      var i = 0
+      while (i < offs.length) {
+        require(offs(i) >= 0 && szs(i) >= 0 &&
+          offs(i) + szs(i) <= bytes.length,
+          s"fragment sample $i at offset ${offs(i)} overruns the file")
+        i += 1
+      }
+      return Mp4Layout(offs, szs, starts.map(_ + 1))
+    }
     // pass 2: full sample table of the selected trak only
     var sizes: Array[Int] = null
     var chunkOffsets: Array[Long] = null
@@ -2684,6 +2857,86 @@ object Media {
         else Mp4Track("", w, h)
       }, udta)
 
+  /** Encode a minimal canonical FRAGMENTED MP4 (the DASH/CMAF/streaming-
+    * recorder shape): `ftyp moov(mvhd trak(tkhd mdia(mdhd hdlr(vide)
+    * minf(stbl(EMPTY tables)))) mvex(trex)) [moof(mfhd traf(tfhd trun))
+    * mdat]…` — one fragment per `fragments` entry, `trex` carrying the
+    * default sample duration, `tfhd` under the default-base-is-moof rule,
+    * `trun` with explicit data_offset + per-sample sizes. The inverse of
+    * the [[fragLayout]] walk for the fields it reads.
+    */
+  def encodeFmp4(majorBrand: String, timescale: Long, sampleDelta: Long,
+                 width: Int, height: Int,
+                 fragments: Seq[Seq[Array[Byte]]]): Array[Byte] = {
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def full(bodyLen: Int, versionFlags: Int = 0)
+            (fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + bodyLen)
+      bb.putInt(versionFlags)
+      fill(bb)
+      bb.array()
+    }
+    val nTotal = fragments.map(_.length).sum
+    val duration = nTotal * sampleDelta
+    // the moov header: same shells as encodeMp4Tracks with NO sample
+    // table (trakFacts reads that as table-less → the fragment path),
+    // plus mvex/trex defaults spliced in below
+    val init = encodeMp4Tracks(majorBrand, timescale, duration,
+      Seq(Mp4Track("vide", width, height)))
+    // splice mvex(trex) into moov: rebuild moov with the extra child —
+    // simplest correct splice is reconstruction: moov is the LAST box of
+    // the init segment built above and its payload is self-contained
+    val bbInit = java.nio.ByteBuffer.wrap(init)
+    var moovStart = -1
+    var off = 0
+    while (off + 8 <= init.length) {
+      if (new String(init, off + 4, 4, "US-ASCII") == "moov") moovStart = off
+      off += bbInit.getInt(off)
+    }
+    require(moovStart >= 0, "encodeMp4Tracks emitted no moov")
+    val moovLen = bbInit.getInt(moovStart)
+    val trex = box("trex", full(20) { bb =>
+      bb.putInt(1) // track_ID
+        .putInt(1) // default_sample_description_index
+        .putInt(sampleDelta.toInt) // default_sample_duration
+        .putInt(0) // default_sample_size (truns carry explicit sizes)
+        .putInt(0) // default_sample_flags
+    })
+    val mvex = box("mvex", trex)
+    val moov = {
+      val body = java.util.Arrays.copyOfRange(init, moovStart + 8,
+        moovStart + moovLen) ++ mvex
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put("moov".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val head = java.util.Arrays.copyOfRange(init, 0, moovStart) ++ moov
+    val out = new ByteArrayOutputStream(head.length)
+    out.write(head)
+    fragments.zipWithIndex.foreach { case (samples, fi) =>
+      val mfhd = box("mfhd", full(4)(_.putInt(fi + 1))) // sequence_number
+      // tfhd: default-base-is-moof (0x020000), no optional fields
+      val tfhd = box("tfhd", full(4, 0x020000)(_.putInt(1)))
+      def trun(dataOffset: Int) = box("trun",
+        full(4 + 4 + 4 * samples.length, 0x000201) { bb =>
+          bb.putInt(samples.length).putInt(dataOffset)
+          samples.foreach(s => bb.putInt(s.length))
+        })
+      // two-pass: the moof's length is independent of the offset VALUE
+      val moofLen = box("moof", mfhd, box("traf", tfhd, trun(0))).length
+      val moof = box("moof", mfhd, box("traf", tfhd, trun(moofLen + 8)))
+      out.write(moof)
+      out.write(box("mdat", samples: _*))
+    }
+    out.toByteArray
+  }
+
   /** Decode every MP4 payload's metadata: REAL box-walk facts from
     * `ftyp`/`mvhd`/`tkhd`/`stts`/`stsz` plus the integer-floor derived
     * fields the oracle replays (`duration_ms = duration·1000/timescale`,
@@ -2837,6 +3090,62 @@ object Media {
         Row(r.get(0), encodeMp4Tracks("isom", 30000L, 1001L * n, Seq(
           Mp4Track("vide", w, h, samples, Seq((n, 1001L)),
             syncSamples = (0 until n by step).map(_ + 1)))))
+      }
+    }, outSchema)
+  }
+
+  /** [[genPatternMp4s]] in a FRAGMENTED container: the same pattern-PNG
+    * frames (byte-identical payloads, so the frame/keyframe oracles are
+    * container-layout-independent), split into `fragCol`-sample
+    * fragments — sample f starts a fragment iff `f mod fragSize = 0`,
+    * which is exactly the `stss` shape [[genPatternMp4sKeyframed]] plants,
+    * so the keyframe oracle SQL replays verbatim.
+    */
+  def genPatternFmp4s(df: DataFrame, idCol: String, patternCol: String,
+                      framesCol: String, fragCol: String,
+                      w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(framesCol).cast("int"), col(fragCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1)
+        val n = r.getInt(2)
+        val frag = r.getInt(3)
+        require(frag >= 1, s"fragment size must be >= 1, got $frag")
+        val samples = (0 until n).map(f =>
+          patternFramePng(k * 8 + f, w, h, flipFirstGradient = false))
+        Row(r.get(0), encodeFmp4("isom", 30000L, 1001L, w, h,
+          samples.grouped(frag).toSeq))
+      }
+    }, outSchema)
+  }
+
+  /** [[genMp4s]]' fragmented twin for the metadata oracle: single `vide`
+    * track, tiny 2-byte samples in 8-sample fragments, `trex` carrying
+    * the constant sample duration — every [[decodeMp4Meta]] field is the
+    * same re-derivable integer math, now sourced from the moof/trun walk.
+    */
+  def genFmp4s(df: DataFrame, idCol: String, tsCol: String, deltaCol: String,
+               framesCol: String, widthCol: String,
+               heightCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(tsCol).cast("long"),
+      col(deltaCol).cast("long"), col(framesCol).cast("int"),
+      col(widthCol).cast("int"), col(heightCol).cast("int"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getInt(3)
+        val samples = (0 until n).map(i => Array[Byte](
+          ((id * 31 + i) % 256).toByte, ((id * 7 + i * 3) % 256).toByte))
+        Row(id, encodeFmp4("isom", r.getLong(1), r.getLong(2),
+          r.getInt(4), r.getInt(5), samples.grouped(8).toSeq))
       }
     }, outSchema)
   }

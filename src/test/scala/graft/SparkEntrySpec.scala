@@ -104,8 +104,11 @@ class SparkEntrySpec extends SparkSpec {
     // the video pipeline shape at keyframe-decode cost)
     // 219 round 18: +mm_image_scrub_jpeg (Exif drops, APP14/ICC survive,
     // MPF + post-EOI trailer gone — per-row flags + raw dims)
-    assert(SparkEntry.queries.size == 219,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 219); " +
+    // 222 round 18: +mm_mp4_frag_meta/_frames/_keyframes (fragmented MP4:
+    // moof/tfhd/trun sample runs + trex defaults; frames/keyframes share
+    // the plain-container SQLs verbatim)
+    assert(SparkEntry.queries.size == 222,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 222); " +
         "if intentional, update this pin")
   }
 

@@ -896,6 +896,38 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodeLuma(cut)._4.sameElements(op))
   }
 
+  test("fragmented MP4 (moof/tfhd/trun) parses meta and extracts frames") {
+    // 7 samples over fragments of 3: the moov carries NO sample table —
+    // facts and layout must come from the trex defaults + trun walk
+    val samples = (0 until 7).map(i => Array[Byte](i.toByte, (i * 3).toByte, 7))
+    val bytes = Media.encodeFmp4("isom", 30000L, 1001L, 320, 240,
+      samples.grouped(3).toSeq)
+    assert(Media.sniffMime(bytes) == "video/mp4")
+    val m = Media.parseMp4(bytes)
+    assert(m.nTracks == 1 && m.width == 320 && m.height == 240)
+    assert(m.nSamples == 7 && m.sttsCount == 7L && m.sttsDur == 7L * 1001L)
+    assert(m.fpsX1000.contains(30000L * 1000L / 1001L))
+    assert(m.duration == 7L * 1001L) // mvhd carries the total
+    // frame payloads byte-identical, in file order, across fragments
+    assert(Media.mp4FramePayloads(bytes).map(_.toSeq) == samples.map(_.toSeq))
+    // fragment-start samples play the stss role: fragments of 3 → 0, 3, 6
+    assert(Media.mp4KeyframePayloads(bytes).map(_._1) == Seq(0, 3, 6))
+    // the frame-dedup tier sees identical hashes for fMP4 and plain MP4
+    val df = Seq((1L, 5L, 4)).toDF("id", "k", "n")
+    val frag = Media.videoFrames(
+      Media.genPatternFmp4s(df.withColumn("fs", lit(2)), "id", "k", "n", "fs", 9, 8),
+      "id", "content").select("frame_idx", "dhash")
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    val plain = Media.videoFrames(
+      Media.genPatternMp4s(df, "id", "k", "n", 9, 8),
+      "id", "content").select("frame_idx", "dhash")
+      .as[(Int, Long)].collect().sortBy(_._1).toSeq
+    assert(frag == plain && frag.size == 4)
+    // a torn fragment (sample range past EOF) throws, not mis-walks
+    val torn = java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 4)
+    intercept[Exception] { Media.mp4FramePayloads(torn) }
+  }
+
   test("genNoiseVideosAvOrder frames hash identical to the video-first noise MP4") {
     val df = Seq((1L, 42L, 3)).toDF("mid", "k", "n")
     val avFirst = Media.genNoiseVideosAvOrder(df, "mid", "k", "n", 9, 8)
