@@ -928,6 +928,52 @@ class MediaSpec extends SparkSpec {
     intercept[Exception] { Media.mp4FramePayloads(torn) }
   }
 
+  test("fMP4 walk: explicit base_data_offset, multiple truns, default sizes") {
+    // one traf carrying TWO truns: the first with explicit data_offset +
+    // per-sample sizes, the second with NEITHER — offsets must continue
+    // from the first run's cursor and sizes fall back to the tfhd
+    // default_sample_size; the base comes from an explicit
+    // base_data_offset (flag 0x1), not the moof position
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def full(vf: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + body.length)
+      bb.putInt(vf).put(body)
+      bb.array()
+    }
+    def ints(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    val head = Media.encodeFmp4("isom", 30000L, 1001L, 9, 8, Nil)
+    val mfhd = box("mfhd", full(0, ints(1)))
+    def moofOf(base: Long): Array[Byte] = {
+      val tfhd = box("tfhd", full(0x11, { // base_data_offset + default size
+        val bb = java.nio.ByteBuffer.allocate(4 + 8 + 4)
+        bb.putInt(1).putLong(base).putInt(1); bb.array()
+      }))
+      val trun1 = box("trun", full(0x201, ints(2, 0, 2, 3))) // off 0, sz 2,3
+      val trun2 = box("trun", full(0x0, ints(2))) // continues, default sz 1
+      box("moof", mfhd, box("traf", tfhd, trun1, trun2))
+    }
+    val moofLen = moofOf(0L).length
+    val base = head.length + moofLen + 8
+    val bytes = head ++ moofOf(base.toLong) ++
+      box("mdat", "AABBBCD".getBytes("US-ASCII"))
+    assert(Media.mp4FramePayloads(bytes).map(new String(_)) ==
+      Seq("AA", "BBB", "C", "D"))
+    // one traf = one fragment = one sync point, at its FIRST sample
+    assert(Media.mp4KeyframePayloads(bytes).map { case (i, p) =>
+      (i, new String(p)) } == Seq((0, "AA")))
+    val m = Media.parseMp4(bytes)
+    assert(m.nSamples == 4 && m.sttsDur == 4 * 1001L)
+  }
+
   test("genNoiseVideosAvOrder frames hash identical to the video-first noise MP4") {
     val df = Seq((1L, 42L, 3)).toDF("mid", "k", "n")
     val avFirst = Media.genNoiseVideosAvOrder(df, "mid", "k", "n", 9, 8)

@@ -566,6 +566,17 @@ class StreamsSpec extends SparkSpec {
       s"$dir/idx", s"$dir/quar", "id", "content")
     assert(spark.read.parquet(s"$dir/corpus")
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // day 3: the same content RE-PACKAGED as FRAGMENTED MP4 (the
+    // DASH/streaming-recorder shape) — still a dup; a new fMP4 admits
+    def fmp4(id: Long, k: Long, n: Int) = graft.ext.Media.genPatternFmp4s(
+      Seq((id, k, n, 2)).toDF("id", "k", "n", "fs"), "id", "k", "n", "fs", 9, 8)
+    Streams.ingestVideoDedupBatch(
+      fmp4(4L, 5L, 3).unionByName(fmp4(5L, 77L, 3)), 2L, s"$dir/corpus",
+      s"$dir/idx", s"$dir/quar", "id", "content")
+    assert(spark.read.parquet(s"$dir/corpus")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+    // nothing was quarantined along the way — every verdict was dup/admit
+    assert(spark.read.parquet(s"$dir/quar").count() == 0L)
   }
 
   test("ingestVideoDedup quarantines a corrupt-frame video; batch survives") {
