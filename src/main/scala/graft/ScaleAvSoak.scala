@@ -122,9 +122,15 @@ object ScaleAvSoak {
         val p2 = graft.ext.Media.genNoiseVideosAvOrder(
           ids(0, nPlant, 920000000L + day * 10000L).withColumn("n", lit(3)),
           "mid", "k", "n", 9, 8)
+        // + FRAGMENTED (DASH) re-packagings of day-1 content — the third
+        // container form; classifies dup through the moof/trun walk
+        val p3 = graft.ext.Media.genNoiseFmp4s(
+          ids(1, nPlant, 930000000L + day * 10000L).withColumn("n", lit(3)),
+          "mid", "k", "n", 9, 8)
         if (day == 0) novel
         else if (day == 1) novel.unionByName(p0)
         else novel.unionByName(p0).unionByName(p1).unionByName(p2)
+          .unionByName(p3)
       case "audio" =>
         val novel = wavs(day, perDay, day.toLong * 1000000L, perturb = 0)
         val p0 = wavs(0, nPlant, 900000000L + day * 10000L, perturb = 1)

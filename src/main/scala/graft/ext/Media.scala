@@ -1927,6 +1927,34 @@ object Media {
     }, outSchema)
   }
 
+  /** [[genNoiseVideos]]' frames in a FRAGMENTED MP4 (2-sample moof
+    * fragments) — the soak-side fMP4 twin: a DASH re-packaging of stored
+    * content must classify DUP through the fragment walk, with frame
+    * hashes byte-identical to the plain-container noise fixtures.
+    */
+  def genNoiseFmp4s(df: DataFrame, idCol: String, seedCol: String,
+                    framesCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(seedCol).cast("long"),
+      col(framesCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(1)
+        val n = r.getInt(2)
+        val frames = (0 until n).map { f =>
+          val px = Array.tabulate(w * h)(i =>
+            (mix64(seed * 0x100000001B3L + f * 0x9E3779B97F4A7C15L + i)
+              & 0xff).toInt)
+          encodeGrayPng(px, w, h)
+        }
+        Row(r.get(0), encodeFmp4("isom", 30000L, 1001L, w, h,
+          frames.grouped(2).toSeq))
+      }
+    }, outSchema)
+  }
+
   /** [[genNoiseVideos]]' MP4 form with the AUDIO track declared FIRST
     * (junk `soun` samples + its own sample table, then the `vide` trak
     * with the SAME noise frames) — the soak-side twin of
