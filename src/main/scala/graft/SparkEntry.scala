@@ -2345,6 +2345,32 @@ object SparkEntry {
           col("width"), col("height"), col("n_frames"), col("fps_x1000"))
     }),
 
+    // scrub ⊥ fragmentation: the size-preserving udta neutralization must
+    // leave every moof/trun offset valid — facts re-derive unchanged from
+    // the fragment walk, the PII marker is byte-gone, nothing moved
+    "mm_mp4_frag_scrub" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("ts", when(col("doc_id") % 3 === 0, 90000L)
+          .when(col("doc_id") % 3 === 1, 30000L).otherwise(12800L))
+        .withColumn("dl", when(col("doc_id") % 3 === 0, 3000L)
+          .when(col("doc_id") % 3 === 1, 1001L).otherwise(512L))
+        .withColumn("n", (lit(24) + (col("doc_id") % 40) * 3).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+      val media = Media.genFmp4s(ids, "doc_id", "ts", "dl", "n", "w", "h")
+      val scrubbed = Media.stripMediaMetadata(media, "doc_id", "content")
+      Media.decodeMp4Meta(scrubbed, "doc_id", "content")
+        .join(scrubbed.select(col("doc_id"),
+          (!contains(col("content"), lit("GRAFT-PII".getBytes)))
+            .as("meta_zeroed"),
+          (col("bytes_removed") === 0).as("size_preserved")), Seq("doc_id"))
+        .select(col("doc_id").as("media_id"), col("major_brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"), col("n_frames"), col("fps_x1000"),
+          col("meta_zeroed"), col("size_preserved"))
+    }),
+
     // fMP4 frame walk: moof/trun sample runs yield payloads
     // byte-identical to the plain-container fixtures, so this key shares
     // mm_mp4_frames' oracle SQL verbatim — fragmentation never enters
@@ -3607,6 +3633,9 @@ object SparkEntry {
         withFlags(m("mm_video_meta"), "TRUE AS meta_stripped")) +
       ("mm_mp4_scrub" ->
         withFlags(m("mm_mp4_meta"),
+          "TRUE AS meta_zeroed, TRUE AS size_preserved")) +
+      ("mm_mp4_frag_scrub" ->
+        withFlags(m("mm_mp4_frag_meta"),
           "TRUE AS meta_zeroed, TRUE AS size_preserved"))
   }
 

@@ -2895,7 +2895,8 @@ object Media {
     */
   def encodeFmp4(majorBrand: String, timescale: Long, sampleDelta: Long,
                  width: Int, height: Int,
-                 fragments: Seq[Seq[Array[Byte]]]): Array[Byte] = {
+                 fragments: Seq[Seq[Array[Byte]]],
+                 udta: Array[Byte] = Array.empty): Array[Byte] = {
     def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
       val len = 8 + payloads.map(_.length).sum
       val bb = java.nio.ByteBuffer.allocate(len)
@@ -2916,7 +2917,7 @@ object Media {
     // table (trakFacts reads that as table-less → the fragment path),
     // plus mvex/trex defaults spliced in below
     val init = encodeMp4Tracks(majorBrand, timescale, duration,
-      Seq(Mp4Track("vide", width, height)))
+      Seq(Mp4Track("vide", width, height)), udta)
     // splice mvex(trex) into moov: rebuild moov with the extra child —
     // simplest correct splice is reconstruction: moov is the LAST box of
     // the init segment built above and its payload is self-contained
@@ -3172,8 +3173,10 @@ object Media {
         val n = r.getInt(3)
         val samples = (0 until n).map(i => Array[Byte](
           ((id * 31 + i) % 256).toByte, ((id * 7 + i * 3) % 256).toByte))
+        // same udta PII plant as genMp4s — the frag-scrub oracle's target
         Row(id, encodeFmp4("isom", r.getLong(1), r.getLong(2),
-          r.getInt(4), r.getInt(5), samples.grouped(8).toSeq))
+          r.getInt(4), r.getInt(5), samples.grouped(8).toSeq,
+          udta = s"GRAFT-PII artist=$id gps=+0.0+0.0/".getBytes("US-ASCII")))
       }
     }, outSchema)
   }

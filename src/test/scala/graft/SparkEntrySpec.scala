@@ -107,8 +107,10 @@ class SparkEntrySpec extends SparkSpec {
     // 222 round 18: +mm_mp4_frag_meta/_frames/_keyframes (fragmented MP4:
     // moof/tfhd/trun sample runs + trex defaults; frames/keyframes share
     // the plain-container SQLs verbatim)
-    assert(SparkEntry.queries.size == 222,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 222); " +
+    // 223 round 18: +mm_mp4_frag_scrub (size-preserving udta zeroing
+    // leaves every fragment offset valid — frag-meta SQL + flags)
+    assert(SparkEntry.queries.size == 223,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 223); " +
         "if intentional, update this pin")
   }
 

@@ -974,6 +974,20 @@ class MediaSpec extends SparkSpec {
     assert(m.nSamples == 4 && m.sttsDur == 4 * 1001L)
   }
 
+  test("fMP4 scrub is size-preserving and leaves the fragment walk intact") {
+    val samples = (0 until 5).map(i => Array[Byte](i.toByte, 9))
+    val bytes = Media.encodeFmp4("isom", 30000L, 1001L, 320, 240,
+      samples.grouped(2).toSeq,
+      udta = "GRAFT-PII artist=7 gps=+1.1+2.2/".getBytes("US-ASCII"))
+    assert(new String(bytes, "ISO-8859-1").contains("GRAFT-PII"))
+    val scrubbed = Media.stripMediaMeta(bytes)
+    assert(scrubbed.length == bytes.length) // in place: offsets stay valid
+    assert(!new String(scrubbed, "ISO-8859-1").contains("GRAFT-PII"))
+    assert(Media.parseMp4(scrubbed) == Media.parseMp4(bytes))
+    assert(Media.mp4FramePayloads(scrubbed).map(_.toSeq) ==
+      samples.map(_.toSeq))
+  }
+
   test("genNoiseVideosAvOrder frames hash identical to the video-first noise MP4") {
     val df = Seq((1L, 42L, 3)).toDF("mid", "k", "n")
     val avFirst = Media.genNoiseVideosAvOrder(df, "mid", "k", "n", 9, 8)
