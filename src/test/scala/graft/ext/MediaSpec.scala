@@ -974,6 +974,78 @@ class MediaSpec extends SparkSpec {
     assert(m.nSamples == 4 && m.sttsDur == 4 * 1001L)
   }
 
+  test("fMP4 with audio traf FIRST in every moof extracts the vide track") {
+    // two-track fragmented file, audio trak + traf declared first — the
+    // fragment-tier edition of the positional-selection trap: the walk
+    // must bind to the 'vide' track's track_ID and skip the audio trafs
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def full(vf: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + body.length)
+      bb.putInt(vf).put(body)
+      bb.array()
+    }
+    def ints(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    // moov: audio trak (id 1) first, video trak (id 2) second, both
+    // handler-typed, no sample tables; trex for both tracks
+    val init = Media.encodeMp4Tracks("isom", 30000L, 4 * 1001L, Seq(
+      Media.Mp4Track("soun", 0, 0),
+      Media.Mp4Track("vide", 9, 8)))
+    val bbInit = java.nio.ByteBuffer.wrap(init)
+    var moovStart = -1
+    var off = 0
+    while (off + 8 <= init.length) {
+      if (new String(init, off + 4, 4, "US-ASCII") == "moov") moovStart = off
+      off += bbInit.getInt(off)
+    }
+    def trex(tid: Int, dur: Int) = box("trex", full(0, ints(tid, 1, dur, 0, 0)))
+    val mvex = box("mvex", trex(1, 250), trex(2, 1001))
+    val moovLen = bbInit.getInt(moovStart)
+    val moov = {
+      val body = java.util.Arrays.copyOfRange(init, moovStart + 8,
+        moovStart + moovLen) ++ mvex
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put("moov".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val head = java.util.Arrays.copyOfRange(init, 0, moovStart) ++ moov
+    // one moof with TWO trafs, audio first: audio samples "xxxx" (junk),
+    // video samples "AA","BB"; one mdat holding audio then video bytes
+    val audio = "xyzw".getBytes("US-ASCII") // 4 × 1-byte samples
+    val video = Seq("AA", "BB").map(_.getBytes("US-ASCII"))
+    def moofOf(dataBase: Int): Array[Byte] = {
+      val mfhd = box("mfhd", full(0, ints(1)))
+      // audio traf: default-base-is-moof, trun with data_offset, 4 × 1B
+      val trafA = box("traf",
+        box("tfhd", full(0x020010, ints(1, 1))), // default_sample_size 1
+        box("trun", full(0x1, ints(4, dataBase))))
+      // video traf: data_offset past the audio bytes, per-sample sizes
+      val trafV = box("traf",
+        box("tfhd", full(0x020000, ints(2))),
+        box("trun", full(0x201, ints(2, dataBase + 4, 2, 2))))
+      box("moof", mfhd, trafA, trafV)
+    }
+    val moofLen = moofOf(0).length
+    val bytes = head ++ moofOf(moofLen + 8) ++
+      box("mdat", audio, video(0), video(1))
+    assert(Media.mp4FramePayloads(bytes).map(new String(_)) == Seq("AA", "BB"))
+    assert(Media.mp4KeyframePayloads(bytes).map { case (i, p) =>
+      (i, new String(p)) } == Seq((0, "AA")))
+    val m = Media.parseMp4(bytes)
+    // facts from the vide track only: 2 samples at delta 1001, never the
+    // audio track's 4 at 250
+    assert(m.nSamples == 2 && m.sttsDur == 2 * 1001L)
+    assert(m.nTracks == 2 && m.width == 9 && m.height == 8)
+  }
+
   test("fMP4 scrub is size-preserving and leaves the fragment walk intact") {
     val samples = (0 until 5).map(i => Array[Byte](i.toByte, 9))
     val bytes = Media.encodeFmp4("isom", 30000L, 1001L, 320, 240,
