@@ -2431,6 +2431,23 @@ object SparkEntry {
           col("trailer_gone"))
     }),
 
+    // the videoScenes slot for MP4: each stss sync sample IS a scene
+    // start, so the scene table (scene_idx = sync rank, start frame,
+    // representative dhash) comes off the keyframe walk directly — no
+    // full decode, no dHash-distance pass, no shuffle
+    "mm_mp4_scenes" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("step", (col("doc_id") % 3 + 2).cast("int"))
+      val media = Media.genPatternMp4sKeyframed(ids, "doc_id", "k", "n",
+        "step", w = 9, h = 8)
+      Media.mp4Scenes(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("scene_idx"),
+          col("start_frame_idx"), col("width"), col("height"), col("dhash"))
+    }),
+
     // the MP4 keyframe-economy pipeline: stss sync samples → dHash →
     // video-level near-dup pairs — the mm_video_pipeline shape WITHOUT
     // the full-decode + scene-diff stages (the container's own sync table
@@ -4526,6 +4543,33 @@ object SparkEntry {
         |  TRUE AS adobe_kept, TRUE AS icc_kept,
         |  TRUE AS mpf_gone, TRUE AS trailer_gone
         |FROM ids""".stripMargin,
+
+    // scene table: sync samples are f % step = 0, so scene_idx = f//step
+    // and start_frame_idx = f; dhash is the same per-frame formula
+    "mm_mp4_scenes" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k, doc_id % 5 + 4 AS n,
+        |      doc_id % 3 + 2 AS step
+        |    FROM documents WHERE doc_id < 80),
+        |  fr AS (SELECT id, k * 8 + f AS kf, CAST(f AS INT) AS f,
+        |      CAST(f // step AS INT) AS sidx
+        |    FROM ids, unnest(range(0, 8)) tf(f)
+        |    WHERE f < n AND f % step = 0),
+        |  g AS (SELECT id, f, x, y,
+        |      (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f, i.sidx,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f, sidx FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f, i.sidx)
+        |SELECT id AS media_id, sidx AS scene_idx, f AS start_frame_idx,
+        |  9 AS width, 8 AS height,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs""".stripMargin,
 
     // keyframe pipeline: pair (2i, 2i+1) shares pattern k=i → identical
     // stss keyframes (f = 0, 3) → one pair per group with exactly 2

@@ -753,6 +753,10 @@ object Config {
       // decoding every frame — the MP4-side sampling economy
       case "mp4Keyframes" =>
         graft.ext.Media.mp4Keyframes(df, str(n, "id"), str(n, "column"))
+      // the videoScenes slot for MP4 corpora: scene table straight off
+      // the sync-sample walk, at keyframe-decode cost
+      case "mp4Scenes" =>
+        graft.ext.Media.mp4Scenes(df, str(n, "id"), str(n, "column"))
       // media-dedup signature-index lifecycle (the streaming ingest
       // families): compaction under daily appends; erasure by id
       case "mediaSigCompact" =>

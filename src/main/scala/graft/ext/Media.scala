@@ -3248,6 +3248,40 @@ object Media {
     }, outSchema)
   }
 
+  /** Scene table from an MP4's OWN sync-sample declaration — the
+    * `stss`/fragment-start analogue of [[videoScenes]], which must first
+    * decode EVERY frame ([[videoFrames]]) and diff dHash distances to
+    * find cuts. Here each sync sample IS a scene start, so the table
+    * comes straight off the keyframe walk: one row per sync sample,
+    * (idCol, scene_idx = rank of the sync sample within its video,
+    * start_frame_idx = its 0-based sample index, width, height, dhash of
+    * the scene's representative frame). Fills [[videoScenes]]' slot in a
+    * keyframe-sampling pipeline (`scenes → representative hashes →
+    * [[videoNearPairs]]`) at keyframe-decode cost — no full decode, no
+    * shuffle, no per-video frame table. Config op `mp4Scenes`.
+    */
+  def mp4Scenes(df: DataFrame, idCol: String,
+                contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("scene_idx", IntegerType, nullable = false),
+      StructField("start_frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(0)
+        mp4KeyframePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex
+          .map { case ((frameIdx, payload), sceneIdx) =>
+            val (w, h, _, px) = decodeLuma(payload)
+            Row(id, sceneIdx, frameIdx, w, h, dHash64(px, w, h))
+          }
+      }
+    }, outSchema)
+  }
+
   /** Deterministic WAV fixtures, one per input row: 16-bit PCM at
     * (`rateCol`, `channelsCol`, `framesCol`) with sample j =
     * `(id·7 + j·13) mod 256 − 128` (content is irrelevant to header

@@ -109,8 +109,10 @@ class SparkEntrySpec extends SparkSpec {
     // the plain-container SQLs verbatim)
     // 223 round 18: +mm_mp4_frag_scrub (size-preserving udta zeroing
     // leaves every fragment offset valid — frag-meta SQL + flags)
-    assert(SparkEntry.queries.size == 223,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 223); " +
+    // 224 round 18: +mm_mp4_scenes (the videoScenes slot off the
+    // sync-sample walk: scene_idx = sync rank, start frame, dhash)
+    assert(SparkEntry.queries.size == 224,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 224); " +
         "if intentional, update this pin")
   }
 

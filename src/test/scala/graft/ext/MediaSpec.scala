@@ -974,6 +974,28 @@ class MediaSpec extends SparkSpec {
     assert(m.nSamples == 4 && m.sttsDur == 4 * 1001L)
   }
 
+  test("mp4Scenes ranks sync samples into a scene table, fMP4 included") {
+    val media = Media.genPatternMp4sKeyframed(
+      Seq((1L, 4L, 7, 3)).toDF("id", "k", "n", "step"),
+      "id", "k", "n", "step", 9, 8)
+    val got = Media.mp4Scenes(media, "id", "content")
+      .select("scene_idx", "start_frame_idx", "dhash")
+      .as[(Int, Int, Long)].collect().sortBy(_._1).toSeq
+    // sync samples f = 0, 3, 6 → scenes 0, 1, 2; hashes = the keyframe walk's
+    val kf = Media.mp4Keyframes(media, "id", "content")
+      .select("frame_idx", "dhash").as[(Int, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)) == Seq((0, 0), (1, 3), (2, 6)))
+    assert(got.map(r => (r._2, r._3)) == kf.toSeq)
+    // fragmented file: fragment starts rank the same way
+    val frag = Media.genPatternFmp4s(
+      Seq((2L, 4L, 7, 3)).toDF("id", "k", "n", "fs"),
+      "id", "k", "n", "fs", 9, 8)
+    val fromFrag = Media.mp4Scenes(frag, "id", "content")
+      .select("scene_idx", "start_frame_idx", "dhash")
+      .as[(Int, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(fromFrag == got) // same content, same scene table, either layout
+  }
+
   test("fMP4 with audio traf FIRST in every moof extracts the vide track") {
     // two-track fragmented file, audio trak + traf declared first — the
     // fragment-tier edition of the positional-selection trap: the walk
