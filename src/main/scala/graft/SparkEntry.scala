@@ -2424,11 +2424,13 @@ object SparkEntry {
             .as("icc_kept"),
           (!contains(col("content"), lit("MPFSECRET".getBytes)))
             .as("mpf_gone"),
+          (!contains(col("content"), lit("XAPP14-PII".getBytes)))
+            .as("xapp14_gone"),
           (!contains(col("content"), lit("TRAILER-PII".getBytes)))
             .as("trailer_gone")), Seq("doc_id"))
         .select(col("doc_id").as("media_id"), col("width"), col("height"),
           col("mime"), col("adobe_kept"), col("icc_kept"), col("mpf_gone"),
-          col("trailer_gone"))
+          col("xapp14_gone"), col("trailer_gone"))
     }),
 
     // the videoScenes slot for MP4: each stss sync sample IS a scene
@@ -4534,6 +4536,7 @@ object SparkEntry {
 
     // JPEG scrub: dims re-derive raw (orientation tag provably gone — a
     // surviving 5..8 tag would swap them), marker-survival flags constant
+    // (the APP14 keep is identifier-gated: Adobe survives, XAPP14 drops)
     "mm_image_scrub_jpeg" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 120)
         |SELECT id AS media_id,
@@ -4541,7 +4544,7 @@ object SparkEntry {
         |  CAST(8 + id % 3 AS INT) AS height,
         |  'image/jpeg' AS mime,
         |  TRUE AS adobe_kept, TRUE AS icc_kept,
-        |  TRUE AS mpf_gone, TRUE AS trailer_gone
+        |  TRUE AS mpf_gone, TRUE AS xapp14_gone, TRUE AS trailer_gone
         |FROM ids""".stripMargin,
 
     // scene table: sync samples are f % step = 0, so scene_idx = f//step

@@ -279,11 +279,13 @@ object Media {
     * IDAT, IEND, tRNS — eXIf/tEXt/iTXt/zTXt/tIME/pHYs all drop); JPEG
     * keeps the structural segments and drops APPn/COM (Exif, XMP,
     * comments) with two decode-critical exceptions, exiftool's rule:
-    * APP0/JFIF stays (structural for some decoders), APP14 stays (the
-    * Adobe color-transform marker — dropping it changes decoded COLORS
-    * for Adobe CMYK/YCCK JPEGs), and APP2 stays IFF it is an
-    * `ICC_PROFILE` segment (color-critical; non-ICC APP2 like MPF — which
-    * embeds thumbnails, a PII channel — drops). Output truncates at the
+    * APP0/JFIF stays (structural for some decoders), APP14 stays IFF it
+    * carries the 5-byte `Adobe` identifier (the color-transform marker —
+    * dropping it changes decoded COLORS for Adobe CMYK/YCCK JPEGs; a
+    * non-Adobe APP14 is an arbitrary metadata channel and drops like any
+    * other APPn), and APP2 stays IFF it is an `ICC_PROFILE` segment
+    * (color-critical; non-ICC APP2 like MPF — which embeds thumbnails, a
+    * PII channel — drops). Output truncates at the
     * EOI marker: bytes trailing EOI (a known vendor PII channel — some
     * cameras append whole preview JPEGs there) never survive the scrub.
     * Pixels are byte-untouched: the entropy-coded data is copied verbatim,
@@ -293,6 +295,8 @@ object Media {
     * stored grid afterwards — scrub BEFORE hashing, or re-orient first.
     */
   private val IccIdentifier = "ICC_PROFILE".getBytes("US-ASCII")
+
+  private val AdobeIdentifier = "Adobe".getBytes("US-ASCII")
 
   /** Exclusive end offset of the JPEG stream starting at the SOS segment
     * `sos`: scans the entropy-coded data (stuffed `FF 00` and restart
@@ -371,8 +375,13 @@ object Media {
             val iccApp2 = m == 0xe2 && len >= 14 &&
               (0 until 11).forall(i => bytes(p + 4 + i) == IccIdentifier(i)) &&
               bytes(p + 15) == 0
+            // APP14 is kept only as the Adobe color-transform carrier
+            // ('Adobe' identifier) — any other APP14 payload is an
+            // arbitrary metadata/PII channel and drops with the rest
+            val adobeApp14 = m == 0xee && len >= 7 &&
+              (0 until 5).forall(i => bytes(p + 4 + i) == AdobeIdentifier(i))
             val drop = m == 0xfe || // COM
-              (m >= 0xe1 && m <= 0xef && m != 0xee && !iccApp2) // APPn
+              (m >= 0xe1 && m <= 0xef && !iccApp2 && !adobeApp14) // APPn
             if (!drop) out.write(bytes, p, tot)
             p += tot
           }
@@ -649,7 +658,9 @@ object Media {
   /** Adobe-style tagged JPEG fixtures, one per input row: a real
     * ImageIO-encoded gray JPEG at (`wCol`×`hCol`) carrying EVERY channel
     * the JPEG scrub adjudicates — APP1 Exif (orientation `orientCol`,
-    * must DROP), APP14 Adobe color-transform (must KEEP), an
+    * must DROP), APP14 Adobe color-transform (must KEEP), a NON-Adobe
+    * APP14 (`XAPP14-PII…` — an arbitrary vendor channel that must DROP;
+    * only the Adobe identifier earns the keep), an
     * `ICC_PROFILE` APP2 (must KEEP), a non-ICC `MPFSECRET` APP2 (embedded
     * previews — must DROP), and post-EOI trailer bytes (`TRAILER-PII…`,
     * must be CUT). Pixel content is deterministic but not oracle-relevant
@@ -682,12 +693,13 @@ object Media {
             ((payload.length + 2) & 0xff).toByte) ++ payload
         val app14 = seg(0xee, "Adobe".getBytes("US-ASCII") ++
           Array[Byte](0, 100, 0, 0, 0, 0, 1))
+        val xapp14 = seg(0xee, s"XAPP14-PII serial=$id".getBytes("US-ASCII"))
         val icc = seg(0xe2, IccIdentifier ++ Array[Byte](0, 1, 1) ++
           Array.fill[Byte](8)(0x42))
         val mpf = seg(0xe2, "MPFSECRET".getBytes("US-ASCII") ++
           Array.fill[Byte](8)(0x24))
         val trailer = s"TRAILER-PII preview=$id".getBytes("US-ASCII")
-        Row(id, withExif.take(2) ++ app14 ++ icc ++ mpf ++
+        Row(id, withExif.take(2) ++ app14 ++ xapp14 ++ icc ++ mpf ++
           withExif.drop(2) ++ trailer)
       }
     }, outSchema)

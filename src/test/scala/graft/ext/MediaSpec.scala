@@ -872,12 +872,16 @@ class MediaSpec extends SparkSpec {
       Array[Byte](0, 1, 1) ++ Array.fill[Byte](8)(0x42))
     val mpf = seg(0xe2, "MPFSECRET".getBytes("US-ASCII") ++
       Array.fill[Byte](8)(0x24))
+    // a NON-Adobe APP14: the keep is identifier-gated exactly like the
+    // ICC APP2 keep -- an arbitrary vendor APP14 is a PII channel
+    val xapp14 = seg(0xee, "XAPP14-PII-CHANNEL".getBytes("US-ASCII"))
     val trailer = "TRAILER-PII-PREVIEW".getBytes("US-ASCII")
-    val tagged = jpegRaw.take(2) ++ app14 ++ icc ++ mpf ++
+    val tagged = jpegRaw.take(2) ++ app14 ++ xapp14 ++ icc ++ mpf ++
       jpegRaw.drop(2) ++ trailer
     val scrubbed = Media.stripImageMeta(tagged)
     val s = new String(scrubbed, "ISO-8859-1")
-    assert(s.contains("Adobe")) // APP14 survives
+    assert(s.contains("Adobe")) // Adobe APP14 survives
+    assert(!s.contains("XAPP14-PII")) // non-Adobe APP14 drops
     assert(s.contains("ICC_PROFILE")) // ICC APP2 survives
     assert(!s.contains("MPFSECRET")) // non-ICC APP2 drops
     assert(!s.contains("TRAILER-PII")) // post-EOI trailer is cut…
