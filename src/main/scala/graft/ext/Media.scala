@@ -2346,15 +2346,35 @@ object Media {
     * first trak with a sample table — the pre-`hdlr` behavior. Positional
     * selection alone is WRONG for real crawl MP4s: audio tracks also carry
     * `stbl`, and a file that declares its audio track first would have its
-    * audio samples extracted as "frames".
+    * audio samples extracted as "frames". Returns None to route to the
+    * FRAGMENTED walk — including the HYBRID shape where a handler-typed
+    * `vide` trak is table-less (its samples live in `moof` fragments) but
+    * another trak (audio, typically) stores a populated `stbl` in `moov`:
+    * falling back to that first table would extract audio samples as
+    * frames, so when `fragmented` (the file carries `moof` boxes) the
+    * table-less video trak wins over the first-table fallback.
     */
-  private def pickVideoTrak(traks: Seq[TrakFacts]): Option[Int] = {
+  private def pickVideoTrak(traks: Seq[TrakFacts],
+                            fragmented: Boolean): Option[Int] = {
     val byHandler = traks.indexWhere(t => t.handler == "vide" && t.hasSampleTable)
     if (byHandler >= 0) Some(byHandler)
+    else if (fragmented &&
+      traks.exists(t => t.handler == "vide" && !t.hasSampleTable)) None
     else {
       val first = traks.indexWhere(_.hasSampleTable)
       if (first >= 0) Some(first) else None
     }
+  }
+
+  /** Whether the container carries any top-level `moof` fragment — the
+    * signal that routes table-less video traks to the fragmented walk.
+    */
+  private def hasMoofBox(bytes: Array[Byte]): Boolean = {
+    var found = false
+    walkBoxes(bytes, 0, bytes.length) { (t, _, _) =>
+      if (t == "moof") found = true
+    }
+    found
   }
 
   /** [[pickVideoTrak]] for FRAGMENTED files, where `moov`'s sample tables
@@ -2544,7 +2564,7 @@ object Media {
     }
     require(sawMvhd && timescale > 0, "MP4 missing moov/mvhd header")
     val all = traks.result()
-    pickVideoTrak(all).map(all) match {
+    pickVideoTrak(all, hasMoofBox(bytes)).map(all) match {
       case Some(facts) =>
         Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
           facts.nSamples, facts.sttsCount, facts.sttsDur)
@@ -2593,7 +2613,7 @@ object Media {
     }
     val spans = trakSpans.result()
     val factsAll = spans.map { case (s2, e2) => trakFacts(bytes, s2, e2) }
-    val picked = pickVideoTrak(factsAll)
+    val picked = pickVideoTrak(factsAll, hasMoofBox(bytes))
     if (picked.isEmpty) {
       // FRAGMENTED fallback: empty moov sample tables → moof/trun layout
       // of the handler-selected track; fragment-start samples play the

@@ -1072,6 +1072,78 @@ class MediaSpec extends SparkSpec {
     assert(m.nTracks == 2 && m.width == 9 && m.height == 8)
   }
 
+  test("hybrid MP4: populated audio stbl + table-less vide trak routes to moof") {
+    // the trap: moov stores the AUDIO track's full sample table while the
+    // video track is fragmented (empty stbl, samples in moof) -- the
+    // first-sample-table fallback would select the audio table and report
+    // audio facts as video fps / extract audio samples as frames. With
+    // moof present, the table-less 'vide' trak must win and route to the
+    // fragment walk.
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def full(vf: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + body.length)
+      bb.putInt(vf).put(body)
+      bb.array()
+    }
+    def ints(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    // moov: audio trak (id 1) WITH a 4-sample table at delta 250, video
+    // trak (id 2) with NO sample table; trex default duration for track 2
+    val audioSamples = "wxyz".getBytes("US-ASCII").map(Array(_)).toSeq
+    val init = Media.encodeMp4Tracks("isom", 30000L, 2 * 1001L, Seq(
+      Media.Mp4Track("soun", 0, 0, audioSamples, Seq((4, 250L))),
+      Media.Mp4Track("vide", 9, 8)))
+    val bbInit = java.nio.ByteBuffer.wrap(init)
+    var moovStart = -1
+    var off = 0
+    while (off + 8 <= init.length) {
+      if (new String(init, off + 4, 4, "US-ASCII") == "moov") moovStart = off
+      off += bbInit.getInt(off)
+    }
+    val mvex = box("mvex", box("trex", full(0, ints(2, 1, 1001, 0, 0))))
+    val moovLen = bbInit.getInt(moovStart)
+    val moov = {
+      val body = java.util.Arrays.copyOfRange(init, moovStart + 8,
+        moovStart + moovLen) ++ mvex
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put("moov".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    // keep the original mdat (the audio chunk; its stco is stale after the
+    // mvex splice, but nothing on the video path may ever read it)
+    val head = java.util.Arrays.copyOfRange(init, 0, moovStart) ++ moov ++
+      java.util.Arrays.copyOfRange(init, moovStart + moovLen, init.length)
+    val video = Seq("AA", "BB").map(_.getBytes("US-ASCII"))
+    def moofOf(dataOff: Int): Array[Byte] = box("moof",
+      box("mfhd", full(0, ints(1))),
+      box("traf",
+        box("tfhd", full(0x020000, ints(2))),
+        box("trun", full(0x201, ints(2, dataOff, 2, 2)))))
+    val moofLen = moofOf(0).length
+    val bytes = head ++ moofOf(moofLen + 8) ++ box("mdat", video: _*)
+    assert(Media.mp4FramePayloads(bytes).map(new String(_)) == Seq("AA", "BB"))
+    assert(Media.mp4KeyframePayloads(bytes).map { case (i, p) =>
+      (i, new String(p)) } == Seq((0, "AA")))
+    val m = Media.parseMp4(bytes)
+    // fragment facts (2 samples at the trex delta), NEVER the audio
+    // table's 4 samples at 250
+    assert(m.nSamples == 2 && m.sttsDur == 2 * 1001L)
+    assert(m.nTracks == 2 && m.width == 9 && m.height == 8)
+    // WITHOUT moof boxes the pre-hdlr first-table fallback still applies
+    // (a table-less vide trak alone cannot mean fragmented)
+    val noFrag = java.util.Arrays.copyOfRange(head, 0, head.length)
+    val m2 = Media.parseMp4(noFrag)
+    assert(m2.nSamples == 4 && m2.sttsDur == 4 * 250L)
+  }
+
   test("fMP4 scrub is size-preserving and leaves the fragment walk intact") {
     val samples = (0 until 5).map(i => Array[Byte](i.toByte, 9))
     val bytes = Media.encodeFmp4("isom", 30000L, 1001L, 320, 240,
