@@ -2387,50 +2387,53 @@ object Media {
     else if (traks.nonEmpty) Some(0) else None
   }
 
-  /** `mvex/trex` defaults for one track: (default_sample_duration,
-    * default_sample_size) — the fallbacks `tfhd`/`trun` omit per ISO
-    * 14496-12 §8.8.3.
+  /** `mvex/trex` defaults for EVERY track — track_ID →
+    * (default_sample_duration, default_sample_size), the fallbacks
+    * `tfhd`/`trun` omit per ISO 14496-12 §8.8.3. All tracks are collected
+    * (one walk) because the §8.8.7 end-of-preceding-traf base default
+    * makes every traf's data extent relevant, selected track or not.
     */
-  private def trexDefaults(bytes: Array[Byte], trackId: Int): (Long, Int) = {
+  private def trexAll(bytes: Array[Byte]): Map[Int, (Long, Int)] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    var dur = 0L
-    var size = 0
+    val out = Map.newBuilder[Int, (Long, Int)]
     walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
       if (t == "moov") walkBoxes(bytes, s, e) { (t2, s2, e2) =>
         if (t2 == "mvex") walkBoxes(bytes, s2, e2) { (t3, s3, _) =>
-          if (t3 == "trex" && bb.getInt(s3 + 4) == trackId) {
-            dur = bb.getInt(s3 + 12).toLong & 0xffffffffL
-            size = bb.getInt(s3 + 16)
-          }
+          if (t3 == "trex") out += bb.getInt(s3 + 4) ->
+            ((bb.getInt(s3 + 12).toLong & 0xffffffffL, bb.getInt(s3 + 16)))
         }
       }
     }
-    (dur, size)
+    out.result()
   }
 
   /** Fragmented-MP4 sample layout for `trackId` from the `moof(traf(tfhd,
     * trun))` walk — the DASH/CMAF/streaming-recorder shape where `moov`'s
     * sample tables are EMPTY and every fragment carries its own run:
     * `tfhd` gives the track binding, optional explicit base_data_offset
-    * (flag 0x1; otherwise the enclosing `moof`'s own file offset — the
-    * default-base-is-moof rule, also the spec default for the profile
-    * supported here), and per-fragment defaults; `trun` gives sample
-    * count, optional data_offset (flag 0x1), and per-sample sizes (0x200)
-    * / durations (0x100), falling back tfhd → `trex`. Returns per-sample
-    * (offsets, sizes, durations) over ALL fragments in file order, plus
+    * (flag 0x1), and per-fragment defaults; absent an explicit base the
+    * ISO 14496-12 §8.8.7 defaults apply — the enclosing `moof`'s own file
+    * offset when default-base-is-moof (0x020000) is set OR the traf is
+    * the moof's first, else the END of the preceding traf's data (the
+    * legacy multi-traf shape; EVERY traf's truns advance the cursor,
+    * selected track or not, so that default is tracked correctly).
+    * `trun` gives sample count, optional data_offset (flag 0x1), and
+    * per-sample sizes (0x200) / durations (0x100), falling back tfhd →
+    * that track's `trex` entry. Returns per-sample (offsets, sizes,
+    * durations) for `trackId` over ALL fragments in file order, plus
     * the 0-based index of each fragment's FIRST sample — fragment
     * boundaries are the sync points a DASH packager cuts at, so they
     * serve as the keyframe list the un-fragmented tier reads from `stss`.
     */
-  private def fragLayout(bytes: Array[Byte], trackId: Int, trexDur: Long,
-                         trexSize: Int):
+  private def fragLayout(bytes: Array[Byte], trackId: Int,
+                         trex: Map[Int, (Long, Int)]):
       (Array[Long], Array[Int], Array[Long], Array[Int]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     val durs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val fragStarts = scala.collection.mutable.ArrayBuffer.empty[Int]
-    // manual top-level walk: the moof's own FILE offset is the default
+    // manual top-level walk: the moof's own FILE offset is a default
     // data base, which walkBoxes' payload-only callback cannot supply
     var off = 0
     while (off + 8 <= bytes.length) {
@@ -2445,35 +2448,47 @@ object Media {
         s"box '$typ' at $off: size overruns the file")
       if (typ == "moof") {
         val moofStart = off.toLong
+        // end of the preceding traf's data within THIS moof (-1 = none
+        // yet): the §8.8.7 default base for second and subsequent trafs
+        // that carry neither an explicit base nor default-base-is-moof
+        var prevTrafEnd = -1L
         walkBoxes(bytes, payload, end.toInt) { (t2, s2, e2) =>
           if (t2 == "traf") {
             // tfhd: FullBox flags select which optional fields follow
             var track = -1
             var base = moofStart
-            var defDur = trexDur
-            var defSize = trexSize
+            var defDur = 0L
+            var defSize = 0
             var sawFirst = false
             var cursor = 0L
+            var trafEnd = -1L
             walkBoxes(bytes, s2, e2) { (t3, s3, _) =>
               t3 match {
                 case "tfhd" =>
                   val flags = bb.getInt(s3) & 0xffffff
                   track = bb.getInt(s3 + 4)
+                  val td = trex.getOrElse(track, (0L, 0))
+                  defDur = td._1
+                  defSize = td._2
                   var q = s3 + 8
-                  if ((flags & 0x1) != 0) { base = bb.getLong(q); q += 8 }
+                  base =
+                    if ((flags & 0x1) != 0) { val v = bb.getLong(q); q += 8; v }
+                    else if ((flags & 0x020000) != 0) moofStart // base-is-moof
+                    else if (prevTrafEnd >= 0) prevTrafEnd // end of prior traf
+                    else moofStart // first traf in this moof
                   if ((flags & 0x2) != 0) q += 4 // sample_description_index
                   if ((flags & 0x8) != 0) {
                     defDur = bb.getInt(q).toLong & 0xffffffffL; q += 4
                   }
                   if ((flags & 0x10) != 0) { defSize = bb.getInt(q); q += 4 }
                   cursor = base
-                case "trun" if track == trackId =>
+                case "trun" =>
                   val flags = bb.getInt(s3) & 0xffffff
                   val n = bb.getInt(s3 + 4)
                   var q = s3 + 8
                   if ((flags & 0x1) != 0) { cursor = base + bb.getInt(q); q += 4 }
                   if ((flags & 0x4) != 0) q += 4 // first_sample_flags
-                  if (!sawFirst && n > 0) {
+                  if (track == trackId && !sawFirst && n > 0) {
                     fragStarts += offsets.length
                     sawFirst = true
                   }
@@ -2489,15 +2504,21 @@ object Media {
                       } else defSize
                     if ((flags & 0x400) != 0) q += 4 // sample_flags
                     if ((flags & 0x800) != 0) q += 4 // cts offset
-                    offsets += cursor
-                    sizes += sz
-                    durs += d
+                    if (track == trackId) {
+                      offsets += cursor
+                      sizes += sz
+                      durs += d
+                    }
                     cursor += sz
                     i += 1
                   }
+                  if (n > 0) trafEnd = math.max(trafEnd, cursor)
                 case _ =>
               }
             }
+            // a sample-less traf defines no data extent — the prior end
+            // stays in force for the next traf's default
+            if (trafEnd >= 0) prevTrafEnd = trafEnd
           }
         }
       }
@@ -2573,8 +2594,7 @@ object Media {
         // DASH/CMAF init shape) — sample facts come from the moof/trun
         // walk of the handler-selected track, durations tfhd→trex
         val frag = pickVideoTrakAny(all).map { i =>
-          val (td, tsz) = trexDefaults(bytes, all(i).trackId)
-          fragLayout(bytes, all(i).trackId, td, tsz)._3
+          fragLayout(bytes, all(i).trackId, trexAll(bytes))._3
         }.getOrElse(Array.emptyLongArray)
         Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
           frag.length, frag.length.toLong, frag.sum)
@@ -2620,9 +2640,8 @@ object Media {
       // stss role (a DASH packager cuts fragments at sync points)
       val j = pickVideoTrakAny(factsAll).getOrElse(throw
         new IllegalArgumentException("MP4 missing sample table (no trak)"))
-      val (td, tsz) = trexDefaults(bytes, factsAll(j).trackId)
       val (offs, szs, _, starts) =
-        fragLayout(bytes, factsAll(j).trackId, td, tsz)
+        fragLayout(bytes, factsAll(j).trackId, trexAll(bytes))
       require(offs.nonEmpty,
         "MP4 missing sample table (stsz/stco/stsc or moof/trun)")
       var i = 0

@@ -1144,6 +1144,76 @@ class MediaSpec extends SparkSpec {
     assert(m2.nSamples == 4 && m2.sttsDur == 4 * 250L)
   }
 
+  test("fMP4 legacy multi-traf moof: default base = end of preceding traf data") {
+    // ISO 14496-12 s8.8.7: with NEITHER base-data-offset-present (0x1)
+    // NOR default-base-is-moof (0x020000), the first traf's base defaults
+    // to the moof start and every SUBSEQUENT traf's to the end of the
+    // preceding traf's data. A moof-start default for the second traf
+    // (the old behavior) reads the audio bytes as video frames.
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def full(vf: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + body.length)
+      bb.putInt(vf).put(body)
+      bb.array()
+    }
+    def ints(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    // moov: audio trak id 1 + video trak id 2, both table-less; trex both
+    val init = Media.encodeMp4Tracks("isom", 30000L, 2 * 1001L, Seq(
+      Media.Mp4Track("soun", 0, 0),
+      Media.Mp4Track("vide", 9, 8)))
+    val bbInit = java.nio.ByteBuffer.wrap(init)
+    var moovStart = -1
+    var off = 0
+    while (off + 8 <= init.length) {
+      if (new String(init, off + 4, 4, "US-ASCII") == "moov") moovStart = off
+      off += bbInit.getInt(off)
+    }
+    def trexBox(tid: Int, dur: Int) =
+      box("trex", full(0, ints(tid, 1, dur, 0, 0)))
+    val mvex = box("mvex", trexBox(1, 250), trexBox(2, 1001))
+    val moovLen = bbInit.getInt(moovStart)
+    val moov = {
+      val body = java.util.Arrays.copyOfRange(init, moovStart + 8,
+        moovStart + moovLen) ++ mvex
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put("moov".getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val head = java.util.Arrays.copyOfRange(init, 0, moovStart) ++ moov
+    // one moof, two trafs, NO base flags anywhere:
+    //   traf A (audio, track 1): trun data_offset points past moof+mdat
+    //     header, 4 x 1-byte samples (tfhd default_sample_size 1)
+    //   traf V (video, track 2): NO data_offset -- base must default to
+    //     the end of traf A's data, NOT the moof start
+    val audio = "wxyz".getBytes("US-ASCII")
+    val video = Seq("AA", "BB").map(_.getBytes("US-ASCII"))
+    def moofOf(dataOff: Int): Array[Byte] = box("moof",
+      box("mfhd", full(0, ints(1))),
+      box("traf",
+        box("tfhd", full(0x10, ints(1, 1))), // default_sample_size 1 only
+        box("trun", full(0x1, ints(4, dataOff)))),
+      box("traf",
+        box("tfhd", full(0x0, ints(2))), // no optional fields at all
+        box("trun", full(0x200, ints(2, 2, 2))))) // sizes only, no offset
+    val moofLen = moofOf(0).length
+    val bytes = head ++ moofOf(moofLen + 8) ++
+      box("mdat", audio, video(0), video(1))
+    assert(Media.mp4FramePayloads(bytes).map(new String(_)) == Seq("AA", "BB"))
+    assert(Media.mp4KeyframePayloads(bytes).map { case (i, p) =>
+      (i, new String(p)) } == Seq((0, "AA")))
+    val m = Media.parseMp4(bytes)
+    assert(m.nSamples == 2 && m.sttsDur == 2 * 1001L) // trex fallback durs
+  }
+
   test("fMP4 scrub is size-preserving and leaves the fragment walk intact") {
     val samples = (0 until 5).map(i => Array[Byte](i.toByte, 9))
     val bytes = Media.encodeFmp4("isom", 30000L, 1001L, 320, 240,
