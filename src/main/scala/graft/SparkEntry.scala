@@ -2571,6 +2571,55 @@ object SparkEntry {
           col("width"), col("height"), col("dhash"))
     }),
 
+    // the keyframe-path maxFrames guard (r19): sparse-stss videos (at
+    // most 4 sync samples) decode under the cap with rows bit-equal to
+    // the strict walk, while NO-stss videos — the degenerate shape where
+    // every sample is sync per ISO 14496-12 §8.6.2 and the "cheap"
+    // keyframe path silently becomes the full frame walk — exceed the
+    // cap and quarantine as ONE frame_ok=false row instead of decoding
+    // unbounded inside one task
+    "mm_mp4_keyframes_lenient" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("step", (col("doc_id") % 3 + 2).cast("int"))
+        .withColumn("n6", lit(6).cast("int"))
+      val keyframed = Media.genPatternMp4sKeyframed(
+        ids.filter(col("doc_id") % 4 =!= 3), "doc_id", "k", "n", "step",
+        w = 9, h = 8)
+      val noStss = Media.genPatternMp4s(
+        ids.filter(col("doc_id") % 4 === 3), "doc_id", "k", "n6",
+        w = 9, h = 8)
+      Media.mp4KeyframesLenient(keyframed.unionByName(noStss),
+          "doc_id", "content", maxFrames = 4)
+        .select(col("doc_id").as("media_id"), col("frame_ok"),
+          col("frame_err"), col("frame_idx"), col("width"), col("height"),
+          col("dhash"))
+    }),
+
+    // same guard on the scene-table op: sync rank + start frame re-derive
+    // for the sparse-stss rows, the no-stss shape quarantines
+    "mm_mp4_scenes_lenient" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("step", (col("doc_id") % 3 + 2).cast("int"))
+        .withColumn("n6", lit(6).cast("int"))
+      val keyframed = Media.genPatternMp4sKeyframed(
+        ids.filter(col("doc_id") % 4 =!= 3), "doc_id", "k", "n", "step",
+        w = 9, h = 8)
+      val noStss = Media.genPatternMp4s(
+        ids.filter(col("doc_id") % 4 === 3), "doc_id", "k", "n6",
+        w = 9, h = 8)
+      Media.mp4ScenesLenient(keyframed.unionByName(noStss),
+          "doc_id", "content", maxFrames = 4)
+        .select(col("doc_id").as("media_id"), col("frame_ok"),
+          col("frame_err"), col("scene_idx"), col("start_frame_idx"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
     // WARC crawl ingestion (ISO 28500 — the Common Crawl container):
     // file k holds a warcinfo record + per page i a (request, response)
     // pair; even-k files use the per-record-gzip-member layout, so one
@@ -4668,6 +4717,77 @@ object SparkEntry {
         |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
         |       ELSE hi * 4294967296 + lo END AS dhash
         |FROM hs""".stripMargin,
+
+    // keyframe maxFrames guard: ok rows = the mm_mp4_keyframes formula
+    // over the sparse-stss ids (% 4 != 3, at most 4 sync samples under
+    // the cap of 4); the no-stss ids (% 4 = 3, 6 every-sample-sync
+    // frames) exceed the cap and yield ONE quarantine row each
+    "mm_mp4_keyframes_lenient" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k, doc_id % 5 + 4 AS n,
+        |      doc_id % 3 + 2 AS step
+        |    FROM documents WHERE doc_id < 80),
+        |  fr AS (SELECT id, k * 8 + f AS kf, CAST(f AS INT) AS f
+        |    FROM ids, unnest(range(0, 8)) tf(f)
+        |    WHERE id % 4 != 3 AND f < n AND f % step = 0),
+        |  g AS (SELECT id, f, x, y,
+        |      (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f)
+        |SELECT id AS media_id, TRUE AS frame_ok,
+        |  CAST(NULL AS VARCHAR) AS frame_err,
+        |  f AS frame_idx, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs
+        |UNION ALL
+        |SELECT id AS media_id, FALSE AS frame_ok,
+        |  'IllegalArgumentException' AS frame_err,
+        |  CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS width,
+        |  CAST(NULL AS INT) AS height, CAST(NULL AS BIGINT) AS dhash
+        |FROM ids WHERE id % 4 = 3""".stripMargin,
+
+    // the scene-table twin: scene_idx = f // step (sync rank),
+    // start_frame_idx = f, over the same sparse/no-stss id split
+    "mm_mp4_scenes_lenient" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id AS k, doc_id % 5 + 4 AS n,
+        |      doc_id % 3 + 2 AS step
+        |    FROM documents WHERE doc_id < 80),
+        |  fr AS (SELECT id, k * 8 + f AS kf, CAST(f AS INT) AS f,
+        |      CAST(f // step AS INT) AS sidx
+        |    FROM ids, unnest(range(0, 8)) tf(f)
+        |    WHERE id % 4 != 3 AND f < n AND f % step = 0),
+        |  g AS (SELECT id, f, x, y,
+        |      (kf*31 + x*x*3 + y*y*5 + x*y*7) % 256 AS v
+        |    FROM fr, unnest(range(0, 9)) tx(x), unnest(range(0, 8)) ty(y)),
+        |  bits AS (SELECT a.id, a.f, a.y*8 + a.x AS bit
+        |    FROM g a JOIN g b ON b.id = a.id AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+        |    WHERE a.x < 8 AND b.v > a.v),
+        |  hs AS (SELECT i.id, i.f, i.sidx,
+        |      CAST(COALESCE(SUM(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END), 0) AS BIGINT) AS hi,
+        |      CAST(COALESCE(SUM(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END), 0) AS BIGINT) AS lo
+        |    FROM (SELECT id, f, sidx FROM fr) i LEFT JOIN bits b ON b.id = i.id AND b.f = i.f
+        |    GROUP BY i.id, i.f, i.sidx)
+        |SELECT id AS media_id, TRUE AS frame_ok,
+        |  CAST(NULL AS VARCHAR) AS frame_err,
+        |  sidx AS scene_idx, f AS start_frame_idx,
+        |  CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS dhash
+        |FROM hs
+        |UNION ALL
+        |SELECT id AS media_id, FALSE AS frame_ok,
+        |  'IllegalArgumentException' AS frame_err,
+        |  CAST(NULL AS INT) AS scene_idx, CAST(NULL AS INT) AS start_frame_idx,
+        |  CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+        |  CAST(NULL AS BIGINT) AS dhash
+        |FROM ids WHERE id % 4 = 3""".stripMargin,
 
     // identical dHash re-derivation as mm_video_frames — same pixel
     // formula, different container: the hash match proves the MP4 sample

@@ -750,13 +750,27 @@ object Config {
           maxFrames = Option(n.get("maxFrames")).map(_.asInt)
             .getOrElse(Int.MaxValue))
       // stss sync-sample (keyframe) decode: scene representatives WITHOUT
-      // decoding every frame — the MP4-side sampling economy
+      // decoding every frame — the MP4-side sampling economy. maxFrames
+      // caps the KEYFRAME count: without it the no-stss / all-intra-stss
+      // degenerate shapes silently become a full unbounded decode
       case "mp4Keyframes" =>
-        graft.ext.Media.mp4Keyframes(df, str(n, "id"), str(n, "column"))
+        graft.ext.Media.mp4Keyframes(df, str(n, "id"), str(n, "column"),
+          maxFrames = Option(n.get("maxFrames")).map(_.asInt)
+            .getOrElse(Int.MaxValue))
+      case "mp4KeyframesLenient" =>
+        graft.ext.Media.mp4KeyframesLenient(df, str(n, "id"), str(n, "column"),
+          maxFrames = Option(n.get("maxFrames")).map(_.asInt)
+            .getOrElse(Int.MaxValue))
       // the videoScenes slot for MP4 corpora: scene table straight off
       // the sync-sample walk, at keyframe-decode cost
       case "mp4Scenes" =>
-        graft.ext.Media.mp4Scenes(df, str(n, "id"), str(n, "column"))
+        graft.ext.Media.mp4Scenes(df, str(n, "id"), str(n, "column"),
+          maxFrames = Option(n.get("maxFrames")).map(_.asInt)
+            .getOrElse(Int.MaxValue))
+      case "mp4ScenesLenient" =>
+        graft.ext.Media.mp4ScenesLenient(df, str(n, "id"), str(n, "column"),
+          maxFrames = Option(n.get("maxFrames")).map(_.asInt)
+            .getOrElse(Int.MaxValue))
       // media-dedup signature-index lifecycle (the streaming ingest
       // families): compaction under daily appends; erasure by id
       case "mediaSigCompact" =>

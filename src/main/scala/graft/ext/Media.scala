@@ -2743,9 +2743,18 @@ object Media {
     * every frame and find scene cuts from dHash distances), so an
     * hour-long file contributes its handful of keyframes, not 10⁵ decodes.
     * An absent `stss` means every sample is sync (ISO 14496-12 §8.6.2) —
-    * then this degrades to the full frame walk, same as AVI.
+    * then this degrades to the full frame walk, same as AVI. That
+    * degenerate case (and its cousin, an all-intra file whose `stss`
+    * lists EVERY sample — MJPEG-in-MP4, exactly the codec this tier can
+    * decode) is why `maxFrames` exists here too: the cap bounds the
+    * KEYFRAME count, i.e. the number of per-task decodes — a sparse-stss
+    * hour-long file sails under it while a no-`stss` hour-long file fails
+    * (or quarantines, in the lenient twins) instead of decoding unbounded
+    * through the path advertised as the cheap one. Checked BEFORE any
+    * payload copy, so an over-cap file costs the box walk only.
     */
-  private[ext] def mp4KeyframePayloads(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+  private[ext] def mp4KeyframePayloads(bytes: Array[Byte],
+                                       maxFrames: Int = Int.MaxValue): Seq[(Int, Array[Byte])] = {
     val l = mp4Layout(bytes)
     val idx =
       if (l.sync.isEmpty) 0 until l.sizes.length
@@ -2754,6 +2763,8 @@ object Media {
           s"stss sync sample $s outside 1..${l.sizes.length}")
         s - 1
       }
+    require(idx.length <= maxFrames,
+      s"video has ${idx.length} keyframes > maxFrames=$maxFrames")
     idx.map(i => i -> java.util.Arrays.copyOfRange(
       bytes, l.offsets(i).toInt, (l.offsets(i) + l.sizes(i)).toInt))
   }
@@ -3276,10 +3287,16 @@ object Media {
     * byte ranges are copied and decoded, so cost scales with keyframe
     * count, not duration — the per-file economy that matters when
     * hour-long files appear at 100 TB. Same per-row, shuffle-free
-    * execution as [[videoFrames]].
+    * execution as [[videoFrames]]. `maxFrames` caps the KEYFRAME count
+    * (the number of decodes one task performs for one video): a
+    * sparse-`stss` hour-long file passes untouched, while the degenerate
+    * shapes where this path silently becomes the full walk — absent
+    * `stss`, or an all-intra `stss` listing every sample — FAIL at the
+    * cap (quarantine in [[mp4KeyframesLenient]]) instead of decoding
+    * unbounded inside one task.
     */
-  def mp4Keyframes(df: DataFrame, idCol: String,
-                   contentCol: String): DataFrame = {
+  def mp4Keyframes(df: DataFrame, idCol: String, contentCol: String,
+                   maxFrames: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     val in = df.select(col(idCol), col(contentCol))
     val outSchema = StructType(Seq(in.schema.head,
@@ -3290,10 +3307,50 @@ object Media {
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.get(0)
-        mp4KeyframePayloads(r.getAs[Array[Byte]](1)).iterator.map {
+        mp4KeyframePayloads(r.getAs[Array[Byte]](1), maxFrames).iterator.map {
           case (i, payload) =>
             val (w, h, _, px) = decodeLuma(payload)
             Row(id, i, w, h, dHash64(px, w, h))
+        }
+      }
+    }, outSchema)
+  }
+
+  /** [[mp4Keyframes]] for DIRTY corpora — the keyframe twin of
+    * [[videoFramesLenient]]: per video the whole sync-sample walk +
+    * decode runs under one try; success emits the [[mp4Keyframes]] rows
+    * with `frame_ok=true`, any failure — malformed container, rotten
+    * keyframe payload, or the `maxFrames` keyframe-count cap (the
+    * no-`stss`/all-intra degenerate shapes) — emits ONE
+    * `frame_ok=false` row with the failure class, never failing the
+    * task: in a continuous ingest one bad video must quarantine, not
+    * wedge the batch. Good rows carry facts bit-equal to
+    * [[mp4Keyframes]].
+    */
+  def mp4KeyframesLenient(df: DataFrame, idCol: String, contentCol: String,
+                          maxFrames: Int = Int.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("frame_ok", BooleanType, nullable = false),
+      StructField("frame_err", StringType, nullable = true),
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("dhash", LongType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(0)
+        try {
+          mp4KeyframePayloads(r.getAs[Array[Byte]](1), maxFrames).map {
+            case (i, payload) =>
+              val (w, h, _, px) = decodeLuma(payload)
+              Row(id, true, null, i, w, h, dHash64(px, w, h))
+          }
+        } catch {
+          case e: Exception =>
+            Seq(Row(id, false, e.getClass.getSimpleName,
+              null, null, null, null))
         }
       }
     }, outSchema)
@@ -3310,9 +3367,13 @@ object Media {
     * keyframe-sampling pipeline (`scenes → representative hashes →
     * [[videoNearPairs]]`) at keyframe-decode cost — no full decode, no
     * shuffle, no per-video frame table. Config op `mp4Scenes`.
+    * `maxFrames` caps the keyframe (= scene) count exactly as in
+    * [[mp4Keyframes]] — the guard against the no-`stss`/all-intra shapes
+    * where every sample is sync and "scene sampling" degenerates to a
+    * full unbounded decode.
     */
-  def mp4Scenes(df: DataFrame, idCol: String,
-                contentCol: String): DataFrame = {
+  def mp4Scenes(df: DataFrame, idCol: String, contentCol: String,
+                maxFrames: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     val in = df.select(col(idCol), col(contentCol))
     val outSchema = StructType(Seq(in.schema.head,
@@ -3324,11 +3385,50 @@ object Media {
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.get(0)
-        mp4KeyframePayloads(r.getAs[Array[Byte]](1)).iterator.zipWithIndex
+        mp4KeyframePayloads(r.getAs[Array[Byte]](1), maxFrames)
+          .iterator.zipWithIndex
           .map { case ((frameIdx, payload), sceneIdx) =>
             val (w, h, _, px) = decodeLuma(payload)
             Row(id, sceneIdx, frameIdx, w, h, dHash64(px, w, h))
           }
+      }
+    }, outSchema)
+  }
+
+  /** [[mp4Scenes]] for DIRTY corpora — the scene-table sibling of
+    * [[mp4KeyframesLenient]] (same one-try-per-video contract): success
+    * emits the [[mp4Scenes]] rows with `frame_ok=true`, any failure —
+    * including the `maxFrames` keyframe-count cap — emits ONE
+    * `frame_ok=false` row with the failure class instead of failing the
+    * task.
+    */
+  def mp4ScenesLenient(df: DataFrame, idCol: String, contentCol: String,
+                       maxFrames: Int = Int.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("frame_ok", BooleanType, nullable = false),
+      StructField("frame_err", StringType, nullable = true),
+      StructField("scene_idx", IntegerType, nullable = true),
+      StructField("start_frame_idx", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("dhash", LongType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(0)
+        try {
+          mp4KeyframePayloads(r.getAs[Array[Byte]](1), maxFrames)
+            .zipWithIndex.map { case ((frameIdx, payload), sceneIdx) =>
+              val (w, h, _, px) = decodeLuma(payload)
+              Row(id, true, null, sceneIdx, frameIdx, w, h,
+                dHash64(px, w, h))
+            }
+        } catch {
+          case e: Exception =>
+            Seq(Row(id, false, e.getClass.getSimpleName,
+              null, null, null, null, null))
+        }
       }
     }, outSchema)
   }

@@ -111,8 +111,11 @@ class SparkEntrySpec extends SparkSpec {
     // leaves every fragment offset valid — frag-meta SQL + flags)
     // 224 round 18: +mm_mp4_scenes (the videoScenes slot off the
     // sync-sample walk: scene_idx = sync rank, start frame, dhash)
-    assert(SparkEntry.queries.size == 224,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 224); " +
+    // 226 round 19: +mm_mp4_keyframes_lenient/mm_mp4_scenes_lenient (the
+    // keyframe-path maxFrames guard: sparse-stss rows bit-equal to the
+    // strict walk, no-stss degenerate shapes quarantine at the cap)
+    assert(SparkEntry.queries.size == 226,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 226); " +
         "if intentional, update this pin")
   }
 

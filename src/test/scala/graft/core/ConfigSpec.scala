@@ -1313,6 +1313,56 @@ class ConfigSpec extends SparkSpec {
     assert(all.count() == 6)
   }
 
+  test("mp4Keyframes/mp4Scenes maxFrames guard plumbs through the config ops") {
+    val dir = Files.createTempDirectory("graft_cfg_kfcap_").toString
+    // one sparse-stss MP4 (3 keyframes) + one NO-stss MP4 (6 frames, the
+    // degenerate every-sample-sync shape); cap = 4 -> strict op fails the
+    // task, lenient ops quarantine the degenerate video in place
+    graft.ext.Media.genPatternMp4sKeyframed(
+      Seq((0L, 2L, 8, 3)).toDF("id", "k", "n", "step"),
+      "id", "k", "n", "step", 9, 8)
+      .unionByName(graft.ext.Media.genPatternMp4s(
+        Seq((1L, 9L, 6)).toDF("id", "k", "n"), "id", "k", "n", 9, 8))
+      .write.parquet(s"$dir/mp4s")
+    val lenient = Config.runAll(spark,
+      s"""tasks:
+         |  - name: kf
+         |    source: {type: parquet, path: $dir/mp4s}
+         |    transforms:
+         |      - {op: mp4KeyframesLenient, id: id, column: content, maxFrames: 4}
+         |  - name: scenes
+         |    source: {type: parquet, path: $dir/mp4s}
+         |    transforms:
+         |      - {op: mp4ScenesLenient, id: id, column: content, maxFrames: 4}
+         |""".stripMargin)
+    assert(lenient("kf").filter($"frame_ok" && $"id" === 0L).count() == 3)
+    assert(lenient("kf").filter(!$"frame_ok").select("id", "frame_err")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "IllegalArgumentException")))
+    assert(lenient("scenes").filter($"frame_ok").count() == 3)
+    assert(lenient("scenes").filter(!$"frame_ok").count() == 1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Config.runAll(spark,
+        s"""tasks:
+           |  - name: kf
+           |    source: {type: parquet, path: $dir/mp4s}
+           |    transforms:
+           |      - {op: mp4Keyframes, id: id, column: content, maxFrames: 4}
+           |""".stripMargin)("kf").count()
+    }
+    assert(ex.getMessage.contains("maxFrames") ||
+      String.valueOf(ex.getCause).contains("maxFrames"))
+    // no cap key -> unbounded (the library default): all 9 rows decode
+    val all = Config.runAll(spark,
+      s"""tasks:
+         |  - name: kf
+         |    source: {type: parquet, path: $dir/mp4s}
+         |    transforms:
+         |      - {op: mp4Keyframes, id: id, column: content}
+         |""".stripMargin)("kf")
+    assert(all.count() == 9)
+  }
+
   test("mp4Keyframes op: stss sync-sample decode declares in YAML") {
     val dir = Files.createTempDirectory("graft_cfg_kf_").toString
     graft.ext.Media.genPatternMp4sKeyframed(

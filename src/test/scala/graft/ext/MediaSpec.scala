@@ -1214,6 +1214,56 @@ class MediaSpec extends SparkSpec {
     assert(m.nSamples == 2 && m.sttsDur == 2 * 1001L) // trex fallback durs
   }
 
+  test("keyframe path maxFrames: degenerate no-stss / all-intra shapes are capped") {
+    // the keyframe walk is cheap ONLY when stss is sparse: an absent stss
+    // (every sample sync per s8.6.2) or an all-intra stss listing every
+    // sample degrades it to the full frame walk -- maxFrames bounds the
+    // KEYFRAME count so those shapes fail (strict) or quarantine
+    // (lenient) instead of decoding unbounded inside one task
+    val sparse = Media.genPatternMp4sKeyframed(  // 8 frames, stss 1,4,7
+      Seq((1L, 2L, 8, 3)).toDF("id", "k", "n", "step"),
+      "id", "k", "n", "step", 9, 8)
+    val noStss = Media.genPatternMp4s(           // 6 frames, NO stss box
+      Seq((2L, 9L, 6)).toDF("id", "k", "n"), "id", "k", "n", 9, 8)
+    val allIntra = Media.genPatternMp4sKeyframed( // 6 frames, stss = ALL
+      Seq((3L, 4L, 6, 1)).toDF("id", "k", "n", "step"),
+      "id", "k", "n", "step", 9, 8)
+    // sparse stss: 3 keyframes, sails under cap 4 on both ops
+    assert(Media.mp4Keyframes(sparse, "id", "content", maxFrames = 4)
+      .count() == 3)
+    assert(Media.mp4Scenes(sparse, "id", "content", maxFrames = 4)
+      .count() == 3)
+    // degenerate shapes: 6 "keyframes" each > cap 4 -- strict throws
+    for (bad <- Seq(noStss, allIntra)) {
+      val e = intercept[org.apache.spark.SparkException] {
+        Media.mp4Keyframes(bad, "id", "content", maxFrames = 4).collect()
+      }
+      assert(String.valueOf(e.getCause).contains("maxFrames"))
+      intercept[org.apache.spark.SparkException] {
+        Media.mp4Scenes(bad, "id", "content", maxFrames = 4).collect()
+      }
+    }
+    // lenient twins: ONE quarantine row per over-cap video, good rows
+    // bit-equal to the strict walk
+    val mixed = sparse.unionByName(noStss).unionByName(allIntra)
+    val kf = Media.mp4KeyframesLenient(mixed, "id", "content", maxFrames = 4)
+    assert(kf.filter($"frame_ok").count() == 3)
+    assert(kf.filter(!$"frame_ok").select("id", "frame_err")
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "IllegalArgumentException"), (3L, "IllegalArgumentException")))
+    val strictRows = Media.mp4Keyframes(sparse, "id", "content")
+      .select("frame_idx", "dhash").as[(Int, Long)].collect().sorted.toSeq
+    val lenientRows = kf.filter($"frame_ok")
+      .select("frame_idx", "dhash").as[(Int, Long)].collect().sorted.toSeq
+    assert(strictRows == lenientRows)
+    val sc = Media.mp4ScenesLenient(mixed, "id", "content", maxFrames = 4)
+    assert(sc.filter($"frame_ok").select("scene_idx", "start_frame_idx")
+      .as[(Int, Int)].collect().sorted.toSeq == Seq((0, 0), (1, 3), (2, 6)))
+    assert(sc.filter(!$"frame_ok").count() == 2)
+    // uncapped default: every shape still decodes in full
+    assert(Media.mp4Keyframes(mixed, "id", "content").count() == 3 + 6 + 6)
+  }
+
   test("fMP4 scrub is size-preserving and leaves the fragment walk intact") {
     val samples = (0 until 5).map(i => Array[Byte](i.toByte, 9))
     val bytes = Media.encodeFmp4("isom", 30000L, 1001L, 320, 240,
