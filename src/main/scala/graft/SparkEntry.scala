@@ -2552,6 +2552,33 @@ object SparkEntry {
           col("width"), col("height"), col("n_frames"), col("fps_x1000"))
     }),
 
+    // edts/elst edit-list awareness (r19): half the fixtures plant a
+    // non-identity head-trim edit list, half carry no edts box at all —
+    // has_edit_list re-derives from the planting column while every
+    // other box-walk fact stays the genMp4s math (the elst box must not
+    // perturb the walk). The flag is a routing FACT: frames decode in
+    // sample order regardless (fine for dedup; presentation-order
+    // pipelines route on it)
+    "mm_mp4_meta_elst" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("ts", when(col("doc_id") % 3 === 0, 90000L)
+          .when(col("doc_id") % 3 === 1, 30000L).otherwise(12800L))
+        .withColumn("dl", when(col("doc_id") % 3 === 0, 3000L)
+          .when(col("doc_id") % 3 === 1, 1001L).otherwise(512L))
+        .withColumn("n", (lit(24) + (col("doc_id") % 40) * 3).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+        .withColumn("el", col("doc_id") % 2 === 0)
+      val media = Media.genElstMp4s(ids, "doc_id", "ts", "dl", "n", "w",
+        "h", "el")
+      Media.decodeMp4Meta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("major_brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"), col("n_frames"), col("fps_x1000"),
+          col("has_edit_list"))
+    }),
+
     // stss keyframe sampling: the sync-sample table is the container's
     // OWN scene-start list, so the MP4 tier samples representatives
     // WITHOUT decoding every frame (the per-file economy at 100 TB —
@@ -4690,6 +4717,27 @@ object SparkEntry {
         |  CAST(n AS INT) AS n_frames,
         |  CAST(n * ts * 1000 // dur AS BIGINT) AS fps_x1000
         |FROM v""".stripMargin,
+
+    // elst: has_edit_list replays from the planting column (even ids);
+    // every other field is the single-track genMp4s floor math — an
+    // edts box in the trak must not perturb the walk
+    "mm_mp4_meta_elst" ->
+      """WITH ids AS (SELECT doc_id AS d,
+        |    CASE WHEN doc_id % 3 = 0 THEN 90000 WHEN doc_id % 3 = 1 THEN 30000 ELSE 12800 END AS ts,
+        |    CASE WHEN doc_id % 3 = 0 THEN 3000 WHEN doc_id % 3 = 1 THEN 1001 ELSE 512 END AS dl,
+        |    24 + (doc_id % 40) * 3 AS n,
+        |    320 + (doc_id % 4) * 160 AS w,
+        |    240 + (doc_id % 4) * 120 AS h
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT d AS media_id, 'isom' AS major_brand,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  CAST(n * dl * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(1 AS INT) AS n_tracks,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000,
+        |  CAST(d % 2 = 0 AS BOOLEAN) AS has_edit_list
+        |FROM ids""".stripMargin,
 
     // keyframes = the f % step = 0 subset of the pattern frame walk: the
     // planted stss table selects samples 1, 1+step, … and the dhash

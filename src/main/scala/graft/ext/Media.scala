@@ -2227,12 +2227,19 @@ object Media {
     * track is the one whose `hdlr` handler type is `vide`; handler-less
     * containers fall back to the first track carrying a sample table, and
     * `stsz`/`stts` are always latched from the SAME track.
+    * `hasEditList` is TRUE when ANY trak carries an `edts/elst` box with
+    * at least one entry — a routing FACT, not an applied transform: the
+    * frame tier decodes in sample (decode) order and ignores edit-list
+    * offsets, which is fine for dedup (the payload bytes are what they
+    * are) but presentation-order-sensitive pipelines should route
+    * elst-carrying files on this flag.
     */
   private[ext] final case class Mp4Meta(majorBrand: String, timescale: Long,
                                         duration: Long, nTracks: Int,
                                         width: Int, height: Int,
                                         nSamples: Int, sttsCount: Long,
-                                        sttsDur: Long) {
+                                        sttsDur: Long,
+                                        hasEditList: Boolean = false) {
     /** Duration-weighted frames per 1000 s: `Σcount·timescale·1000 /
       * Σ(count·delta)` — for a single-entry `stts` this floors to exactly
       * the old first-delta form `timescale·1000/delta` (same rational).
@@ -2277,13 +2284,15 @@ object Media {
 
   /** Per-trak sample facts collected during one `moov` walk: the `tkhd`
     * track_ID (the join key into `moof`-fragment `tfhd` boxes), the `hdlr`
-    * handler type (empty when absent), `stsz` sample count, and the sum of
+    * handler type (empty when absent), `stsz` sample count, the sum of
     * counts / sum of count·delta over ALL `stts` entries — both latched
-    * from the SAME trak, never mixed across tracks.
+    * from the SAME trak, never mixed across tracks — and whether the trak
+    * carries a non-empty `edts/elst` edit list.
     */
   private final case class TrakFacts(trackId: Int, handler: String,
                                      nSamples: Int,
-                                     sttsCount: Long, sttsDur: Long) {
+                                     sttsCount: Long, sttsDur: Long,
+                                     hasElst: Boolean) {
     def hasSampleTable: Boolean = nSamples > 0 || sttsCount > 0
   }
 
@@ -2299,8 +2308,15 @@ object Media {
     var nSamples = 0
     var sttsCount = 0L
     var sttsDur = 0L
+    var hasElst = false
     walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
       t3 match {
+        // edts/elst: entry_count after the FullBox header — ANY entry
+        // marks the trak as edit-listed (presence fact; offsets are not
+        // applied, see Mp4Meta.hasEditList)
+        case "edts" => walkBoxes(bytes, s3, e3) { (t4, s4, _) =>
+          if (t4 == "elst" && bb.getInt(s4 + 4) > 0) hasElst = true
+        }
         case "tkhd" =>
           // track_ID after the FullBox header + creation/modification
           // times (32- or 64-bit per version)
@@ -2337,7 +2353,7 @@ object Media {
         case _ =>
       }
     }
-    TrakFacts(trackId, handler, nSamples, sttsCount, sttsDur)
+    TrakFacts(trackId, handler, nSamples, sttsCount, sttsDur, hasElst)
   }
 
   /** Pick the track the frame tier should read: the first trak whose
@@ -2585,10 +2601,11 @@ object Media {
     }
     require(sawMvhd && timescale > 0, "MP4 missing moov/mvhd header")
     val all = traks.result()
+    val anyElst = all.exists(_.hasElst)
     pickVideoTrak(all, hasMoofBox(bytes)).map(all) match {
       case Some(facts) =>
         Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
-          facts.nSamples, facts.sttsCount, facts.sttsDur)
+          facts.nSamples, facts.sttsCount, facts.sttsDur, anyElst)
       case None =>
         // FRAGMENTED fallback: no trak carries an stbl sample table (the
         // DASH/CMAF init shape) — sample facts come from the moof/trun
@@ -2597,7 +2614,7 @@ object Media {
           fragLayout(bytes, all(i).trackId, trexAll(bytes))._3
         }.getOrElse(Array.emptyLongArray)
         Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
-          frag.length, frag.length.toLong, frag.sum)
+          frag.length, frag.length.toLong, frag.sum, anyElst)
     }
   }
 
@@ -2788,13 +2805,16 @@ object Media {
     * minimal files), `tkhd` pixel dimensions (0×0 for audio), and an
     * optional sample table — payload bytes, `stts` (count, delta) runs
     * (multi-entry = variable frame rate; empty defaults to one run of
-    * delta 1), and `stss` sync-sample numbers (1-based; empty = no `stss`
-    * box, i.e. every sample sync).
+    * delta 1), `stss` sync-sample numbers (1-based; empty = no `stss`
+    * box, i.e. every sample sync), and an optional `edts/elst` edit list
+    * as (segment_duration, media_time) v0 entries (empty = no `edts`
+    * box; the [[decodeMp4Meta]] `has_edit_list` fixture channel).
     */
   final case class Mp4Track(handler: String, width: Int, height: Int,
                             samples: Seq[Array[Byte]] = Nil,
                             stts: Seq[(Int, Long)] = Nil,
-                            syncSamples: Seq[Int] = Nil)
+                            syncSamples: Seq[Int] = Nil,
+                            editList: Seq[(Long, Long)] = Nil)
 
   /** Encode a minimal canonical MP4: `ftyp(majorBrand) moov(mvhd
     * trak(tkhd mdia(mdhd [hdlr] minf(stbl(stsd stts stsc stsz stco
@@ -2900,6 +2920,15 @@ object Media {
           })
       box("stbl", kids: _*)
     }
+    // elst v0: entry_count + (segment_duration, media_time, rate 1.0)
+    def edts(entries: Seq[(Long, Long)]) = box("edts",
+      box("elst", fullBoxPayload(4 + 12 * entries.length) { bb =>
+        bb.putInt(entries.length)
+        entries.foreach { case (segDur, mediaTime) =>
+          bb.putInt(segDur.toInt).putInt(mediaTime.toInt)
+            .putShort(1).putShort(0) // media_rate 1.0
+        }
+      }))
     // mdat layout: each sample-carrying track's chunk in track order
     def moovBox(firstChunk: Long): Array[Byte] = {
       var off = firstChunk
@@ -2911,7 +2940,10 @@ object Media {
             off += tr.samples.map(_.length).sum
             Seq(box("minf", stbl))
           } else Nil)
-        box("trak", tkhd(i + 1, tr.width, tr.height), box("mdia", mdiaKids: _*))
+        val kids = Seq(tkhd(i + 1, tr.width, tr.height)) ++
+          (if (tr.editList.nonEmpty) Seq(edts(tr.editList)) else Nil) ++
+          Seq(box("mdia", mdiaKids: _*))
+        box("trak", kids: _*)
       }
       val kids = (mvhd +: traks) ++
         (if (udta.nonEmpty) Seq(box("udta", udta)) else Nil)
@@ -3036,8 +3068,12 @@ object Media {
     * constant-rate case it floors to the same value as
     * `timescale·1000/delta`). Input (idCol, contentCol);
     * output (idCol, major_brand, timescale, duration_ms, n_tracks, width,
-    * height, n_frames, fps_x1000) — n_frames/fps null when the container
-    * carries no sample table.
+    * height, n_frames, fps_x1000, has_edit_list) — n_frames/fps null when
+    * the container carries no sample table. `has_edit_list` surfaces any
+    * trak's non-empty `edts/elst` box (see [[Mp4Meta.hasEditList]]): real
+    * crawl MP4s carry non-identity edit lists, and while the frame tier
+    * correctly ignores them for dedup (decode-order payload bytes), a
+    * presentation-order-sensitive pipeline routes such files on this flag.
     */
   def decodeMp4Meta(df: DataFrame, idCol: String,
                     contentCol: String): DataFrame = {
@@ -3051,14 +3087,15 @@ object Media {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("n_frames", IntegerType, nullable = true),
-      StructField("fps_x1000", LongType, nullable = true)))
+      StructField("fps_x1000", LongType, nullable = true),
+      StructField("has_edit_list", BooleanType, nullable = false)))
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.map { r =>
         val m = parseMp4(r.getAs[Array[Byte]](1))
         Row(r.get(0), m.majorBrand, m.timescale,
           m.duration * 1000L / m.timescale, m.nTracks, m.width, m.height,
           if (m.nSamples > 0) m.nSamples else null,
-          m.fpsX1000.map(Long.box).orNull)
+          m.fpsX1000.map(Long.box).orNull, m.hasEditList)
       }
     }, outSchema)
   }
@@ -3096,6 +3133,42 @@ object Media {
         Row(id, encodeMp4("isom", r.getLong(1), r.getLong(2) * n,
           tracks, samples, r.getLong(2),
           udta = s"GRAFT-PII artist=$id gps=+0.0+0.0/".getBytes("US-ASCII")))
+      }
+    }, outSchema)
+  }
+
+  /** [[genMp4s]] with an optional `edts/elst` EDIT LIST on the video
+    * track (single-track form): rows with `elstCol` true plant a
+    * non-identity head-trim edit — one v0 entry (segment_duration =
+    * (n−1)·delta, media_time = delta) — the shape real crawl MP4s carry;
+    * rows with false emit no `edts` box at all. Every other
+    * [[decodeMp4Meta]] field derives exactly as in [[genMp4s]], so the
+    * oracle replays `has_edit_list` from the planting column alone.
+    */
+  def genElstMp4s(df: DataFrame, idCol: String, tsCol: String,
+                  deltaCol: String, framesCol: String, widthCol: String,
+                  heightCol: String, elstCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(tsCol).cast("long"),
+      col(deltaCol).cast("long"), col(framesCol).cast("int"),
+      col(widthCol).cast("int"), col(heightCol).cast("int"),
+      col(elstCol).cast("boolean"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val ts = r.getLong(1)
+        val d = r.getLong(2)
+        val n = r.getInt(3)
+        val samples = (0 until n).map(i => Array[Byte](
+          ((id * 31 + i) % 256).toByte, ((id * 7 + i * 3) % 256).toByte))
+        val elst =
+          if (r.getBoolean(6)) Seq(((n - 1) * d, d)) else Nil
+        Row(id, encodeMp4Tracks("isom", ts, d * n, Seq(
+          Mp4Track("vide", r.getInt(4), r.getInt(5), samples,
+            Seq((n, d)), editList = elst))))
       }
     }, outSchema)
   }

@@ -114,8 +114,10 @@ class SparkEntrySpec extends SparkSpec {
     // 226 round 19: +mm_mp4_keyframes_lenient/mm_mp4_scenes_lenient (the
     // keyframe-path maxFrames guard: sparse-stss rows bit-equal to the
     // strict walk, no-stss degenerate shapes quarantine at the cap)
-    assert(SparkEntry.queries.size == 226,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 226); " +
+    // 227 round 19: +mm_mp4_meta_elst (edts/elst edit-list fact:
+    // has_edit_list from the planting column, box-walk facts unperturbed)
+    assert(SparkEntry.queries.size == 227,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 227); " +
         "if intentional, update this pin")
   }
 

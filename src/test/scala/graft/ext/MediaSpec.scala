@@ -1264,6 +1264,37 @@ class MediaSpec extends SparkSpec {
     assert(Media.mp4Keyframes(mixed, "id", "content").count() == 3 + 6 + 6)
   }
 
+  test("edts/elst edit-list fact: has_edit_list surfaces, walk unperturbed") {
+    val withElst = Media.encodeMp4Tracks("isom", 30000L, 4 * 1001L, Seq(
+      Media.Mp4Track("vide", 9, 8,
+        (0 until 4).map(i => Array[Byte](i.toByte, (i * 3).toByte)),
+        Seq((4, 1001L)), editList = Seq((3 * 1001L, 1001L)))))
+    val without = Media.encodeMp4Tracks("isom", 30000L, 4 * 1001L, Seq(
+      Media.Mp4Track("vide", 9, 8,
+        (0 until 4).map(i => Array[Byte](i.toByte, (i * 3).toByte)),
+        Seq((4, 1001L)))))
+    val m1 = Media.parseMp4(withElst)
+    val m2 = Media.parseMp4(without)
+    assert(m1.hasEditList && !m2.hasEditList)
+    // the elst box must not perturb any other box-walk fact, and the
+    // frame tier still reads the same sample bytes (decode order --
+    // edit-list offsets are surfaced, never applied)
+    assert(m1.copy(hasEditList = false) == m2)
+    assert(Media.mp4FramePayloads(withElst).map(_.toSeq) ==
+      Media.mp4FramePayloads(without).map(_.toSeq))
+    // an elst with ZERO entries does not count as an edit list
+    val emptyElst = Media.encodeMp4Tracks("isom", 30000L, 4 * 1001L, Seq(
+      Media.Mp4Track("vide", 9, 8,
+        (0 until 4).map(i => Array[Byte](i.toByte, (i * 3).toByte)),
+        Seq((4, 1001L)), editList = Nil)))
+    assert(!Media.parseMp4(emptyElst).hasEditList)
+    // decodeMp4Meta surfaces the flag as a column
+    val df = Seq((1L, withElst), (2L, without)).toDF("id", "content")
+    assert(Media.decodeMp4Meta(df, "id", "content")
+      .select("id", "has_edit_list").as[(Long, Boolean)].collect().toSet ==
+      Set((1L, true), (2L, false)))
+  }
+
   test("fMP4 scrub is size-preserving and leaves the fragment walk intact") {
     val samples = (0 until 5).map(i => Array[Byte](i.toByte, 9))
     val bytes = Media.encodeFmp4("isom", 30000L, 1001L, 320, 240,
