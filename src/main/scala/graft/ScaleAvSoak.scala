@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *    content under fresh ids — each must classify dup via the persisted
   *    frame-signature table (video grows signatures ~frames-per-video
   *    faster than images — the growth the verdict called out);
+  *  - `videokf` (r19) → the same video soak under `admit = "keyframe"`
+  *    with `maxFrames = 8`, plus a FIFTH plant form: 12-frame keyframed
+  *    MP4s (over the cap) whose 4 sync samples carry day-0 content —
+  *    full-frame admission could only quarantine these, keyframe
+  *    admission must CLASSIFY each one dup on 4 decodes (the
+  *    hour-long-outlier economy, asserted by the quarantine-EMPTY check);
   *  - `audio` → [[graft.streaming.Streams.ingestAudioDedupBatch]]: plants
   *    are 1-bit-perturbed re-levelled copies (Hamming 1 ≤ maxDist);
   *  - `pdf` → [[graft.streaming.Streams.ingestPdfBatch]]: plants are
@@ -36,7 +42,7 @@ import org.apache.spark.sql.functions._
   * day-1 plants still reject (forgotten means forgotten, and ONLY the
   * forgotten).
   *
-  * Usage: runMain graft.ScaleAvSoak <video|audio|pdf|warc> <days> <perDay> <label>
+  * Usage: runMain graft.ScaleAvSoak <video|videokf|audio|pdf|warc> <days> <perDay> <label>
   * Prints one SOAK_AV line per sampled day + a SOAK_AV_SUMMARY line.
   */
 object ScaleAvSoak {
@@ -109,7 +115,7 @@ object ScaleAvSoak {
     // a day's batch: perDay novel items + (day ≥ 1) re-drops of day-0 and
     // day-1 content under fresh ids — every plant must classify dup
     def dayBatch(day: Int): DataFrame = modality match {
-      case "video" =>
+      case "video" | "videokf" =>
         val novel = videos(day, perDay, day.toLong * 1000000L, mp4 = day % 2 == 1)
         // plants re-containered OPPOSITE to their origin day's container
         val p0 = videos(0, nPlant, 900000000L + day * 10000L, mp4 = true)
@@ -127,10 +133,24 @@ object ScaleAvSoak {
         val p3 = graft.ext.Media.genNoiseFmp4s(
           ids(1, nPlant, 930000000L + day * 10000L).withColumn("n", lit(3)),
           "mid", "k", "n", 9, 8)
+        // videokf only: LONG keyframed MP4s (4 scenes × 3 = 12 frames,
+        // OVER the modality's maxFrames=8 cap) whose sync samples carry
+        // day-0 content — full-frame admission could only quarantine
+        // these; keyframe admission must CLASSIFY each one dup on its 4
+        // keyframe decodes (the hour-long-outlier plant). The
+        // quarantine-empty assertion after the soak is what catches a
+        // regression here — quarantine and rejection are different verdicts
+        val p4 = if (modality != "videokf") None else Some(
+          graft.ext.Media.genNoiseKeyframedMp4s(
+            ids(0, nPlant, 940000000L + day * 10000L)
+              .withColumn("scenes", lit(4)).withColumn("step", lit(3)),
+            "mid", "k", "scenes", "step", 9, 8))
         if (day == 0) novel
-        else if (day == 1) novel.unionByName(p0)
-        else novel.unionByName(p0).unionByName(p1).unionByName(p2)
-          .unionByName(p3)
+        else if (day == 1)
+          p4.foldLeft(novel.unionByName(p0))(_ unionByName _)
+        else
+          p4.foldLeft(novel.unionByName(p0).unionByName(p1).unionByName(p2)
+            .unionByName(p3))(_ unionByName _)
       case "audio" =>
         val novel = wavs(day, perDay, day.toLong * 1000000L, perturb = 0)
         val p0 = wavs(0, nPlant, 900000000L + day * 10000L, perturb = 1)
@@ -158,6 +178,11 @@ object ScaleAvSoak {
     def ingest(batch: DataFrame, batchId: Long): Unit = modality match {
       case "video" => graft.streaming.Streams.ingestVideoDedupBatch(
         batch, batchId, corpus, idx, quar, "mid", "content")
+      // keyframe-admission soak: cap 8 < the 12-frame keyframed plants,
+      // so only the sync-sample economy keeps them classifiable
+      case "videokf" => graft.streaming.Streams.ingestVideoDedupBatch(
+        batch, batchId, corpus, idx, quar, "mid", "content",
+        maxFrames = 8, admit = "keyframe")
       case "audio" => graft.streaming.Streams.ingestAudioDedupBatch(
         batch, batchId, corpus, idx, quar, "mid", "content")
       case "pdf" => graft.streaming.Streams.ingestPdfBatch(
@@ -197,9 +222,13 @@ object ScaleAvSoak {
     // it: an audio-first MP4 read positionally would decode junk audio
     // samples as frames and land here instead of classifying against the
     // stored signatures — rejection and quarantine are different verdicts
-    if (modality == "video") {
+    if (modality == "video" || modality == "videokf") {
       val q = spark.read.parquet(quar).count()
-      assert(q == 0, s"video soak quarantined $q payloads — decode regression")
+      assert(q == 0, s"video soak quarantined $q payloads — decode regression" +
+        (if (modality == "videokf")
+          " (an over-cap keyframed plant quarantining instead of" +
+            " classifying means the keyframe admission economy regressed)"
+        else ""))
     }
 
     // ---- maintenance: compact → classify → erase day-0 → re-admit -------

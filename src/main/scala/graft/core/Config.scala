@@ -975,7 +975,13 @@ object Config {
           // quarantine with payload); raise per-pipeline when a corpus
           // legitimately carries longer files
           maxFrames = Option(n.get("maxFrames")).map(_.asInt)
-            .getOrElse(graft.streaming.Streams.DefaultMaxFramesPerVideo))
+            .getOrElse(graft.streaming.Streams.DefaultMaxFramesPerVideo),
+          // admit: fullFrame (default, max recall) | keyframe (MP4s
+          // classify on stss sync-sample signatures — hour-long files
+          // admit on a few hundred decodes instead of quarantining at
+          // the cap; subset signatures, see ingestVideoDedup's mode note)
+          admit = Option(n.get("admit")).map(_.asText)
+            .getOrElse("fullFrame"))
       // Sinks\RdKafka producer (jar-guarded both ways; streaming tasks get
       // the checkpointed writeStream form)
       case "kafka" =>

@@ -1939,6 +1939,48 @@ object Media {
     }, outSchema)
   }
 
+  /** LONG keyframed MP4s carrying [[genNoiseVideos]] content in their
+    * SYNC samples — the keyframe-admission soak plant: `scenesCol` scenes
+    * of `stepCol` frames each (n = scenes·step total), where scene-start
+    * frame s·step is byte-identical to noise frame (seed, s) and the
+    * filler frames are unique noise (frame index offset by 10⁶ — never
+    * colliding with any stored signature). With n over the ingest's
+    * `maxFrames` cap, full-frame admission can only QUARANTINE such a
+    * file; keyframe admission decodes the `scenes` sync samples and
+    * classifies it against stored day-0 content — the hour-long-outlier
+    * economy the mode exists for.
+    */
+  def genNoiseKeyframedMp4s(df: DataFrame, idCol: String, seedCol: String,
+                            scenesCol: String, stepCol: String,
+                            w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(seedCol).cast("long"),
+      col(scenesCol).cast("int"), col(stepCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(1)
+        val scenes = r.getInt(2)
+        val step = r.getInt(3)
+        val n = scenes * step
+        def noiseFrame(f: Long): Array[Byte] = {
+          val px = Array.tabulate(w * h)(i =>
+            (mix64(seed * 0x100000001B3L + f * 0x9E3779B97F4A7C15L + i)
+              & 0xff).toInt)
+          encodeGrayPng(px, w, h)
+        }
+        val frames = (0 until n).map { f =>
+          if (f % step == 0) noiseFrame(f / step) // scene start = stored frame
+          else noiseFrame(f + 1000000L) // filler: unique, never stored
+        }
+        Row(r.get(0), encodeMp4Tracks("isom", 30000L, 1001L * n, Seq(
+          Mp4Track("vide", w, h, frames, Seq((n, 1001L)),
+            syncSamples = (0 until scenes).map(_ * step + 1)))))
+      }
+    }, outSchema)
+  }
+
   /** [[genNoiseVideos]]' frames in a FRAGMENTED MP4 (2-sample moof
     * fragments) — the soak-side fMP4 twin: a DASH re-packaging of stored
     * content must classify DUP through the fragment walk, with frame
@@ -3501,6 +3543,58 @@ object Media {
           case e: Exception =>
             Seq(Row(id, false, e.getClass.getSimpleName,
               null, null, null, null, null))
+        }
+      }
+    }, outSchema)
+  }
+
+  /** Admission-SIGNATURE decoder for the keyframe mode of
+    * [[graft.streaming.Streams.ingestVideoDedup]] — output bit-compatible
+    * with [[videoFramesLenient]] (frame_ok, frame_err, frame_idx, width,
+    * height, dhash), but MP4 payloads contribute their SYNC-SAMPLE
+    * dHashes ([[mp4KeyframePayloads]]) instead of every frame's: an
+    * hour-long `stss`-carrying MP4 classifies on a few hundred keyframe
+    * decodes where the full-frame decoder would hit the `maxFrames`
+    * quarantine. `maxFrames` caps the DECODE count of whichever walk
+    * runs — keyframes for MP4 (so the no-`stss`/all-intra degenerate
+    * shapes still quarantine), full frames for AVI (which has no sync
+    * declaration to sample from). frame_idx is the 0-based SAMPLE index,
+    * so MP4 keyframe signatures are a strict SUBSET of what
+    * [[videoFramesLenient]] would emit for the same payload — the recall
+    * consequence is documented on the ingest's `admit` parameter.
+    */
+  def videoKeySigsLenient(df: DataFrame, idCol: String, contentCol: String,
+                          maxFrames: Int = Int.MaxValue): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(contentCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("frame_ok", BooleanType, nullable = false),
+      StructField("frame_err", StringType, nullable = true),
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("dhash", LongType, nullable = true)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(0)
+        try {
+          val bytes = r.getAs[Array[Byte]](1)
+          val payloads: Seq[(Int, Array[Byte])] = sniffMime(bytes) match {
+            case "video/mp4" => mp4KeyframePayloads(bytes, maxFrames)
+            case _ =>
+              val ps = framePayloads(bytes)
+              require(ps.length <= maxFrames,
+                s"video has ${ps.length} frames > maxFrames=$maxFrames")
+              ps.zipWithIndex.map(_.swap)
+          }
+          payloads.map { case (i, payload) =>
+            val (w, h, _, px) = decodeLuma(payload)
+            Row(id, true, null, i, w, h, dHash64(px, w, h))
+          }
+        } catch {
+          case e: Exception =>
+            Seq(Row(id, false, e.getClass.getSimpleName,
+              null, null, null, null))
         }
       }
     }, outSchema)

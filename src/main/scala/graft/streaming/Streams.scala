@@ -536,16 +536,46 @@ object Streams {
     * first batch, one commit-marker window over corpus + sigs, replayed
     * committed batches re-classify as dups, quarantine partitions
     * Overwrite per batch id).
+    *
+    * ==Admission modes (`admit`)==
+    *
+    * `"fullFrame"` (the DEFAULT): every healthy video contributes EVERY
+    * frame's dHash — maximum trim/overlap recall, but an MP4 whose frame
+    * count exceeds `maxFrames` quarantines even when its `stss` declares
+    * a few hundred cheap sync samples (the hour-long-outlier guard has no
+    * cheaper signal to fall back to).
+    *
+    * `"keyframe"`: MP4 payloads contribute their SYNC-SAMPLE dHashes
+    * ([[graft.ext.Media.videoKeySigsLenient]]) — an hour-long
+    * `stss`-carrying MP4 classifies on its keyframes instead of
+    * quarantining at the cap, which is the whole keyframe economy applied
+    * to admission (`maxFrames` then bounds the KEYFRAME count, so the
+    * no-`stss`/all-intra degenerate shapes still quarantine; AVI has no
+    * sync declaration and keeps the full walk + cap). The DELIBERATE
+    * trade-off — why full-frame stays the default: keyframe signature
+    * sets are strict SUBSETS of full-frame sets, so two videos are
+    * flagged only when their shared content spans ≥ `minShared` SYNC
+    * samples — a trimmed copy whose overlap contains fewer than
+    * `minShared` scene starts is ADMITTED where full-frame admission
+    * would have caught it (recall degrades with scene sparsity, never
+    * precision: every keyframe match is still an exact frame match).
+    * Cross-container note: an AVI re-drop of stored MP4 content still
+    * classifies — the AVI's full frame set is a superset of the stored
+    * keyframe signatures. The index format stamp embeds the mode, so
+    * pointing one mode at the other's signature table fails loudly
+    * instead of silently answering with the wrong recall contract.
     */
   def ingestVideoDedup(stream: DataFrame, corpusPath: String, indexDir: String,
                        quarantinePath: String, idCol: String, contentCol: String,
                        checkpoint: String, minShared: Int = 2,
                        maxHashFreq: Int = 1000,
                        maxFrames: Int = DefaultMaxFramesPerVideo,
+                       admit: String = "fullFrame",
                        trigger: Trigger = Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     foreachBatchSink(stream, checkpoint, trigger) { (batch, batchId) =>
       ingestVideoDedupBatch(batch, batchId, corpusPath, indexDir,
-        quarantinePath, idCol, contentCol, minShared, maxHashFreq, maxFrames)
+        quarantinePath, idCol, contentCol, minShared, maxHashFreq, maxFrames,
+        admit)
     }
 
   /** Per-video frame cap the continuous video ingest runs under BY
@@ -567,9 +597,17 @@ object Streams {
                             quarantinePath: String, idCol: String,
                             contentCol: String, minShared: Int = 2,
                             maxHashFreq: Int = 1000,
-                            maxFrames: Int = DefaultMaxFramesPerVideo): Unit = {
+                            maxFrames: Int = DefaultMaxFramesPerVideo,
+                            admit: String = "fullFrame"): Unit = {
       val spark = batch.sparkSession
-      val fmt = s"videodedup:v1:minShared=$minShared"
+      require(admit == "fullFrame" || admit == "keyframe",
+        s"admit must be 'fullFrame' or 'keyframe', got '$admit'")
+      // the admission mode is PART of the index format: keyframe and
+      // full-frame signature tables answer different recall contracts
+      // (keyframe sets are subsets — see ingestVideoDedup's mode note),
+      // so pointing one mode at the other's table must fail loudly
+      val fmt = s"videodedup:v1:minShared=$minShared" +
+        (if (admit == "keyframe") ":admit=keyframe" else "")
       val sigsPath = s"$indexDir/sigs"
       val decoded = graft.ext.Media
         .decodeVideoMetaLenient(batch, idCol, contentCol).localCheckpoint(true)
@@ -581,10 +619,17 @@ object Streams {
       // never fail the batch (a failed batch replays on restart, wedging
       // the stream permanently)
       // maxFrames: the hour-long-outlier guard (DefaultMaxFramesPerVideo)
-      // — an over-cap video quarantines as one row WITH payload below
-      val framesL = graft.ext.Media.videoFramesLenient(
-          container.select(col(idCol), col(contentCol)), idCol, contentCol,
-          maxFrames)
+      // — an over-cap video quarantines as one row WITH payload below.
+      // In keyframe mode the cap bounds the KEYFRAME count for MP4s, so
+      // an hour-long stss-carrying file classifies instead of quarantining
+      val framesL = (if (admit == "keyframe")
+          graft.ext.Media.videoKeySigsLenient(
+            container.select(col(idCol), col(contentCol)), idCol, contentCol,
+            maxFrames)
+        else
+          graft.ext.Media.videoFramesLenient(
+            container.select(col(idCol), col(contentCol)), idCol, contentCol,
+            maxFrames))
         .localCheckpoint(true)
       val badFrames = framesL.filter(!col("frame_ok"))
         .select(col(idCol), col("frame_err"))

@@ -1609,6 +1609,42 @@ class ConfigSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(1L, 3L, 6L))
   }
 
+  test("ingestVideoDedup admit: keyframe plumbs through YAML (over-cap stss MP4 classifies)") {
+    val dir = Files.createTempDirectory("graft_cfg_ividkf_").toString
+    def kfMp4(k: Long, n: Int, step: Int): Array[Byte] =
+      graft.ext.Media.genPatternMp4sKeyframed(
+        Seq((0L, k, n, step)).toDF("id", "k", "n", "step"),
+        "id", "k", "n", "step", 9, 8)
+        .select("content").as[Array[Byte]].head()
+    // 12 frames > maxFrames 6, 4 sync samples <= 6
+    Seq((1L, kfMp4(1, 12, 3))).toDF("vid", "content")
+      .write.parquet(s"$dir/in1")
+    def yaml(in: String, admit: String) =
+      s"""source: {type: parquet, path: $in}
+         |sink: {type: ingestVideoDedup, corpus: $dir/corpus-$admit,
+         |       index: $dir/idx-$admit, quarantine: $dir/quar-$admit,
+         |       id: vid, column: content, maxFrames: 6, admit: $admit}
+         |""".stripMargin
+    // keyframe mode: admits on the 4 sync decodes
+    Config.run(spark, yaml(s"$dir/in1", "keyframe"))
+    assert(spark.read.parquet(s"$dir/corpus-keyframe").count() == 1L)
+    assert(spark.read.parquet(s"$dir/idx-keyframe/sigs").count() == 4L)
+    // a re-drop under a fresh id rejects on the stored keyframe sigs
+    Seq((2L, kfMp4(1, 12, 3))).toDF("vid", "content")
+      .write.parquet(s"$dir/in2")
+    Config.run(spark, yaml(s"$dir/in2", "keyframe"))
+    assert(spark.read.parquet(s"$dir/corpus-keyframe").count() == 1L)
+    // default (fullFrame) mode: the same file can only quarantine
+    Config.run(spark,
+      s"""source: {type: parquet, path: $dir/in1}
+         |sink: {type: ingestVideoDedup, corpus: $dir/corpus-full,
+         |       index: $dir/idx-full, quarantine: $dir/quar-full,
+         |       id: vid, column: content, maxFrames: 6}
+         |""".stripMargin)
+    assert(spark.read.parquet(s"$dir/quar-full").select("vid")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("batch-task ingest reruns keep prior quarantine (per-run batch id)") {
     val dir = Files.createTempDirectory("graft_cfg_requar_").toString
     def yaml(in: String) =

@@ -653,6 +653,61 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestVideoDedup keyframe admission: over-cap stss MP4 classifies, not quarantines") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_vidkf_").toString
+    def kfMp4(k: Long, n: Int, step: Int): Array[Byte] =
+      graft.ext.Media.genPatternMp4sKeyframed(
+        Seq((0L, k, n, step)).toDF("id", "k", "n", "step"),
+        "id", "k", "n", "step", 9, 8)
+        .select("content").as[Array[Byte]].head()
+    def avi(k: Long, n: Int): Array[Byte] = graft.ext.Media.genPatternAvis(
+      Seq((0L, k, n)).toDF("id", "k", "n"), "id", "k", "n", 9, 8)
+      .select("content").as[Array[Byte]].head()
+    // 12 frames > cap 6, but stss declares only 4 sync samples (f = 0, 3,
+    // 6, 9) -- the hour-long stand-in that full-frame admission (r18 test
+    // above) can only quarantine
+    val longMp4 = kfMp4(1, 12, 3)
+    val longAvi = avi(5, 8) // 8 frames > 6, no sync declaration to sample
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = Streams.ingestVideoDedup(mem.toDF().toDF("vid", "content"),
+      s"$dir/corpus", s"$dir/idx", s"$dir/quarantine",
+      idCol = "vid", contentCol = "content", checkpoint = s"$dir/ckpt",
+      maxFrames = 6, admit = "keyframe", trigger = Trigger.ProcessingTime(0))
+    try {
+      mem.addData((1L, avi(20, 3)), (2L, longMp4), (3L, longAvi))
+      q.processAllAvailable()
+      // the over-cap stss MP4 CLASSIFIES (admitted on its 4 keyframe
+      // decodes); the over-cap AVI still quarantines (no sync table)
+      assert(spark.read.parquet(s"$dir/corpus")
+        .select("vid").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      assert(spark.read.parquet(s"$dir/quarantine")
+        .select("vid").as[Long].collect().toSeq == Seq(3L))
+      // sigs: 3 AVI frames + 4 MP4 keyframes only (never all 12)
+      assert(spark.read.parquet(s"$dir/idx/sigs").count() == 7L)
+      // a re-drop of the same content under a FRESH id shares all 4
+      // keyframe signatures >= minShared -- rejected as a dup
+      mem.addData((4L, kfMp4(1, 12, 3)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 2L)
+      // replay of a committed id admits nothing (exact-id admission)
+      mem.addData((2L, longMp4))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() == 2L)
+      assert(spark.read.parquet(s"$dir/idx/sigs").count() == 7L)
+      // the admission mode is part of the index format: pointing the
+      // full-frame reader at a keyframe-built index fails loudly
+      val fresh = graft.ext.Media.genPatternAvis(
+        Seq((9L, 90L, 3)).toDF("vid", "k", "n"), "vid", "k", "n", 9, 8)
+      val ex = intercept[IllegalStateException] {
+        Streams.ingestVideoDedupBatch(fresh, 99L, s"$dir/corpus",
+          s"$dir/idx", s"$dir/quarantine", "vid", "content",
+          maxFrames = 6, admit = "fullFrame")
+      }
+      assert(ex.getMessage.contains("videodedup"))
+    } finally q.stop()
+  }
+
   test("ingestVideoDedup replay of a DEGENERATE video (n_frames < minShared) appends nothing") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_viddgn_").toString
