@@ -2404,6 +2404,56 @@ object SparkEntry {
           col("width"), col("height"), col("dhash"))
     }),
 
+    // SELF-INITIALIZING DASH MEDIA SEGMENT (r19): styp + sidx + moof/mdat
+    // with NO moov anywhere — the shape a DASH CDN serves between init
+    // refreshes. timescale/duration re-derive from sidx, sample facts
+    // from the explicit-field trun walk; no tkhd exists, so dims are 0×0
+    "mm_mp4_segment_meta" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("ts", when(col("doc_id") % 3 === 0, 90000L)
+          .when(col("doc_id") % 3 === 1, 30000L).otherwise(12800L))
+        .withColumn("dl", when(col("doc_id") % 3 === 0, 3000L)
+          .when(col("doc_id") % 3 === 1, 1001L).otherwise(512L))
+        .withColumn("n", (lit(24) + (col("doc_id") % 40) * 3).cast("int"))
+      val media = Media.genSegMp4s(ids, "doc_id", "ts", "dl", "n")
+      Media.decodeMp4Meta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("major_brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"), col("n_frames"), col("fps_x1000"))
+    }),
+
+    // moov-lessness never enters the frame algebra: byte-identical
+    // pattern payloads through the sidx-bound fragment walk share
+    // mm_mp4_frames' oracle SQL verbatim
+    "mm_mp4_segment_frames" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 3 + 2).cast("int"))
+        .withColumn("fs", lit(2).cast("int"))
+      val media = Media.genPatternSegMp4s(ids, "doc_id", "k", "n", "fs",
+        w = 9, h = 8)
+      Media.videoFrames(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("frame_idx"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
+    // fragment starts are the segment's sync points — fragment size = the
+    // keyframed fixture's stss step, so mm_mp4_keyframes' SQL replays
+    "mm_mp4_segment_keyframes" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 80)
+        .withColumn("k", col("doc_id").cast("long"))
+        .withColumn("n", (col("doc_id") % 5 + 4).cast("int"))
+        .withColumn("fs", (col("doc_id") % 3 + 2).cast("int"))
+      val media = Media.genPatternSegMp4s(ids, "doc_id", "k", "n", "fs",
+        w = 9, h = 8)
+      Media.mp4Keyframes(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("frame_idx"),
+          col("width"), col("height"), col("dhash"))
+    }),
+
     // JPEG-side scrub semantics (the r18 ADVICE fix, proven per row):
     // Exif orientation DROPS (decode sees raw un-rotated dims — 5..8
     // would swap them), APP14 Adobe and ICC APP2 SURVIVE (decode-critical
@@ -3719,6 +3769,10 @@ object SparkEntry {
       // planted stss step, so both SQLs replay verbatim
       ("mm_mp4_frag_frames" -> m("mm_mp4_frames")) +
       ("mm_mp4_frag_keyframes" -> m("mm_mp4_keyframes")) +
+      // moov-LESS media segments (styp/sidx): same pattern payloads
+      // through the sidx-bound walk — both SQLs replay verbatim
+      ("mm_mp4_segment_frames" -> m("mm_mp4_frames")) +
+      ("mm_mp4_segment_keyframes" -> m("mm_mp4_keyframes")) +
       // same page-text formula; only the header version differs (ObjStm
       // is a PDF 1.5 feature, and the fixture headers say so)
       ("mm_pdf_objstm" -> m("mm_pdf_unicode").replace("'1.4'", "'1.5'")) +
@@ -4693,6 +4747,24 @@ object SparkEntry {
         |  CAST(n * dl * 1000 // ts AS BIGINT) AS duration_ms,
         |  CAST(1 AS INT) AS n_tracks,
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000
+        |FROM ids""".stripMargin,
+
+    // media segment: sidx supplies timescale + summed subsegment
+    // durations; NO moov means no tkhd (dims 0×0) and one sidx-bound
+    // track; n_frames from the explicit-field trun walk
+    "mm_mp4_segment_meta" ->
+      """WITH ids AS (SELECT doc_id AS d,
+        |    CASE WHEN doc_id % 3 = 0 THEN 90000 WHEN doc_id % 3 = 1 THEN 30000 ELSE 12800 END AS ts,
+        |    CASE WHEN doc_id % 3 = 0 THEN 3000 WHEN doc_id % 3 = 1 THEN 1001 ELSE 512 END AS dl,
+        |    24 + (doc_id % 40) * 3 AS n
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT d AS media_id, 'msdh' AS major_brand,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  CAST(n * dl * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(1 AS INT) AS n_tracks,
+        |  CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
         |  CAST(n AS INT) AS n_frames,
         |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000
         |FROM ids""".stripMargin,

@@ -720,9 +720,11 @@ object Media {
       b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
       "video/avi"
     // ISO-BMFF: the first box of a conforming file is ftyp (ISO 14496-12
-    // §4.3) — the type field at bytes 4..7 is the sniff every file tool uses
-    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
-      b(7) == 'p')
+    // §4.3) — the type field at bytes 4..7 is the sniff every file tool
+    // uses; styp is its media-segment sibling (self-initializing DASH
+    // segments, §8.16.2 — no moov, facts from sidx + the fragment walk)
+    else if (b.length >= 12 && (b(4) == 'f' || b(4) == 's') && b(5) == 't' &&
+      b(6) == 'y' && b(7) == 'p')
       "video/mp4"
     else "application/octet-stream"
 
@@ -2424,6 +2426,37 @@ object Media {
     }
   }
 
+  /** First `sidx` segment-index box (ISO 14496-12 §8.16.3) as
+    * (reference_ID, timescale, total subsegment duration) — the
+    * initialization facts of a SELF-INITIALIZING DASH media segment
+    * (`styp sidx moof mdat…`), which carries no `moov` at all: the
+    * reference_ID is the track binding for the fragment walk, the
+    * timescale/duration play `mvhd`'s role. Handles both FullBox versions
+    * (v1 = 64-bit earliest_presentation_time/first_offset).
+    */
+  private def readSidx(bytes: Array[Byte]): Option[(Int, Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var out: Option[(Int, Long, Long)] = None
+    walkBoxes(bytes, 0, bytes.length) { (t, s, _) =>
+      if (t == "sidx" && out.isEmpty) {
+        val v = bytes(s) & 0xff
+        val refId = bb.getInt(s + 4)
+        val ts = bb.getInt(s + 8).toLong & 0xffffffffL
+        // refs follow ept/first_offset (8 or 16 bytes) + reserved(2)
+        val rcOff = s + 12 + (if (v == 1) 16 else 8) + 2
+        val rc = bb.getShort(rcOff) & 0xffff
+        var dur = 0L
+        var i = 0
+        while (i < rc) {
+          dur += bb.getInt(rcOff + 2 + 12 * i + 4).toLong & 0xffffffffL
+          i += 1
+        }
+        out = Some((refId, ts, dur))
+      }
+    }
+    out
+  }
+
   /** Whether the container carries any top-level `moof` fragment — the
     * signal that routes table-less video traks to the fragmented walk.
     */
@@ -2611,6 +2644,10 @@ object Media {
     walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
       t match {
         case "ftyp" => majorBrand = new String(bytes, s, 4, "US-ASCII")
+        // styp: the media-segment sibling of ftyp (self-initializing
+        // DASH segments lead with it; same brand layout)
+        case "styp" if majorBrand.isEmpty =>
+          majorBrand = new String(bytes, s, 4, "US-ASCII")
         case "moov" => walkBoxes(bytes, s, e) { (t2, s2, e2) =>
           t2 match {
             case "mvhd" =>
@@ -2641,7 +2678,20 @@ object Media {
         case _ =>
       }
     }
-    require(sawMvhd && timescale > 0, "MP4 missing moov/mvhd header")
+    if (!sawMvhd) {
+      // SELF-INITIALIZING DASH MEDIA SEGMENT (styp sidx moof mdat…): no
+      // moov anywhere — timescale/duration/track binding come from sidx,
+      // sample facts from the trun walk (whose fields are explicit: with
+      // no moov there is no trex to default to). One track by
+      // construction; tkhd dims don't exist in this shape → 0×0.
+      val (refId, sTs, sDur) = readSidx(bytes).getOrElse(
+        throw new IllegalArgumentException("MP4 missing moov/mvhd header"))
+      require(sTs > 0, "sidx timescale must be positive")
+      val (_, szs, durs, _) = fragLayout(bytes, refId, Map.empty)
+      return Mp4Meta(majorBrand, sTs, sDur, 1, 0, 0,
+        szs.length, szs.length.toLong, durs.sum)
+    }
+    require(timescale > 0, "MP4 missing moov/mvhd header")
     val all = traks.result()
     val anyElst = all.exists(_.hasElst)
     pickVideoTrak(all, hasMoofBox(bytes)).map(all) match {
@@ -2696,11 +2746,17 @@ object Media {
     if (picked.isEmpty) {
       // FRAGMENTED fallback: empty moov sample tables → moof/trun layout
       // of the handler-selected track; fragment-start samples play the
-      // stss role (a DASH packager cuts fragments at sync points)
-      val j = pickVideoTrakAny(factsAll).getOrElse(throw
-        new IllegalArgumentException("MP4 missing sample table (no trak)"))
-      val (offs, szs, _, starts) =
-        fragLayout(bytes, factsAll(j).trackId, trexAll(bytes))
+      // stss role (a DASH packager cuts fragments at sync points). With
+      // no trak AT ALL (a self-initializing styp/sidx media segment) the
+      // binding comes from sidx's reference_ID and there is no trex.
+      val (trackId, trexMap) = pickVideoTrakAny(factsAll) match {
+        case Some(j) => (factsAll(j).trackId, trexAll(bytes))
+        case None =>
+          val (refId, _, _) = readSidx(bytes).getOrElse(throw
+            new IllegalArgumentException("MP4 missing sample table (no trak)"))
+          (refId, Map.empty[Int, (Long, Int)])
+      }
+      val (offs, szs, _, starts) = fragLayout(bytes, trackId, trexMap)
       require(offs.nonEmpty,
         "MP4 missing sample table (stsz/stco/stsc or moof/trun)")
       var i = 0
@@ -3102,6 +3158,75 @@ object Media {
     out.toByteArray
   }
 
+  /** Encode a SELF-INITIALIZING DASH MEDIA SEGMENT: `styp sidx [moof(mfhd
+    * traf(tfhd trun)) mdat]…` — NO `moov` anywhere, the shape a DASH CDN
+    * serves between init-segment refreshes (ISO 14496-12 §8.16). `sidx`
+    * carries the track binding (reference_ID = 1), the timescale, and one
+    * reference per fragment (referenced_size = that moof+mdat span,
+    * subsegment_duration = its samples × `sampleDelta`); every `trun`
+    * carries EXPLICIT per-sample durations AND sizes (flags 0x301) —
+    * with no `moov` there is no `trex` to default to. The inverse of the
+    * `readSidx` + fragment walk for the fields they read.
+    */
+  def encodeMediaSegment(majorBrand: String, timescale: Long,
+                         sampleDelta: Long,
+                         fragments: Seq[Seq[Array[Byte]]]): Array[Byte] = {
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def full(bodyLen: Int, versionFlags: Int = 0)
+            (fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + bodyLen)
+      bb.putInt(versionFlags)
+      fill(bb)
+      bb.array()
+    }
+    val styp = box("styp", {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put(majorBrand.getBytes("US-ASCII")).putInt(0x200)
+        .put("iso2".getBytes("US-ASCII"))
+      bb.array()
+    })
+    val frags = fragments.zipWithIndex.map { case (samples, fi) =>
+      val mfhd = box("mfhd", full(4)(_.putInt(fi + 1)))
+      val tfhd = box("tfhd", full(4, 0x020000)(_.putInt(1))) // base-is-moof
+      def trun(dataOffset: Int) = box("trun",
+        full(4 + 4 + 8 * samples.length, 0x000301) { bb =>
+          bb.putInt(samples.length).putInt(dataOffset)
+          samples.foreach { s =>
+            bb.putInt(sampleDelta.toInt).putInt(s.length)
+          }
+        })
+      val moofLen = box("moof", mfhd, box("traf", tfhd, trun(0))).length
+      val moof = box("moof", mfhd, box("traf", tfhd, trun(moofLen + 8)))
+      moof ++ box("mdat", samples: _*)
+    }
+    // body: ref_ID(4) + timescale(4) + ept(4) + first_offset(4) +
+    // reserved(2) + count(2) + 12 per reference
+    val sidx = box("sidx", full(20 + 12 * fragments.length) { bb =>
+      bb.putInt(1) // reference_ID: the one track this segment carries
+        .putInt(timescale.toInt)
+        .putInt(0) // earliest_presentation_time (v0)
+        .putInt(0) // first_offset: data starts right after this box
+        .putShort(0) // reserved
+        .putShort(fragments.length.toShort)
+      fragments.zip(frags).foreach { case (samples, bytes) =>
+        bb.putInt(bytes.length) // reference_type 0 | referenced_size
+          .putInt((samples.length * sampleDelta).toInt)
+          .putInt(0) // starts_with_SAP/SAP_type/SAP_delta (unread here)
+      }
+    })
+    val out = new ByteArrayOutputStream()
+    out.write(styp)
+    out.write(sidx)
+    frags.foreach(out.write)
+    out.toByteArray
+  }
+
   /** Decode every MP4 payload's metadata: REAL box-walk facts from
     * `ftyp`/`mvhd`/`tkhd`/`stts`/`stsz` plus the integer-floor derived
     * fields the oracle replays (`duration_ms = duration·1000/timescale`,
@@ -3329,6 +3454,33 @@ object Media {
     }, outSchema)
   }
 
+  /** [[genPatternFmp4s]]' MEDIA-SEGMENT twin: the same pattern-PNG frames
+    * in a moov-LESS `styp sidx moof mdat…` container ([[encodeMediaSegment]],
+    * brand `msdh`) — byte-identical frame payloads, so the frame/keyframe
+    * oracles replay verbatim through the sidx-bound walk.
+    */
+  def genPatternSegMp4s(df: DataFrame, idCol: String, patternCol: String,
+                        framesCol: String, fragCol: String,
+                        w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol), col(patternCol).cast("long"),
+      col(framesCol).cast("int"), col(fragCol).cast("int"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val k = r.getLong(1)
+        val n = r.getInt(2)
+        val frag = r.getInt(3)
+        require(frag >= 1, s"fragment size must be >= 1, got $frag")
+        val samples = (0 until n).map(f =>
+          patternFramePng(k * 8 + f, w, h, flipFirstGradient = false))
+        Row(r.get(0), encodeMediaSegment("msdh", 30000L, 1001L,
+          samples.grouped(frag).toSeq))
+      }
+    }, outSchema)
+  }
+
   /** [[genMp4s]]' fragmented twin for the metadata oracle: single `vide`
     * track, tiny 2-byte samples in 8-sample fragments, `trex` carrying
     * the constant sample duration — every [[decodeMp4Meta]] field is the
@@ -3354,6 +3506,32 @@ object Media {
         Row(id, encodeFmp4("isom", r.getLong(1), r.getLong(2),
           r.getInt(4), r.getInt(5), samples.grouped(8).toSeq,
           udta = s"GRAFT-PII artist=$id gps=+0.0+0.0/".getBytes("US-ASCII")))
+      }
+    }, outSchema)
+  }
+
+  /** [[genFmp4s]]' MEDIA-SEGMENT twin for the metadata oracle: the same
+    * 2-byte samples in 8-sample fragments, but moov-LESS (`styp sidx
+    * moof mdat…`, brand `msdh`) — timescale/duration re-derive from
+    * `sidx`, sample facts from the explicit-field `trun` walk, and tkhd
+    * dims don't exist in this shape (0×0).
+    */
+  def genSegMp4s(df: DataFrame, idCol: String, tsCol: String,
+                 deltaCol: String, framesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(tsCol).cast("long"),
+      col(deltaCol).cast("long"), col(framesCol).cast("int"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = r.getInt(3)
+        val samples = (0 until n).map(i => Array[Byte](
+          ((id * 31 + i) % 256).toByte, ((id * 7 + i * 3) % 256).toByte))
+        Row(id, encodeMediaSegment("msdh", r.getLong(1), r.getLong(2),
+          samples.grouped(8).toSeq))
       }
     }, outSchema)
   }

@@ -116,8 +116,11 @@ class SparkEntrySpec extends SparkSpec {
     // strict walk, no-stss degenerate shapes quarantine at the cap)
     // 227 round 19: +mm_mp4_meta_elst (edts/elst edit-list fact:
     // has_edit_list from the planting column, box-walk facts unperturbed)
-    assert(SparkEntry.queries.size == 227,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 227); " +
+    // 230 round 19: +mm_mp4_segment_meta/_frames/_keyframes (moov-less
+    // styp/sidx DASH media segments: sidx supplies timescale/duration/
+    // track binding; frames/keyframes share the plain-container SQLs)
+    assert(SparkEntry.queries.size == 230,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 230); " +
         "if intentional, update this pin")
   }
 

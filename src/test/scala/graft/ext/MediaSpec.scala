@@ -1295,6 +1295,33 @@ class MediaSpec extends SparkSpec {
       Set((1L, true), (2L, false)))
   }
 
+  test("self-initializing DASH media segment: styp/sidx walk, no moov anywhere") {
+    // the CDN-served shape between init refreshes: styp sidx moof mdat --
+    // parseMp4 previously required moov/mvhd; now timescale/duration/
+    // track binding come from sidx and sample facts from the
+    // explicit-field trun walk
+    val samples = (0 until 7).map(i => Array[Byte](i.toByte, (i * 3).toByte))
+    val seg = Media.encodeMediaSegment("msdh", 30000L, 1001L,
+      samples.grouped(3).toSeq)
+    assert(Media.sniffMime(seg) == "video/mp4")
+    val m = Media.parseMp4(seg)
+    assert(m.majorBrand == "msdh" && m.timescale == 30000L)
+    assert(m.duration == 7 * 1001L) // summed sidx subsegment durations
+    assert(m.nTracks == 1 && m.width == 0 && m.height == 0)
+    assert(m.nSamples == 7 && m.sttsDur == 7 * 1001L)
+    // frame walk: byte-identical payloads through the sidx-bound layout
+    assert(Media.mp4FramePayloads(seg).map(_.toSeq) == samples.map(_.toSeq))
+    // fragment starts are the sync points: samples 0, 3, 6
+    assert(Media.mp4KeyframePayloads(seg).map(_._1) == Seq(0, 3, 6))
+    // a torn segment (sample range past EOF) throws, never mis-walks
+    val torn = java.util.Arrays.copyOfRange(seg, 0, seg.length - 4)
+    intercept[Exception] { Media.mp4FramePayloads(torn) }
+    // non-segment moov-less bytes still fail loudly
+    intercept[Exception] {
+      Media.parseMp4(java.util.Arrays.copyOfRange(seg, 0, 20))
+    }
+  }
+
   test("fMP4 scrub is size-preserving and leaves the fragment walk intact") {
     val samples = (0 until 5).map(i => Array[Byte](i.toByte, 9))
     val bytes = Media.encodeFmp4("isom", 30000L, 1001L, 320, 240,
