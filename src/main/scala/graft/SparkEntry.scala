@@ -2629,6 +2629,32 @@ object SparkEntry {
           col("has_edit_list"))
     }),
 
+    // ctts composition-offset awareness (r19, the elst fact's sibling):
+    // decode order ≠ presentation order when the video track carries a
+    // ctts table (B-frame reordering) — the frame tier correctly ignores
+    // the offsets for dedup, and this flag lets a presentation-order
+    // pipeline route such files. Planted on odd ids; the box must not
+    // perturb any other walk fact
+    "mm_mp4_meta_ctts" -> ((s, dir) => {
+      val ids = Tables(s, dir).documents.select(col("doc_id"))
+        .filter(col("doc_id") < 150)
+        .withColumn("ts", when(col("doc_id") % 3 === 0, 90000L)
+          .when(col("doc_id") % 3 === 1, 30000L).otherwise(12800L))
+        .withColumn("dl", when(col("doc_id") % 3 === 0, 3000L)
+          .when(col("doc_id") % 3 === 1, 1001L).otherwise(512L))
+        .withColumn("n", (lit(24) + (col("doc_id") % 40) * 3).cast("int"))
+        .withColumn("w", (lit(320) + (col("doc_id") % 4) * 160).cast("int"))
+        .withColumn("h", (lit(240) + (col("doc_id") % 4) * 120).cast("int"))
+        .withColumn("ct", col("doc_id") % 2 === 1)
+      val media = Media.genCttsMp4s(ids, "doc_id", "ts", "dl", "n", "w",
+        "h", "ct")
+      Media.decodeMp4Meta(media, "doc_id", "content")
+        .select(col("doc_id").as("media_id"), col("major_brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("width"), col("height"), col("n_frames"), col("fps_x1000"),
+          col("has_comp_offsets"))
+    }),
+
     // stss keyframe sampling: the sync-sample table is the container's
     // OWN scene-start list, so the MP4 tier samples representatives
     // WITHOUT decoding every frame (the per-file economy at 100 TB —
@@ -4809,6 +4835,27 @@ object SparkEntry {
         |  CAST(n AS INT) AS n_frames,
         |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000,
         |  CAST(d % 2 = 0 AS BOOLEAN) AS has_edit_list
+        |FROM ids""".stripMargin,
+
+    // ctts: has_comp_offsets replays from the planting column (odd ids);
+    // the single-track genMp4s floor math otherwise — a ctts box in the
+    // stbl must not perturb the walk
+    "mm_mp4_meta_ctts" ->
+      """WITH ids AS (SELECT doc_id AS d,
+        |    CASE WHEN doc_id % 3 = 0 THEN 90000 WHEN doc_id % 3 = 1 THEN 30000 ELSE 12800 END AS ts,
+        |    CASE WHEN doc_id % 3 = 0 THEN 3000 WHEN doc_id % 3 = 1 THEN 1001 ELSE 512 END AS dl,
+        |    24 + (doc_id % 40) * 3 AS n,
+        |    320 + (doc_id % 4) * 160 AS w,
+        |    240 + (doc_id % 4) * 120 AS h
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT d AS media_id, 'isom' AS major_brand,
+        |  CAST(ts AS BIGINT) AS timescale,
+        |  CAST(n * dl * 1000 // ts AS BIGINT) AS duration_ms,
+        |  CAST(1 AS INT) AS n_tracks,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST(ts * 1000 // dl AS BIGINT) AS fps_x1000,
+        |  CAST(d % 2 = 1 AS BOOLEAN) AS has_comp_offsets
         |FROM ids""".stripMargin,
 
     // keyframes = the f % step = 0 subset of the pattern frame walk: the

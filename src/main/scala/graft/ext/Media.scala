@@ -2276,14 +2276,19 @@ object Media {
     * frame tier decodes in sample (decode) order and ignores edit-list
     * offsets, which is fine for dedup (the payload bytes are what they
     * are) but presentation-order-sensitive pipelines should route
-    * elst-carrying files on this flag.
+    * elst-carrying files on this flag. `hasCompOffsets` is the same kind
+    * of fact for `ctts` composition offsets (decode order ≠ presentation
+    * order — B-frame reordering): TRUE when the selected video track's
+    * `stbl` carries a non-empty `ctts`, or (fragmented files) when any of
+    * its `trun`s carries per-sample composition offsets (flag 0x800).
     */
   private[ext] final case class Mp4Meta(majorBrand: String, timescale: Long,
                                         duration: Long, nTracks: Int,
                                         width: Int, height: Int,
                                         nSamples: Int, sttsCount: Long,
                                         sttsDur: Long,
-                                        hasEditList: Boolean = false) {
+                                        hasEditList: Boolean = false,
+                                        hasCompOffsets: Boolean = false) {
     /** Duration-weighted frames per 1000 s: `Σcount·timescale·1000 /
       * Σ(count·delta)` — for a single-entry `stts` this floors to exactly
       * the old first-delta form `timescale·1000/delta` (same rational).
@@ -2330,13 +2335,14 @@ object Media {
     * track_ID (the join key into `moof`-fragment `tfhd` boxes), the `hdlr`
     * handler type (empty when absent), `stsz` sample count, the sum of
     * counts / sum of count·delta over ALL `stts` entries — both latched
-    * from the SAME trak, never mixed across tracks — and whether the trak
-    * carries a non-empty `edts/elst` edit list.
+    * from the SAME trak, never mixed across tracks — whether the trak
+    * carries a non-empty `edts/elst` edit list, and whether its `stbl`
+    * carries a non-empty `ctts` composition-offset table.
     */
   private final case class TrakFacts(trackId: Int, handler: String,
                                      nSamples: Int,
                                      sttsCount: Long, sttsDur: Long,
-                                     hasElst: Boolean) {
+                                     hasElst: Boolean, hasCtts: Boolean) {
     def hasSampleTable: Boolean = nSamples > 0 || sttsCount > 0
   }
 
@@ -2353,6 +2359,7 @@ object Media {
     var sttsCount = 0L
     var sttsDur = 0L
     var hasElst = false
+    var hasCtts = false
     walkBoxes(bytes, s2, e2) { (t3, s3, e3) =>
       t3 match {
         // edts/elst: entry_count after the FullBox header — ANY entry
@@ -2387,6 +2394,12 @@ object Media {
                       sttsDur += c * d
                       i += 1
                     }
+                  // ctts: entry_count after the FullBox header — ANY
+                  // entry marks decode order ≠ presentation order
+                  // (presence fact; offsets are not applied, see
+                  // Mp4Meta.hasCompOffsets)
+                  case "ctts" =>
+                    if (bb.getInt(ps + 4) > 0) hasCtts = true
                   case _ =>
                 }
               }
@@ -2397,7 +2410,8 @@ object Media {
         case _ =>
       }
     }
-    TrakFacts(trackId, handler, nSamples, sttsCount, sttsDur, hasElst)
+    TrakFacts(trackId, handler, nSamples, sttsCount, sttsDur, hasElst,
+      hasCtts)
   }
 
   /** Pick the track the frame tier should read: the first trak whose
@@ -2455,6 +2469,32 @@ object Media {
       }
     }
     out
+  }
+
+  /** Whether any of `trackId`'s fragment `trun`s carries per-sample
+    * composition offsets (flag 0x800) — the fragmented-file source of
+    * the [[Mp4Meta.hasCompOffsets]] fact (moov-stored tables carry it
+    * in `ctts` instead).
+    */
+  private def fragHasCts(bytes: Array[Byte], trackId: Int): Boolean = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var found = false
+    walkBoxes(bytes, 0, bytes.length) { (t, s, e) =>
+      if (t == "moof") walkBoxes(bytes, s, e) { (t2, s2, e2) =>
+        if (t2 == "traf") {
+          var track = -1
+          walkBoxes(bytes, s2, e2) { (t3, s3, _) =>
+            t3 match {
+              case "tfhd" => track = bb.getInt(s3 + 4)
+              case "trun" if track == trackId =>
+                if ((bb.getInt(s3) & 0x800) != 0) found = true
+              case _ =>
+            }
+          }
+        }
+      }
+    }
+    found
   }
 
   /** Whether the container carries any top-level `moof` fragment — the
@@ -2689,7 +2729,8 @@ object Media {
       require(sTs > 0, "sidx timescale must be positive")
       val (_, szs, durs, _) = fragLayout(bytes, refId, Map.empty)
       return Mp4Meta(majorBrand, sTs, sDur, 1, 0, 0,
-        szs.length, szs.length.toLong, durs.sum)
+        szs.length, szs.length.toLong, durs.sum,
+        hasEditList = false, hasCompOffsets = fragHasCts(bytes, refId))
     }
     require(timescale > 0, "MP4 missing moov/mvhd header")
     val all = traks.result()
@@ -2697,16 +2738,18 @@ object Media {
     pickVideoTrak(all, hasMoofBox(bytes)).map(all) match {
       case Some(facts) =>
         Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
-          facts.nSamples, facts.sttsCount, facts.sttsDur, anyElst)
+          facts.nSamples, facts.sttsCount, facts.sttsDur, anyElst,
+          facts.hasCtts)
       case None =>
         // FRAGMENTED fallback: no trak carries an stbl sample table (the
         // DASH/CMAF init shape) — sample facts come from the moof/trun
         // walk of the handler-selected track, durations tfhd→trex
-        val frag = pickVideoTrakAny(all).map { i =>
-          fragLayout(bytes, all(i).trackId, trexAll(bytes))._3
-        }.getOrElse(Array.emptyLongArray)
+        val (frag, ctsFlag) = pickVideoTrakAny(all).map { i =>
+          (fragLayout(bytes, all(i).trackId, trexAll(bytes))._3,
+            fragHasCts(bytes, all(i).trackId))
+        }.getOrElse((Array.emptyLongArray, false))
         Mp4Meta(majorBrand, timescale, duration, nTracks, width, height,
-          frag.length, frag.length.toLong, frag.sum, anyElst)
+          frag.length, frag.length.toLong, frag.sum, anyElst, ctsFlag)
     }
   }
 
@@ -2904,15 +2947,19 @@ object Media {
     * optional sample table — payload bytes, `stts` (count, delta) runs
     * (multi-entry = variable frame rate; empty defaults to one run of
     * delta 1), `stss` sync-sample numbers (1-based; empty = no `stss`
-    * box, i.e. every sample sync), and an optional `edts/elst` edit list
+    * box, i.e. every sample sync), an optional `edts/elst` edit list
     * as (segment_duration, media_time) v0 entries (empty = no `edts`
-    * box; the [[decodeMp4Meta]] `has_edit_list` fixture channel).
+    * box; the [[decodeMp4Meta]] `has_edit_list` fixture channel), and an
+    * optional `ctts` composition-offset table as (sample_count,
+    * sample_offset) v0 entries (empty = no `ctts` box; the
+    * `has_comp_offsets` fixture channel).
     */
   final case class Mp4Track(handler: String, width: Int, height: Int,
                             samples: Seq[Array[Byte]] = Nil,
                             stts: Seq[(Int, Long)] = Nil,
                             syncSamples: Seq[Int] = Nil,
-                            editList: Seq[(Long, Long)] = Nil)
+                            editList: Seq[(Long, Long)] = Nil,
+                            cttsRuns: Seq[(Int, Int)] = Nil)
 
   /** Encode a minimal canonical MP4: `ftyp(majorBrand) moov(mvhd
     * trak(tkhd mdia(mdhd [hdlr] minf(stbl(stsd stts stsc stsz stco
@@ -3009,12 +3056,19 @@ object Media {
         bb.putInt(1).putInt(stcoOffset.toInt)
       })
       val base = Seq(stsd, stts, stsc, stsz, stco)
-      val kids =
+      val withSync =
         if (tr.syncSamples.isEmpty) base
         else base :+ box("stss",
           fullBoxPayload(4 + 4 * tr.syncSamples.length) { bb =>
             bb.putInt(tr.syncSamples.length)
             tr.syncSamples.foreach(bb.putInt)
+          })
+      val kids =
+        if (tr.cttsRuns.isEmpty) withSync
+        else withSync :+ box("ctts",
+          fullBoxPayload(4 + 8 * tr.cttsRuns.length) { bb =>
+            bb.putInt(tr.cttsRuns.length)
+            tr.cttsRuns.foreach { case (c, o) => bb.putInt(c).putInt(o) }
           })
       box("stbl", kids: _*)
     }
@@ -3255,14 +3309,15 @@ object Media {
       StructField("height", IntegerType, nullable = false),
       StructField("n_frames", IntegerType, nullable = true),
       StructField("fps_x1000", LongType, nullable = true),
-      StructField("has_edit_list", BooleanType, nullable = false)))
+      StructField("has_edit_list", BooleanType, nullable = false),
+      StructField("has_comp_offsets", BooleanType, nullable = false)))
     spark.createDataFrame(in.rdd.mapPartitions { rows =>
       rows.map { r =>
         val m = parseMp4(r.getAs[Array[Byte]](1))
         Row(r.get(0), m.majorBrand, m.timescale,
           m.duration * 1000L / m.timescale, m.nTracks, m.width, m.height,
           if (m.nSamples > 0) m.nSamples else null,
-          m.fpsX1000.map(Long.box).orNull, m.hasEditList)
+          m.fpsX1000.map(Long.box).orNull, m.hasEditList, m.hasCompOffsets)
       }
     }, outSchema)
   }
@@ -3336,6 +3391,39 @@ object Media {
         Row(id, encodeMp4Tracks("isom", ts, d * n, Seq(
           Mp4Track("vide", r.getInt(4), r.getInt(5), samples,
             Seq((n, d)), editList = elst))))
+      }
+    }, outSchema)
+  }
+
+  /** [[genElstMp4s]]' `ctts` sibling: rows with `cttsCol` true plant a
+    * composition-offset table (one v0 run: every sample offset by one
+    * delta — the B-frame-reorder shape), rows with false emit no `ctts`
+    * box — the [[decodeMp4Meta]] `has_comp_offsets` fixture channel,
+    * every other field the [[genMp4s]] single-track math.
+    */
+  def genCttsMp4s(df: DataFrame, idCol: String, tsCol: String,
+                  deltaCol: String, framesCol: String, widthCol: String,
+                  heightCol: String, cttsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val in = df.select(col(idCol).cast("long"), col(tsCol).cast("long"),
+      col(deltaCol).cast("long"), col(framesCol).cast("int"),
+      col(widthCol).cast("int"), col(heightCol).cast("int"),
+      col(cttsCol).cast("boolean"))
+    val outSchema = StructType(Seq(
+      in.schema.head.copy(name = idCol),
+      StructField("content", BinaryType, nullable = false)))
+    spark.createDataFrame(in.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val ts = r.getLong(1)
+        val d = r.getLong(2)
+        val n = r.getInt(3)
+        val samples = (0 until n).map(i => Array[Byte](
+          ((id * 31 + i) % 256).toByte, ((id * 7 + i * 3) % 256).toByte))
+        val ctts = if (r.getBoolean(6)) Seq((n, d.toInt)) else Nil
+        Row(id, encodeMp4Tracks("isom", ts, d * n, Seq(
+          Mp4Track("vide", r.getInt(4), r.getInt(5), samples,
+            Seq((n, d)), cttsRuns = ctts))))
       }
     }, outSchema)
   }

@@ -119,8 +119,11 @@ class SparkEntrySpec extends SparkSpec {
     // 230 round 19: +mm_mp4_segment_meta/_frames/_keyframes (moov-less
     // styp/sidx DASH media segments: sidx supplies timescale/duration/
     // track binding; frames/keyframes share the plain-container SQLs)
-    assert(SparkEntry.queries.size == 230,
-      s"query registry changed size: ${SparkEntry.queries.size} (expected 230); " +
+    // 231 round 19: +mm_mp4_meta_ctts (ctts composition-offset fact:
+    // has_comp_offsets from the planting column — decode order ≠
+    // presentation order is now routable, like has_edit_list)
+    assert(SparkEntry.queries.size == 231,
+      s"query registry changed size: ${SparkEntry.queries.size} (expected 231); " +
         "if intentional, update this pin")
   }
 

@@ -1295,6 +1295,65 @@ class MediaSpec extends SparkSpec {
       Set((1L, true), (2L, false)))
   }
 
+  test("ctts composition-offset fact: has_comp_offsets, stbl and trun sources") {
+    // moov-stored table: ctts in the video trak's stbl
+    val samples = (0 until 4).map(i => Array[Byte](i.toByte, (i * 3).toByte))
+    val withCtts = Media.encodeMp4Tracks("isom", 30000L, 4 * 1001L, Seq(
+      Media.Mp4Track("vide", 9, 8, samples, Seq((4, 1001L)),
+        cttsRuns = Seq((4, 1001)))))
+    val without = Media.encodeMp4Tracks("isom", 30000L, 4 * 1001L, Seq(
+      Media.Mp4Track("vide", 9, 8, samples, Seq((4, 1001L)))))
+    val m1 = Media.parseMp4(withCtts)
+    val m2 = Media.parseMp4(without)
+    assert(m1.hasCompOffsets && !m2.hasCompOffsets)
+    // the ctts box perturbs no other walk fact, and the frame tier reads
+    // identical sample bytes (offsets surfaced, never applied)
+    assert(m1.copy(hasCompOffsets = false) == m2)
+    assert(Media.mp4FramePayloads(withCtts).map(_.toSeq) ==
+      Media.mp4FramePayloads(without).map(_.toSeq))
+    // fragmented sources: the encoder's plain fMP4 (no 0x800 flag)
+    // reports false; a hand-built trun WITH flag 0x800 (per-sample cts
+    // offsets) reports true -- and its cts words must not derail the
+    // sample walk
+    val frag = Media.encodeFmp4("isom", 30000L, 1001L, 9, 8,
+      samples.grouped(2).toSeq)
+    assert(!Media.parseMp4(frag).hasCompOffsets)
+    def box(typ: String, payloads: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payloads.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      payloads.foreach(bb.put)
+      bb.array()
+    }
+    def full(vf: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + body.length)
+      bb.putInt(vf).put(body)
+      bb.array()
+    }
+    def ints(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    val head = Media.encodeFmp4("isom", 30000L, 1001L, 9, 8, Nil)
+    def moofOf(dataOff: Int): Array[Byte] = box("moof",
+      box("mfhd", full(0, ints(1))),
+      box("traf",
+        box("tfhd", full(0x020000, ints(1))),
+        // flags 0xA01: data_offset + per-sample size + per-sample cts
+        box("trun", full(0xA01, ints(2, dataOff, 2, 1001, 2, 2002)))))
+    val moofLen = moofOf(0).length
+    val ctsFrag = head ++ moofOf(moofLen + 8) ++
+      box("mdat", "AABB".getBytes("US-ASCII"))
+    assert(Media.parseMp4(ctsFrag).hasCompOffsets)
+    assert(Media.mp4FramePayloads(ctsFrag).map(new String(_)) ==
+      Seq("AA", "BB"))
+    // decodeMp4Meta surfaces the column
+    val df = Seq((1L, withCtts), (2L, without)).toDF("id", "content")
+    assert(Media.decodeMp4Meta(df, "id", "content")
+      .select("id", "has_comp_offsets").as[(Long, Boolean)].collect().toSet ==
+      Set((1L, true), (2L, false)))
+  }
+
   test("self-initializing DASH media segment: styp/sidx walk, no moov anywhere") {
     // the CDN-served shape between init refreshes: styp sidx moof mdat --
     // parseMp4 previously required moov/mvhd; now timescale/duration/
