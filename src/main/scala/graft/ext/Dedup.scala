@@ -3,9 +3,10 @@ package graft.ext
 import scala.jdk.CollectionConverters._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
-import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructField, StructType}
 
 /** Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
   * n-gram Jaccard, embedding-cosine. Each returns DataFrames (representative
@@ -565,7 +566,100 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    smallGraphComponents(pairs, idA, idB).getOrElse(
+      iterativeComponents(pairs, idA, idB, maxIter, checkpointDir))
+
+  /** Edge cap for the driver-side union-find fast path, overridable per
+    * session via `graft.cc.smallGraphEdgeCap` (0 disables the fast path).
+    * 2^19 edges ≈ a few tens of MB of collected rows — bounded driver work
+    * by construction, far below any broadcast-side table this engine
+    * already collects.
+    */
+  private[ext] val DefaultSmallGraphEdgeCap = 1L << 19
+
+  /** Driver-side union-find over a SMALL pair graph — same (id, comp =
+    * min id of component) contract as the distributed pointer-jumping
+    * loop, in ONE bounded Spark job instead of O(log D) rounds × 3 jobs.
+    *
+    * Why it exists (r19 measurement): under AQE every exchange of every
+    * round is its own Spark job, so the iterative path costs 15-20 jobs
+    * even on a two-round graph; the confirmed near-dup pair set of a
+    * daily batch is tiny next to the corpus (it is the DUPLICATES, not
+    * the data), so the labels are cheaper to compute where the pair set
+    * already fits: on the driver. `limit(cap+1).collect()` bounds driver
+    * memory by construction — if more than `cap` edges exist the collect
+    * stops there and the distributed path runs instead (one wasted
+    * bounded job, never an unbounded collect). Falls back too for
+    * non-integral id types (Catalyst's UTF8String byte order differs
+    * from java.lang.String's UTF-16 order on supplementary characters —
+    * the fast path must be bit-identical, so it only claims the types
+    * where `least()` and Java agree) and for null ids (null never
+    * equi-joins in the distributed path; preserving that corner exactly
+    * is not worth replicating).
+    *
+    * Union-find with a final min-per-root pass computes exactly the
+    * distributed fixpoint: comp(id) = min id reachable from id. Result
+    * is a LocalRelation, so downstream joins against it broadcast.
+    */
+  private[ext] def smallGraphComponents(pairs: DataFrame, idA: String,
+                                        idB: String): Option[DataFrame] = {
+    val spark = pairs.sparkSession
+    val cap = spark.conf.getOption("graft.cc.smallGraphEdgeCap")
+      .map(_.toLong).getOrElse(DefaultSmallGraphEdgeCap)
+    if (cap <= 0L) return None
+    val sel = pairs.select(col(idA), col(idB))
+    val dt = sel.schema.fields(0).dataType
+    val integral = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral || sel.schema.fields(1).dataType != dt) return None
+    val capI = math.min(cap, Int.MaxValue.toLong - 1).toInt
+    val rows = sel.limit(capI + 1).collect()
+    if (rows.length > capI) return None
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    // union-find, then min-label per root — identical to the fixpoint
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    val minOf = new java.util.HashMap[Any, Any]()
+    val it0 = parent.keySet().iterator()
+    while (it0.hasNext) {
+      val k = it0.next(); val r = find(k)
+      val cur = minOf.get(r)
+      if (cur == null ||
+          k.asInstanceOf[Number].longValue < cur.asInstanceOf[Number].longValue)
+        minOf.put(r, k)
+    }
+    val out = new java.util.ArrayList[Row](parent.size())
+    val it1 = parent.keySet().iterator()
+    while (it1.hasNext) {
+      val k = it1.next()
+      out.add(Row(k, minOf.get(find(k))))
+    }
+    val schema = StructType(Seq(StructField("id", dt), StructField("comp", dt)))
+    Some(spark.createDataFrame(out, schema))
+  }
+
+  /** The distributed pointer-jumping loop behind [[connectedComponents]]
+    * (the only path at > [[DefaultSmallGraphEdgeCap]] edges).
+    */
+  private[ext] def iterativeComponents(pairs: DataFrame, idA: String,
+                                       idB: String, maxIter: Int,
+                                       checkpointDir: Option[String]): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     val priorDir = sc.getCheckpointDir
     val callDir = checkpointDir.map(d =>

@@ -1,6 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.SparkSession
 
 /** Format stamps for persisted ANN indexes.
   *
@@ -15,10 +17,27 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *
   * `_meta` is a sibling of the data dirs (`codes/`, `centroids/`, …);
   * the leading underscore keeps it out of any recursive data listing, and
-  * going through Spark (not java.nio) keeps the stamp filesystem-agnostic —
-  * the same index layout works on HDFS/S3 on a real cluster.
+  * going through the Hadoop FileSystem API (not java.nio) keeps the stamp
+  * filesystem-agnostic — the same index layout works on HDFS/S3 on a real
+  * cluster.
+  *
+  * I/O shape (r19 optimization): the stamp is `_meta/format.txt`, a plain
+  * UTF-8 file written and read with direct FileSystem calls — ZERO Spark
+  * jobs. The original one-row-parquet stamp scheduled a full Spark job per
+  * stamp/check, and every index lifecycle op (build/append/classify/
+  * compact) pays 1-3 of them: pure scheduler overhead at any scale, a
+  * driver↔cluster round trip per call on a real deployment (guide §5: the
+  * driver should do metadata work directly, not via jobs). The commit-
+  * marker semantics are unchanged — stamp LAST, delete FIRST; a torn
+  * stamp reads as missing or as a mismatched string, both loud failures.
   */
 object IndexFormat {
+
+  private def metaFile(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_meta/format.txt")
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Stamp `path/_meta` with this index's format id (overwrite-safe).
     *
@@ -31,9 +50,12 @@ object IndexFormat {
     * through that it exists to stop.
     */
   def stamp(spark: SparkSession, path: String, format: String): Unit = {
-    import spark.implicits._
-    Seq(format).toDF("format")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_meta")
+    val p = metaFile(path)
+    val fs = fsOf(spark, p)
+    // clear any stale stamp generation (including pre-r19 parquet stamps)
+    fs.delete(p.getParent, true)
+    val out = fs.create(p, true)
+    try out.write(format.getBytes(UTF_8)) finally out.close()
   }
 
   /** Remove `path/_meta` (no-op if absent) — the first step of every index
@@ -52,25 +74,28 @@ object IndexFormat {
     * format FAMILY (a stamp prefix, e.g. any `imagededup:v1:` parameterization)
     * and must restamp the exact original id after the rewrite.
     */
-  def readFormat(spark: SparkSession, path: String): Option[String] =
-    try spark.read.parquet(s"$path/_meta").select("format")
-      .collect().headOption.map(_.getString(0))
-    catch {
-      case _: org.apache.spark.sql.AnalysisException => None
+  def readFormat(spark: SparkSession, path: String): Option[String] = {
+    val p = metaFile(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, UTF_8))
+      } finally in.close()
     }
+  }
 
   /** Require `path/_meta` to carry exactly `expected`; a missing stamp is
     * treated as an incompatible (pre-versioning) index, not a pass — that
     * is the case the stamp exists to catch.
     */
   def check(spark: SparkSession, path: String, expected: String): Unit = {
-    val found =
-      try spark.read.parquet(s"$path/_meta").select("format")
-        .collect().headOption.map(_.getString(0))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => None
-      }
-    found match {
+    readFormat(spark, path) match {
       case Some(f) if f == expected => ()
       case Some(f) => throw new IllegalStateException(
         s"index at $path has format '$f' but this reader expects " +

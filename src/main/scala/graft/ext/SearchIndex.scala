@@ -47,10 +47,7 @@ object SearchIndex {
     * foreign-format stamp is an error, never a default.
     */
   private[ext] def readNBuckets(spark: SparkSession, dir: String): Int = {
-    val found =
-      try spark.read.parquet(s"$dir/_meta").select("format")
-        .collect().headOption.map(_.getString(0))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val found = IndexFormat.readFormat(spark, dir)
     val pfx = s"$FormatPrefix:b"
     found match {
       case Some(f) if f.startsWith(pfx) && f.stripPrefix(pfx).forall(_.isDigit) =>

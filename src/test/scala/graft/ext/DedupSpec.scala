@@ -33,6 +33,38 @@ class DedupSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L) && comp.size == 200)
   }
 
+  /** Force [[Dedup.iterativeComponents]] (the distributed path) for a
+    * block — the small-graph union-find fast path would otherwise claim
+    * every tiny test graph and leave the iterative machinery untested.
+    */
+  private def withIterativeCC[T](body: => T): T = {
+    spark.conf.set("graft.cc.smallGraphEdgeCap", "0")
+    try body finally spark.conf.unset("graft.cc.smallGraphEdgeCap")
+  }
+
+  test("small-graph fast path matches the iterative path exactly") {
+    // chain + separate clique + self-pair + shared nodes across pairs
+    val pairs = ((1L until 200L).map(i => (i, i + 1)) ++
+      Seq((500L, 501L), (501L, 502L), (500L, 502L), (900L, 900L)))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val slow = withIterativeCC {
+      Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    }
+    assert(fast == slow)
+    assert(fast(199L) == 1L && fast(502L) == 500L && fast(900L) == 900L)
+  }
+
+  test("small-graph fast path falls back above the edge cap (same labels)") {
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.conf.set("graft.cc.smallGraphEdgeCap", "10") // force overflow
+    val viaFallback =
+      try Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("graft.cc.smallGraphEdgeCap")
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(viaFallback == fast)
+  }
+
   test("connectedComponents reliable-checkpoint mode matches the local default") {
     // cluster fault-tolerance path: rounds checkpoint to a real dir instead
     // of executor block managers; labels must be identical
@@ -45,7 +77,9 @@ class DedupSpec extends SparkSpec {
     val appDir = java.nio.file.Files.createTempDirectory("graft_app_ckpt_")
       .toString
     spark.sparkContext.setCheckpointDir(appDir)
-    val reliableDf = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    val reliableDf = withIterativeCC {
+      Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    }
     assert(spark.sparkContext.getCheckpointDir.exists(_.contains(appDir)),
       s"checkpoint dir not restored: ${spark.sparkContext.getCheckpointDir}")
     val reliable = reliableDf.as[(Long, Long)].collect().toMap
@@ -67,7 +101,7 @@ class DedupSpec extends SparkSpec {
   test("connectedComponents throws instead of returning split components") {
     val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, maxIter = 2)
+      withIterativeCC { Dedup.connectedComponents(pairs, maxIter = 2) }
     }
     assert(e.getMessage.contains("did not converge"))
   }
