@@ -21,15 +21,17 @@ object JobTrace {
     spark.sparkContext.setLogLevel("ERROR")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val epoch = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val site = j.stageInfos.lastOption.map(s => s.name.take(90)).getOrElse("?")
         starts.put(j.jobId, (site, j.time)); ()
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val (site, t0) = starts.getOrDefault(e.jobId, ("?", e.time))
-        lines.add(f"job ${e.jobId}%4d ${(e.time - t0) / 1000.0}%7.3fs  $site")
+        val rel0 = (t0 - epoch.get) / 1000.0
+        val rel1 = (e.time - epoch.get) / 1000.0
+        lines.add(f"job ${e.jobId}%4d  [$rel0%7.3f -> $rel1%7.3f]  $site")
         ()
       }
     })
@@ -39,6 +41,7 @@ object JobTrace {
     SparkEntry.benchPrimers.get(name).foreach(p => p(spark, sfDir))
     Thread.sleep(500)
     lines.clear()
+    epoch.set(System.currentTimeMillis())
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
     val sec = (System.nanoTime() - t0) / 1e9

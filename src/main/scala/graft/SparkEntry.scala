@@ -3193,7 +3193,7 @@ object SparkEntry {
     "stream_tumbling_counts" -> ((s, dir) => {
       withShufflePartitions(s, 8) {
       withNanosAsLong(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = graft.core.Tables.source(s, s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts_t", tsTCol(schema("ts").dataType))
@@ -3206,7 +3206,7 @@ object SparkEntry {
     "stream_sliding_counts" -> ((s, dir) => {
       withShufflePartitions(s, 8) {
       withNanosAsLong(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = graft.core.Tables.source(s, s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts_t", tsTCol(schema("ts").dataType))
@@ -3219,7 +3219,7 @@ object SparkEntry {
     "stream_session_counts" -> ((s, dir) => {
       withShufflePartitions(s, 8) {
       withNanosAsLong(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = graft.core.Tables.source(s, s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts_t", tsTCol(schema("ts").dataType))
@@ -3235,7 +3235,7 @@ object SparkEntry {
     "stream_split_counts" -> ((s, dir) => {
       withShufflePartitions(s, 8) {
       withNanosAsLong(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = graft.core.Tables.source(s, s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val split = Curation.splitByHash(ev, "user_id")
@@ -3250,7 +3250,7 @@ object SparkEntry {
     "stream_static_join" -> ((s, dir) => {
       withShufflePartitions(s, 8) {
       withNanosAsLong(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = graft.core.Tables.source(s, s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val cust = Tables(s, dir).customer
@@ -3264,7 +3264,7 @@ object SparkEntry {
     "stream_dedup_keys" -> ((s, dir) => {
       withShufflePartitions(s, 8) {
       withNanosAsLong(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = graft.core.Tables.source(s, s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts_t", tsTCol(schema("ts").dataType))
@@ -3332,7 +3332,7 @@ object SparkEntry {
     "stream_running_totals" -> ((s, dir) => {
       withShufflePartitions(s, 8) {
       withNanosAsLong(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = graft.core.Tables.source(s, s"$dir/events.parquet").schema
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts_t", tsTCol(schema("ts").dataType))
@@ -3349,7 +3349,7 @@ object SparkEntry {
     "stream_stream_join" -> ((s, dir) => {
       withShufflePartitions(s, 8) {
       withNanosAsLong(s)
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = graft.core.Tables.source(s, s"$dir/events.parquet").schema
       def ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts_t", tsTCol(schema("ts").dataType))

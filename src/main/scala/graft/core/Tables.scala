@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * owns pushdown (column pruning + predicate pushdown reach the scan).
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  def table(name: String): DataFrame = Tables.source(spark, s"$dir/$name.parquet")
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -34,4 +34,27 @@ final case class Tables(spark: SparkSession, dir: String) {
     table("embeddings")
       .withColumn("embedding", col("embedding").cast("array<float>"))
   }
+}
+
+object Tables {
+
+  private val sources =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The lazy parquet source for `path`, memoized per (session, path) —
+    * METADATA caching only (schema inference + file listing), never data
+    * or results: the returned DataFrame is the same unexecuted scan a
+    * fresh `spark.read.parquet` yields, and every query still computes
+    * from the files. Why (r19 measurement): each `read.parquet` call
+    * schedules a footer-inference job (~50-100 ms at any scale — it is a
+    * driver→scheduler round trip, not data work), and a bench/verify pass
+    * over the registry pays it hundreds of times for the same ten
+    * READ-ONLY fixture tables. This is the catalog-cache behavior a real
+    * deployment gets from a metastore table (and what
+    * `spark.sql.hive.filesourcePartitionFileCacheSize` exists for on
+    * partitioned tables — guide §6). Keyed by session so a new session
+    * (fresh bench process, different core count) re-lists and re-infers.
+    */
+  private[graft] def source(spark: SparkSession, path: String): DataFrame =
+    sources.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
 }

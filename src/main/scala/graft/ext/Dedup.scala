@@ -769,6 +769,24 @@ object Dedup {
     * pipeline paid two-to-three redundant full-corpus shingle scans — a
     * constant factor that is real money at 100 TB.
     */
+  /** Materialized [[shingledFrame]]: `localCheckpoint(true)` instead of
+    * `persist()` (r19). Storage footprint is the same — persist's first
+    * action materialized every column anyway — but the checkpoint also
+    * TRUNCATES THE LOGICAL PLAN to a LogicalRDD. The shingled frame is
+    * referenced 4-6× per composed dedup plan (sample pre-drop, banding,
+    * rescore postings, size lookups, batch-vs-corpus banding), each
+    * reference embedding the full shingle expression tree, and the
+    * measured cost was DRIVER PLANNING: `dedup_near_classify` spent
+    * ~4.4 s of its ~12 s wall in two zero-job gaps analyzing a 274 KB
+    * plan (guide §7.3 — very large plans; §3.3 — localCheckpoint to
+    * truncate). Trade: lineage is gone, so an executor loss mid-pipeline
+    * fails the job instead of recomputing — same trade the pipeline
+    * already accepted for `confirmed.localCheckpoint` and the CC rounds.
+    */
+  private def shingledCheckpointed(docs: DataFrame, idCol: String,
+                                   textCol: String, shingleN: Int): DataFrame =
+    shingledFrame(docs, idCol, textCol, shingleN).localCheckpoint(true)
+
   /** Candidates → exact-Jaccard rescore → connected components over ONE
     * shared shingle scan — the composition [[nearDedup]] runs before
     * choosing representatives, exposed for callers that want the cluster
@@ -783,16 +801,11 @@ object Dedup {
                         bands: Int = 4, rowsPerBand: Int = 4,
                         maxBucketSize: Int = 1000,
                         checkpointDir: Option[String] = None): DataFrame = {
-    val shingled = shingledFrame(docs, idCol, textCol, shingleN).persist()
-    try {
-      val confirmed = rescoreJaccardShingled(shingled,
-        minhashCandidatePairsShingled(shingled, bands, rowsPerBand, maxBucketSize),
-        minJaccard).localCheckpoint(true)
-      connectedComponents(confirmed, checkpointDir = checkpointDir)
-    } finally {
-      shingled.unpersist(blocking = false)
-      ()
-    }
+    val shingled = shingledCheckpointed(docs, idCol, textCol, shingleN)
+    val confirmed = rescoreJaccardShingled(shingled,
+      minhashCandidatePairsShingled(shingled, bands, rowsPerBand, maxBucketSize),
+      minJaccard).localCheckpoint(true)
+    connectedComponents(confirmed, checkpointDir = checkpointDir)
   }
 
   def nearDedup(docs: DataFrame, idCol: String, textCol: String,
@@ -800,21 +813,16 @@ object Dedup {
                 bands: Int = 4, rowsPerBand: Int = 4,
                 maxBucketSize: Int = 1000,
                 checkpointDir: Option[String] = None): DataFrame = {
-    val shingled = shingledFrame(docs, idCol, textCol, shingleN).persist()
-    try {
-      val candidates = minhashCandidatePairsShingled(shingled,
-        bands, rowsPerBand, maxBucketSize)
-      // eager localCheckpoint: materialize the pair pipeline once; the
-      // confirmed set (id pairs + score) is tiny next to the corpus
-      val confirmed = rescoreJaccardShingled(shingled, candidates, minJaccard)
-        .localCheckpoint(true)
-      if (confirmed.isEmpty) docs
-      else representatives(docs,
-        connectedComponents(confirmed, checkpointDir = checkpointDir), idCol)
-    } finally {
-      shingled.unpersist(blocking = false)
-      ()
-    }
+    val shingled = shingledCheckpointed(docs, idCol, textCol, shingleN)
+    val candidates = minhashCandidatePairsShingled(shingled,
+      bands, rowsPerBand, maxBucketSize)
+    // eager localCheckpoint: materialize the pair pipeline once; the
+    // confirmed set (id pairs + score) is tiny next to the corpus
+    val confirmed = rescoreJaccardShingled(shingled, candidates, minJaccard)
+      .localCheckpoint(true)
+    if (confirmed.isEmpty) docs
+    else representatives(docs,
+      connectedComponents(confirmed, checkpointDir = checkpointDir), idCol)
   }
 
   /** [[nearDedup]] for the embedding modality: sign-LSH candidate pairs at
@@ -1288,8 +1296,10 @@ object Dedup {
                            checkpointDir: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     IndexFormat.check(spark, indexDir, nearIndexFormat(shingleN, bands, rowsPerBand))
-    val shingled = shingledFrame(batch, idCol, textCol, shingleN).persist()
-    try {
+    // batch-sized by contract (a daily batch), so the eager checkpoint is
+    // bounded; see [[shingledCheckpointed]] for the plan-size rationale
+    val shingled = shingledCheckpointed(batch, idCol, textCol, shingleN)
+    locally {
       // within-batch: candidates → exact rescore → min-label components
       val confirmed = rescoreJaccardShingled(shingled,
         minhashCandidatePairsShingled(shingled, bands, rowsPerBand, maxBucketSize),
@@ -1329,9 +1339,6 @@ object Dedup {
           when(col("comp") =!= col("id"), lit("dup_batch"))
             .when(col("__x"), lit("dup_corpus"))
             .otherwise(lit("admitted")).as("verdict"))
-    } finally {
-      shingled.unpersist(blocking = false)
-      ()
     }
   }
 
@@ -1418,10 +1425,13 @@ object Dedup {
     val spark = batch.sparkSession
     IndexFormat.check(spark, dir, semanticIndexFormat(k, dim))
     val anchors = readSemanticAnchors(spark, dir)
+    // batch-sized by contract — eager checkpoint truncates the assigned
+    // subtree out of the final plan (same rationale as the near-dedup
+    // classify path's [[shingledCheckpointed]])
     val assigned = assignCells(
       batch.select(col(idCol).as("id"), col(vecCol).as("v")), anchors)
-      .persist()
-    try {
+      .localCheckpoint(true)
+    locally {
       val confirmed = withinCellPairs(assigned, threshold, maxCellSize)
         .select("id_a", "id_b").localCheckpoint(true)
       val ids = assigned.select("id")
@@ -1445,9 +1455,6 @@ object Dedup {
           when(col("comp") =!= col("id"), lit("dup_batch"))
             .when(col("__x"), lit("dup_corpus"))
             .otherwise(lit("admitted")).as("verdict"))
-    } finally {
-      assigned.unpersist(blocking = false)
-      ()
     }
   }
 
