@@ -242,8 +242,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, minJaccard: Double = 0.0,
                         maxDocFreq: Int = 1000): DataFrame = {
+    // eager localCheckpoint: tokenize+shingle the corpus ONCE. The plan
+    // below reads `sh` four times (postings, the df-cap's count branch,
+    // and one size lookup per pair side) and each lazy reference
+    // re-evaluated the full shingle expression — measured 4× the scan CPU
+    // of the actual similarity join (31 task-sec of 6.4 s wall at sf0.1,
+    // guide §1.2 step 1: don't compute things twice). Stored form is
+    // (id, array<bigint>) — the same bytes [[buildNearIndex]] persists per
+    // corpus, spilled to executor disk when larger than memory.
     val sh = df.select(col(idCol).as("id"),
       array_distinct(T.wordShingleHashes(col(textCol), shingleN)).as("sh"))
+      .localCheckpoint(true)
     val sizes = sh.select(col("id"), size(col("sh")).cast("bigint").as("n"))
     val inv0 = sh.select(col("id"), explode(col("sh")).as("sh_h"))
     // Hot-shingle (stop-shingle) cap: a boilerplate shingle shared by k docs
@@ -288,9 +297,16 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 25, w: Int = 16, minShared: Int = 1,
                   maxDocFreq: Int = 1000): DataFrame = {
-    val inv0 = df.select(col(idCol).as("id"),
-      explode(array_distinct(
-        graft.functions.WinnowFingerprints.winnowCol(col(textCol), k, w))).as("fp"))
+    // fingerprint ONCE (eager checkpoint): the rolling-hash winnow is the
+    // dominant per-row cost and the df-cap's count branch re-evaluated it
+    // a second time over the full corpus (same single-scan rationale as
+    // [[ngramJaccardPairs]]; a few selected fingerprints per doc, so the
+    // stored form is far smaller than the corpus)
+    val fps = df.select(col(idCol).as("id"),
+      array_distinct(
+        graft.functions.WinnowFingerprints.winnowCol(col(textCol), k, w)).as("fps"))
+      .localCheckpoint(true)
+    val inv0 = fps.select(col("id"), explode(col("fps")).as("fp"))
     // cap first, partition after — same skew rationale as ngramJaccardPairs
     val inv = dropHotKeys(inv0, Seq("fp"), maxDocFreq).repartition(col("fp"))
     inv.as("a").join(inv.as("b"), col("a.fp") === col("b.fp"))
@@ -312,7 +328,13 @@ object Dedup {
     */
   def rescoreJaccard(docs: DataFrame, pairs: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame =
-    rescoreJaccardShingled(shingledFrame(docs, idCol, textCol, shingleN),
+    // tokenize+shingle ONCE (eager checkpoint, pruned to the two columns
+    // the rescore reads): the shingled frame feeds both posting sides and
+    // both size lookups, so the lazy form re-tokenized the corpus up to
+    // 4× per call (same single-scan rationale as [[ngramJaccardPairs]];
+    // the composed pipelines already share [[shingledCheckpointed]])
+    rescoreJaccardShingled(shingledFrame(docs, idCol, textCol, shingleN)
+        .select("id", "__sh").localCheckpoint(true),
       pairs, minJaccard)
 
   /** [[rescoreJaccard]] over a [[shingledFrame]] (persisted or not). Same
