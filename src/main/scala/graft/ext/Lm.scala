@@ -89,10 +89,17 @@ object Lm {
     val stats = counts.agg(coalesce(sum("c"), lit(0L)).as("n_tok"))
       .crossJoin(kept.agg(count(lit(1)).as("v")))
     val denom = col("n_tok") + col("v") + lit(1)
+    // the model is bounded (≤ maxVocab+1 rows) but was returned LAZY, so
+    // every consumer broadcast — scoreUnigram reads it twice (vocab + OOV
+    // row), bigramModel three more times — re-ran the full token-count
+    // training over the reference corpus. Eager localCheckpoint pins the
+    // tiny table after ONE training pass (r19; guide §1.2 — don't compute
+    // things twice; same bounded-artifact contract as writeModel)
     kept.crossJoin(broadcast(stats))
       .select(col("w"), milliLog((col("c") + lit(1.0)) / denom).as("lp_milli"))
       .unionByName(stats.select(lit(null).cast("string").as("w"),
         milliLog(lit(1.0) / denom).as("lp_milli")))
+      .localCheckpoint(true)
   }
 
   /** Score every document against a [[unigramModel]]: mean per-token
@@ -148,8 +155,14 @@ object Lm {
                  langCol: String, model: DataFrame,
                  lo: Double = 0.25, hi: Double = 0.75): DataFrame = {
     require(lo < hi && lo > 0 && hi < 1, s"need 0 < lo < hi < 1, got $lo/$hi")
+    // scored is read twice (per-language thresholds, then the bucket
+    // labeling join) and each lazy read re-tokenized + re-scored the
+    // corpus. The pinned form is 4 narrow columns per document — tens of
+    // bytes/doc against KB-sized text, so the executor-storage trade holds
+    // at any corpus size (guide §5 persist-when-reused)
     val scored = scoreUnigram(docs, idCol, textCol, model, Seq(langCol))
       .filter(col("n_tokens") > 0)
+      .localCheckpoint(true)
     val thr = scored.groupBy(langCol).agg(
       percentile(col("avg_lp_milli"), lit(lo)).as("__q_lo"),
       percentile(col("avg_lp_milli"), lit(hi)).as("__q_hi"))
@@ -243,6 +256,10 @@ object Lm {
     val bi = c12.join(broadcast(c1.withColumnRenamed("w", "w1")), Seq("w1"))
       .select(col("w1"), col("w2"),
         milliLog(col("c12").cast("double") / col("c1")).as("lp2_milli"))
+      // bounded (≤ maxBigrams rows) — pin after one pair-count pass so
+      // scoreBigram's broadcast doesn't re-run bigram training (the
+      // unigram side is already pinned by unigramModel)
+      .localCheckpoint(true)
     BigramLm(uni, bi)
   }
 
@@ -366,9 +383,13 @@ object Lm {
       .select(col(idCol).as("id"), isTarget.as("__tgt"),
         explode(T.tokens(lower(col(textCol)))).as("w"))
       .withColumn("b", Curation.hashBucket(col("w"), buckets, salt))
+    // bounded (≤ buckets rows) — pin after ONE tokenize+count pass; lazy,
+    // the totals broadcast and the lw broadcast each re-ran it (two extra
+    // full-corpus tokenize passes per call)
     val byBucket = t.groupBy("b").agg(
       count(lit(1)).as("cr"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
     val totals = byBucket.agg(
       coalesce(sum("cr"), lit(0L)).as("nr"),
       coalesce(sum("ct"), lit(0L)).as("nt"))
@@ -452,6 +473,10 @@ object Lm {
     // total-count vocabulary cut (cp+cn), ties by token
     val vocabKept = counts
       .orderBy((col("cp") + col("cn")).desc, col("w")).limit(maxVocab)
+    // both model tables are bounded (stats = 1 row, llr ≤ maxVocab rows)
+    // but were lazy, so the llr broadcast and the prior broadcast each
+    // re-ran token-count training over the train split. Pin each after one
+    // pass (same bounded-model rationale as [[unigramModel]])
     val stats = counts.agg(
       coalesce(sum("cp"), lit(0L)).as("np"),
       coalesce(sum("cn"), lit(0L)).as("nn"))
@@ -459,10 +484,12 @@ object Lm {
       .crossJoin(train.agg(
         coalesce(sum(when(col("__lab"), 1L).otherwise(0L)), lit(0L)).as("dp"),
         coalesce(sum(when(col("__lab"), 0L).otherwise(1L)), lit(0L)).as("dn")))
+      .localCheckpoint(true)
     val llr = vocabKept.crossJoin(broadcast(stats)).select(col("w"),
       milliLogRatio(
         (col("cp") + lit(1.0)) / (col("np") + col("v")),
         (col("cn") + lit(1.0)) / (col("nn") + col("v"))).as("llr"))
+      .localCheckpoint(true)
     val prior = stats.select(
       milliLogRatio(col("dp") + lit(1.0), col("dn") + lit(1.0)).as("__prior"))
 
