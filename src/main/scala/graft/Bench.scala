@@ -260,8 +260,15 @@ object Bench {
     // env fingerprint: lets the next round's reader separate host drift
     // from plan regression without replaying (r5→r6 lesson: a ~1.4× slower
     // host read as a 42% code regression until a manual replay cleared it)
+    // `cpus` is the HOST's processor count; `cpus_conf` is the CONFIGURED
+    // core count actually driving local[N] and shuffle.partitions — the
+    // scaling harness benches at 8 vs 32 cores and needs the artifact to
+    // prove $SPARK_GRAFT_CPUS took effect (r19's suspect_cpus_ignored:
+    // both artifacts claimed the host's 32 and the check false-positived)
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val env = s"""{"cpus":${Runtime.getRuntime.availableProcessors},""" +
+      s""""cpus_conf":$cpus,""" +
+      s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
       s""""load":${f"${os.getSystemLoadAverage}%.2f"},""" +
       s""""jvm":${jsonStr(System.getProperty("java.version"))},""" +
       s""""spark":${jsonStr(spark.version)}}"""

@@ -88,8 +88,25 @@ object Ivf {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    // FS-direct mirror of the same array (see TinyTable): readers skip the
+    // 2-job parquet read; the parquet above stays canonical for the oracle
+    TinyTable.writeCentroids(spark, s"$path/centroids", index.centroids)
     IndexFormat.stamp(spark, path, FormatId)
   }
+
+  /** Centroid table of a persisted index: the [[TinyTable]] sidecar when
+    * present (zero Spark jobs), else the canonical parquet (2 jobs —
+    * pre-sidecar indexes). Both orderings sort by list_id, so the array is
+    * identical either way.
+    */
+  private[ext] def readCentroidTable(spark: SparkSession,
+                                     path: String): Array[Array[Double]] =
+    TinyTable.readCentroids(spark, s"$path/centroids").getOrElse {
+      spark.read.parquet(s"$path/centroids")
+        .select("list_id", "centroid").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+    }
 
   /** Reload a [[writeIndex]]-persisted index. The assignment stays a lazy
     * partition-pruned scan; only the centroids (nLists × dim doubles)
@@ -98,11 +115,7 @@ object Ivf {
   def readIndex(spark: SparkSession, path: String): Index = {
     IndexFormat.check(spark, path, FormatId)
     val assigned = spark.read.parquet(s"$path/assigned")
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select("list_id", "centroid").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    Index(assigned, centroids)
+    Index(assigned, readCentroidTable(spark, path))
   }
 
   /** Tag every row of `df` with the id of its nearest centroid (squared-L2,
@@ -114,19 +127,35 @@ object Ivf {
     */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
                   centroids: Array[Array[Double]]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cents = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("__list", "__cent")
-    df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cents))
-      .withColumn("__d", aggregate(zip_with(col(vecCol), col("__cent"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0d), (acc, v) => acc + v))
-      .groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol),
-        min_by(col("__list"), struct(col("__d"), col("__list"))).as("list_id"))
+    // Per-row fold over a LITERAL centroid array (r20, guide §2.4 — remove
+    // shuffles outright): the old shape crossJoined a broadcast centroid
+    // table and re-aggregated by id, which re-SHUFFLED the whole corpus
+    // (vectors included) just to pick each row's min cell. The argmin is a
+    // pure per-row function of (vector, fixed centroids) — no exchange is
+    // fundamentally required, so none is paid. Same math, same tie-break:
+    // the fold takes a strictly smaller distance only, so on equal d the
+    // LOWEST cell id (visited first) wins — exactly the old
+    // min_by(__list, struct(__d, __list)) contract the DuckDB oracle
+    // re-derives. A null/short vector yields null distances for every cell
+    // (centroid literals are never null), so the `d.isNotNull` guard leaves
+    // the accumulator at its null seed and list_id comes back null, like
+    // min_by over all-null orderings. One row out per row in (the old
+    // groupBy collapsed duplicate ids; every caller feeds unique ids — the
+    // persisted-index ingest contract).
+    val cents = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("l"), array(c.map(lit): _*).as("c"))
+    }: _*)
+    df.select(col(idCol), col(vecCol),
+      aggregate(cents,
+        struct(lit(null).cast("double").as("d"), lit(null).cast("int").as("l")),
+        (acc, x) => {
+          val d = aggregate(zip_with(col(vecCol), x.getField("c"),
+            (v, c) => (v.cast("double") - c) * (v.cast("double") - c)),
+            lit(0.0d), (s, v) => s + v)
+          when(d.isNotNull && (acc.getField("d").isNull || d < acc.getField("d")),
+            struct(d.as("d"), x.getField("l").as("l"))).otherwise(acc)
+        },
+        acc => acc.getField("l")).as("list_id"))
   }
 
   /** Append new vectors to a [[writeIndex]]-persisted index WITHOUT
@@ -143,10 +172,7 @@ object Ivf {
   def appendIndex(spark: SparkSession, path: String, newVecs: DataFrame,
                   idCol: String, vecCol: String): Unit = {
     IndexFormat.check(spark, path, FormatId)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select("list_id", "centroid").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
+    val centroids = readCentroidTable(spark, path)
     val assigned = assignCells(newVecs, idCol, vecCol, centroids)
     IndexFormat.invalidate(spark, path)
     assigned.write.mode(SaveMode.Append)
@@ -170,10 +196,7 @@ object Ivf {
                            dir: String): Unit = {
     val spark = docs.sparkSession
     IndexFormat.check(spark, dir, FormatId)
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .select("list_id", "centroid").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
+    val centroids = readCentroidTable(spark, dir)
     val assigned = assignCells(docs, idCol, vecCol, centroids)
     IndexFormat.invalidate(spark, dir)
     docs.write.mode(SaveMode.Append).parquet(corpusPath)

@@ -89,7 +89,21 @@ object IvfPq {
             nLists: Int, codes: Int = 256, seed: Long = 42L,
             maxIter: Int = 5): Index = {
     val ivf = Ivf.build(df, idCol, vecCol, nLists, seed, maxIter)
+    // Materialize the assigned+residual frame ONCE (r20, guide §1.2 —
+    // don't compute things twice): it feeds THREE downstream actions
+    // (Pq.train's sample count + sample collect, then the caller's codes
+    // write), and each lazy reference re-ran the k-means transform and the
+    // centroid join over the whole corpus — 3 full passes for 1 pass of
+    // information. The eager localCheckpoint trades executor storage for
+    // those recomputes (spills to disk past memory), the same trade the
+    // dedup tier's shingle checkpoint made in r19; projected down to the
+    // three columns the downstream stages read, so vectors aren't stored
+    // twice. Checkpointing preserves partitioning and per-partition row
+    // order, so Pq.train's seeded Bernoulli sample draws the identical
+    // rows it drew off the lazy plan.
     val withRes = withResidual(ivf.assigned, vecCol, ivf.centroids)
+      .select(col(idCol), col("list_id"), col("__residual"))
+      .localCheckpoint(true)
     val cb = Pq.train(withRes, "__residual", dim, m, codes, seed, maxIter)
     val encoded = Pq.encode(withRes, idCol, "__residual", cb,
       keep = Seq("list_id"))
@@ -123,6 +137,10 @@ object IvfPq {
       book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    // FS-direct mirrors (TinyTable): readIndex skips 4 Spark jobs; the
+    // parquet tables above stay canonical for the DuckDB oracle
+    TinyTable.writeCentroids(spark, s"$path/centroids", index.centroids)
+    TinyTable.writeCodebooks(spark, s"$path/codebooks", index.cb.books)
     IndexFormat.stamp(spark, path, FormatId)
   }
 
@@ -135,19 +153,21 @@ object IvfPq {
   def readIndex(spark: SparkSession, path: String): Index = {
     IndexFormat.check(spark, path, FormatId)
     val codes = spark.read.parquet(s"$path/codes")
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .select("list_id", "centroid").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .select("subspace", "code", "centroid").collect()
-    require(rows.nonEmpty, s"no codebooks at $path/codebooks")
-    val m = rows.map(_.getInt(0)).max + 1
-    val nCodes = rows.map(_.getInt(1)).max + 1
-    val books = Array.ofDim[Array[Double]](m, nCodes)
-    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
-    require(books.forall(_.forall(_ != null)),
-      s"codebooks at $path are not a dense $m x $nCodes table")
+    // sidecar fast path (TinyTable — zero Spark jobs), parquet fallback
+    // for pre-sidecar indexes; both sort identically
+    val centroids = Ivf.readCentroidTable(spark, path)
+    val books = TinyTable.readCodebooks(spark, s"$path/codebooks").getOrElse {
+      val rows = spark.read.parquet(s"$path/codebooks")
+        .select("subspace", "code", "centroid").collect()
+      require(rows.nonEmpty, s"no codebooks at $path/codebooks")
+      val m = rows.map(_.getInt(0)).max + 1
+      val nCodes = rows.map(_.getInt(1)).max + 1
+      val bs = Array.ofDim[Array[Double]](m, nCodes)
+      rows.foreach(r => bs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      require(bs.forall(_.forall(_ != null)),
+        s"codebooks at $path are not a dense $m x $nCodes table")
+      bs
+    }
     Index(codes, centroids, Pq.Codebooks(books))
   }
 

@@ -246,6 +246,9 @@ object Pq {
       book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
     }.toSeq.toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/codebooks")
+    // FS-direct mirror (TinyTable): readIndex skips the 2-job parquet
+    // read; the parquet above stays canonical for the DuckDB oracle
+    TinyTable.writeCodebooks(spark, s"$path/codebooks", cb.books)
     IndexFormat.stamp(spark, path, FormatId)
   }
 
@@ -295,17 +298,22 @@ object Pq {
                 path: String): (DataFrame, Codebooks) = {
     IndexFormat.check(spark, path, FormatId)
     val codes = spark.read.parquet(s"$path/codes")
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .select("subspace", "code", "centroid").collect()
-    require(rows.nonEmpty, s"no codebooks at $path/codebooks")
-    val m = rows.map(_.getInt(0)).max + 1
-    val nCodes = rows.map(_.getInt(1)).max + 1
-    val books = Array.ofDim[Array[Double]](m, nCodes)
-    rows.foreach { r =>
-      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    // sidecar fast path (TinyTable — zero Spark jobs), parquet fallback
+    // for pre-sidecar indexes
+    val books = TinyTable.readCodebooks(spark, s"$path/codebooks").getOrElse {
+      val rows = spark.read.parquet(s"$path/codebooks")
+        .select("subspace", "code", "centroid").collect()
+      require(rows.nonEmpty, s"no codebooks at $path/codebooks")
+      val m = rows.map(_.getInt(0)).max + 1
+      val nCodes = rows.map(_.getInt(1)).max + 1
+      val bs = Array.ofDim[Array[Double]](m, nCodes)
+      rows.foreach { r =>
+        bs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      require(bs.forall(_.forall(_ != null)),
+        s"codebooks at $path are not a dense $m x $nCodes table")
+      bs
     }
-    require(books.forall(_.forall(_ != null)),
-      s"codebooks at $path are not a dense $m x $nCodes table")
     (codes, Codebooks(books))
   }
 
