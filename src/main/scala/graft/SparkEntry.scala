@@ -813,12 +813,16 @@ object SparkEntry {
         shingleN = 3, minJaccard = 0.5)
     }),
 
-    // MinHash-LSH candidates, same exact-Jaccard rescore + oracle
+    // MinHash-LSH candidates, same exact-Jaccard rescore + oracle. The
+    // composed form shares ONE tokenize+shingle scan between the candidate
+    // signatures and the exact rescore (r20, guide §1.2 — composing the two
+    // public stages shingled the corpus twice); results are identical
+    // (DedupSpec pins composed == two-stage, and the DuckDB all-pairs
+    // oracle is unchanged)
     "dedup_minhash_pairs" -> ((s, dir) => {
       val d = Tables(s, dir).documents.select("doc_id", "text")
       val withCopies = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
-      val cands = Dedup.minhashCandidatePairs(withCopies, "doc_id", "text")
-      Dedup.rescoreJaccard(withCopies, cands, "doc_id", "text",
+      Dedup.minhashDupPairs(withCopies, "doc_id", "text",
         shingleN = 3, minJaccard = 0.5)
     }),
 

@@ -175,6 +175,27 @@ object Dedup {
     minhashCandidatePairsShingled(shingledFrame(df, idCol, textCol, shingleN),
       bands, rowsPerBand, maxBucketSize)
 
+  /** [[minhashCandidatePairs]] → [[rescoreJaccard]] over ONE shared shingle
+    * scan — the pair-level slice of the [[nearDupComponents]] composition,
+    * for callers that want the confirmed (id_a, id_b, jaccard) pairs rather
+    * than cluster labels. Composing the two public stages instead
+    * tokenizes+shingles the corpus twice (each computes its own
+    * [[shingledFrame]]) — a full redundant corpus scan at 100 TB. Results
+    * are identical to the two-stage composition: the candidate signature is
+    * [[minhashFromShingles]] of the same shingle column either way, and the
+    * rescore's `__sh` IS the `array_distinct(wordShingleHashes)` column the
+    * text overload computes inline.
+    */
+  def minhashDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                      maxBucketSize: Int = 1000,
+                      minJaccard: Double = 0.0): DataFrame = {
+    val shingled = shingledCheckpointed(docs, idCol, textCol, shingleN)
+    rescoreJaccardShingled(shingled,
+      minhashCandidatePairsShingled(shingled, bands, rowsPerBand, maxBucketSize),
+      minJaccard)
+  }
+
   /** [[minhashCandidatePairs]] over a [[shingledFrame]] (persisted or not).
     * Same plan, same results — the signature is [[minhashFromShingles]] of
     * the precomputed string-shingle column.

@@ -287,6 +287,22 @@ class DedupSpec extends SparkSpec {
     assert(shared == composed && shared == Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("minhashDupPairs matches the two-stage candidates→rescore composition") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (10L, a), (11L, a), (12L, a + " lambda"),
+      (20L, "one two three four five six seven eight nine ten"),
+      (30L, "")).toDF("id", "text")
+    val shared = Dedup.minhashDupPairs(d, "id", "text", minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val twoStage = Dedup.rescoreJaccard(d,
+        Dedup.minhashCandidatePairs(d, "id", "text"),
+        "id", "text", shingleN = 3, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(shared == twoStage && shared.contains((10L, 11L)) &&
+      shared((10L, 11L)) == 1.0)
+  }
+
   test("nearDedupIncremental classifies dup_corpus / dup_batch / admitted against a persisted index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nearidx_").toString
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
