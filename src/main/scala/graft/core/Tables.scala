@@ -40,6 +40,8 @@ object Tables {
 
   private val sources =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** The lazy parquet source for `path`, memoized per (session, path) —
     * METADATA caching only (schema inference + file listing), never data
@@ -54,7 +56,28 @@ object Tables {
     * `spark.sql.hive.filesourcePartitionFileCacheSize` exists for on
     * partitioned tables — guide §6). Keyed by session so a new session
     * (fresh bench process, different core count) re-lists and re-infers.
+    *
+    * Staleness contract: the memoized scan holds its InMemoryFileIndex,
+    * so a path whose FILES CHANGE under a live session would serve the
+    * old listing — callers point this at the read-only test fixtures
+    * only; mutable paths (tmp index dirs, sink outputs) must keep using
+    * `spark.read.parquet` directly. Entries evict when the session's
+    * SparkContext stops (r20 — the map previously retained every session
+    * forever, a leak in multi-session drivers).
     */
   private[graft] def source(spark: SparkSession, path: String): DataFrame =
-    sources.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+    sources.computeIfAbsent((spark, path), _ => {
+      if (cleanupRegistered.add(spark)) {
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              sources.keySet.removeIf(_._1 eq spark)
+              cleanupRegistered.remove(spark)
+              ()
+            }
+          })
+      }
+      spark.read.parquet(path)
+    })
 }

@@ -649,7 +649,14 @@ object Dedup {
                                         idB: String): Option[DataFrame] = {
     val spark = pairs.sparkSession
     val cap = spark.conf.getOption("graft.cc.smallGraphEdgeCap")
-      .map(_.toLong).getOrElse(DefaultSmallGraphEdgeCap)
+      .map { v =>
+        try v.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft.cc.smallGraphEdgeCap must be a long (edge count; 0 " +
+              s"disables the driver fast path), got '$v'")
+        }
+      }.getOrElse(DefaultSmallGraphEdgeCap)
     if (cap <= 0L) return None
     val sel = pairs.select(col(idA), col(idB))
     val dt = sel.schema.fields(0).dataType
@@ -825,6 +832,16 @@ object Dedup {
     * truncate). Trade: lineage is gone, so an executor loss mid-pipeline
     * fails the job instead of recomputing — same trade the pipeline
     * already accepted for `confirmed.localCheckpoint` and the CC rounds.
+    *
+    * Storage release (r20, guide §5): the checkpointed RDD cannot be
+    * unpersisted here — the RETURNED frame still references it lazily and
+    * the caller consumes it after this function returns. Release is by
+    * reachability: once the caller's terminal action drops the frame, the
+    * ContextCleaner unpersists the RDD at the next GC (Bench forces one
+    * per query; a long-lived driver session holds at most the checkpoints
+    * of the pipelines still in scope). Callers that keep many dedup
+    * results alive simultaneously hold their checkpoints alive too — drop
+    * references (or collect results) to bound executor storage.
     */
   private def shingledCheckpointed(docs: DataFrame, idCol: String,
                                    textCol: String, shingleN: Int): DataFrame =
