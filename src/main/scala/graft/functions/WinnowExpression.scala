@@ -86,11 +86,69 @@ object WinnowFingerprints {
       while (i < m) { if (hashes(i) <= min) { min = hashes(i); idx = i }; i += 1 }
       return Array(hashes(idx))
     }
+    // Monotonic-deque sliding minimum (r20, guide §1.2 step 2 — per-task
+    // work): O(m) instead of the O(m·w) per-window rescan. Selection is
+    // IDENTICAL to the old `<=` linear scan ("rightmost minimum"): pushing
+    // index j pops every back entry with hashes ≥ hashes(j) — a strictly
+    // greater value can never be a window minimum again once j is in the
+    // window, and an EQUAL value loses to the later index by the rightmost
+    // rule — so deque values are strictly increasing front-to-back and the
+    // front is always the window's minimum at its rightmost occurrence
+    // (WinnowSpec pins deque == reference on randomized inputs).
+    val out = ArrayBuffer.empty[Long]
+    var lastIdx = -1
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0                            // live window indices: [head, tail)
+    i = 0
+    while (i < m) {
+      while (tail > head && hashes(dq(tail - 1)) >= hashes(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      val start = i - w + 1                 // window [start, i] complete when start >= 0
+      if (start >= 0) {
+        if (dq(head) < start) head += 1     // at most one expiry per slide
+        val idx = dq(head)
+        if (idx != lastIdx) { out += hashes(idx); lastIdx = idx }
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The SIGMOD'03 selection spelled out directly — rightmost minimum of
+    * each w-window by linear rescan, O(m·w). Kept as the executable
+    * specification the optimized deque form is property-tested against
+    * (never called from query paths).
+    */
+  private[functions] def winnowReference(s: UTF8String, k: Int, w: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return Array.empty
+    val m = n - k + 1
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= Base; i += 1 }
+    val hashes = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * Base + (bytes(i + k - 1) & 0xff)
+      hashes(i) = h
+      i += 1
+    }
+    if (m <= w) {
+      var min = hashes(0); var idx = 0
+      i = 1
+      while (i < m) { if (hashes(i) <= min) { min = hashes(i); idx = i }; i += 1 }
+      return Array(hashes(idx))
+    }
     val out = ArrayBuffer.empty[Long]
     var lastIdx = -1
     var start = 0
     while (start + w <= m) {
-      // rightmost minimum of window [start, start+w)
       var min = hashes(start); var idx = start
       i = start + 1
       while (i < start + w) { if (hashes(i) <= min) { min = hashes(i); idx = i }; i += 1 }

@@ -45,6 +45,25 @@ class WinnowSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("deque sliding minimum selects identically to the reference rescan") {
+    // randomized equivalence: the O(m) monotonic-deque winnow must pick the
+    // EXACT fingerprint sequence of the O(m·w) rightmost-minimum rescan —
+    // ties included (a small alphabet forces many equal k-gram hashes)
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "abcd", "abcdefghij ")
+    for (trial <- 0 until 200) {
+      val alpha = alphabets(trial % alphabets.size)
+      val len = rnd.nextInt(300)
+      val s = UTF8String.fromString(
+        Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString)
+      val k = 2 + rnd.nextInt(8)
+      val w = 1 + rnd.nextInt(20)
+      val fast = WinnowFingerprints.winnow(s, k, w).toSeq
+      val ref = WinnowFingerprints.winnowReference(s, k, w).toSeq
+      assert(fast == ref, s"trial=$trial k=$k w=$w text='$s'")
+    }
+  }
+
   test("the expression runs inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
