@@ -421,8 +421,13 @@ object Dedup {
   def spanStats(df: DataFrame, idCol: String, textCol: String,
                 shingleN: Int = 3, minDf: Int = 2): DataFrame = {
     require(minDf >= 1)
+    // tokenize+shingle ONCE (r20, guide §1.2): `sh` feeds the exploded
+    // posting chain AND the per-doc size lookup (`nSh`) — two lazy
+    // references, two full shingle evaluations before this checkpoint.
+    // Stored form is the compact (id, distinct-hash array).
     val sh = df.select(col(idCol).as("id"),
       array_distinct(T.wordShingleHashes(col(textCol), shingleN)).as("sh"))
+      .localCheckpoint(true)
     val inv = sh.select(col("id"), explode(col("sh")).as("sh_h"))
     // one explicit repartition on the shingle hash; the df aggregation AND
     // the semi-join left side both consume that same exchange (partitioning

@@ -61,8 +61,18 @@ object Spans {
                      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
     require(shingleN >= 1, s"shingleN must be >= 1 (got $shingleN)")
     require(minCount >= 2, s"minCount < 2 would mark every window duplicated (got $minCount)")
-    val sh = df.select(col(idCol).as("id"),
-      posexplode(T.wordShingleHashes(col(textCol), shingleN)).as(Seq("pos", "sh_h")))
+    // tokenize+shingle ONCE (r20, guide §1.2): the exploded postings feed
+    // both the corpus-frequency aggregate and the semi-join probe side,
+    // and with the frequency table broadcast the two consumers share no
+    // exchange — each lazy reference re-ran the full shingle expression
+    // over the corpus. The checkpoint stores the compact per-doc hash
+    // ARRAY (same bytes buildNearIndex persists); the posexplode itself
+    // is cheap and stays lazy on both branches.
+    val shArr = df.select(col(idCol).as("id"),
+      T.wordShingleHashes(col(textCol), shingleN).as("__sha"))
+      .localCheckpoint(true)
+    val sh = shArr.select(col("id"),
+      posexplode(col("__sha")).as(Seq("pos", "sh_h")))
     val inv2 =
       if (maxShingleFreq == Int.MaxValue) sh
       else Dedup.dropHotKeys(sh, Seq("sh_h"), maxShingleFreq)
